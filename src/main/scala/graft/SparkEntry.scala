@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2
+  * (+ the beyond-reference training-data operators). Every query has a
+  * matching DuckDB oracle in `oracleSql` unless its semantics are not
+  * reasonably ANSI-SQL-expressible (then the driver does a rows-only
+  * check and ScalaTest carries the semantics).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The reference's canned queries reshaped to the fixture vocabulary
+    * (/root/reference/scripts/search_client.py:103-109 pattern). */
+  val BatchQueries: Seq[(Int, String)] = Seq(
+    0 -> "vector query", 1 -> "stream batch", 2 -> "scan filter",
+    3 -> "group agg", 4 -> "sort merge")
+
+  /** Flagship query (FTS top-k) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Fts.search(spark, "/root/testdata/sf0.001", "hash join merge", "en", 10)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 full-text search
+    "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
+    "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
+    "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
+    // §2.3 vector similarity
+    "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
+    "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
+    "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    // §2.1 scans/sinks
+    "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
+    "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
+    // §2.5/§2.6 joins/aggs/windows
+    "q1_pricing" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q3_shipping" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
+    "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
+    "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    // §2.3 V2 metadata filter (string-coerced JSON equality)
+    "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
+    // §2.4 ingest pipeline
+    "p2_docid" -> ((s, d) => TextOps.deterministicIds(s, d)),
+    "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
+    "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
+    "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),
+    // dedup suite (training-data ops)
+    "dedup_exact" -> ((s, d) => Dedup.exactNormalized(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fts_topk" -> Fts.searchOracleSql("hash join merge", "en", 10),
+    "fts_termstats" -> Fts.termStatsOracleSql,
+    "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
+    "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
+    "emb_label_stats" -> Similarity.labelStatsOracleSql,
+    "s3_pagination" -> Relational.paginateOracleSql(50, 100),
+    "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
+    "q1_pricing" -> Relational.q1OracleSql,
+    "q3_shipping" -> Relational.q3OracleSql,
+    "q5_nation_revenue" -> Relational.q5OracleSql,
+    "win_top_orders" -> Relational.topOrdersOracleSql,
+    "agg_status_tally" -> Relational.statusTallyOracleSql,
+    "events_tumbling" -> Relational.eventsTumblingOracleSql,
+    "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
+    "p2_docid" -> TextOps.deterministicIdsOracleSql,
+    "text_stats" -> TextOps.textStatsOracleSql,
+    "token_accounting" -> TextOps.tokenAccountingOracleSql,
+    "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
+    "dedup_exact" -> Dedup.exactNormalizedOracleSql,
+    "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
+    "dedup_simhash" -> Dedup.simhashOracleSql,
+    "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
+    // chunks_ref_summary intentionally omitted: boundary-snapping
+    // recurrence is not ANSI-SQL-expressible → rows-only check.
+  )
 }

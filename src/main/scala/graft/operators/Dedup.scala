@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalyzer
+
+/** Training-data deduplication operators (beyond-reference scope required
+  * by the build brief): exact/normalized dedup, MinHash+LSH banding,
+  * SimHash fingerprints, shingle-level Jaccard verification.
+  *
+  * All hash functions are md5-based so the DuckDB oracle computes the
+  * exact same signatures (md5 hex is identical across engines; min over
+  * hex strings = lexicographic min in both). No randomness anywhere —
+  * the "random" permutations of classic MinHash are realized as the
+  * family h_i(t) = md5(i || ':' || t), i = 0..k-1.
+  *
+  * Scale shape (100 TB): everything is explode → groupBy → join on
+  * narrow keys. The only all-pairs step is band-bucket joins whose
+  * bucket sizes are bounded by LSH design, never a corpus cross join.
+  */
+object Dedup {
+
+  /** Distinct analyzed tokens per document: (doc_id, token). */
+  private def docTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalyzer.tokens(col("text")))).as("token"))
+
+  /** Exact dedup on canonicalized content: signature = md5 of the sorted
+    * distinct token set. Returns groups with >1 member: the kept (min)
+    * id, the group size, and the member list.
+    */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          TextAnalyzer.tokens(col("text")))), " ")).as("sig"))
+      .groupBy("sig")
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("sig", "keep_id", "n_copies")
+      .orderBy(col("keep_id").asc)
+
+  val exactNormalizedOracleSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(list_filter(
+       |      string_split_regex(lower(text), '\\W+'),
+       |      t -> ${TextAnalyzer.sqlTermFilter("t")}))), ' ')) AS sig
+       |  FROM documents
+       |)
+       |SELECT sig, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM sigs GROUP BY sig HAVING count(*) > 1
+       |ORDER BY keep_id ASC""".stripMargin
+
+  // ---- MinHash ----------------------------------------------------------
+
+  val NumHashes = 8
+  val BandSize = 2 // → 4 bands; pair is a candidate if any band matches
+
+  /** MinHash signature columns h0..h{k-1} for an exploded (doc_id, token)
+    * frame: h_i = min(md5(i || ':' || token)).
+    */
+  def minhashSignature(tokens: DataFrame): DataFrame = {
+    val hashes = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"h$i"))
+    tokens.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs over word 3-gram shingle sets:
+    * band-bucket join for candidates, then exact shingle-set Jaccard
+    * verification >= threshold. Shingles (not single tokens) keep the
+    * candidate volume proportional to true near-dups — on a
+    * shared-vocabulary corpus token sets are degenerate (every pair
+    * looks similar) while shingle sets are not.
+    */
+  def minhashPairs(
+      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val toks = docShingles(Tables.documents(spark, dir))
+      .withColumnRenamed("shingle", "token")
+    val sigs = minhashSignature(toks)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bkey"))
+    }.reduce(_ union _)
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(toks, candidates, threshold)
+  }
+
+  /** Exact |A∩B| / |A∪B| over distinct token sets for candidate pairs. */
+  private def verifyJaccard(
+      toks: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ta = toks.select(col("doc_id").as("a"), col("token"))
+    val tb = toks.select(col("doc_id").as("b"), col("token"))
+    val inter = candidates
+      .join(ta, Seq("a"))
+      .join(tb, Seq("b", "token"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
+  def minhashPairsOracleSql(threshold: Double): String = {
+    val hashCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || token)) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(j => s"h${b * BandSize + j}")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(tl) - ${ShingleSize - 1}, 0) + 1),
+       |      i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS token
+       |  FROM toklists
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $hashCols
+       |  FROM toks GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.a
+       |  JOIN toks tb ON tb.doc_id = c.b AND tb.token = ta.token
+       |  GROUP BY c.a, c.b
+       |)
+       |SELECT i.a, i.b,
+       |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a
+       |JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+       |      >= $threshold
+       |ORDER BY a ASC, b ASC""".stripMargin
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  val SimHashBits = 16
+
+  /** 16-bit SimHash per document, weighted by term frequency. Bit b of
+    * token t = high bit of hex digit b+1 of md5(t) (digit in 8..f → +1,
+    * else -1); fingerprint bit b set iff Σ_t tf(t)·sign_b(t) > 0.
+    * Hamming-near fingerprints ⇒ near-duplicate docs.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalyzer.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("token")))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isin(
+          "8", "9", "a", "b", "c", "d", "e", "f"),
+        col("tf")).otherwise(-col("tf"))).as(s"s$b")
+    }
+    val fp = (0 until SimHashBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def simhashOracleSql: String = {
+    val bitSums = (0 until SimHashBits).map { b =>
+      s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s$b"
+    }.mkString(",\n    ")
+    val fp = (0 until SimHashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS token, count(*) AS tf, md5(t) AS h FROM (
+       |    SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS t FROM documents
+       |  ) WHERE ${TextAnalyzer.sqlTermFilter("t")}
+       |  GROUP BY doc_id, t
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tf GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id ASC""".stripMargin
+  }
+
+  // ---- Shingle Jaccard --------------------------------------------------
+
+  val ShingleSize = 3
+
+  /** (doc_id, shingle) distinct word 3-gram shingles via sliding window
+    * over the analyzed token stream (transform over index sequence —
+    * pure built-ins, no UDF).
+    */
+  def docShingles(documents: DataFrame): DataFrame = {
+    // Materialize the token array behind an explode barrier so the
+    // tokenizer (split+filter) runs once per document — inlining it into
+    // every element_at of the shingle transform is O(len²) per doc.
+    val toks = documents
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    // NB: sequence(0, n) with n < 0 generates a DESCENDING sequence in
+    // Spark — short docs must yield an empty index array instead.
+    val idx = when(size(col("toks")) >= ShingleSize,
+      sequence(lit(0), size(col("toks")) - ShingleSize))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(idx,
+      i => concat_ws(" ",
+        (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
+    toks.select(col("doc_id"),
+      explode(array_distinct(shingles)).as("shingle"))
+  }
+
+  /** Near-dup pairs by exact shingle-set Jaccard >= threshold, candidates
+    * generated from the shingle inverted index (pairs sharing >= 1
+    * shingle) — no cross join; cost ∝ Σ_shingle df².
+    */
+  def shingleJaccardPairs(
+      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+  }
+
+  def shingleJaccardOracleSql(threshold: Double): String =
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(toks) - ${ShingleSize - 1}, 0) + 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+       |  FROM toklists
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM sh x JOIN sh y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |)
+       |SELECT i.a, i.b,
+       |  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a
+       |JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+       |      >= $threshold
+       |ORDER BY jaccard DESC, a ASC, b ASC""".stripMargin
+}

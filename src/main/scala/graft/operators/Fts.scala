@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalyzer
+
+/** Full-text search — the reference's flagship operator
+  * (/root/reference/src/core/vector_store.py:176-261, SURVEY.md §2.2).
+  *
+  * The reference's FTS is one SQL statement against a trigger-maintained
+  * GIN-indexed tsvector. Spark-first re-expression:
+  *
+  *   - F1 tsvector build  → derived inverted-index DataFrame
+  *                          (doc_id, lang, term, tf, positions)
+  *   - F2 plainto_tsquery → TextAnalyzer.analyze on the query string (AND)
+  *   - F3 @@ match        → semi-join: index ⋈ query-terms, group by doc,
+  *                          keep docs matching ALL terms (countDistinct ==
+  *                          nTerms). The query-terms side is a literal
+  *                          in-list → no shuffle for the probe; the
+  *                          group-agg is partial-aggregated map-side.
+  *   - F4 ts_rank_cd      → owned formula (SURVEY §7 phase 0):
+  *                          s = Σ_t ln(1 + tf_t); score = s / (1 + s)
+  *                          (the /(1+x) mirrors PG normalization bit 32,
+  *                          /root/reference/src/core/vector_store.py:218)
+  *   - F5 top-k           → orderBy desc + limit → TakeOrderedAndProject
+  *                          (no full sort; per-partition heaps + driver
+  *                          merge — scales to any partition count)
+  *   - F6 collection scope→ `lang` column stands in for collection_id;
+  *                          a pushed-down partition-prunable filter.
+  *
+  * Scale notes (100 TB): the inverted index would be a persisted table
+  * partitioned by collection and bucketed by term; here it is derived
+  * on the fly from documents.parquet. Matching starts from the query's
+  * terms (an in-list filter pushed to the parquet scan of the index),
+  * so cost is O(posting lists of the query terms), not O(corpus).
+  */
+object Fts {
+
+  /** F1: the inverted index. tf + ordered positions per (doc, term). */
+  def invertedIndex(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextAnalyzer.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "lang", "term")
+      .agg(
+        count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+  }
+
+  /** F2–F7: AND-match + rank + top-k, scoped to one language. */
+  def search(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val idx = invertedIndex(Tables.documents(spark, dir))
+    val matched = idx
+      .filter(col("lang") === lit(lang))            // F6 — pushed down
+      .filter(col("term").isin(terms: _*))          // probe only query terms
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nmatch"),
+        sum(log(lit(1.0) + col("tf"))).as("s"))
+      .filter(col("nmatch") === lit(terms.length))  // F3 AND semantics
+    matched
+      .select(
+        col("doc_id"),
+        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc) // deterministic tiebreak
+      .limit(k)
+  }
+
+  /** Oracle SQL mirroring `search` exactly (DuckDB dialect). */
+  def searchOracleSql(query: String, lang: String, k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(s / (1 + s), 6) AS score
+       |FROM m WHERE nmatch = ${terms.length}
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** The inverted index itself as a checkable query: per-term document
+    * frequency + total tf (the GIN-index statistics view).
+    */
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(spark, dir))
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(100)
+
+  def termStatsOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT term, count(*) AS df, sum(tf) AS total_tf
+       |FROM idx GROUP BY term
+       |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
+
+  /** B1 batch search — the reference's mocked endpoint
+    * (/root/reference/src/api/search.py:108-135), given its intended
+    * implementation as ONE joined pass: all queries' terms go through a
+    * single shuffle against the index; per-query top-k via ranked window.
+    * This is the scale-correct shape: N queries cost one index pass, not N.
+    */
+  def batchSearch(
+      spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)], lang: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val queryTerms = queries
+      .flatMap { case (qid, q) =>
+        val ts = TextAnalyzer.analyze(q).distinct
+        ts.map(t => (qid, t, ts.length))
+      }
+      .toDF("query_idx", "term", "n_terms")
+    val allTerms = queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // tiny: bounded by Σ query lengths
+    val idx = invertedIndex(Tables.documents(spark, dir))
+      .filter(col("lang") === lit(lang))
+      .filter(col("term").isin(allTerms: _*))
+    val perQueryDoc = idx
+      .join(broadcast(queryTerms), "term")
+      .groupBy("query_idx", "n_terms", "doc_id")
+      .agg(count(lit(1)).as("nmatch"), sum(log(lit(1.0) + col("tf"))).as("s"))
+      .filter(col("nmatch") === col("n_terms"))
+      .select(col("query_idx"), col("doc_id"),
+        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+    val w = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQueryDoc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_idx", "doc_id", "score")
+      .orderBy(col("query_idx").asc, col("score").desc, col("doc_id").asc)
+  }
+
+  def batchSearchOracleSql(
+      queries: Seq[(Int, String)], lang: String, k: Int): String = {
+    val qRows = queries
+      .flatMap { case (qid, q) =>
+        val ts = TextAnalyzer.analyze(q).distinct
+        ts.map(t => s"($qid, '$t', ${ts.length})")
+      }
+      .mkString(", ")
+    s"""WITH qt(query_idx, term, n_terms) AS (VALUES $qRows),
+       |toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT qt.query_idx, qt.n_terms, idx.doc_id,
+       |         count(*) AS nmatch, sum(ln(1 + idx.tf)) AS s
+       |  FROM idx JOIN qt USING (term)
+       |  GROUP BY qt.query_idx, qt.n_terms, idx.doc_id
+       |), scored AS (
+       |  SELECT query_idx, doc_id, round(s / (1 + s), 6) AS score,
+       |         row_number() OVER (PARTITION BY query_idx
+       |                            ORDER BY round(s / (1 + s), 6) DESC,
+       |                                     doc_id ASC) AS rn
+       |  FROM m WHERE nmatch = n_terms
+       |)
+       |SELECT query_idx, doc_id, score FROM scored WHERE rn <= $k
+       |ORDER BY query_idx ASC, score DESC, doc_id ASC""".stripMargin
+  }
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.1, §2.5, §2.6) expressed
+  * over the star-schema fixtures. The reference decomposes every join
+  * into sequential point queries (/root/reference/src/core/vector_store.py:200-206);
+  * here they are declarative joins so Catalyst picks broadcast vs shuffle.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer at
+  * TPC-H proportions) are broadcast explicitly; fact-fact joins
+  * (orders⋈lineitem) shuffle on the join key — at 100 TB both sides would
+  * be bucketed by orderkey to make this a shuffle-free sort-merge join.
+  * All aggregates are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  /** A1/A2-style grouped aggregate — TPC-H Q1 shape on lineitem.
+    * Pure scan + partial agg; the filter and the 7-column projection are
+    * pushed into the parquet scan.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: dim-filter → broadcast join → fact-fact shuffle join
+    * → grouped agg → top-k (TakeOrderedAndProject).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3OracleSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Multi-dim snowflake join: lineitem⋈supplier⋈nation⋈region with all
+    * three dims broadcast — revenue per nation.
+    */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name").asc, col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5OracleSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem, supplier, nation, region
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name ASC, revenue DESC, n_name ASC""".stripMargin
+
+  /** Window function: top-2 orders per customer by totalprice
+    * (O1/O2 ranked-top-k generalized to per-group).
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rn").cast("long").as("rn")) // DuckDB row_number() is BIGINT
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  val topOrdersOracleSql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+      |FROM ranked WHERE rn <= 2
+      |ORDER BY o_custkey ASC, rn ASC""".stripMargin
+
+  /** S3 deterministic pagination: ORDER BY id LIMIT/OFFSET via row_number
+    * (Postgres OFFSET without ORDER BY is nondeterministic — we impose a
+    * total order, SURVEY §2.1 S3).
+    */
+  def paginateDocuments(
+      spark: SparkSession, dir: String, limit: Int, offset: Int): DataFrame = {
+    val w = Window.orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset && col("rn") <= offset + limit)
+      .drop("rn")
+      .orderBy(col("doc_id").asc)
+  }
+
+  def paginateOracleSql(limit: Int, offset: Int): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |ORDER BY doc_id ASC LIMIT $limit OFFSET $offset""".stripMargin
+
+  /** S5 delete-as-anti-join: "delete" documents whose id appears in
+    * embeddings with label = 3, returning the surviving rows
+    * (immutable-parquet delete rewrite, SURVEY §2.1 S5/S6).
+    */
+  def deleteSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val victims = Tables.embeddings(spark, dir)
+      .filter(col("label") === lit(3))
+      .select(col("vec_id").as("doc_id"))
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source")
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val deleteSurvivorsOracleSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
+      |ORDER BY doc_id ASC""".stripMargin
+
+  /** A3-style status tally + conditional aggregation (job-ledger shape,
+    * /root/reference/src/core/job_manager.py:301-309) over orders.
+    */
+  def statusTally(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_large"))
+      .orderBy(col("o_orderstatus").asc)
+
+  val statusTallyOracleSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin
+
+  /** Tumbling-window aggregate over events (batch shape of the
+    * streaming query in graft.streaming — same bucketing formula).
+    * Bucket = floor(epoch_seconds / 600) → deterministic across engines.
+    */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // ts arrives as long nanoseconds (nanosAsLong) or as a timestamp;
+    // integer `div` avoids double-precision loss on 1.7e18-scale nanos.
+    val bucket = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts div 600000000000")
+      case _ => floor(unix_timestamp(col("ts")) / lit(600)).cast("long")
+    }
+    ev.withColumn("bucket", bucket)
+      .groupBy("bucket", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+  }
+
+  val eventsTumblingOracleSql: String =
+    """SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket ASC, event_type ASC""".stripMargin
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Vector similarity search (SURVEY.md §2.3 — the reference's legacy
+  * pgvector path, /root/reference/src/core/vector_store.py:263-319).
+  *
+  * - V1 cosine distance: `embedding <=> q` re-expressed with the
+  *   higher-order functions `zip_with` + `aggregate` — pure Catalyst
+  *   expressions, codegen'd, no UDF. Arithmetic is forced to DOUBLE so
+  *   the DuckDB oracle (which computes on DOUBLE[] casts) is
+  *   bit-compatible; both engines sum left-to-right over the array.
+  * - V3 threshold + V4 top-k: filter + TakeOrderedAndProject.
+  * - ANN (the ivfflat-index analog, scripts/init-db.sql:32): a
+  *   deterministic IVF — fixed centroid set (vec_id < nCentroids as
+  *   seeds), assignment = argmin cosine distance, probe = the query's
+  *   cell only, exact re-rank inside the cell. At 100 TB the assignment
+  *   is a broadcast join (centroids are tiny) writing a bucketed table;
+  *   a probe then touches 1/nCentroids of the data.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, left-to-right summation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosineDistance = 1 - a·b / (|a||b|). The reference hardwires cosine
+    * regardless of the collection's distance_function column
+    * (/root/reference/src/core/vector_store.py:286). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - dot(a, b) / (norm(a) * norm(b))
+
+  /** V1+V3+V4: exact KNN of the query vector (row vec_id = qid) over all
+    * other vectors, optional distance threshold, top-k. */
+  def knnCosine(
+      spark: SparkSession, dir: String, qid: Long, k: Int,
+      threshold: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= lit(qid))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        round(cosineDistance(col("embedding"), col("qv")), 6).as("dist"))
+      .filter(col("dist") <= lit(threshold))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def knnCosineOracleSql(qid: Long, k: Int, threshold: Double): String =
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = $qid
+       |), d AS (
+       |  SELECT vec_id, label,
+       |    round(1.0 - list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+       |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(qv, qv))), 6) AS dist
+       |  FROM embeddings, q WHERE vec_id <> $qid
+       |)
+       |SELECT vec_id, label, dist FROM d WHERE dist <= $threshold
+       |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** Deterministic IVF assignment: nearest of the seed centroids
+    * (vec_id < nCentroids), tiebreak on centroid id. Returns
+    * (vec_id, label, centroid_id, dist-to-centroid). */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(cosineDistance(col("embedding"), col("cv")), 6).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** ANN search: probe only the query's IVF cell, exact re-rank inside.
+    * Returns the top-k of the probed cell (approximate vs knnCosine —
+    * the standard IVF recall/latency trade).
+    */
+  def ivfTopK(
+      spark: SparkSession, dir: String, qid: Long, k: Int,
+      nCentroids: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = ivfAssign(emb, nCentroids)
+    val qCell = assigned.filter(col("vec_id") === lit(qid))
+      .select(col("centroid_id").as("q_centroid"))
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").as("qv"))
+    val cell = assigned
+      .join(broadcast(qCell), col("centroid_id") === col("q_centroid"))
+      .filter(col("vec_id") =!= lit(qid))
+      .select("vec_id", "label", "centroid_id")
+    cell
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(cosineDistance(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def ivfTopKOracleSql(qid: Long, k: Int, nCentroids: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e
+       |  WHERE vec_id < $nCentroids
+       |), asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcell AS (
+       |  SELECT centroid_id AS q_centroid FROM cells WHERE vec_id = $qid
+       |)
+       |SELECT c.vec_id, c.label, c.centroid_id,
+       |  round(1.0 - list_dot_product(e.v, q.qv)
+       |    / (sqrt(list_dot_product(e.v, e.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |FROM cells c
+       |JOIN e ON e.vec_id = c.vec_id, q, qcell
+       |WHERE c.centroid_id = qcell.q_centroid AND c.vec_id <> $qid
+       |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Per-label embedding statistics: count + mean L2 norm (sanity view of
+    * the label ground truth, FIXTURES.md A.embeddings). */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm(col("embedding")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 6).as("avg_norm"))
+      .orderBy(col("label").asc)
+
+  val labelStatsOracleSql: String =
+    """SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])))), 6)
+      |    AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label ASC""".stripMargin
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalyzer
+
+/** Text-pipeline operators: the reference's document-processing semantics
+  * (SURVEY.md §2.4) plus the training-data text analytics the brief
+  * requires (quality scoring, token counting, fingerprinting).
+  * Everything is built-in column expressions → whole-stage codegen.
+  */
+object TextOps {
+
+  /** P2: deterministic document ID — first 16 hex chars of sha256 of the
+    * content (/root/reference/src/core/document_processor.py:31-46; the
+    * metadata-suffix part of the reference's formula applies only when
+    * title/source/author/type metadata is present — here `source` plays
+    * that role, mirrored exactly in the oracle).
+    */
+  def deterministicIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(sha2(concat(col("text"), lit("_source:"), col("source")),
+          256), 1, 16).as("det_id"))
+      .orderBy(col("doc_id").asc)
+
+  val deterministicIdsOracleSql: String =
+    """SELECT doc_id,
+      |  substr(sha256(text || '_source:' || source), 1, 16) AS det_id
+      |FROM documents ORDER BY doc_id ASC""".stripMargin
+
+  /** P3+P4: preprocessing + metadata extraction + quality scoring in one
+    * pass. Whitespace collapse mirrors the reference's
+    * `' '.join(content.split())` (document_processor.py:240-253);
+    * stats mirror extract_metadata (:138-212); quality features are the
+    * standard training-data heuristics (length, word length, stopword
+    * ratio, punctuation ratio).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val clean = trim(regexp_replace(col("text"), "\\s+", " "))
+    val words = split(clean, " ")
+    val toks = TextAnalyzer.tokens(col("text"))
+    val punct = length(clean) - length(regexp_replace(clean, "[^A-Za-z0-9 ]", ""))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        // casts: Spark length/size are INT, DuckDB's are BIGINT — keep
+        // the oracle schema compare exact
+        length(clean).cast("long").as("content_length"),
+        size(words).cast("long").as("word_count"),
+        size(toks).cast("long").as("token_count"),
+        size(array_distinct(toks)).cast("long").as("distinct_tokens"),
+        round(
+          (size(words) - size(toks)).cast("double") / size(words), 6)
+          .as("stopword_ratio"),
+        round(length(regexp_replace(clean, " ", "")).cast("double") /
+          size(words), 6).as("avg_word_len"),
+        round(punct.cast("double") / length(clean), 6).as("punct_ratio"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def textStatsOracleSql: String = {
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |      t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  length(clean) AS content_length,
+       |  len(string_split(clean, ' ')) AS word_count,
+       |  len(toks) AS token_count,
+       |  len(list_distinct(toks)) AS distinct_tokens,
+       |  round(CAST(len(string_split(clean, ' ')) - len(toks) AS DOUBLE)
+       |    / len(string_split(clean, ' ')), 6) AS stopword_ratio,
+       |  round(CAST(length(replace(clean, ' ', '')) AS DOUBLE)
+       |    / len(string_split(clean, ' ')), 6) AS avg_word_len,
+       |  round(CAST(length(clean) -
+       |      length(regexp_replace(clean, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / length(clean), 6) AS punct_ratio
+       |FROM base ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** BPE-ish token counting: word pieces = letter runs, digit runs, and
+    * single other non-space symbols — the standard pre-tokenizer shape.
+    * Aggregated per language (corpus token accounting).
+    */
+  def tokenAccounting(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .as("n_pieces"),
+        length(col("text")).as("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_pieces")), 4).as("avg_tokens_per_doc"))
+      .orderBy(col("lang").asc)
+
+  val tokenAccountingOracleSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |      AS n_pieces,
+      |    length(text) AS n_chars
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs, sum(n_pieces) AS total_tokens,
+      |  sum(n_chars) AS total_chars,
+      |  round(avg(n_pieces), 4) AS avg_tokens_per_doc
+      |FROM t GROUP BY lang ORDER BY lang ASC""".stripMargin
+
+  /** V2: string-coerced JSON metadata equality filter
+    * (/root/reference/src/core/vector_store.py:290-292 — `5` matches
+    * `"5"`). Applied to events.props (the JSON metadata column).
+    */
+  def metadataFilter(spark: SparkSession, dir: String, key: String,
+      value: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(get_json_object(col("props"), s"$$.$key") === lit(value))
+      .select(col("event_id"), col("event_type"), col("props"))
+      .orderBy(col("event_id").asc)
+
+  def metadataFilterOracleSql(key: String, value: String): String =
+    s"""SELECT event_id, event_type, props FROM events
+       |WHERE json_extract_string(props, '$$.$key') = '$value'
+       |ORDER BY event_id ASC""".stripMargin
+
+  /** Fixed-stride chunking (the oracle-expressible projection of P5 —
+    * the full boundary-snapping chunker lives in Chunker.scala with
+    * property tests). size/overlap semantics: start += (size - overlap)
+    * while start < len; chunk text = substr(start, size).
+    */
+  def chunksFixed(spark: SparkSession, dir: String, size: Int,
+      overlap: Int): DataFrame = {
+    val stride = size - overlap
+    val n = length(col("text"))
+    val starts = sequence(lit(0),
+      greatest(ceil((n - lit(size)).cast("double") / stride).cast("int"),
+        lit(0)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(starts).as("chunk_index"))
+      .filter(col("chunk_index") * stride < n)
+      .select(
+        col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+        (col("chunk_index") * stride).cast("long").as("start_char"),
+        least(col("chunk_index") * stride + size, length(col("text")))
+          .cast("long").as("end_char"),
+        substring(col("text"), col("chunk_index") * stride + 1, lit(size))
+          .as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_index").asc)
+  }
+
+  def chunksFixedOracleSql(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""SELECT doc_id, i AS chunk_index,
+       |  i * $stride AS start_char,
+       |  least(i * $stride + $size, length(text)) AS end_char,
+       |  substr(text, i * $stride + 1, $size) AS chunk_text
+       |FROM documents, LATERAL (
+       |  SELECT unnest(range(0,
+       |    greatest(CAST(ceil(CAST(length(text) - $size AS DOUBLE)
+       |      / $stride) AS BIGINT), 0) + 1)) AS i
+       |)
+       |WHERE i * $stride < length(text)
+       |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB (tables = the sfDir
+parquet files), sorts columns by name, and compares row counts, schemas
+(loosely), and values (floats to 1e-9 relative).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = normalize(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            actual = normalize(
+                duckdb.connect().execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                ).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        if list(expected.columns) != list(actual.columns):
+            print(f"FAIL {name}: columns {list(actual.columns)} vs oracle {list(expected.columns)}")
+            n_fail += 1
+            continue
+        if len(expected) != len(actual):
+            print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in expected.columns:
+            e, a = expected[c], actual[c]
+            if e.dtype.kind == "f" or a.dtype.kind == "f":
+                import numpy as np
+                bad = ~np.isclose(a.astype(float), e.astype(float),
+                                  rtol=1e-9, atol=1e-12, equal_nan=True)
+            else:
+                bad = a.astype(str).values != e.astype(str).values
+            if bad.any():
+                i = int(bad.argmax())
+                print(f"FAIL {name}: col {c} row {i}: spark={a.iloc[i]!r} oracle={e.iloc[i]!r}")
+                ok = False
+                break
+        if ok:
+            print(f"PASS {name} ({len(expected)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
