@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.TextAnalyzer
+
+/** Structured Streaming operators (SURVEY.md §2.8, phase 6).
+  *
+  * The reference has no stream processing; its closest analogs are the
+  * async ingest jobs and the DB trigger that maintains the tsvector
+  * index on every insert (/root/reference/src/core/vector_store.py:104-105).
+  * Here both become first-class streaming dataflows:
+  *
+  *  - windowed event aggregation: readStream → watermark → window → agg
+  *  - stateful running aggregates: mapGroupsWithState
+  *  - continuous index maintenance: foreachBatch merging each micro-batch
+  *    into the persisted inverted index (the GIN-trigger analog)
+  *
+  * Scale notes: watermark + windowed agg is Spark's shuffle-partitioned
+  * stateful operator — state is per-key, spillable via RocksDB at real
+  * scale. foreachBatch appends partitioned parquet; compaction is a
+  * separate concern (Delta/Iceberg in production).
+  */
+object EventStreams {
+
+  /** events.parquet schema with ts as long nanos (nanosAsLong). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over the events table. FileStreamSource requires a
+    * directory path; pathGlobFilter scopes it to the one table file. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 10-minute windows per event_type with a 30-minute watermark
+    * (late data beyond the watermark is dropped; state is bounded).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (10 min length, 5 min slide) — each event contributes
+    * to two windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful running per-user totals via mapGroupsWithState — the
+    * custom-state operator (B3 job-progress analog re-expressed as
+    * streaming state). Emits the updated total for every user seen in
+    * the micro-batch.
+    */
+  def runningUserTotals(spark: SparkSession,
+      events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Continuous inverted-index maintenance: each micro-batch of documents
+    * is analyzed and appended to the index directory — the Spark analog
+    * of the reference's tsvector-populating DB trigger. Returns the
+    * StreamingQuery (caller awaits/stops).
+    */
+  def indexMaintenance(spark: SparkSession, docsDir: String,
+      indexOutDir: String, checkpointDir: String) = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(docsDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("doc_id"), col("lang"),
+            posexplode(TextAnalyzer.tokens(col("text")))
+              .as(Seq("pos", "term")))
+          .groupBy("doc_id", "lang", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+          .write.mode("append").parquet(indexOutDir)
+        ()
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-gram windows over analyzed tokens; short docs yield none") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta"), // < 3 tokens -> no shingles
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.docShingles(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSet == Set(
+      (1L, "alpha beta gamma"), (1L, "beta gamma delta")))
+  }
+
+  test("exact-normalized dedup groups docs with identical token sets") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma  BETA alpha!!"), // same set, different order/case/punct
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(
+        graft.functions.TextAnalyzer.tokens(col("text")))), " ")).as("sig"))
+    val groups = sig.groupBy("sig").agg(
+      min("doc_id").as("keep_id"), count(lit(1)).as("n")).collect()
+    val dupGroup = groups.find(_.getAs[Long]("n") == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signature is deterministic and set-based") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "six five four three two one") // same token set
+    ).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.TextAnalyzer.tokens(col("text")))).as("token"))
+    val sigs = Dedup.minhashSignature(toks).collect()
+    val s1 = sigs.find(_.getLong(0) == 1L).get.toSeq.drop(1)
+    val s2 = sigs.find(_.getLong(0) == 2L).get.toSeq.drop(1)
+    assert(s1 == s2) // order-insensitive
+  }
+
+  test("planted near-duplicates are found by minhash LSH at 0.5") {
+    val pairs = Dedup.minhashPairs(spark, Sf0001, 0.5).collect()
+    assert(pairs.nonEmpty) // fixture corpus has planted dups (jaccard ~0.99)
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    pairs.foreach(r => assert(r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
+  test("simhash: 16-bit fingerprint; near-identical docs get close fingerprints") {
+    val fps = Dedup.simhash(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 500)
+    fps.values.foreach(v => assert(v >= 0 && v < (1L << 16)))
+    // the planted dup pairs should have hamming distance 0 or tiny
+    val dupPairs = Dedup.minhashPairs(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    dupPairs.take(5).foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      assert(ham <= 4, s"hamming($a,$b)=$ham")
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("windowed counts match the batch computation up to the watermark") {
+    runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, Sf0001)),
+      "win_counts", "append")
+    val streamed = spark.table("win_counts")
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batchRows = Tables.events(spark, Sf0001)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window($"event_time", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), max($"event_time").as("mx"))
+      .select($"window.start".as("ws"), $"window.end".as("we"),
+        $"event_type", $"n")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect()
+    val batch = batchRows.map(r => (r._1, r._3) -> r._4).toMap
+    val maxTs = Tables.events(spark, Sf0001)
+      .select(max(expr("timestamp_micros(ts div 1000)")))
+      .collect()(0).getTimestamp(0)
+    val cutoff = maxTs.getTime - 30 * 60 * 1000
+    // append mode: windows closed by the final watermark must be emitted
+    // with exact batch counts; trailing windows may be withheld in state
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch(k) == n) }
+    batchRows.filter(_._2.getTime < cutoff).foreach { r =>
+      assert(streamed.contains((r._1, r._3)),
+        s"window ${r._1}/${r._3} should have been emitted")
+    }
+  }
+
+  test("sliding windows: emitted window counts match batch; 2 windows per event") {
+    runToMemory(
+      EventStreams.slidingCounts(EventStreams.readEvents(spark, Sf0001)),
+      "slide_counts", "append")
+    val streamed = spark.table("slide_counts")
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batch = Tables.events(spark, Sf0001)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window($"event_time", "10 minutes", "5 minutes"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch(k) == n) }
+    // each event contributes to exactly 2 sliding windows in the batch view
+    assert(batch.values.sum ==
+      2 * Tables.events(spark, Sf0001).count())
+  }
+
+  test("stateful running totals accumulate per user") {
+    runToMemory(
+      EventStreams.runningUserTotals(spark,
+        EventStreams.readEvents(spark, Sf0001)).toDF(),
+      "user_totals", "update")
+    val streamed = spark.table("user_totals")
+      .select($"user_id", $"n_events").as[(Long, Long)]
+      .collect().toMap
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch index maintenance builds the same index as batch") {
+    val out = Files.createTempDirectory("idx_out").toString + "/idx"
+    val ckpt = Files.createTempDirectory("idx_ckpt").toString
+    val q = EventStreams.indexMaintenance(spark, Sf0001, out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.Fts.invertedIndex(
+      Tables.documents(spark, Sf0001))
+    assert(streamed.count() == batch.count())
+    val joined = streamed.select($"doc_id", $"term", $"tf".as("tf_s"))
+      .join(batch.select($"doc_id", $"term", $"tf".as("tf_b")),
+        Seq("doc_id", "term"))
+    assert(joined.filter($"tf_s" =!= $"tf_b").count() == 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fts
+
+class FtsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "en", "hash join hash join hash"),       // hash tf=3, join tf=2
+    (2L, "en", "hash merge sort"),                // hash tf=1 (no join)
+    (3L, "en", "join the hash table for a join"), // hash=1, join=2
+    (4L, "fr", "hash join"),                      // wrong collection (lang)
+    (5L, "en", "sort merge only")                 // no query terms
+  ).toDF("doc_id", "lang", "text")
+
+  test("inverted index: tf and positions per (doc, term)") {
+    val idx = Fts.invertedIndex(corpus)
+      .filter($"doc_id" === 1L).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("tf"),
+          r.getAs[scala.collection.Seq[Int]]("positions").toList)).toMap
+    assert(idx("hash")._1 == 3L)
+    assert(idx("join")._1 == 2L)
+    assert(idx("hash")._2 == List(0, 2, 4))
+    assert(idx("join")._2 == List(1, 3))
+  }
+
+  test("AND semantics: docs missing any query term are excluded; lang scopes") {
+    corpus.createOrReplaceTempView("ignore_me") // not used by search
+    val hits = searchOver(corpus, "hash join", "en")
+    assert(hits.map(_._1).toSet == Set(1L, 3L)) // 2 lacks join, 4 wrong lang, 5 nothing
+  }
+
+  test("rank: higher combined tf ranks first; score in (0,1)") {
+    val hits = searchOver(corpus, "hash join", "en")
+    // doc1: s = ln(4)+ln(3) = 2.484; doc3: s = ln(2)+ln(3) = 1.791
+    assert(hits.head._1 == 1L)
+    val s1 = math.log(4) + math.log(3)
+    val expected1 = BigDecimal(s1 / (1 + s1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(hits.head._2 - expected1) < 1e-9)
+    hits.foreach { case (_, score) => assert(score > 0 && score < 1) }
+  }
+
+  /** Run the F2-F5 pipeline over an in-memory corpus (mirrors
+    * Fts.search which reads from a directory). */
+  private def searchOver(df: org.apache.spark.sql.DataFrame, query: String,
+      lang: String): Seq[(Long, Double)] = {
+    val terms = graft.functions.TextAnalyzer.analyze(query).distinct
+    Fts.invertedIndex(df)
+      .filter($"lang" === lang && $"term".isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nmatch"), sum(log(lit(1.0) + $"tf")).as("s"))
+      .filter($"nmatch" === terms.length)
+      .select($"doc_id", round($"s" / (lit(1.0) + $"s"), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("end-to-end search on fixture data returns ranked, scoped results") {
+    val hits = Fts.search(spark, Sf0001, "hash join merge", "en", 10).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("batch search: per-query top-k, one pass") {
+    val res = Fts.batchSearch(spark, Sf0001,
+      Seq(0 -> "hash join", 1 -> "sort merge"), "en", 3).collect()
+    val byQuery = res.groupBy(_.getAs[Int]("query_idx"))
+    assert(byQuery.keySet == Set(0, 1))
+    byQuery.values.foreach(rows => assert(rows.length <= 3))
+  }
+}

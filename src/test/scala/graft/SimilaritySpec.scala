@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot, norm, cosine distance on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 1.0),  // orthogonal
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 0.0),  // identical
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), 2.0), // opposite
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 0.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      Similarity.cosineDistance($"a", $"b").as("d"), $"expected").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("knn returns nearest first with deterministic tiebreak") {
+    val hits = Similarity.knnCosine(spark, Sf0001, 0L, 10, 0.95).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    val dists = hits.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+    assert(!hits.map(_.getAs[Long]("vec_id")).contains(0L)) // self excluded
+  }
+
+  test("knn respects the distance threshold (V3, <= semantics)") {
+    val hits = Similarity.knnCosine(spark, Sf0001, 0L, 100, 0.5).collect()
+    hits.foreach(r => assert(r.getAs[Double]("dist") <= 0.5))
+  }
+
+  test("ivf assignment: every vector lands in exactly one cell; centroids self-assign") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val asg = Similarity.ivfAssign(emb, 10)
+    assert(asg.count() == emb.count())
+    // a centroid's nearest centroid is itself (distance 0)
+    val selfs = asg.filter($"vec_id" < 10)
+      .select($"vec_id", $"centroid_id").collect()
+    selfs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ivf probe results are a subset of exact knn ordering (same metric)") {
+    val ivf = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10).collect()
+    assert(ivf.nonEmpty)
+    val dists = ivf.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+  }
+}
