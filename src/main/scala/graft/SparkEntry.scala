@@ -44,7 +44,10 @@ object SparkEntry {
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
+    "p1_validate" -> ((s, d) => DocumentPipeline.validate(s, d)),
     "p2_docid" -> ((s, d) => TextOps.deterministicIds(s, d)),
+    "p3_preprocess" -> ((s, d) => DocumentPipeline.preprocessDigest(s, d)),
+    "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
@@ -54,6 +57,12 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
+    // multimodal binary-column pipeline (decode stubbed; plumbing real)
+    "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
+    "mm_features" -> ((s, d) => Multimodal.featureStats(s, d)),
+    // MLlib TF-IDF embedding generation + LSH ANN (not SQL-expressible
+    // → rows-only check; EmbeddingsSpec carries semantics)
+    "emb_tfidf_ann" -> ((s, d) => Embeddings.annSearch(s, d, 0L, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,7 +81,10 @@ object SparkEntry {
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
+    "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,
+    "p3_preprocess" -> DocumentPipeline.preprocessDigestOracleSql,
+    "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,
     "text_stats" -> TextOps.textStatsOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
@@ -80,7 +92,10 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
-    // chunks_ref_summary intentionally omitted: boundary-snapping
-    // recurrence is not ANSI-SQL-expressible → rows-only check.
+    "mm_dimensions" -> Multimodal.dimensionsOracleSql,
+    // Omitted (rows-only checks, semantics carried by ScalaTest):
+    //   chunks_ref_summary — boundary-snapping recurrence isn't ANSI SQL
+    //   mm_features — needs byte-level histogram access
+    //   emb_tfidf_ann — MLlib hashing/IDF/LSH aren't SQL-expressible
   )
 }

@@ -80,8 +80,14 @@ object Dedup {
     */
   def minhashPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // persist: the shingle frame feeds the signature build AND the
+    // verification joins — recomputing the tokenizer per consumer costs
+    // more than the frame's footprint at any scale (it's ~|corpus| rows
+    // of short strings; at cluster scale this would be a checkpointed
+    // intermediate table)
     val toks = docShingles(Tables.documents(spark, dir))
       .withColumnRenamed("shingle", "token")
+      .persist()
     val sigs = minhashSignature(toks)
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
@@ -245,7 +251,7 @@ object Dedup {
     */
   def shingleJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir))
+    val sh = docShingles(Tables.documents(spark, dir)).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x")
       .join(sh.as("y"),

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The document ingest pipeline's validation/preprocess/metadata stages
+  * (SURVEY.md §2.4 P1/P3/P4), ported semantics-exactly from
+  * /root/reference/src/core/document_processor.py:138-253, including its
+  * quirks:
+  *
+  *  - P3 preprocess: `' '.join(content.split())` collapses ALL whitespace
+  *    (newlines included) to single spaces BEFORE the line-based steps,
+  *    making them no-ops (:245-251) — the composed function is
+  *    "trim + collapse \s+ to one space" and we implement exactly that.
+  *  - P4 title: an extracted-but-empty title is falsy in Python
+  *    (`if title:` :164), so a found-but-blank markdown/html title yields
+  *    NO title rather than falling through to the next heuristic.
+  *  - P4 content-type cascade order is code > markdown > html > text
+  *    (:153-160); `SELECT`/`FROM` are case-sensitive, html indicators are
+  *    checked lowercase (:169-185).
+  *  - P1 validation bounds: non-blank, <= max MB (1MB = 1_000_000 bytes,
+  *    :223), reserved metadata keys rejected (:233).
+  *
+  * All column expressions — codegen'd, no UDFs.
+  */
+object DocumentPipeline {
+
+  val MaxDocumentSizeMb = 5
+  val ReservedMetadataKeys: Seq[String] =
+    Seq("chunk_index", "start_char", "end_char", "chunk_size")
+
+  // ---- P3 preprocess ----------------------------------------------------
+
+  def preprocess(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  // ---- P1 validation ----------------------------------------------------
+
+  /** Error message or NULL (valid). Mirrors validate_document :214-238. */
+  def validationError(c: Column): Column =
+    when(length(trim(c)) === 0, lit("Document content cannot be empty"))
+      .when(length(c) > MaxDocumentSizeMb * 1000000,
+        lit(s"Document content too large (max ${MaxDocumentSizeMb}MB)"))
+      .otherwise(lit(null).cast("string"))
+
+  def validate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        validationError(col("text")).as("error"))
+      .withColumn("is_valid", col("error").isNull)
+      .orderBy(col("doc_id").asc)
+
+  val validateOracleSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0
+       |         THEN 'Document content cannot be empty'
+       |       WHEN length(text) > ${5 * 1000000}
+       |         THEN 'Document content too large (max 5MB)'
+       |  END AS error,
+       |  CASE WHEN length(trim(text)) = 0 OR length(text) > ${5 * 1000000}
+       |       THEN false ELSE true END AS is_valid
+       |FROM documents ORDER BY doc_id ASC""".stripMargin
+
+  // ---- P4 metadata extraction ------------------------------------------
+
+  private def containsAny(c: Column, needles: Seq[String]): Column =
+    needles.map(n => c.contains(lit(n))).reduce(_ || _)
+
+  /** content-type cascade, reference :169-185 (exact indicator lists). */
+  def contentType(c: Column): Column = {
+    val code = containsAny(c, Seq("def ", "class ", "import ", "from ",
+      "function", "#!/", "<?", "/*", "//", "<!--", "SELECT", "FROM"))
+    val md = containsAny(c, Seq("# ", "## ", "### ", "**", "*", "`",
+      "```", "[", "]("))
+    val html = containsAny(lower(c), Seq("<html", "<div", "<p>", "<h1",
+      "<h2", "<script", "<style"))
+    when(code, "code").when(md, "markdown").when(html, "html")
+      .otherwise("text")
+  }
+
+  /** Title heuristic, reference :187-212 — markdown heading in the first
+    * 5 lines, else <title> tag, else a short first line; an empty
+    * extracted string is treated as "no title" without fallback (:164).
+    */
+  def title(c: Column): Column = {
+    val lines = split(c, "\n")
+    val first5 = slice(lines, 1, 5)
+    val mdLines = filter(first5, l =>
+      trim(l).startsWith("# ") || trim(l).startsWith("## "))
+    val mdFound = size(mdLines) > 0
+    val mdTitle = trim(regexp_replace(trim(element_at(mdLines, 1)),
+      "^#{1,2} ", ""))
+    val hp = instr(lower(c), "<title>") // 1-based, 0 = absent
+    val rest = substring(lower(c), hp + lit(7), lit(1000000))
+    val ep = instr(rest, "</title>")
+    val htmlFound = hp > 0 && ep > 0
+    val htmlTitle = trim(substring(c, hp + lit(7), ep - lit(1)))
+    val firstLine = trim(element_at(lines, 1))
+    val flOk = length(firstLine) > 0 && length(firstLine) < 100 &&
+      !firstLine.endsWith(".")
+    nullif(
+      when(mdFound, mdTitle)
+        .when(htmlFound, htmlTitle)
+        .when(flOk, firstLine),
+      lit(""))
+  }
+
+  /** P4 in one pass: statistics + content type + title
+    * (extract_metadata :138-167). */
+  def extractMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    val words = filter(split(c, "\\s+"), w => w =!= "")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(c).cast("long").as("content_length"),
+        size(words).cast("long").as("word_count"),
+        (length(c) - length(regexp_replace(c, "\n", "")) + 1).cast("long")
+          .as("line_count"),
+        length(c).cast("long").as("char_count"),
+        contentType(c).as("content_type"),
+        title(c).as("title"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val extractMetadataOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      |    strpos(lower(text), '<title>') AS hp
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, text, lines, hp,
+      |    list_filter(lines[1:5], l -> starts_with(trim(l), '# ')
+      |      OR starts_with(trim(l), '## ')) AS mdl,
+      |    CASE WHEN hp > 0
+      |      THEN strpos(substr(lower(text), hp + 7), '</title>') ELSE 0
+      |    END AS ep
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  length(text) AS content_length,
+      |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+      |    AS word_count,
+      |  length(text) - length(replace(text, chr(10), '')) + 1 AS line_count,
+      |  length(text) AS char_count,
+      |  CASE
+      |    WHEN contains(text, 'def ') OR contains(text, 'class ')
+      |      OR contains(text, 'import ') OR contains(text, 'from ')
+      |      OR contains(text, 'function') OR contains(text, '#!/')
+      |      OR contains(text, '<?') OR contains(text, '/*')
+      |      OR contains(text, '//') OR contains(text, '<!--')
+      |      OR contains(text, 'SELECT') OR contains(text, 'FROM')
+      |      THEN 'code'
+      |    WHEN contains(text, '# ') OR contains(text, '## ')
+      |      OR contains(text, '### ') OR contains(text, '**')
+      |      OR contains(text, '*') OR contains(text, '`')
+      |      OR contains(text, '```') OR contains(text, '[')
+      |      OR contains(text, '](')
+      |      THEN 'markdown'
+      |    WHEN contains(lower(text), '<html') OR contains(lower(text), '<div')
+      |      OR contains(lower(text), '<p>') OR contains(lower(text), '<h1')
+      |      OR contains(lower(text), '<h2') OR contains(lower(text), '<script')
+      |      OR contains(lower(text), '<style')
+      |      THEN 'html'
+      |    ELSE 'text'
+      |  END AS content_type,
+      |  nullif(CASE
+      |    WHEN len(mdl) > 0
+      |      THEN trim(regexp_replace(trim(mdl[1]), '^#{1,2} ', ''))
+      |    WHEN hp > 0 AND ep > 0
+      |      THEN trim(substr(text, hp + 7, ep - 1))
+      |    WHEN length(trim(lines[1])) > 0 AND length(trim(lines[1])) < 100
+      |      AND NOT ends_with(trim(lines[1]), '.')
+      |      THEN trim(lines[1])
+      |  END, '') AS title
+      |FROM m ORDER BY doc_id ASC""".stripMargin
+
+  /** P3 as a checkable query: preprocessed content with a stable digest
+    * (text itself would be a huge output column; md5 keeps it exact). */
+  def preprocessDigest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(preprocess(col("text"))).cast("long").as("clean_length"),
+        md5(preprocess(col("text"))).as("clean_md5"))
+      .orderBy(col("doc_id").asc)
+
+  val preprocessDigestOracleSql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_length,
+      |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_md5
+      |FROM documents ORDER BY doc_id ASC""".stripMargin
+}
