@@ -25,15 +25,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 full-text search
     "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
+    "fts_topk_cd" -> ((s, d) =>
+      Fts.searchCoverDensity(s, d, "hash join merge", "en", 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
     // §2.3 vector similarity
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
-    // §2.1 scans/sinks
+    // §2.1 scans/sinks + collections
+    "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
+    "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
     "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
     "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
+    "s6_cascade_delete" -> ((s, d) =>
+      Collections.cascadeDeleteSurvivors(s, d, "de")),
     // §2.5/§2.6 joins/aggs/windows
     "q1_pricing" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -50,6 +56,12 @@ object SparkEntry {
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
+    "langid_counts" -> ((s, d) =>
+      graft.Tables.documents(s, d)
+        .groupBy(graft.functions.LangId.detect(
+          org.apache.spark.sql.functions.col("text")).as("detected"))
+        .count()
+        .orderBy(org.apache.spark.sql.functions.col("detected").asc)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
     "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),
     // dedup suite (training-data ops)
@@ -72,8 +84,11 @@ object SparkEntry {
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
+    "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
+    "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
     "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
+    "s6_cascade_delete" -> Collections.cascadeDeleteOracleSql("de"),
     "q1_pricing" -> Relational.q1OracleSql,
     "q3_shipping" -> Relational.q3OracleSql,
     "q5_nation_revenue" -> Relational.q5OracleSql,
@@ -87,6 +102,10 @@ object SparkEntry {
     "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,
     "text_stats" -> TextOps.textStatsOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
+    "langid_counts" ->
+      s"""SELECT ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,
+         |  count(*) AS count
+         |FROM documents GROUP BY 1 ORDER BY detected ASC""".stripMargin,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Collection semantics (SURVEY.md §1.1, §2.1 S1/S2/S6, §2.6 A1/A2).
+  *
+  * The fixture corpus has no collections table; the `lang` column plays
+  * the collection role (a 5-value namespace over documents, mirroring
+  * collection_id scoping in the reference FTS SQL,
+  * /root/reference/src/core/vector_store.py:223). The derived collections
+  * dim assigns deterministic ids by name order — at scale this dim is a
+  * tiny broadcast table, exactly like the reference's `collections`.
+  */
+object Collections {
+
+  /** The derived collections dim: (collection_id, name, n_docs,
+    * total_chars) — A2 done right (groupBy, not ORM len()). */
+  def collections(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("name"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang").as("name"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("collection_id", row_number().over(w).cast("long"))
+      .select("collection_id", "name", "n_docs", "total_chars")
+  }
+
+  /** S1: point lookup by unique name (pushdown-friendly filter). */
+  def lookup(spark: SparkSession, dir: String, name: String): DataFrame =
+    collections(spark, dir).filter(col("name") === lit(name))
+
+  def lookupOracleSql(name: String): String =
+    s"""WITH colls AS (
+       |  SELECT row_number() OVER (ORDER BY name) AS collection_id, name,
+       |         n_docs, total_chars
+       |  FROM (
+       |    SELECT lang AS name, count(*) AS n_docs,
+       |           sum(n_chars) AS total_chars
+       |    FROM documents GROUP BY lang
+       |  )
+       |)
+       |SELECT collection_id, name, n_docs, total_chars
+       |FROM colls WHERE name = '$name'""".stripMargin
+
+  /** S2: list all collections with stats, deterministic order. */
+  def list(spark: SparkSession, dir: String): DataFrame =
+    collections(spark, dir).orderBy(col("name").asc)
+
+  val listOracleSql: String =
+    """SELECT row_number() OVER (ORDER BY name) AS collection_id, name,
+      |       n_docs, total_chars
+      |FROM (
+      |  SELECT lang AS name, count(*) AS n_docs,
+      |         sum(n_chars) AS total_chars
+      |  FROM documents GROUP BY lang
+      |)
+      |ORDER BY name ASC""".stripMargin
+
+  /** S6: cascade delete of one collection — the two coordinated anti-join
+    * rewrites, observed through the surviving per-collection stats. */
+  def cascadeDeleteSurvivors(spark: SparkSession, dir: String,
+      name: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang") =!= lit(name)) // docs cascade with the collection
+      .groupBy(col("lang").as("name"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("name").asc)
+
+  def cascadeDeleteOracleSql(name: String): String =
+    s"""SELECT lang AS name, count(*) AS n_docs
+       |FROM documents WHERE lang <> '$name'
+       |GROUP BY lang ORDER BY name ASC""".stripMargin
+}

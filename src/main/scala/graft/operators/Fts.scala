@@ -50,25 +50,38 @@ object Fts {
         sort_array(collect_list(col("pos"))).as("positions"))
   }
 
-  /** F2–F7: AND-match + rank + top-k, scoped to one language. */
+  /** F2–F7: AND-match + rank + top-k, scoped to one language.
+    *
+    * Shuffle-free formulation: with the query terms known up front, each
+    * document's per-term tf is computable scan-locally (array filter over
+    * the analyzed tokens) — the plan is scan → project → filter →
+    * TakeOrderedAndProject with ZERO exchanges, vs. two shuffles through
+    * the inverted-index build. The persisted-index path (probing posting
+    * lists via `invertedIndex`) wins when the index is materialized once
+    * and queried many times; for on-the-fly search over raw documents
+    * this one-pass shape is strictly better at any scale.
+    */
   def search(
       spark: SparkSession, dir: String, query: String, lang: String,
       k: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
-    val idx = invertedIndex(Tables.documents(spark, dir))
-    val matched = idx
+    // explode(array(...)) barrier: materialize the token array once per
+    // row so the per-term filters don't re-run the tokenizer
+    val withToks = Tables.documents(spark, dir)
       .filter(col("lang") === lit(lang))            // F6 — pushed down
-      .filter(col("term").isin(terms: _*))          // probe only query terms
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("nmatch"),
-        sum(log(lit(1.0) + col("tf"))).as("s"))
-      .filter(col("nmatch") === lit(terms.length))  // F3 AND semantics
-    matched
-      .select(
-        col("doc_id"),
-        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    withToks
+      .select(col("doc_id") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _)) // F3
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc) // deterministic tiebreak
       .limit(k)
   }
@@ -91,6 +104,41 @@ object Fts {
        |SELECT doc_id, round(s / (1 + s), 6) AS score
        |FROM m WHERE nmatch = ${terms.length}
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** F4 v2: cover-density-ranked search using the native Catalyst
+    * expression graft.functions.CoverDensityScore (the ts_rank_cd
+    * analog — proximity-aware, unlike the tf-only v1 formula). Same
+    * shuffle-free plan shape as `search`: per-term position arrays are
+    * computed scan-locally, the expression runs inside whole-stage
+    * codegen, top-k via TakeOrderedAndProject. Not oracle-expressible
+    * (the cover sweep isn't reasonable ANSI SQL) → CoverDensitySpec
+    * carries the semantics against hand-computed ranks.
+    */
+  def searchCoverDensity(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      k: Int): DataFrame = {
+    graft.functions.CoverDensityScore.register(spark)
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    // positions of term t = indexes i where toks[i] == t (scan-local)
+    val posArrays = terms.map { t =>
+      filter(
+        transform(col("toks"),
+          (x, i) => when(x === lit(t), i).otherwise(lit(-1))),
+        v => v >= 0)
+    }
+    withToks
+      .select(col("doc_id"), array(posArrays: _*).as("pos_arrays"))
+      .select(col("doc_id"),
+        round(expr("cover_density_score(pos_arrays)"), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** The inverted index itself as a checkable query: per-term document
