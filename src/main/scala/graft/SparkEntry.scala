@@ -57,10 +57,9 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
     "langid_counts" -> ((s, d) =>
-      graft.Tables.documents(s, d)
-        .groupBy(graft.functions.LangId.detect(
-          org.apache.spark.sql.functions.col("text")).as("detected"))
-        .count()
+      graft.functions.LangId
+        .withDetected(graft.Tables.documents(s, d), "text")
+        .groupBy("detected").count()
         .orderBy(org.apache.spark.sql.functions.col("detected").asc)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
     "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),

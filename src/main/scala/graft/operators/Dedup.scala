@@ -103,15 +103,18 @@ object Dedup {
     verifyJaccard(toks, candidates, threshold)
   }
 
-  /** Exact |A∩B| / |A∪B| over distinct token sets for candidate pairs. */
+  /** Exact |A∩B| / |A∪B| over distinct token sets for candidate pairs.
+    * The candidate set is bounded by LSH design (near-dup pairs only),
+    * so it and its token expansion are broadcast — the big token frame
+    * never shuffles. */
   private def verifyJaccard(
       toks: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ta = toks.select(col("doc_id").as("a"), col("token"))
     val tb = toks.select(col("doc_id").as("b"), col("token"))
-    val inter = candidates
-      .join(ta, Seq("a"))
-      .join(tb, Seq("b", "token"))
+    val expanded = ta.join(broadcast(candidates), Seq("a"))
+    val inter = tb
+      .join(broadcast(expanded), Seq("b", "token"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))

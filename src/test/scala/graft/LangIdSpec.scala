@@ -37,6 +37,16 @@ class LangIdSpec extends SparkSpec {
     assert(LangId.detectString("xyzzy plugh 12345") == "und")
   }
 
+  test("withDetected (barrier-staged) agrees with detect on all samples") {
+    val df = samples.map(_._2).toDF("text")
+    val viaBarrier = LangId.withDetected(df, "text")
+      .select("detected").collect().map(_.getString(0)).toSeq
+    val viaExpr = df.select(LangId.detect(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaBarrier == viaExpr)
+    assert(viaBarrier == samples.map(_._1))
+  }
+
   test("fixture corpus (shared English vocabulary) detects as en") {
     val counts = Tables.documents(spark, Sf0001)
       .select(LangId.detect(col("text")).as("detected"))
