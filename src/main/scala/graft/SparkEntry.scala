@@ -40,6 +40,9 @@ object SparkEntry {
     "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
     "s6_cascade_delete" -> ((s, d) =>
       Collections.cascadeDeleteSurvivors(s, d, "de")),
+    // S9 relation-size stat: engine-specific (parquet footprint) →
+    // rows-only check per SURVEY §2.1
+    "s9_relation_size" -> ((s, d) => Collections.relationSizes(s, d)),
     // §2.5/§2.6 joins/aggs/windows
     "q1_pricing" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -63,6 +66,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("detected").asc)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
     "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),
+    "p7_chunk_enrich" -> ((s, d) => TextOps.chunkEnrichment(s, d, 120, 30)),
     // dedup suite (training-data ops)
     "dedup_exact" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
@@ -106,6 +110,7 @@ object SparkEntry {
          |  count(*) AS count
          |FROM documents GROUP BY 1 ORDER BY detected ASC""".stripMargin,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
+    "p7_chunk_enrich" -> TextOps.chunkEnrichmentOracleSql(120, 30),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,

@@ -75,4 +75,20 @@ object Collections {
     s"""SELECT lang AS name, count(*) AS n_docs
        |FROM documents WHERE lang <> '$name'
        |GROUP BY lang ORDER BY name ASC""".stripMargin
+
+  /** S9: relation-size stat — `pg_total_relation_size` analog
+    * (/root/reference/src/core/vector_store.py:414-416) as the parquet
+    * footprint of each table via the Hadoop FS API. */
+  def relationSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = Tables.All.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val size =
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      (t, size)
+    }
+    rows.toDF("table_name", "size_bytes").orderBy(col("table_name"))
+  }
 }

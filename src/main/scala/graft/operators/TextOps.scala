@@ -157,6 +157,43 @@ object TextOps {
       .orderBy(col("doc_id").asc, col("chunk_index").asc)
   }
 
+  /** P6+P7: chunk ID assignment (`{document_id}_chunk_{i}`,
+    * /root/reference/src/api/documents.py:187) and enrichment with
+    * `total_chunks` via a window count
+    * (/root/reference/src/api/documents.py:174-184). */
+  def chunkEnrichment(spark: SparkSession, dir: String, size: Int,
+      overlap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    chunksFixed(spark, dir, size, overlap)
+      .withColumn("chunk_id",
+        concat(col("doc_id"), lit("_chunk_"), col("chunk_index")))
+      .withColumn("total_chunks", count(lit(1)).over(w))
+      .select("doc_id", "chunk_id", "chunk_index", "start_char",
+        "end_char", "total_chunks")
+      .orderBy(col("doc_id").asc, col("chunk_index").asc)
+  }
+
+  def chunkEnrichmentOracleSql(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH chunks AS (
+       |  SELECT doc_id, i AS chunk_index,
+       |    i * $stride AS start_char,
+       |    least(i * $stride + $size, length(text)) AS end_char
+       |  FROM documents, LATERAL (
+       |    SELECT unnest(range(0,
+       |      greatest(CAST(ceil(CAST(length(text) - $size AS DOUBLE)
+       |        / $stride) AS BIGINT), 0) + 1)) AS i
+       |  )
+       |  WHERE i * $stride < length(text)
+       |)
+       |SELECT doc_id,
+       |  doc_id || '_chunk_' || chunk_index AS chunk_id,
+       |  chunk_index, start_char, end_char,
+       |  count(*) OVER (PARTITION BY doc_id) AS total_chunks
+       |FROM chunks
+       |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
+  }
+
   def chunksFixedOracleSql(size: Int, overlap: Int): String = {
     val stride = size - overlap
     s"""SELECT doc_id, i AS chunk_index,
