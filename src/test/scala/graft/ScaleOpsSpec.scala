@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed fact-fact join plans with NO shuffle exchange") {
+    val orders = Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    ScaleOps.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    ScaleOps.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+    val joined = ScaleOps.bucketedJoin(spark, "b_orders", "b_lineitem",
+      "o_orderkey")
+    assert(!ScaleOps.hasShuffleExchange(joined),
+      "bucketed join must not shuffle:\n" +
+        joined.queryExecution.executedPlan.toString)
+    // and it is still correct
+    val expected = orders.join(lineitem, Seq("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
+
+  test("unbucketed version of the same join DOES shuffle (control)") {
+    val orders = Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    // disable auto-broadcast so the control path is a genuine SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = orders.join(lineitem, Seq("o_orderkey"))
+      assert(ScaleOps.hasShuffleExchange(joined))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val direct = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("total"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val salted = ScaleOps.saltedCountSum(
+      Tables.lineitem(spark, Sf0001), "l_suppkey", "l_quantity", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (n, s)) =>
+      assert(n == direct(k)._1)
+      assert(math.abs(s - direct(k)._2) < 1e-6)
+    }
+  }
+}
