@@ -67,6 +67,8 @@ object SparkEntry {
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
     "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),
     "p7_chunk_enrich" -> ((s, d) => TextOps.chunkEnrichment(s, d, 120, 30)),
+    "pipeline_e2e" -> ((s, d) =>
+      DocumentPipeline.ingestLineage(s, d, 120, 30)),
     // dedup suite (training-data ops)
     "dedup_exact" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
@@ -111,6 +113,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY detected ASC""".stripMargin,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
     "p7_chunk_enrich" -> TextOps.chunkEnrichmentOracleSql(120, 30),
+    "pipeline_e2e" -> DocumentPipeline.ingestLineageOracleSql(120, 30),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,

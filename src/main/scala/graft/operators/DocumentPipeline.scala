@@ -176,6 +176,86 @@ object DocumentPipeline {
       |  END, '') AS title
       |FROM m ORDER BY doc_id ASC""".stripMargin
 
+  /** The §3.2 single-doc ingest lineage as ONE dataflow (B2's sync batch
+    * shape): validate → deterministic ID → preprocess → extract metadata
+    * → fixed-stride chunk → chunk IDs. What the reference runs as eight
+    * sequential Python stages with commit batches and gc.collect
+    * (/root/reference/src/api/documents.py:85-224) is one declarative
+    * lineage here — partitioning is the memory model. */
+  def ingestLineage(spark: SparkSession, dir: String, size: Int,
+      overlap: Int): DataFrame = {
+    val stride = size - overlap
+    val c = col("text")
+    val clean = preprocess(c)
+    val n = length(clean)
+    val starts = sequence(lit(0),
+      greatest(ceil((n - lit(size)).cast("double") / stride).cast("int"),
+        lit(0)))
+    Tables.documents(spark, dir)
+      .filter(validationError(c).isNull)                          // P1
+      .select(col("doc_id"),
+        substring(sha2(concat(c, lit("_source:"), col("source")), 256),
+          1, 16).as("det_id"),                                    // P2
+        clean.as("clean"),                                        // P3
+        contentType(c).as("content_type"),                        // P4
+        explode(starts).as("chunk_index"))                        // P5
+      .filter(col("chunk_index") * stride < length(col("clean")))
+      .select(col("doc_id"), col("det_id"), col("content_type"),
+        concat(col("det_id"), lit("_chunk_"), col("chunk_index"))
+          .as("chunk_id"),                                        // P6
+        col("chunk_index").cast("long").as("chunk_index"),
+        length(substring(col("clean"), col("chunk_index") * stride + 1,
+          lit(size))).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id").asc, col("chunk_index").asc)
+  }
+
+  def ingestLineageOracleSql(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH valid AS (
+       |  SELECT doc_id, text, source,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0 AND length(text) <= ${5 * 1000000}
+       |), staged AS (
+       |  SELECT doc_id,
+       |    substr(sha256(text || '_source:' || source), 1, 16) AS det_id,
+       |    clean,
+       |    CASE
+       |      WHEN contains(text, 'def ') OR contains(text, 'class ')
+       |        OR contains(text, 'import ') OR contains(text, 'from ')
+       |        OR contains(text, 'function') OR contains(text, '#!/')
+       |        OR contains(text, '<?') OR contains(text, '/*')
+       |        OR contains(text, '//') OR contains(text, '<!--')
+       |        OR contains(text, 'SELECT') OR contains(text, 'FROM')
+       |        THEN 'code'
+       |      WHEN contains(text, '# ') OR contains(text, '## ')
+       |        OR contains(text, '### ') OR contains(text, '**')
+       |        OR contains(text, '*') OR contains(text, '`')
+       |        OR contains(text, '```') OR contains(text, '[')
+       |        OR contains(text, '](')
+       |        THEN 'markdown'
+       |      WHEN contains(lower(text), '<html') OR contains(lower(text), '<div')
+       |        OR contains(lower(text), '<p>') OR contains(lower(text), '<h1')
+       |        OR contains(lower(text), '<h2') OR contains(lower(text), '<script')
+       |        OR contains(lower(text), '<style')
+       |        THEN 'html'
+       |      ELSE 'text'
+       |    END AS content_type
+       |  FROM valid
+       |)
+       |SELECT doc_id, det_id, content_type,
+       |  det_id || '_chunk_' || i AS chunk_id,
+       |  i AS chunk_index,
+       |  length(substr(clean, i * $stride + 1, $size)) AS chunk_len
+       |FROM staged, LATERAL (
+       |  SELECT unnest(range(0,
+       |    greatest(CAST(ceil(CAST(length(clean) - $size AS DOUBLE)
+       |      / $stride) AS BIGINT), 0) + 1)) AS i
+       |)
+       |WHERE i * $stride < length(clean)
+       |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
+  }
+
   /** P3 as a checkable query: preprocessed content with a stable digest
     * (text itself would be a huge output column; md5 keeps it exact). */
   def preprocessDigest(spark: SparkSession, dir: String): DataFrame =
