@@ -85,7 +85,7 @@ object Dedup {
     // more than the frame's footprint at any scale (it's ~|corpus| rows
     // of short strings; at cluster scale this would be a checkpointed
     // intermediate table)
-    val toks = docShingles(Tables.documents(spark, dir))
+    val toks = docShinglesSized(Tables.documents(spark, dir))
       .withColumnRenamed("shingle", "token")
       .persist()
     val sigs = minhashSignature(toks)
@@ -103,22 +103,20 @@ object Dedup {
     verifyJaccard(toks, candidates, threshold)
   }
 
-  /** Exact |A∩B| / |A∪B| over distinct token sets for candidate pairs.
-    * The candidate set is bounded by LSH design (near-dup pairs only),
-    * so it and its token expansion are broadcast — the big token frame
-    * never shuffles. */
+  /** Exact |A∩B| / |A∪B| over distinct token sets (with sizes in-row)
+    * for candidate pairs. The candidate set is bounded by LSH design
+    * (near-dup pairs only), so it and its token expansion are broadcast
+    * — the big token frame never shuffles; set sizes ride along in-row
+    * so no per-doc-size lookup joins are needed. */
   private def verifyJaccard(
       toks: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val ta = toks.select(col("doc_id").as("a"), col("token"))
-    val tb = toks.select(col("doc_id").as("b"), col("token"))
+    val ta = toks.select(col("doc_id").as("a"), col("sz").as("sza"),
+      col("token"))
+    val tb = toks.select(col("doc_id").as("b"), col("sz").as("szb"),
+      col("token"))
     val expanded = ta.join(broadcast(candidates), Seq("a"))
-    val inter = tb
-      .join(broadcast(expanded), Seq("b", "token"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+    tb.join(broadcast(expanded), Seq("b", "token"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"),
         round(col("inter") /
           (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
@@ -229,7 +227,14 @@ object Dedup {
     * over the analyzed token stream (transform over index sequence —
     * pure built-ins, no UDF).
     */
-  def docShingles(documents: DataFrame): DataFrame = {
+  def docShingles(documents: DataFrame): DataFrame =
+    docShinglesSized(documents).select("doc_id", "shingle")
+
+  /** (doc_id, sz, shingle) — the shingle set exploded WITH its set size
+    * attached scan-locally. Carrying sz in-row means downstream pair
+    * joins get both set sizes for free, eliminating two per-doc-size
+    * lookup joins that would otherwise shuffle at any corpus size. */
+  def docShinglesSized(documents: DataFrame): DataFrame = {
     // Materialize the token array behind an explode barrier so the
     // tokenizer (split+filter) runs once per document — inlining it into
     // every element_at of the shingle transform is O(len²) per doc.
@@ -244,8 +249,11 @@ object Dedup {
     val shingles = transform(idx,
       i => concat_ws(" ",
         (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
-    toks.select(col("doc_id"),
-      explode(array_distinct(shingles)).as("shingle"))
+    toks
+      .select(col("doc_id"),
+        explode(array(array_distinct(shingles))).as("sh_set"))
+      .select(col("doc_id"), size(col("sh_set")).cast("long").as("sz"),
+        explode(col("sh_set")).as("shingle"))
   }
 
   /** Near-dup pairs by exact shingle-set Jaccard >= threshold, candidates
@@ -254,17 +262,14 @@ object Dedup {
     */
   def shingleJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir)).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x")
+    val sh = docShinglesSized(Tables.documents(spark, dir)).persist()
+    sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
       .select(col("a"), col("b"),
         round(col("inter") /
           (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
