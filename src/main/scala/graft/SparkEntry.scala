@@ -46,7 +46,9 @@ object SparkEntry {
     // §2.5/§2.6 joins/aggs/windows
     "q1_pricing" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q4_semijoin" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
+    "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
@@ -96,7 +98,9 @@ object SparkEntry {
     "s6_cascade_delete" -> Collections.cascadeDeleteOracleSql("de"),
     "q1_pricing" -> Relational.q1OracleSql,
     "q3_shipping" -> Relational.q3OracleSql,
+    "q4_semijoin" -> Relational.q4OracleSql,
     "q5_nation_revenue" -> Relational.q5OracleSql,
+    "agg_distinct" -> Relational.distinctAggOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,

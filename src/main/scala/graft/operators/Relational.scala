@@ -178,6 +178,54 @@ object Relational {
       |WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** TPC-H Q4 shape: EXISTS rewritten as a left-semi join — orders with
+    * at least one late lineitem, counted per priority. The semi join
+    * shuffles only the distinct keys of the probe side.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val q4OracleSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC""".stripMargin
+
+  /** Distinct aggregates: suppliers/parts per nation over lineitem
+    * (exact count-distinct expands to a two-phase aggregate).
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey").asc)
+
+  val distinctAggOracleSql: String =
+    """SELECT s_nationkey,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey ASC""".stripMargin
+
   /** A3-style status tally + conditional aggregation (job-ledger shape,
     * /root/reference/src/core/job_manager.py:301-309) over orders.
     */

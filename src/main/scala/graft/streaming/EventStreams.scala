@@ -94,6 +94,48 @@ object EventStreams {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts_sec: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session is a
+    * maximal run of one user's events with inter-event gaps <= gapSec.
+    * Sessions CLOSED by an arriving event are emitted; the trailing open
+    * session stays in state (it would close on timeout/next batch — the
+    * same contract as production session windows).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapSec: Long): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+        col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts_sec)
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            if (cur == null) {
+              cur = SessionState(e.ts_sec, e.ts_sec, 1L, e.value)
+            } else if (e.ts_sec - cur.last <= gapSec) {
+              cur = SessionState(cur.start, e.ts_sec, cur.n + 1,
+                cur.total + e.value)
+            } else {
+              out += Session(uid, cur.start, cur.last, cur.n, cur.total)
+              cur = SessionState(e.ts_sec, e.ts_sec, 1L, e.value)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Continuous inverted-index maintenance: each micro-batch of documents
     * is analyzed and appended to the index directory — the Spark analog
     * of the reference's tsvector-populating DB trigger. Returns the

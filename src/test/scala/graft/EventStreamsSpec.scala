@@ -88,6 +88,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionization matches a batch lag/cumsum computation (closed sessions)") {
+    val gap = 7200L
+    val q = EventStreams.sessionize(
+      spark, EventStreams.readEvents(spark, Sf0001), gap).toDF()
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_sess").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions")
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // batch ground truth: lag -> boundary flag -> cumulative session id
+    Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "ts div 1000000000 AS ts_sec", "value")
+      .createOrReplaceTempView("ev_sess")
+    val batchAll = spark.sql(
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts_sec,
+         |    CASE WHEN ts_sec - lag(ts_sec) OVER
+         |      (PARTITION BY user_id ORDER BY ts_sec) > $gap
+         |      THEN 1 ELSE 0 END AS boundary
+         |  FROM ev_sess
+         |), numbered AS (
+         |  SELECT user_id, ts_sec,
+         |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_sec)
+         |      AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, min(ts_sec) AS session_start,
+         |  count(*) AS n_events,
+         |  max(session_id) OVER (PARTITION BY user_id) AS last_sid,
+         |  session_id
+         |FROM numbered GROUP BY user_id, session_id""".stripMargin)
+    val closed = batchAll
+      .filter($"session_id" =!= $"last_sid") // trailing session stays open
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString
