@@ -179,21 +179,29 @@ object Dedup {
     * token t = high bit of hex digit b+1 of md5(t) (digit in 8..f → +1,
     * else -1); fingerprint bit b set iff Σ_t tf(t)·sign_b(t) > 0.
     * Hamming-near fingerprints ⇒ near-duplicate docs.
+    *
+    * The tf-weighted sum over distinct tokens equals the plain sum over
+    * token OCCURRENCES, so the whole fingerprint is scan-local: hash
+    * array materialized once per row behind a barrier, 16 array
+    * aggregates, zero shuffles (vs. two groupBys for the tf
+    * formulation) — a shape that holds at any corpus size.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextAnalyzer.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("h", md5(col("token")))
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array(transform(TextAnalyzer.tokens(col("text")),
+          t => md5(t)))).as("hashes"))
     val bitSums = (0 until SimHashBits).map { b =>
-      sum(when(substring(col("h"), b + 1, 1).isin(
-          "8", "9", "a", "b", "c", "d", "e", "f"),
-        col("tf")).otherwise(-col("tf"))).as(s"s$b")
+      aggregate(col("hashes"), lit(0L),
+        (acc, h) => acc + when(substring(h, b + 1, 1).isin(
+          "8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
+        .as(s"s$b")
     }
     val fp = (0 until SimHashBits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    hashes
+      .select(col("doc_id") +: bitSums: _*)
       .select(col("doc_id"), fp.as("simhash"))
       .orderBy(col("doc_id").asc)
   }
