@@ -77,18 +77,22 @@ object Dedup {
     * candidate volume proportional to true near-dups — on a
     * shared-vocabulary corpus token sets are degenerate (every pair
     * looks similar) while shingle sets are not.
+    *
+    * Everything except the band-bucket join is scan-local: signatures
+    * come from `array_min` over per-doc shingle arrays (no exploded
+    * frame, no persist), and verification intersects the two docs'
+    * shingle ARRAYS directly (`array_intersect`) after broadcasting the
+    * LSH candidates — the corpus is scanned, never shuffled.
     */
   def minhashPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    // persist: the shingle frame feeds the signature build AND the
-    // verification joins — recomputing the tokenizer per consumer costs
-    // more than the frame's footprint at any scale (it's ~|corpus| rows
-    // of short strings; at cluster scale this would be a checkpointed
-    // intermediate table)
-    val toks = docShinglesSized(Tables.documents(spark, dir))
-      .withColumnRenamed("shingle", "token")
-      .persist()
-    val sigs = minhashSignature(toks)
+    val docs = docShingleSets(Tables.documents(spark, dir))
+    // h_i = min over the shingle set of md5(i || ':' || shingle)
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh_set"),
+        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
@@ -100,28 +104,36 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(toks, candidates, threshold)
-  }
-
-  /** Exact |A∩B| / |A∪B| over distinct token sets (with sizes in-row)
-    * for candidate pairs. The candidate set is bounded by LSH design
-    * (near-dup pairs only), so it and its token expansion are broadcast
-    * — the big token frame never shuffles; set sizes ride along in-row
-    * so no per-doc-size lookup joins are needed. */
-  private def verifyJaccard(
-      toks: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
-    val ta = toks.select(col("doc_id").as("a"), col("sz").as("sza"),
-      col("token"))
-    val tb = toks.select(col("doc_id").as("b"), col("sz").as("szb"),
-      col("token"))
-    val expanded = ta.join(broadcast(candidates), Seq("a"))
-    tb.join(broadcast(expanded), Seq("b", "token"))
-      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
+    // exact verification: set intersection on the candidates' arrays
+    val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
+      .join(broadcast(candidates), Seq("a"))
+    val withB = docs.select(col("doc_id").as("b"), col("sh_set").as("set_b"))
+      .join(broadcast(withA), Seq("b"))
+    withB
+      .select(col("a"), col("b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+        size(col("set_a")).as("sza"), size(col("set_b")).as("szb"))
       .select(col("a"), col("b"),
         round(col("inter") /
           (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
       .orderBy(col("a").asc, col("b").asc)
+  }
+
+  /** (doc_id, sh_set) — the distinct word 3-gram shingle array per doc,
+    * scan-local behind a tokenizer barrier. */
+  def docShingleSets(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val idx = when(size(col("toks")) >= ShingleSize,
+      sequence(lit(0), size(col("toks")) - ShingleSize))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(idx,
+      i => concat_ws(" ",
+        (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
+    toks.select(col("doc_id"),
+      explode(array(array_distinct(shingles))).as("sh_set"))
   }
 
   def minhashPairsOracleSql(threshold: Double): String = {
@@ -242,27 +254,10 @@ object Dedup {
     * attached scan-locally. Carrying sz in-row means downstream pair
     * joins get both set sizes for free, eliminating two per-doc-size
     * lookup joins that would otherwise shuffle at any corpus size. */
-  def docShinglesSized(documents: DataFrame): DataFrame = {
-    // Materialize the token array behind an explode barrier so the
-    // tokenizer (split+filter) runs once per document — inlining it into
-    // every element_at of the shingle transform is O(len²) per doc.
-    val toks = documents
-      .select(col("doc_id"),
-        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
-    // NB: sequence(0, n) with n < 0 generates a DESCENDING sequence in
-    // Spark — short docs must yield an empty index array instead.
-    val idx = when(size(col("toks")) >= ShingleSize,
-      sequence(lit(0), size(col("toks")) - ShingleSize))
-      .otherwise(array().cast("array<int>"))
-    val shingles = transform(idx,
-      i => concat_ws(" ",
-        (0 until ShingleSize).map(j => element_at(col("toks"), i + j + 1)): _*))
-    toks
-      .select(col("doc_id"),
-        explode(array(array_distinct(shingles))).as("sh_set"))
+  def docShinglesSized(documents: DataFrame): DataFrame =
+    docShingleSets(documents)
       .select(col("doc_id"), size(col("sh_set")).cast("long").as("sz"),
         explode(col("sh_set")).as("shingle"))
-  }
 
   /** Near-dup pairs by exact shingle-set Jaccard >= threshold, candidates
     * generated from the shingle inverted index (pairs sharing >= 1
