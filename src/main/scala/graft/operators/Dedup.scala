@@ -92,7 +92,11 @@ object Dedup {
       array_min(transform(col("sh_set"),
         s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
     }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+    // persist: the signature frame (|corpus| rows × 8 hashes — the table
+    // a production system materializes) feeds both sides of the band
+    // self-join; the candidate pairs feed both verification broadcasts.
+    // Without these, each reuse recomputes tokenize+shingle+signatures.
+    val sigs = docs.select(col("doc_id") +: sigCols: _*).persist()
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
@@ -104,6 +108,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      .persist()
     // exact verification: set intersection on the candidates' arrays
     val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
       .join(broadcast(candidates), Seq("a"))
