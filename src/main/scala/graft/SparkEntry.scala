@@ -61,6 +61,7 @@ object SparkEntry {
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
+    "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "langid_counts" -> ((s, d) =>
       graft.functions.LangId
         .withDetected(graft.Tables.documents(s, d), "text")
@@ -111,6 +112,7 @@ object SparkEntry {
     "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,
     "text_stats" -> TextOps.textStatsOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
+    "fingerprint_winnow" -> TextOps.winnowOracleSql,
     "langid_counts" ->
       s"""SELECT ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,
          |  count(*) AS count

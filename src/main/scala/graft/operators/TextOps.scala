@@ -131,6 +131,73 @@ object TextOps {
        |WHERE json_extract_string(props, '$$.$key') = '$value'
        |ORDER BY event_id ASC""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every k-char gram, slide a window of w
+    * consecutive gram-hashes, keep each window's minimum; the distinct
+    * minima are the fingerprint set — guaranteed to share fingerprints
+    * with any document that shares a run of >= k+w-1 characters.
+    * Entirely scan-local (two staged array transforms); md5-hex stands
+    * in for the rolling polynomial hash (same selection semantics,
+    * identical across engines).
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** (doc_id, n_grams, fps) — the sorted distinct fingerprint set per
+    * document (exposed for the guarantee property test). */
+  def winnowSets(documents: DataFrame): DataFrame = {
+    val clean = trim(regexp_replace(col("text"), "\\s+", " "))
+    // stage 1: materialize clean text once
+    val staged = documents
+      .select(col("doc_id"), explode(array(clean)).as("clean"))
+    val n = length(col("clean"))
+    val gramIdx = when(n >= WinnowK, sequence(lit(0), n - WinnowK))
+      .otherwise(array().cast("array<int>"))
+    // stage 2: materialize the gram-hash array once
+    val hashed = staged.select(col("doc_id"),
+      explode(array(transform(gramIdx,
+        i => md5(substring(col("clean"), i + 1, lit(WinnowK))))))
+        .as("ghashes"))
+    val m = size(col("ghashes"))
+    val winIdx = when(m >= WinnowW, sequence(lit(0), m - WinnowW))
+      .otherwise(array().cast("array<int>"))
+    val mins = transform(winIdx,
+      j => array_min(slice(col("ghashes"), j + 1, lit(WinnowW))))
+    hashed
+      .select(col("doc_id"),
+        size(col("ghashes")).cast("long").as("n_grams"),
+        array_sort(array_distinct(mins)).as("fps"))
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSets(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(array_join(col("fps"), ",")).as("fp_digest"))
+      .orderBy(col("doc_id").asc)
+
+  val winnowOracleSql: String =
+    s"""WITH staged AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(0, greatest(length(clean) - $WinnowK, -1) + 1),
+       |      i -> md5(substr(clean, i + 1, $WinnowK))) AS ghashes
+       |  FROM staged
+       |), winnowed AS (
+       |  SELECT doc_id, len(ghashes) AS n_grams,
+       |    list_sort(list_distinct(list_transform(
+       |      range(0, greatest(len(ghashes) - $WinnowW, -1) + 1),
+       |      j -> list_min(ghashes[j + 1: j + $WinnowW])))) AS fps
+       |  FROM hashed
+       |)
+       |SELECT doc_id, n_grams, len(fps) AS n_fps,
+       |  md5(array_to_string(fps, ',')) AS fp_digest
+       |FROM winnowed ORDER BY doc_id ASC""".stripMargin
+
   /** Fixed-stride chunking (the oracle-expressible projection of P5 —
     * the full boundary-snapping chunker lives in Chunker.scala with
     * property tests). size/overlap semantics: start += (size - overlap)
