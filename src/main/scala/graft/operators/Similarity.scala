@@ -87,21 +87,29 @@ object Similarity {
       .drop("rn")
   }
 
-  /** ANN search: probe only the query's IVF cell, exact re-rank inside.
-    * Returns the top-k of the probed cell (approximate vs knnCosine —
-    * the standard IVF recall/latency trade).
+  /** ANN search: probe the query's `nProbe` nearest IVF cells, exact
+    * re-rank inside them — the standard ivfflat recall/latency trade
+    * (probing more cells raises recall, touching nProbe/nCentroids of
+    * the corpus). Deterministic: tiebreaks on centroid id and vec id.
     */
   def ivfTopK(
       spark: SparkSession, dir: String, qid: Long, k: Int,
-      nCentroids: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val assigned = ivfAssign(emb, nCentroids)
-    val qCell = assigned.filter(col("vec_id") === lit(qid))
-      .select(col("centroid_id").as("q_centroid"))
+    val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
     val q = emb.filter(col("vec_id") === lit(qid))
       .select(col("embedding").as("qv"))
+    // the query's nProbe nearest centroids
+    val qCells = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id").as("q_centroid"),
+        round(cosineDistance(col("cv"), col("qv")), 6).as("qdist"))
+      .orderBy(col("qdist").asc, col("q_centroid").asc)
+      .limit(nProbe)
+      .select("q_centroid")
     val cell = assigned
-      .join(broadcast(qCell), col("centroid_id") === col("q_centroid"))
+      .join(broadcast(qCells), col("centroid_id") === col("q_centroid"))
       .filter(col("vec_id") =!= lit(qid))
       .select("vec_id", "label", "centroid_id")
     cell
@@ -113,7 +121,8 @@ object Similarity {
       .limit(k)
   }
 
-  def ivfTopKOracleSql(qid: Long, k: Int, nCentroids: Int): String =
+  def ivfTopKOracleSql(qid: Long, k: Int, nCentroids: Int,
+      nProbe: Int = 2): String =
     s"""WITH e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
@@ -132,16 +141,22 @@ object Similarity {
        |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
        |), q AS (
        |  SELECT v AS qv FROM e WHERE vec_id = $qid
-       |), qcell AS (
-       |  SELECT centroid_id AS q_centroid FROM cells WHERE vec_id = $qid
+       |), qcells AS (
+       |  SELECT centroid_id AS q_centroid FROM cents, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe
        |)
        |SELECT c.vec_id, c.label, c.centroid_id,
        |  round(1.0 - list_dot_product(e.v, q.qv)
        |    / (sqrt(list_dot_product(e.v, e.v))
        |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
        |FROM cells c
-       |JOIN e ON e.vec_id = c.vec_id, q, qcell
-       |WHERE c.centroid_id = qcell.q_centroid AND c.vec_id <> $qid
+       |JOIN e ON e.vec_id = c.vec_id
+       |JOIN qcells ON c.centroid_id = qcells.q_centroid, q
+       |WHERE c.vec_id <> $qid
        |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
 
   /** Per-label embedding statistics: count + mean L2 norm (sanity view of
