@@ -57,6 +57,13 @@ class JobManager(spark: SparkSession) {
 
   private def now() = java.sql.Timestamp.from(Instant.now())
 
+  /** Atomic read-modify-write on the ledger entry (plain get+put would
+    * lose concurrent tally/progress updates from pool threads). */
+  private def update(jobId: String)(f: BatchJob => BatchJob): Unit = {
+    jobs.computeIfPresent(jobId, (_, j) => f(j))
+    ()
+  }
+
   def createBatchJob(collectionName: String, totalDocuments: Int): String = {
     val id = UUID.randomUUID().toString
     jobs.put(id, BatchJob(id, collectionName, JobStatus.Queued, now(),
@@ -89,57 +96,62 @@ class JobManager(spark: SparkSession) {
   }
 
   /** Cancel queued/processing jobs only (reference :146-148). */
-  def cancel(jobId: String): Boolean = get(jobId) match {
-    case Some(j) if !JobStatus.Terminal.contains(j.status) =>
-      spark.sparkContext.cancelJobGroup(jobId)
-      jobs.put(jobId, j.copy(status = JobStatus.Cancelled,
-        completed_at = Some(now())))
-      true
-    case _ => false
+  def cancel(jobId: String): Boolean = {
+    var changed = false
+    update(jobId) { j =>
+      if (JobStatus.Terminal.contains(j.status)) j
+      else {
+        changed = true
+        j.copy(status = JobStatus.Cancelled, completed_at = Some(now()))
+      }
+    }
+    if (changed) spark.sparkContext.cancelJobGroup(jobId)
+    changed
   }
 
   def updateStatus(jobId: String, status: String): Unit =
-    get(jobId).foreach { j =>
+    update(jobId) { j =>
       val started =
         if (status == JobStatus.Processing && j.started_at.isEmpty)
           Some(now()) else j.started_at
       val completed =
         if (JobStatus.Terminal.contains(status)) Some(now())
         else j.completed_at
-      jobs.put(jobId, j.copy(status = status, started_at = started,
-        completed_at = completed))
+      j.copy(status = status, started_at = started,
+        completed_at = completed)
     }
 
   /** progress% = processed/total*100 (reference :196-198). */
   def updateProgress(jobId: String, processed: Int, total: Int): Unit =
-    get(jobId).foreach { j =>
-      jobs.put(jobId, j.copy(
-        processed_documents = processed, total_documents = total,
-        progress_percentage =
-          if (total > 0) processed.toDouble / total * 100 else 0.0))
-    }
+    update(jobId)(_.copy(
+      processed_documents = processed, total_documents = total,
+      progress_percentage =
+        if (total > 0) processed.toDouble / total * 100 else 0.0))
 
   /** success/failure tallies move with each per-doc result (:213-216). */
   def addResult(jobId: String, r: JobResult): Unit = {
-    Option(results.get(jobId)).foreach(_.synchronized {
-      results.get(jobId) += r
-    })
-    get(jobId).foreach { j =>
-      val next = r.status match {
+    Option(results.get(jobId)).foreach { buf =>
+      buf.synchronized { buf += r }
+    }
+    update(jobId) { j =>
+      r.status match {
         case JobStatus.Completed =>
           j.copy(successful_documents = j.successful_documents + 1)
         case JobStatus.Failed =>
           j.copy(failed_documents = j.failed_documents + 1)
         case _ => j
       }
-      jobs.put(jobId, next)
     }
   }
 
+  /** No-op on already-terminal jobs: a cancel interrupting the Spark
+    * action makes the worker throw, and that failure must not overwrite
+    * the Cancelled status (mirror of the success-path guard in submit). */
   def failJob(jobId: String, error: String): Unit =
-    get(jobId).foreach { j =>
-      jobs.put(jobId, j.copy(status = JobStatus.Failed,
-        error_message = Some(error), completed_at = Some(now())))
+    update(jobId) { j =>
+      if (JobStatus.Terminal.contains(j.status)) j
+      else j.copy(status = JobStatus.Failed,
+        error_message = Some(error), completed_at = Some(now()))
     }
 
   /** Remove terminal jobs older than maxAgeHours (reference :283-299). */

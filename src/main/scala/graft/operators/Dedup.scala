@@ -86,7 +86,12 @@ object Dedup {
     */
   def minhashPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // Docs with an empty shingle set would all hash to the same
+    // null-derived band key (array_min(empty) = NULL ⇒ md5("") for every
+    // band) — one giant bucket, an O(n_short²) candidate explosion. They
+    // can never form a valid pair anyway, so drop them before banding.
     val docs = docShingleSets(Tables.documents(spark, dir))
+      .filter(size(col("sh_set")) > 0)
     // h_i = min over the shingle set of md5(i || ':' || shingle)
     val sigCols = (0 until NumHashes).map { i =>
       array_min(transform(col("sh_set"),
@@ -218,6 +223,10 @@ object Dedup {
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     hashes
+      // token-less docs have no fingerprint — and the oracle's unnest
+      // produces no rows for them, so emitting simhash=0 here would be a
+      // latent row-count parity break
+      .filter(size(col("hashes")) > 0)
       .select(col("doc_id") +: bitSums: _*)
       .select(col("doc_id"), fp.as("simhash"))
       .orderBy(col("doc_id").asc)

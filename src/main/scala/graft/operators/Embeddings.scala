@@ -65,6 +65,11 @@ object Embeddings {
     * TF-IDF embeddings (candidates from LSH, exact re-rank). */
   def annSearch(spark: SparkSession, dir: String, queryDocId: Long,
       k: Int, dim: Int = DefaultDim): DataFrame = {
+    // cache: the embedding frame feeds the LSH fit, the query-vector
+    // lookup, and the candidate transform. Deliberately not unpersisted:
+    // the returned DataFrame is lazy and still references it; identical
+    // re-invocations reuse the same cache entry (plan-equality lookup),
+    // so repeated calls do not accumulate copies.
     val emb = embedDocuments(spark, dir, dim).cache()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("embedding").setOutputCol("hashes")

@@ -175,11 +175,17 @@ object Fts {
       spark: SparkSession, dir: String,
       queries: Seq[(Int, String)], lang: String, k: Int): DataFrame = {
     import spark.implicits._
-    val queryTerms = queries
-      .flatMap { case (qid, q) =>
-        val ts = TextAnalyzer.analyze(q).distinct
-        ts.map(t => (qid, t, ts.length))
-      }
+    val analyzed = queries.map { case (qid, q) =>
+      (qid, q, TextAnalyzer.analyze(q).distinct)
+    }
+    // consistent with search(): an all-stopword query is an error, not a
+    // silent omission (and an empty term set would also make the oracle's
+    // VALUES list syntactically invalid)
+    analyzed.foreach { case (qid, q, ts) =>
+      require(ts.nonEmpty, s"query $qid ('$q') analyzes to no terms")
+    }
+    val queryTerms = analyzed
+      .flatMap { case (qid, _, ts) => ts.map(t => (qid, t, ts.length)) }
       .toDF("query_idx", "term", "n_terms")
     val allTerms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // tiny: bounded by Σ query lengths

@@ -15,8 +15,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object ParquetStore {
 
-  /** Overwrite `dir` with `df` atomically: write to a sibling tmp dir,
-    * swap via rename, drop the old data only after the swap succeeds. */
+  /** Overwrite `dir` with `df` via a sibling-tmp-dir swap: write to tmp,
+    * rename target away, rename tmp into place, drop the old data only
+    * after the swap succeeds (rolled back if the second rename fails).
+    * Each rename is atomic but the PAIR is not: a reader between the two
+    * renames sees no directory, and a crash in that window leaves the
+    * data under the `.old-` path (recoverable by hand, never lost).
+    * Production would use a table format (Delta/Iceberg) whose commit
+    * protocol closes that window; this utility deliberately stays a
+    * plain-filesystem rewrite, not a fake transaction log. */
   def overwriteAtomic(df: DataFrame, dir: String): Unit = {
     val target = Paths.get(dir)
     val tmp = Paths.get(dir + ".tmp-" + System.nanoTime())

@@ -82,9 +82,7 @@ object ServiceNowXml {
           basename)
       }
     }
-    parsed.map { case (vals, st, file) =>
-      (vals, st, file)
-    }.toDF("vals", "searchable_text", "source_file")
+    parsed.toDF("vals", "searchable_text", "source_file")
       .select(
         Fields.zipWithIndex.map { case (f, i) =>
           col("vals").getItem(i).as(f)

@@ -157,6 +157,10 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent commit: foreachBatch is at-least-once, so a restart
+        // can replay a batch whose write already succeeded. Writing each
+        // batch into its own batch_id partition with overwrite makes the
+        // replay a no-op instead of doubling tf rows.
         batch
           .select(col("doc_id"), col("lang"),
             posexplode(TextAnalyzer.tokens(col("text")))
@@ -164,7 +168,8 @@ object EventStreams {
           .groupBy("doc_id", "lang", "term")
           .agg(count(lit(1)).as("tf"),
             sort_array(collect_list(col("pos"))).as("positions"))
-          .write.mode("append").parquet(indexOutDir)
+          .write.mode("overwrite")
+          .parquet(s"$indexOutDir/batch_id=$batchId")
         ()
       }
   }
