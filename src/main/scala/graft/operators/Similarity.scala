@@ -38,6 +38,14 @@ object Similarity {
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - dot(a, b) / (norm(a) * norm(b))
 
+  /** 1 - dot/(na·nb) with the norms precomputed — vector norms are
+    * functionally dependent on the vector, so computing them once
+    * scan-local and carrying them in-row saves two of the three
+    * zip_with/aggregate array passes per compared pair. */
+  def cosineDistancePre(a: Column, b: Column, na: Column,
+      nb: Column): Column =
+    lit(1.0) - dot(a, b) / (na * nb)
+
   /** V1+V3+V4: exact KNN of the query vector (row vec_id = qid) over all
     * other vectors, optional distance threshold, top-k. */
   def knnCosine(
@@ -45,12 +53,15 @@ object Similarity {
       threshold: Double): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === lit(qid))
-      .select(col("embedding").as("qv"))
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     emb.filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"), col("label"),
-        round(cosineDistance(col("embedding"), col("qv")), 6).as("dist"))
+        round(cosineDistancePre(col("embedding"), col("qv"),
+          col("nrm"), col("qn")), 6).as("dist"))
       .filter(col("dist") <= lit(threshold))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
@@ -76,12 +87,17 @@ object Similarity {
     * (vec_id, label, centroid_id, dist-to-centroid). */
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
     val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cdist").asc, col("centroid_id").asc)
-    emb.crossJoin(broadcast(cents))
+    emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("centroid_id"),
-        round(cosineDistance(col("embedding"), col("cv")), 6).as("cdist"))
+        round(cosineDistancePre(col("embedding"), col("cv"),
+          col("nrm"), col("cn")), 6).as("cdist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -158,6 +174,66 @@ object Similarity {
        |JOIN qcells ON c.centroid_id = qcells.q_centroid, q
        |WHERE c.vec_id <> $qid
        |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (the dedup-suite member over
+    * vectors): candidates = pairs sharing an IVF cell (the bucketing
+    * bounds quadratic work — cost ∝ Σ_cell |cell|² instead of n²), then
+    * exact cosine verification <= eps. Deterministic: seed centroids,
+    * tiebroken assignment, rounded distances.
+    */
+  def embCosinePairs(spark: SparkSession, dir: String, eps: Double,
+      nCentroids: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = ivfAssign(emb, nCentroids).select("vec_id", "centroid_id")
+    val pairs = cells.as("x")
+      .join(cells.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va"),
+        norm(col("embedding")).as("na")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        norm(col("embedding")).as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(cosineDistancePre(col("va"), col("vb"),
+          col("na"), col("nb")), 6).as("dist"))
+      .filter(col("dist") <= lit(eps))
+      .orderBy(col("dist").asc, col("a").asc, col("b").asc)
+  }
+
+  def embCosinePairsOracleSql(eps: Double, nCentroids: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e
+       |  WHERE vec_id < $nCentroids
+       |), asg AS (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, centroid_id FROM asg WHERE rn = 1
+       |), pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM cells x JOIN cells y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |)
+       |SELECT p.a, p.b,
+       |  round(1.0 - list_dot_product(ea.v, eb.v)
+       |    / (sqrt(list_dot_product(ea.v, ea.v))
+       |       * sqrt(list_dot_product(eb.v, eb.v))), 6) AS dist
+       |FROM pairs p
+       |JOIN e ea ON ea.vec_id = p.a
+       |JOIN e eb ON eb.vec_id = p.b
+       |WHERE round(1.0 - list_dot_product(ea.v, eb.v)
+       |    / (sqrt(list_dot_product(ea.v, ea.v))
+       |       * sqrt(list_dot_product(eb.v, eb.v))), 6) <= $eps
+       |ORDER BY dist ASC, a ASC, b ASC""".stripMargin
 
   /** Per-label embedding statistics: count + mean L2 norm (sanity view of
     * the label ground truth, FIXTURES.md A.embeddings). */
