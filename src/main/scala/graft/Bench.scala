@@ -27,6 +27,9 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // GC barrier so warm-up garbage is not collected mid-measurement
+    System.gc()
+    Thread.sleep(500)
     // timed pass
     val results = names.map { name =>
       val t0 = System.nanoTime()

@@ -153,10 +153,13 @@ object TextOps {
     val n = length(col("clean"))
     val gramIdx = when(n >= WinnowK, sequence(lit(0), n - WinnowK))
       .otherwise(array().cast("array<int>"))
-    // stage 2: materialize the gram-hash array once
+    // stage 2: materialize the gram-hash array once (8-hex-char prefix:
+    // the window-min comparisons dominate, and a 8-char key keeps the
+    // selection deterministic at a quarter of the compare cost)
     val hashed = staged.select(col("doc_id"),
       explode(array(transform(gramIdx,
-        i => md5(substring(col("clean"), i + 1, lit(WinnowK))))))
+        i => substring(
+          md5(substring(col("clean"), i + 1, lit(WinnowK))), 1, 8))))
         .as("ghashes"))
     val m = size(col("ghashes"))
     val winIdx = when(m >= WinnowW, sequence(lit(0), m - WinnowW))
@@ -185,7 +188,8 @@ object TextOps {
        |  SELECT doc_id,
        |    list_transform(
        |      range(0, greatest(length(clean) - $WinnowK, -1) + 1),
-       |      i -> md5(substr(clean, i + 1, $WinnowK))) AS ghashes
+       |      i -> substr(md5(substr(clean, i + 1, $WinnowK)), 1, 8))
+       |      AS ghashes
        |  FROM staged
        |), winnowed AS (
        |  SELECT doc_id, len(ghashes) AS n_grams,
