@@ -95,6 +95,66 @@ class JobManager(spark: SparkSession) {
     ()
   }
 
+  /** Like submit, but live task-level progress flows into the ledger via
+    * a SparkListener (the §2.7 B3 progress-accounting analog: the
+    * reference updates per-document, we update per-task). The listener
+    * attributes stages to this job through the job-group property and
+    * unregisters itself when the work finishes.
+    */
+  def submitWithProgress(jobId: String,
+      work: SparkSession => Unit): Unit = {
+    val sc = spark.sparkContext
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val total = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val mine =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+          jobId == js.properties.getProperty("spark.jobGroup.id")) {
+          mine.add(js.jobId)
+          total.addAndGet(js.stageInfos.map(_.numTasks).sum)
+          updateProgress(jobId, done.get(), math.max(total.get(), 1))
+        }
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        // tasks do not carry the group id; approximate by counting while
+        // any of our jobs is registered (single-job submissions exact)
+        if (!mine.isEmpty) {
+          val d = done.incrementAndGet()
+          updateProgress(jobId, math.min(d, total.get()),
+            math.max(total.get(), 1))
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    updateStatus(jobId, JobStatus.Processing)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        sc.setJobGroup(jobId, s"batch job $jobId", interruptOnCancel = true)
+        try {
+          work(spark)
+          get(jobId).foreach { j =>
+            if (j.status == JobStatus.Processing) {
+              update(jobId)(cur => cur.copy(
+                processed_documents = cur.total_documents,
+                progress_percentage = 100.0))
+              updateStatus(jobId, JobStatus.Completed)
+            }
+          }
+        } catch {
+          case e: Exception => failJob(jobId, e.getMessage)
+        } finally {
+          sc.clearJobGroup()
+          sc.removeSparkListener(listener)
+        }
+      }
+    })
+    ()
+  }
+
   /** Cancel queued/processing jobs only (reference :146-148). */
   def cancel(jobId: String): Boolean = {
     var changed = false

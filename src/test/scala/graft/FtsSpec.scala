@@ -66,6 +66,16 @@ class FtsSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  test("error paths: all-stopword queries are rejected, not silently dropped") {
+    intercept[IllegalArgumentException] {
+      Fts.search(spark, Sf0001, "the and of", "en", 10)
+    }
+    intercept[IllegalArgumentException] {
+      Fts.batchSearch(spark, Sf0001,
+        Seq(0 -> "hash join", 1 -> "the and"), "en", 5)
+    }
+  }
+
   test("batch search: per-query top-k, one pass") {
     val res = Fts.batchSearch(spark, Sf0001,
       Seq(0 -> "hash join", 1 -> "sort merge"), "en", 3).collect()

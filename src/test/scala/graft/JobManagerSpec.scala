@@ -60,6 +60,24 @@ class JobManagerSpec extends SparkSpec {
     assert(jm.get(id).get.status == JobStatus.Completed)
   }
 
+  test("submitWithProgress: task-level progress reaches 100% on completion") {
+    val jm = new JobManager(spark)
+    val id = jm.createBatchJob("col1", 1)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Double]()
+    jm.submitWithProgress(id, { s =>
+      s.range(0, 1000, 1, 8).count()
+      ()
+    })
+    var tries = 0
+    while (jm.get(id).get.status != JobStatus.Completed && tries < 200) {
+      seen.add(jm.get(id).get.progress_percentage)
+      Thread.sleep(25); tries += 1
+    }
+    val j = jm.get(id).get
+    assert(j.status == JobStatus.Completed)
+    assert(math.abs(j.progress_percentage - 100.0) < 1e-9)
+  }
+
   test("failed work marks the job failed with the error message") {
     val jm = new JobManager(spark)
     val id = jm.createBatchJob("col1", 1)

@@ -48,4 +48,26 @@ class SimilaritySpec extends SparkSpec {
     val dists = ivf.map(_.getAs[Double]("dist"))
     assert(dists.sameElements(dists.sorted))
   }
+
+  test("nprobe knob: recall against exact knn is non-decreasing in probes") {
+    val exact = Similarity.knnCosine(spark, Sf0001, 42L, 10, 2.0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recalls = Seq(1, 2, 5).map { p =>
+      val got = Similarity.ivfTopK(spark, Sf0001, 42L, 10, 10, p)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      got.intersect(exact).size
+    }
+    assert(recalls == recalls.sorted) // more probes never hurt
+    assert(recalls.last >= recalls.head)
+  }
+
+  test("embedding-cosine dedup pairs are ordered, thresholded, deduplicated") {
+    val pairs = Similarity.embCosinePairs(spark, Sf0001, 0.6, 10).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("dist") <= 0.6)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
 }
