@@ -50,6 +50,32 @@ object ScaleOps {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
 
+  /** Write a table partitioned by a column (the documents-by-collection
+    * layout, SURVEY §4.3): queries filtering on that column prune whole
+    * directories at planning time instead of scanning and filtering.
+    */
+  def writePartitioned(df: DataFrame, dir: String, col: String): Unit =
+    df.write.mode("overwrite").partitionBy(col).parquet(dir)
+
+  /** Number of files the scan will actually read (post partition
+    * pruning) for the given filtered frame. */
+  def filesRead(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
+    }.sum
+  }
+
   /** Detects whether a physical plan contains a shuffle exchange.
     * Walks THROUGH AQE wrapper nodes (AdaptiveSparkPlanExec /
     * QueryStageExec hide their subtrees from a plain collect). */

@@ -39,6 +39,22 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partition-by-collection layout prunes directories at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    ScaleOps.writePartitioned(
+      Tables.documents(spark, Sf0001), dir, "lang")
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter(col("lang") === "fr")
+    // the fr query must read strictly fewer files than the full scan
+    val allFiles = ScaleOps.filesRead(all.select("doc_id"))
+    val prunedFiles = ScaleOps.filesRead(pruned.select("doc_id"))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned=$prunedFiles all=$allFiles")
+    // and correctness is unchanged
+    assert(pruned.count() ==
+      Tables.documents(spark, Sf0001).filter(col("lang") === "fr").count())
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val direct = Tables.lineitem(spark, Sf0001)
       .groupBy("l_suppkey")
