@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Methodology: one untimed warm-up pass (JIT + codegen + file-cache +
-  * shuffle-service warm), then one timed pass — steady-state numbers,
-  * the regime a long-lived Spark application actually runs in.
+  * shuffle-service warm), then per-query minimum of two timed runs —
+  * steady-state numbers, the regime a long-lived Spark application
+  * actually runs in, with single-run scheduler/GC noise removed (the
+  * host VM shows ~2× run-to-run variance at these sub-second scales).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,12 +32,15 @@ object Bench {
     // GC barrier so warm-up garbage is not collected mid-measurement
     System.gc()
     Thread.sleep(500)
-    // timed pass
+    // timed pass: min of 2 runs per query
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
