@@ -73,7 +73,7 @@ object SparkEntry {
     "pipeline_e2e" -> ((s, d) =>
       DocumentPipeline.ingestLineage(s, d, 120, 30)),
     // dedup suite (training-data ops)
-    "dedup_embcos" -> ((s, d) => Similarity.embCosinePairs(s, d, 0.6, 10)),
+    "dedup_embcos" -> ((s, d) => Similarity.embCosinePairs(s, d, 0.6, 32)),
     "dedup_exact" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -121,7 +121,7 @@ object SparkEntry {
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
     "p7_chunk_enrich" -> TextOps.chunkEnrichmentOracleSql(120, 30),
     "pipeline_e2e" -> DocumentPipeline.ingestLineageOracleSql(120, 30),
-    "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 10),
+    "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 32),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,
