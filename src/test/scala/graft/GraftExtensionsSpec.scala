@@ -17,10 +17,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
+      // NB: spark.sql.extensions is a STATIC conf read from the
+      // SparkContext at session construction — when this JVM already has
+      // a context (the shared test session), builder config is ignored.
+      // withExtensions applies the same class regardless of context; the
+      // config path works in any fresh JVM (e.g. spark-submit --conf).
       val spark = SparkSession.builder()
         .master("local[2]")
         .appName("graft-ext-test")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .withExtensions(new graft.plans.GraftExtensions()(_))
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
