@@ -52,6 +52,9 @@ object SparkEntry {
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
+    "range_join_counts" -> ((s, d) =>
+      Relational.rangeJoinCounts(s, d, 3600L)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -106,6 +109,8 @@ object SparkEntry {
     "win_top_orders" -> Relational.topOrdersOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
+    "asof_latest_order" -> Relational.asofOracleSql,
+    "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,

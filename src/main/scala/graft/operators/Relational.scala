@@ -244,6 +244,122 @@ object Relational {
       |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin
 
+  /** As-of join: each event matched to the user's most recent order at
+    * or before the event time. Implemented with the scale-correct
+    * union-sort-window shape — tag both streams, union, one shuffle on
+    * the key, `last(..., ignoreNulls)` over the time-ordered window —
+    * instead of an inequality join (which would explode to |events|×
+    * |orders| per key before filtering). Orders are pre-deduped to one
+    * per (user, date) with max_by so tie behavior is deterministic and
+    * identical to DuckDB's native ASOF JOIN used as the oracle.
+    */
+  def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val events = ev.select(col("event_id"), col("user_id"),
+      evTs.cast("long").as("t"))
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_timestamp(col("o_orderdate")).cast("long").as("t"))
+      .agg(max(col("o_orderkey")).as("okey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+    val tagged = events
+      .select(col("user_id"), col("t"), lit(1).as("is_event"),
+        col("event_id"),
+        lit(null).cast("long").as("okey"),
+        lit(null).cast("double").as("oprice"))
+      .unionByName(orders
+        .select(col("user_id"), col("t"), lit(0).as("is_event"),
+          lit(null).cast("long").as("event_id"), col("okey"),
+          col("oprice")))
+    // orders sort before events at equal t (is_event asc) so an order at
+    // exactly the event time matches (<= semantics)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("is_event").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("asof_oprice",
+        last(col("oprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts_sec"),
+        col("asof_okey").as("okey"),
+        round(col("asof_oprice"), 2).as("oprice"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Banded range self-join: ordered pairs of same-user events at most
+    * windowSec apart (a follows b). The scale shape is bucketization —
+    * the left row lands in the (at most two) coarse buckets its window
+    * overlaps, the join is an EQUI-join on (user, bucket), and the
+    * precise range predicate filters after — never an unbounded
+    * inequality join that would explode to |events|² per user before
+    * filtering. Aggregated to per-user pair counts.
+    */
+  def rangeJoinCounts(spark: SparkSession, dir: String,
+      windowSec: Long): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val base = ev.select(col("event_id"), col("user_id"),
+      evTs.cast("long").as("t"))
+    val left = base
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("t").as("ta"))
+      // a window of length W overlaps at most two W-sized buckets
+      .withColumn("bucket",
+        explode(array_distinct(array(expr(s"ta div $windowSec"),
+          expr(s"(ta + $windowSec) div $windowSec")))))
+    val right = base
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("t").as("tb"))
+      .withColumn("bucket", expr(s"tb div $windowSec"))
+    left
+      .join(right, Seq("user_id", "bucket"))
+      .filter(col("tb") > col("ta") &&
+        col("tb") <= col("ta") + windowSec)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_heads"))
+      .orderBy(col("user_id").asc)
+  }
+
+  def rangeJoinOracleSql(windowSec: Long): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+       |  FROM events
+       |)
+       |SELECT a.user_id, count(*) AS n_pairs,
+       |  count(DISTINCT a.event_id) AS n_heads
+       |FROM ev a JOIN ev b
+       |  ON a.user_id = b.user_id
+       |  AND b.t > a.t AND b.t <= a.t + $windowSec
+       |GROUP BY a.user_id ORDER BY a.user_id ASC""".stripMargin
+
+  val asofOracleSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), ord AS (
+      |  SELECT o_custkey AS user_id,
+      |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+      |    max(o_orderkey) AS okey,
+      |    max_by(o_totalprice, o_orderkey) AS oprice
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.user_id, e.ts_sec,
+      |  o.okey, round(o.oprice, 2) AS oprice
+      |FROM ev e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
+      |ORDER BY event_id ASC""".stripMargin
+
   /** Tumbling-window aggregate over events (batch shape of the
     * streaming query in graft.streaming — same bucketing formula).
     * Bucket = floor(epoch_seconds / 600) → deterministic across engines.
