@@ -18,6 +18,10 @@ object SparkEntry {
     0 -> "vector query", 1 -> "stream batch", 2 -> "scan filter",
     3 -> "group agg", 4 -> "sort merge")
 
+  /** Probe terms for the count-min sketch check: frequent, mid, absent. */
+  val CountMinProbeTerms: Seq[String] =
+    Seq("hash", "join", "vector", "zz_absent_term")
+
   /** Flagship query (FTS top-k) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Fts.search(spark, "/root/testdata/sf0.001", "hash join merge", "en", 10)
@@ -55,6 +59,9 @@ object SparkEntry {
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
     "range_join_counts" -> ((s, d) =>
       Relational.rangeJoinCounts(s, d, 3600L)),
+    "sketch_countmin" -> ((s, d) =>
+      Sketches.countMinEstimates(s, d, CountMinProbeTerms)),
+    "events_quantiles" -> ((s, d) => Sketches.eventQuantiles(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -111,6 +118,8 @@ object SparkEntry {
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
+    "sketch_countmin" -> Sketches.countMinOracleSql(CountMinProbeTerms),
+    "events_quantiles" -> Sketches.eventQuantilesOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,
