@@ -53,6 +53,8 @@ object SparkEntry {
     "q4_semijoin" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
+    "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q4_semijoin" -> Relational.q4OracleSql,
     "q5_nation_revenue" -> Relational.q5OracleSql,
     "agg_distinct" -> Relational.distinctAggOracleSql,
+    "agg_rollup" -> Relational.rollupOracleSql,
+    "set_ops" -> Relational.setOpsOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,

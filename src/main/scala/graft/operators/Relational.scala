@@ -244,6 +244,66 @@ object Relational {
       |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin
 
+  /** Hierarchical totals via ROLLUP: per (returnflag, linestatus), per
+    * returnflag, and grand total in one pass (Catalyst expands to a
+    * single Expand + aggregate — no multiple scans). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val rollupOracleSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST,
+      |         l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Set operations: customers present in BOTH the building segment and
+    * the high-value order population (INTERSECT), and building-segment
+    | customers with NO order at all (EXCEPT ≙ anti). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("c_custkey"))
+    val anyOrder = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(bigSpenders)
+      .withColumn("category", lit("building_big_spender"))
+    val none = building.except(anyOrder)
+      .withColumn("category", lit("building_no_orders"))
+    both.unionByName(none)
+      .select(col("category"), col("c_custkey"))
+      .orderBy(col("category").asc, col("c_custkey").asc)
+  }
+
+  val setOpsOracleSql: String =
+    """WITH building AS (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |), spenders AS (
+      |  SELECT 'building_big_spender' AS category, c_custkey FROM (
+      |    SELECT c_custkey FROM building
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      |  )
+      |), orderless AS (
+      |  SELECT 'building_no_orders' AS category, c_custkey FROM (
+      |    SELECT c_custkey FROM building
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders
+      |  )
+      |)
+      |SELECT category, c_custkey FROM spenders
+      |UNION ALL
+      |SELECT category, c_custkey FROM orderless
+      |ORDER BY category ASC, c_custkey ASC""".stripMargin
+
   /** As-of join: each event matched to the user's most recent order at
     * or before the event time. Implemented with the scale-correct
     * union-sort-window shape — tag both streams, union, one shuffle on
