@@ -56,6 +56,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "win_running" -> ((s, d) => Relational.runningOrderStats(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "agg_rollup" -> Relational.rollupOracleSql,
     "set_ops" -> Relational.setOpsOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
+    "win_running" -> Relational.runningOrderStatsOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,

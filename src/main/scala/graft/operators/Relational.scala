@@ -140,6 +140,37 @@ object Relational {
       |FROM ranked WHERE rn <= 2
       |ORDER BY o_custkey ASC, rn ASC""".stripMargin
 
+  /** Window-function coverage beyond ranking: per-customer running
+    * order-value totals and gaps between consecutive orders (lag). */
+  def runningOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(sum(col("o_totalprice")).over(wRun), 2).as("running_total"),
+        round(col("o_totalprice") -
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+          .as("delta_vs_prev"),
+        count(lit(1)).over(wRun).as("order_seq"))
+      .orderBy(col("o_custkey").asc, col("order_seq").asc)
+  }
+
+  val runningOrderStatsOracleSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  round(sum(o_totalprice) OVER w_run, 2) AS running_total,
+      |  round(o_totalprice -
+      |    coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS delta_vs_prev,
+      |  count(*) OVER w_run AS order_seq
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC,
+      |            o_orderkey ASC ROWS UNBOUNDED PRECEDING)
+      |ORDER BY o_custkey ASC, order_seq ASC""".stripMargin
+
   /** S3 deterministic pagination: ORDER BY id LIMIT/OFFSET via row_number
     * (Postgres OFFSET without ORDER BY is nondeterministic — we impose a
     * total order, SURVEY §2.1 S3).
