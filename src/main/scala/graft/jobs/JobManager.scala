@@ -74,32 +74,51 @@ class JobManager(spark: SparkSession) {
 
   def get(jobId: String): Option[BatchJob] = Option(jobs.get(jobId))
 
-  /** Run `work` under a cancellable Spark job group on a pool thread. */
-  def submit(jobId: String, work: SparkSession => Unit): Unit = {
+  /** Shared submission path: run `work` under a cancellable Spark job
+    * group on a pool thread; mark Completed on clean return (unless a
+    * concurrent cancel already made the job terminal), Failed on throw.
+    */
+  private def runInGroup(jobId: String, work: SparkSession => Unit,
+      cleanup: () => Unit): Unit = {
     updateStatus(jobId, JobStatus.Processing)
     pool.submit(new Runnable {
       def run(): Unit = {
-        spark.sparkContext.setJobGroup(jobId, s"batch job $jobId",
-          interruptOnCancel = true)
+        val sc = spark.sparkContext
+        sc.setJobGroup(jobId, s"batch job $jobId", interruptOnCancel = true)
         try {
           work(spark)
-          get(jobId).foreach { j =>
+          update(jobId) { j =>
             if (j.status == JobStatus.Processing)
-              updateStatus(jobId, JobStatus.Completed)
+              j.copy(status = JobStatus.Completed,
+                completed_at = Some(now()),
+                processed_documents = j.total_documents,
+                progress_percentage = 100.0)
+            else j
           }
         } catch {
           case e: Exception => failJob(jobId, e.getMessage)
-        } finally spark.sparkContext.clearJobGroup()
+        } finally {
+          sc.clearJobGroup()
+          cleanup()
+        }
       }
     })
     ()
   }
 
+  def submit(jobId: String, work: SparkSession => Unit): Unit =
+    runInGroup(jobId, work, () => ())
+
   /** Like submit, but live task-level progress flows into the ledger via
     * a SparkListener (the §2.7 B3 progress-accounting analog: the
-    * reference updates per-document, we update per-task). The listener
-    * attributes stages to this job through the job-group property and
-    * unregisters itself when the work finishes.
+    * reference updates per-document, we surface task completion as
+    * progress_percentage). Attribution is exact: stages are mapped to
+    * this job through the job-group property at job start, and only
+    * tasks of those stages count — concurrent jobs in the same context
+    * do not inflate each other. Only the PERCENTAGE is listener-driven;
+    * the document-denominated counters (total/processed/succeeded/
+    * failed) stay owned by the document pipeline via updateProgress/
+    * addResult.
     */
   def submitWithProgress(jobId: String,
       work: SparkSession => Unit): Unit = {
@@ -107,52 +126,34 @@ class JobManager(spark: SparkSession) {
     val listener = new org.apache.spark.scheduler.SparkListener {
       private val done = new java.util.concurrent.atomic.AtomicInteger(0)
       private val total = new java.util.concurrent.atomic.AtomicInteger(0)
-      private val mine =
+      private val myStages =
         java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         if (js.properties != null &&
           jobId == js.properties.getProperty("spark.jobGroup.id")) {
-          mine.add(js.jobId)
+          js.stageInfos.foreach(si => myStages.add(si.stageId))
           total.addAndGet(js.stageInfos.map(_.numTasks).sum)
-          updateProgress(jobId, done.get(), math.max(total.get(), 1))
+          ()
         }
       }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        // tasks do not carry the group id; approximate by counting while
-        // any of our jobs is registered (single-job submissions exact)
-        if (!mine.isEmpty) {
+        if (myStages.contains(te.stageId)) {
           val d = done.incrementAndGet()
-          updateProgress(jobId, math.min(d, total.get()),
-            math.max(total.get(), 1))
+          val t = math.max(total.get(), 1)
+          // percentage only; never past a terminal state (async events
+          // can arrive after completion)
+          update(jobId) { j =>
+            if (JobStatus.Terminal.contains(j.status)) j
+            else j.copy(progress_percentage =
+              math.min(d, t).toDouble / t * 100)
+          }
         }
       }
     }
     sc.addSparkListener(listener)
-    updateStatus(jobId, JobStatus.Processing)
-    pool.submit(new Runnable {
-      def run(): Unit = {
-        sc.setJobGroup(jobId, s"batch job $jobId", interruptOnCancel = true)
-        try {
-          work(spark)
-          get(jobId).foreach { j =>
-            if (j.status == JobStatus.Processing) {
-              update(jobId)(cur => cur.copy(
-                processed_documents = cur.total_documents,
-                progress_percentage = 100.0))
-              updateStatus(jobId, JobStatus.Completed)
-            }
-          }
-        } catch {
-          case e: Exception => failJob(jobId, e.getMessage)
-        } finally {
-          sc.clearJobGroup()
-          sc.removeSparkListener(listener)
-        }
-      }
-    })
-    ()
+    runInGroup(jobId, work, () => sc.removeSparkListener(listener))
   }
 
   /** Cancel queued/processing jobs only (reference :146-148). */

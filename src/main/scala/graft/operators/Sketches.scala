@@ -29,15 +29,18 @@ object Sketches {
     conv(substring(md5(concat(lit(s"$i:"), token)), 1, 2), 16, 10)
       .cast("int")
 
-  /** The sketch cells: (row, bucket, cnt) — d·w rows max. */
+  /** The sketch cells: (row, bucket, cnt) — d·w rows max. One corpus
+    * scan: each token explodes to its Depth (sketch_row, bucket) structs
+    * instead of unioning Depth re-tokenized scans. */
   def countMinCells(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(TextAnalyzer.tokens(col("text"))).as("token"))
-    val perRow = (0 until Depth).map { i =>
-      toks.select(lit(i).as("sketch_row"),
-        bucketExpr(i, col("token")).as("bucket"))
-    }.reduce(_ union _)
-    perRow.groupBy("sketch_row", "bucket")
+    toks
+      .select(explode(array((0 until Depth).map(i =>
+        struct(lit(i).as("sketch_row"),
+          bucketExpr(i, col("token")).as("bucket"))): _*)).as("cell"))
+      .groupBy(col("cell.sketch_row").as("sketch_row"),
+        col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -48,8 +51,8 @@ object Sketches {
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
     val cells = countMinCells(spark, dir)
-    val probes = terms.zipWithIndex
-      .flatMap { case (t, _) =>
+    val probes = terms
+      .flatMap { t =>
         (0 until Depth).map(i => (t, i,
           Integer.parseInt(
             md5Hex(s"$i:$t").substring(0, 2), 16)))

@@ -33,11 +33,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cover_density_score"),
       new ExpressionInfo(classOf[CoverDensityScore].getName,
         "cover_density_score"),
-      (exprs: Seq[Expression]) => CoverDensityScore(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> "cover_density_score",
+            "expectedNum" -> "1", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        CoverDensityScore(exprs.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("chunk_document"),
       new ExpressionInfo(classOf[ChunkDocument].getName, "chunk_document"),
-      (exprs: Seq[Expression]) =>
-        ChunkDocument(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> "chunk_document",
+            "expectedNum" -> "3", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        ChunkDocument(exprs(0), exprs(1), exprs(2))
+      }))
   }
 }

@@ -60,22 +60,32 @@ class JobManagerSpec extends SparkSpec {
     assert(jm.get(id).get.status == JobStatus.Completed)
   }
 
-  test("submitWithProgress: task-level progress reaches 100% on completion") {
+  test("submitWithProgress: intermediate task progress is published, then 100%") {
     val jm = new JobManager(spark)
     val id = jm.createBatchJob("col1", 1)
-    val seen = new java.util.concurrent.CopyOnWriteArrayList[Double]()
+    @volatile var midProgress = -1.0
     jm.submitWithProgress(id, { s =>
       s.range(0, 1000, 1, 8).count()
+      // the Spark job above is done; its task-end events land on the
+      // async listener bus — wait (bounded) until progress is published
+      var waited = 0
+      while (jm.get(id).get.progress_percentage <= 0 && waited < 400) {
+        Thread.sleep(25); waited += 1
+      }
+      midProgress = jm.get(id).get.progress_percentage
       ()
     })
     var tries = 0
-    while (jm.get(id).get.status != JobStatus.Completed && tries < 200) {
-      seen.add(jm.get(id).get.progress_percentage)
+    while (jm.get(id).get.status != JobStatus.Completed && tries < 400) {
       Thread.sleep(25); tries += 1
     }
     val j = jm.get(id).get
     assert(j.status == JobStatus.Completed)
     assert(math.abs(j.progress_percentage - 100.0) < 1e-9)
+    // the listener published real task progress before completion forced 100
+    assert(midProgress > 0.0, s"no intermediate progress seen: $midProgress")
+    // document counters are not clobbered by task counts
+    assert(j.total_documents == 1)
   }
 
   test("failed work marks the job failed with the error message") {
