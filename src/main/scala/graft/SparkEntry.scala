@@ -60,6 +60,7 @@ object SparkEntry {
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
+    "asof_custom_op" -> ((s, d) => Relational.asofLatestOrderCustom(s, d)),
     "range_join_counts" -> ((s, d) =>
       Relational.rangeJoinCounts(s, d, 3600L)),
     "sketch_countmin" -> ((s, d) =>
@@ -123,6 +124,7 @@ object SparkEntry {
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
+    "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
     "sketch_countmin" -> Sketches.countMinOracleSql(CountMinProbeTerms),
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,

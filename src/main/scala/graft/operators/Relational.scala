@@ -433,6 +433,32 @@ object Relational {
        |  AND b.t > a.t AND b.t <= a.t + $windowSec
        |GROUP BY a.user_id ORDER BY a.user_id ASC""".stripMargin
 
+  /** The same as-of semantics through the NATIVE custom operator
+    * (graft.plans.AsOfJoinPlan → AsOfJoinExec): one sort-merge pass with
+    * O(1) state per partition, exchanges/sorts inserted by
+    * EnsureRequirements from the operator's declared requirements.
+    * Gated by the same DuckDB ASOF JOIN oracle as the compositional
+    * formulation above.
+    */
+  def asofLatestOrderCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val events = ev.select(col("event_id"), col("user_id"),
+      evTs.cast("long").as("t"))
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("r_user"),
+        unix_timestamp(col("o_orderdate")).cast("long").as("r_t"))
+      .agg(max(col("o_orderkey")).as("okey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+    graft.plans.AsOfJoin(events, orders, "user_id", "t", "r_user", "r_t")
+      .select(col("event_id"), col("user_id"), col("t").as("ts_sec"),
+        col("okey"), round(col("oprice"), 2).as("oprice"))
+      .orderBy(col("event_id").asc)
+  }
+
   val asofOracleSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id,

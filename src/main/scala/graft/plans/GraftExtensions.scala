@@ -21,14 +21,16 @@ import graft.functions.{ChunkDocument, CoverDensityScore}
   *   - chunk_document(text, size, overlap): the reference chunker as a
   *     Generator, composable via LATERAL VIEW / selectExpr
   *
-  * No custom Rule[LogicalPlan] or SparkStrategy is injected: the survey
-  * (SURVEY.md §4.2) concluded the reference surface needs none — every
-  * operator lowers to built-in plans that Catalyst already optimizes.
-  * This class is the hook where one would go.
+  * Also injects the AsOfJoinStrategy planner strategy for the native
+  * AS-OF JOIN operator (graft.plans.AsOfJoinPlan/AsOfJoinExec) — the
+  * one place the engine goes beyond built-in plans; everything else
+  * lowers to operators Catalyst already optimizes (SURVEY.md §4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom-operator chain: the native AS-OF JOIN physical operator
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cover_density_score"),
       new ExpressionInfo(classOf[CoverDensityScore].getName,
