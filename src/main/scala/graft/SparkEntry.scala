@@ -31,6 +31,7 @@ object SparkEntry {
     "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
     "fts_topk_cd" -> ((s, d) =>
       Fts.searchCoverDensity(s, d, "hash join merge", "en", 10)),
+    "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
     // §2.3 vector similarity
@@ -102,6 +103,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "fts_topk" -> Fts.searchOracleSql("hash join merge", "en", 10),
+    "fts_phrase" -> Fts.phraseSearchOracleSql("hash join", "en", 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),

@@ -141,6 +141,56 @@ object Fts {
       .limit(k)
   }
 
+  /** Phrase search: documents containing the query terms ADJACENT and in
+    * order (the tsquery `<->` followed-by analog). A phrase of k terms
+    * is exactly a k-gram over the analyzed token stream, so matching is
+    * scan-local: slide a k-window, count exact matches, rank by
+    * occurrence count. Same zero-exchange plan shape as `search`.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String,
+      lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(phrase)
+    require(terms.length >= 2, "phrase needs at least 2 analyzed terms")
+    val n = terms.length
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val idx = when(size(col("toks")) >= n,
+      sequence(lit(0), size(col("toks")) - n))
+      .otherwise(array().cast("array<int>"))
+    val matches = filter(transform(idx, i =>
+      terms.indices.map(j =>
+        element_at(col("toks"), i + j + 1) === lit(terms(j)))
+        .reduce(_ && _)), b => b)
+    withToks
+      .select(col("doc_id"), size(matches).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def phraseSearchOracleSql(phrase: String, lang: String, k: Int): String = {
+    val terms = TextAnalyzer.analyze(phrase)
+    val n = terms.length
+    val cond = terms.zipWithIndex
+      .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents WHERE lang = '$lang'
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(list_filter(
+       |      range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+       |      i -> $cond)) AS n_occurrences
+       |  FROM toklists
+       |)
+       |SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+       |ORDER BY n_occurrences DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** The inverted index itself as a checkable query: per-term document
     * frequency + total tf (the GIN-index statistics view).
     */
