@@ -335,6 +335,27 @@ object Relational {
       |SELECT category, c_custkey FROM orderless
       |ORDER BY category ASC, c_custkey ASC""".stripMargin
 
+  /** Shared as-of prep: events with epoch seconds, and orders pre-deduped
+    * to one row per (user, date) with max_by — BOTH as-of formulations
+    * must use identical prep or their bit-for-bit equivalence (and the
+    * shared DuckDB oracle) breaks on tie handling. */
+  private def asofEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    ev.select(col("event_id"), col("user_id"), evTs.cast("long").as("t"))
+  }
+
+  private def asofOrders(spark: SparkSession, dir: String,
+      keyName: String, timeName: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as(keyName),
+        unix_timestamp(col("o_orderdate")).cast("long").as(timeName))
+      .agg(max(col("o_orderkey")).as("okey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+
   /** As-of join: each event matched to the user's most recent order at
     * or before the event time. Implemented with the scale-correct
     * union-sort-window shape — tag both streams, union, one shuffle on
@@ -345,18 +366,8 @@ object Relational {
     * identical to DuckDB's native ASOF JOIN used as the oracle.
     */
   def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val evTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts"))
-    }
-    val events = ev.select(col("event_id"), col("user_id"),
-      evTs.cast("long").as("t"))
-    val orders = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey").as("user_id"),
-        unix_timestamp(col("o_orderdate")).cast("long").as("t"))
-      .agg(max(col("o_orderkey")).as("okey"),
-        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+    val events = asofEvents(spark, dir)
+    val orders = asofOrders(spark, dir, "user_id", "t")
     val tagged = events
       .select(col("user_id"), col("t"), lit(1).as("is_event"),
         col("event_id"),
@@ -441,18 +452,8 @@ object Relational {
     * formulation above.
     */
   def asofLatestOrderCustom(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val evTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts"))
-    }
-    val events = ev.select(col("event_id"), col("user_id"),
-      evTs.cast("long").as("t"))
-    val orders = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey").as("r_user"),
-        unix_timestamp(col("o_orderdate")).cast("long").as("r_t"))
-      .agg(max(col("o_orderkey")).as("okey"),
-        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+    val events = asofEvents(spark, dir)
+    val orders = asofOrders(spark, dir, "r_user", "r_t")
     graft.plans.AsOfJoin(events, orders, "user_id", "t", "r_user", "r_t")
       .select(col("event_id"), col("user_id"), col("t").as("ts_sec"),
         col("okey"), round(col("oprice"), 2).as("oprice"))

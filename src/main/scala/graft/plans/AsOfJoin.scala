@@ -67,6 +67,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
     SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending))
 
+  // output rows stay hash-clustered on the left key — expose it so
+  // downstream key-aligned aggregates/joins reuse the partitioning
+  // instead of re-shuffling (the SortMergeJoinExec pattern)
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable pieces (expressions + attribute seqs);
     // UnsafeProjections are codegen'd per-partition inside the closure
@@ -92,21 +99,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkt = lkProj(l)
+          // SQL NULL semantics: a NULL key or time never matches (getLong
+          // would silently read NULL as 0 and join NULLs together)
+          if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+            joined(l, nullRight)
+            return outProj(joined)
+          }
           val lk = lkt.getLong(0)
           val lt = lkt.getLong(1)
-          // advance right: consume rows with (rk < lk) or
+          // advance right: skip null-keyed rows (sorted NULLS FIRST, so
+          // they sit at the stream head), consume rows with (rk < lk) or
           // (rk == lk && rt <= lt); remember the last matching-key row
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val peekKt = rkProj(rBuf.head)
-            val rk = peekKt.getLong(0)
-            val rt = peekKt.getLong(1)
-            if (rk < lk) { rBuf.next() }
-            else if (rk == lk && rt <= lt) {
-              val r = rBuf.next()
-              candKey = rk
-              candRow = r.copy()
-            } else advancing = false
+            if (peekKt.isNullAt(0) || peekKt.isNullAt(1)) { rBuf.next() }
+            else {
+              val rk = peekKt.getLong(0)
+              val rt = peekKt.getLong(1)
+              if (rk < lk) { rBuf.next() }
+              else if (rk == lk && rt <= lt) {
+                val r = rBuf.next()
+                candKey = rk
+                candRow = r.copy()
+              } else advancing = false
+            }
           }
           val matched = candRow != null && candKey == lk
           joined(l, if (matched) candRow else nullRight)
@@ -142,6 +159,12 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lplan = left.queryExecution.analyzed
     val rplan = right.queryExecution.analyzed
+    // self-joins would alias right attributes onto left ordinals in the
+    // output projection (Dataset.join has a dedup rewrite; this bridge
+    // does not) — demand distinct attribute lineage instead
+    require(lplan.outputSet.intersect(rplan.outputSet).isEmpty,
+      "right side shares attributes with left (self-join); " +
+        "rename/alias the right DataFrame's columns first")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output}"))

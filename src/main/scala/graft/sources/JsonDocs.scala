@@ -6,15 +6,17 @@ import org.apache.spark.sql.types._
 
 /** JSONL document source — the other common training-data interchange
   * format next to parquet. One JSON object per line with the documents
-  * schema (doc_id, text, lang, source, plus free-form metadata); an
-  * explicit schema keeps the read single-pass (no inference scan) and
-  * `_corrupt_record` capture routes malformed lines to a side channel
-  * instead of failing the batch (PERMISSIVE mode — the P1 validation
-  * philosophy applied to the wire format).
+  * schema (doc_id, text, lang, source, plus free-form metadata).
+  *
+  * Implemented as text lines + `from_json` rather than the native JSON
+  * reader: the explicit schema keeps the read single-pass (no inference
+  * scan), malformed lines surface as a NULL struct routed to a
+  * quarantine side-channel (the P1 validation philosophy applied to the
+  * wire format), and none of the native reader's _corrupt_record
+  * query restrictions apply.
   *
   * At 100 TB: JSONL is line-splittable, so files parallelize by block;
-  * the explicit schema avoids the full inference pre-pass Spark would
-  * otherwise run.
+  * the parse is scan-local.
   */
 object JsonDocs {
 
@@ -23,32 +25,37 @@ object JsonDocs {
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("metadata", MapType(StringType, StringType)),
-    StructField("_corrupt_record", StringType)))
+    StructField("metadata", MapType(StringType, StringType))))
 
-  /** Read documents from JSONL; malformed lines yield a row with only
-    * `_corrupt_record` set. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(Schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+  private val ParseSchema =
+    Schema.add(StructField("_malformed", StringType))
 
-  /** Valid documents only (the happy-path input to the ingest lineage). */
+  /** Raw lines with the parsed struct; `doc._malformed` carries the raw
+    * text of unparseable lines (from_json's corrupt-record channel). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(col("value"),
+        from_json(col("value"), ParseSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_malformed")).as("doc"))
+
+  /** Well-formed documents (the happy-path input to the ingest lineage).
+    * Schema-level completeness (e.g. a required doc_id) is P1
+    * validation's job downstream, NOT this reader's — filtering here
+    * would silently drop well-formed lines with neither output nor
+    * quarantine record. */
   def readValid(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
-      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
-      .drop("_corrupt_record")
+    readRaw(spark, path)
+      .filter(col("doc").isNotNull && col("doc._malformed").isNull)
+      .select(col("doc.*"))
+      .drop("_malformed")
 
-  /** The rejected side-channel: raw corrupt lines for quarantine.
-    * (Spark disallows querying only `_corrupt_record` straight off the
-    * raw source — the parsed result must be materialized first.) */
+  /** The rejected side-channel: raw unparseable lines for quarantine. */
   def readCorrupt(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
-      .cache()
-      .filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
+    readRaw(spark, path)
+      .filter(col("doc").isNull || col("doc._malformed").isNotNull)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("raw_line"))
 
   /** Round-trip writer (documents → JSONL). */
   def write(df: DataFrame, path: String): Unit =

@@ -30,6 +30,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("f1").isEmpty)          // no right rows for key 2
   }
 
+  test("NULL keys never match (SQL semantics, not null==null)") {
+    val left = Seq((Some(1L), 5L, "e1"), (None, 10L, "eNull"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), 4L, "r4"), (None, 1L, "rNull"))
+      .toDF("rk", "rt", "rtag")
+    val out = AsOfJoin(left, right, "k", "t", "rk", "rt")
+      .select($"tag", $"rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("e1").contains("r4"))
+    assert(out("eNull").isEmpty) // NULL key joins nothing
+  }
+
+  test("self-join without aliasing is rejected (duplicate attributes)") {
+    val df = Seq((1L, 2L)).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(df, df, "k", "t", "k", "t")
+    }
+  }
+
   test("planner inserts exchanges and sorts from declared requirements") {
     val left = spark.range(100).select($"id".as("k"), ($"id" * 2).as("t"))
     val right = spark.range(50).select($"id".as("rk"), ($"id" * 3).as("rt"))

@@ -39,7 +39,7 @@ class JsonDocsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("jsonl_rt").toString + "/out"
     val original = Tables.documents(spark, Sf0001)
     JsonDocs.write(original, dir)
-    val back = JsonDocs.readValid(spark, s"$dir/*.json")
+    val back = JsonDocs.readValid(spark, s"$dir/part-*")
       .select("doc_id", "text", "lang", "source")
     val origKeyed = original.select("doc_id", "text", "lang", "source")
     assert(back.count() == origKeyed.count())
