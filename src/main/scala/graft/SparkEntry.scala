@@ -55,6 +55,7 @@ object SparkEntry {
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
     "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
+    "agg_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "win_running" -> ((s, d) => Relational.runningOrderStats(s, d)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q5_nation_revenue" -> Relational.q5OracleSql,
     "agg_distinct" -> Relational.distinctAggOracleSql,
     "agg_rollup" -> Relational.rollupOracleSql,
+    "agg_cube" -> Relational.cubeOracleSql,
     "set_ops" -> Relational.setOpsOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
     "win_running" -> Relational.runningOrderStatsOracleSql,

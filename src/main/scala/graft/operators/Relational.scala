@@ -293,6 +293,23 @@ object Relational {
       |ORDER BY l_returnflag ASC NULLS FIRST,
       |         l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE: totals for every combination of (returnflag, linestatus)
+    * including both partial margins — one Expand + aggregate pass. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val cubeOracleSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST,
+      |         l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Set operations: customers present in BOTH the building segment and
     * the high-value order population (INTERSECT), and building-segment
     | customers with NO order at all (EXCEPT ≙ anti). */
