@@ -20,6 +20,11 @@ object Collections {
   /** The derived collections dim: (collection_id, name, n_docs,
     * total_chars) — A2 done right (groupBy, not ORM len()). */
   def collections(spark: SparkSession, dir: String): DataFrame = {
+    // Unpartitioned window is deliberate and safe ONLY because its input
+    // is the already-aggregated collections dim (one row per collection,
+    // single digits here, maybe thousands at 100 TB) — never the raw
+    // documents table. Do not copy this pattern onto un-aggregated data;
+    // see Relational.paginateDocuments for the scale-safe top-k shape.
     val w = Window.orderBy(col("name"))
     Tables.documents(spark, dir)
       .groupBy(col("lang").as("name"))
@@ -40,7 +45,7 @@ object Collections {
        |         n_docs, total_chars
        |  FROM (
        |    SELECT lang AS name, count(*) AS n_docs,
-       |           sum(n_chars) AS total_chars
+       |           CAST(sum(n_chars) AS BIGINT) AS total_chars
        |    FROM documents GROUP BY lang
        |  )
        |)
@@ -56,7 +61,7 @@ object Collections {
       |       n_docs, total_chars
       |FROM (
       |  SELECT lang AS name, count(*) AS n_docs,
-      |         sum(n_chars) AS total_chars
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars
       |  FROM documents GROUP BY lang
       |)
       |ORDER BY name ASC""".stripMargin

@@ -12,8 +12,11 @@ import graft.Tables
   *
   *  - P3 preprocess: `' '.join(content.split())` collapses ALL whitespace
   *    (newlines included) to single spaces BEFORE the line-based steps,
-  *    making them no-ops (:245-251) — the composed function is
-  *    "trim + collapse \s+ to one space" and we implement exactly that.
+  *    making them no-ops (:245-251). Python's str.split() whitespace also
+  *    covers \x1c-\x1f and \x85 (Java's \s does not), and step 3 (:251)
+  *    then strips any remaining control char with ord<32 — so the composed
+  *    function is "collapse [\s\x1c-\x1f\x85]+ to one space, strip
+  *    [\x00-\x08\x0e-\x1b], trim" and we implement exactly that.
   *  - P4 title: an extracted-but-empty title is falsy in Python
   *    (`if title:` :164), so a found-but-blank markdown/html title yields
   *    NO title rather than falling through to the next heuristic.
@@ -33,7 +36,16 @@ object DocumentPipeline {
 
   // ---- P3 preprocess ----------------------------------------------------
 
-  def preprocess(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+  def preprocess(c: Column): Column = trim(
+    regexp_replace(
+      regexp_replace(c, "[\\s\\x1c-\\x1f\\x85]+", " "),
+      "[\\x00-\\x08\\x0e-\\x1b]", ""))
+
+  /** The same composition as a DuckDB SQL fragment for oracles. */
+  def preprocessSql(col: String): String =
+    s"trim(regexp_replace(regexp_replace($col, " +
+      s"'[\\s\\x1c-\\x1f\\x85]+', ' ', 'g'), " +
+      s"'[\\x00-\\x08\\x0e-\\x1b]', '', 'g'))"
 
   // ---- P1 validation ----------------------------------------------------
 
@@ -213,7 +225,7 @@ object DocumentPipeline {
     val stride = size - overlap
     s"""WITH valid AS (
        |  SELECT doc_id, text, source,
-       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+       |    ${preprocessSql("text")} AS clean
        |  FROM documents
        |  WHERE length(trim(text)) > 0 AND length(text) <= ${5 * 1000000}
        |), staged AS (
@@ -266,8 +278,8 @@ object DocumentPipeline {
       .orderBy(col("doc_id").asc)
 
   val preprocessDigestOracleSql: String =
-    """SELECT doc_id,
-      |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_length,
-      |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_md5
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+    s"""SELECT doc_id,
+       |  length(${preprocessSql("text")}) AS clean_length,
+       |  md5(${preprocessSql("text")}) AS clean_md5
+       |FROM documents ORDER BY doc_id ASC""".stripMargin
 }

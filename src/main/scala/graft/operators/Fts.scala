@@ -211,7 +211,7 @@ object Fts {
        |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
        |  GROUP BY doc_id, term
        |)
-       |SELECT term, count(*) AS df, sum(tf) AS total_tf
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 

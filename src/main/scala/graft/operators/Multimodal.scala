@@ -129,7 +129,7 @@ object Multimodal {
        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
        |    AS media_type,
        |  count(*) AS n_assets,
-       |  sum(octet_length(encode(text))) AS total_bytes,
+       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        |  round(avg(greatest(octet_length(encode(text)) % 64, 1)), 4)
        |    AS avg_width,
        |  round(avg((octet_length(encode(text)) // 64) + 1), 4)

@@ -177,13 +177,17 @@ object Relational {
     */
   def paginateDocuments(
       spark: SparkSession, dir: String, limit: Int, offset: Int): DataFrame = {
-    val w = Window.orderBy(col("doc_id").asc)
+    // offset+limit is small and clamped (the reference clamps limit to 100,
+    // /root/reference/src/core/vector_store.py:341), so sort+offset+limit
+    // compiles to TakeOrderedAndProject(limit=offset+limit, offset=offset):
+    // each partition keeps only its local top-(offset+limit), no global
+    // single-partition sort of the full table (vs the old row_number over
+    // an unpartitioned Window, which moved every row to one partition).
     Tables.documents(spark, dir)
       .select("doc_id", "lang", "source", "n_chars")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > offset && col("rn") <= offset + limit)
-      .drop("rn")
       .orderBy(col("doc_id").asc)
+      .offset(offset)
+      .limit(limit)
   }
 
   def paginateOracleSql(limit: Int, offset: Int): String =

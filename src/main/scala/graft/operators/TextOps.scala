@@ -110,8 +110,8 @@ object TextOps {
       |    length(text) AS n_chars
       |  FROM documents
       |)
-      |SELECT lang, count(*) AS n_docs, sum(n_pieces) AS total_tokens,
-      |  sum(n_chars) AS total_chars,
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_pieces) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  round(avg(n_pieces), 4) AS avg_tokens_per_doc
       |FROM t GROUP BY lang ORDER BY lang ASC""".stripMargin
 

@@ -43,10 +43,25 @@ object ServiceNowXml {
     "Work Notes" -> "work_notes",
     "Root Cause" -> "u_root_cause")
 
+  /** Secure SAX parser: incident files are untrusted input, so disable
+    * DTDs and external entities (XXE / billion-laughs). The reference's
+    * ElementTree likewise does not resolve external entities. Parser
+    * instances are not thread-safe — build per parse (cheap vs the file
+    * IO; executors parse at most one file per task at a time anyway).
+    */
+  private def secureSaxParser(): javax.xml.parsers.SAXParser = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.newSAXParser()
+  }
+
   /** Parse one XML document; None if no <incident> or malformed. */
   def parseIncident(xmlText: String): Option[Map[String, String]] =
     try {
-      val root = scala.xml.XML.loadString(xmlText)
+      val root = scala.xml.XML.withSAXParser(secureSaxParser()).loadString(xmlText)
       val incidents =
         if (root.label == "incident") Seq(root) else (root \\ "incident")
       incidents.headOption.map { inc =>

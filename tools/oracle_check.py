@@ -56,10 +56,23 @@ def main(sf_dir: str, out_dir: str) -> None:
         ok = True
         for c in expected.columns:
             e, a = expected[c], actual[c]
-            if e.dtype.kind == "f" or a.dtype.kind == "f":
+            ek, ak = e.dtype.kind, a.dtype.kind
+            # The driver hashes values exactly after sorting columns, so a
+            # DuckDB HUGEINT->float64 coercion (3 vs 3.0) is a real FAIL:
+            # never tolerance-compare across an int/float dtype mismatch.
+            if ("f" in (ek, ak)) and ek != ak:
+                print(f"FAIL {name}: col {c}: dtype mismatch spark={a.dtype} "
+                      f"oracle={e.dtype} (int-vs-float breaks the driver hash; "
+                      f"CAST the oracle sum to BIGINT or round both sides)")
+                ok = False
+                break
+            if ek == "f" and ak == "f":
                 import numpy as np
-                bad = ~np.isclose(a.astype(float), e.astype(float),
-                                  rtol=1e-9, atol=1e-12, equal_nan=True)
+                ev, av = e.astype(float).values, a.astype(float).values
+                both_nan = np.isnan(ev) & np.isnan(av)
+                # exact, like the driver's hash — both sides must round
+                # identically in the query SQL itself
+                bad = ~((av == ev) | both_nan)
             else:
                 bad = a.astype(str).values != e.astype(str).values
             if bad.any():
