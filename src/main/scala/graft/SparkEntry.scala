@@ -31,6 +31,10 @@ object SparkEntry {
     "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
     "fts_topk_cd" -> ((s, d) =>
       Fts.searchCoverDensity(s, d, "hash join merge", "en", 10)),
+    // stemmed search: "merging streams" matches docs containing the base
+    // forms "merge"/"stream" (the reference's plainto_tsquery behavior)
+    "fts_topk_stemmed" -> ((s, d) =>
+      Fts.searchStemmed(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
@@ -104,6 +108,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "fts_topk" -> Fts.searchOracleSql("hash join merge", "en", 10),
+    "fts_topk_stemmed" -> Fts.searchStemmedOracleSql("merging streams", "en", 10),
     "fts_phrase" -> Fts.phraseSearchOracleSql("hash join", "en", 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),

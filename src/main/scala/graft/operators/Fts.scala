@@ -106,6 +106,66 @@ object Fts {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** F1+F2 stemmed variant: the reference's actual behavior — both the
+    * indexed document text and the query go through the `english`
+    * stemmer (`plainto_tsquery('english', ...)`,
+    * /root/reference/src/core/vector_store.py:222), so searching
+    * "merging" matches documents containing "merge". Identical
+    * shuffle-free plan shape to `search`; the per-token stem runs inside
+    * whole-stage codegen via the native `light_stem` expression
+    * (graft.functions.LightStem — spec in TextAnalyzer.stemOne).
+    */
+  def searchStemmed(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      k: Int): DataFrame = {
+    graft.functions.LightStem.register(spark)
+    val terms = TextAnalyzer.analyzeStemmed(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))            // F6 — pushed down
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.stemmedTokens(col("text")))).as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    withToks
+      .select(col("doc_id") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle SQL mirroring `searchStemmed` exactly: the document tokens
+    * run through the DuckDB renderings of stem stages A/B/C
+    * (TextAnalyzer.sqlStemCtes — the SAME owned rules as LightStem), and
+    * the query terms are stemmed driver-side by the same
+    * `analyzeStemmed` the Spark path uses. */
+  def searchStemmedOracleSql(query: String, lang: String, k: Int): String = {
+    val terms = TextAnalyzer.analyzeStemmed(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH rawtoks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS t0
+       |  FROM documents WHERE lang = '$lang'
+       |), toks AS (
+       |  SELECT doc_id, t0 FROM rawtoks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("t0")}
+       |), ${TextAnalyzer.sqlStemCtes("toks")},
+       |idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM stemmed
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(s / (1 + s), 6) AS score
+       |FROM m WHERE nmatch = ${terms.length}
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** F4 v2: cover-density-ranked search using the native Catalyst
     * expression graft.functions.CoverDensityScore (the ts_rank_cd
     * analog — proximity-aware, unlike the tf-only v1 formula). Same
