@@ -15,6 +15,9 @@ object Verify {
       // events.parquet has TIMESTAMP(NANOS) which Spark 4 otherwise rejects;
       // read as long nanos (Tables/operators normalize)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep bucketed scans bucketed under pure-filter plans, so index
+      // probes (Similarity.ivfTopK) get static bucket pruning
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, Normalizer, RegexTokenizer, StopWordsRemover}
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, HashingTF, IDF, Normalizer, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,34 +60,72 @@ object Embeddings {
     model.transform(docs).select("doc_id", "embedding")
   }
 
+  /** Fit-once model cache, keyed by (dir, dim): the TF-IDF pipeline and
+    * the LSH model are INDEX ARTIFACTS — fitting them is the index
+    * build, and re-fitting per search (the round-2/3 shape) is a
+    * full-corpus pass per query. One fit per corpus per session; at
+    * cluster scale these would be `model.save`d next to the index
+    * table. */
+  private val models = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (PipelineModel, BucketedRandomProjectionLSHModel)]
+
+  /** Deterministic catalog name for the persisted hashed-embedding
+    * index of (dir, dim). */
+  def embIndexName(dir: String, dim: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_emb_${h}_d$dim"
+  }
+
+  /** Build-once / probe-many: fit the TF-IDF pipeline and LSH model
+    * once per (dir, dim), persist (doc_id, embedding, hashes) to the
+    * session catalog, and return (models, hashed index frame).
+    * `approxNearestNeighbors` sees the precomputed `hashes` column and
+    * skips re-hashing the corpus, so a search touches only the stored
+    * index — the ivfflat build/probe split (init-db.sql:32) for the
+    * MLlib path. */
+  def ensureEmbIndex(spark: SparkSession, dir: String,
+      dim: Int = DefaultDim):
+      ((PipelineModel, BucketedRandomProjectionLSHModel), DataFrame) = {
+    val fitted = models.computeIfAbsent((dir, dim), { _ =>
+      val docs = Tables.documents(spark, dir)
+      val pm = pipeline(dim).fit(docs)
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("embedding").setOutputCol("hashes")
+        .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+      val emb = pm.transform(docs).select("doc_id", "embedding")
+      (pm, lsh.fit(emb))
+    })
+    val name = embIndexName(dir, dim)
+    if (!spark.catalog.tableExists(name)) {
+      val docs = Tables.documents(spark, dir)
+      val emb = fitted._1.transform(docs).select("doc_id", "embedding")
+      ScaleOps.writeBucketed(fitted._2.transform(emb), name, "doc_id", 8)
+    }
+    (fitted, spark.table(name))
+  }
+
   /** LSH index + ANN query: top-k nearest neighbors of the document
     * `queryDocId` among all other documents, by cosine distance over the
-    * TF-IDF embeddings (candidates from LSH, exact re-rank). */
+    * TF-IDF embeddings (candidates from the persisted LSH index, exact
+    * re-rank via codegen'd array arithmetic — no UDF). */
   def annSearch(spark: SparkSession, dir: String, queryDocId: Long,
       k: Int, dim: Int = DefaultDim): DataFrame = {
-    // cache: the embedding frame feeds the LSH fit, the query-vector
-    // lookup, and the candidate transform. Deliberately not unpersisted:
-    // the returned DataFrame is lazy and still references it; identical
-    // re-invocations reuse the same cache entry (plan-equality lookup),
-    // so repeated calls do not accumulate copies.
-    val emb = embedDocuments(spark, dir, dim).cache()
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("embedding").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(emb)
-    val queryVec = emb.filter(col("doc_id") === queryDocId)
+    val ((_, lshModel), hashed) = ensureEmbIndex(spark, dir, dim)
+    // one-row point lookup of the query vector (inherent to point-query
+    // ANN); only the query vector is hashed at search time
+    val queryVec = hashed.filter(col("doc_id") === queryDocId)
       .head().getAs[org.apache.spark.ml.linalg.Vector]("embedding")
     // L2-normalized vectors: euclidean² = 2·(1−cos) → same ordering;
     // ask for extra candidates then exact re-rank
-    val candidates = model.approxNearestNeighbors(
-      model.transform(emb.filter(col("doc_id") =!= queryDocId)),
+    val candidates = lshModel.approxNearestNeighbors(
+      hashed.filter(col("doc_id") =!= queryDocId),
       queryVec, math.max(k * 4, 20)).toDF()
-    val cosDist = udf { (v: org.apache.spark.ml.linalg.Vector) =>
-      val dot = v.toArray.zip(queryVec.toArray).map { case (a, b) => a * b }.sum
-      1.0 - dot // both L2-normalized
-    }
+    val qArr = typedLit(queryVec.toArray.toSeq)
     candidates
-      .select(col("doc_id"), round(cosDist(col("embedding")), 6).as("dist"))
+      .select(col("doc_id"),
+        round(lit(1.0) - Similarity.dot(
+          vector_to_array(col("embedding")), qArr), 6).as("dist"))
       .orderBy(col("dist").asc, col("doc_id").asc)
       .limit(k)
   }
@@ -96,14 +134,14 @@ object Embeddings {
     * the ANN recall check). */
   def exactSearch(spark: SparkSession, dir: String, queryDocId: Long,
       k: Int, dim: Int = DefaultDim): DataFrame = {
-    val emb = embedDocuments(spark, dir, dim)
-    val queryVec = emb.filter(col("doc_id") === queryDocId)
+    val (_, hashed) = ensureEmbIndex(spark, dir, dim)
+    val queryVec = hashed.filter(col("doc_id") === queryDocId)
       .head().getAs[org.apache.spark.ml.linalg.Vector]("embedding")
-    val cosDist = udf { (v: org.apache.spark.ml.linalg.Vector) =>
-      1.0 - v.toArray.zip(queryVec.toArray).map { case (a, b) => a * b }.sum
-    }
-    emb.filter(col("doc_id") =!= queryDocId)
-      .select(col("doc_id"), round(cosDist(col("embedding")), 6).as("dist"))
+    val qArr = typedLit(queryVec.toArray.toSeq)
+    hashed.filter(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"),
+        round(lit(1.0) - Similarity.dot(
+          vector_to_array(col("embedding")), qArr), 6).as("dist"))
       .orderBy(col("dist").asc, col("doc_id").asc)
       .limit(k)
   }

@@ -84,7 +84,10 @@ object Similarity {
 
   /** Deterministic IVF assignment: nearest of the seed centroids
     * (vec_id < nCentroids), tiebreak on centroid id. Returns
-    * (vec_id, label, centroid_id, dist-to-centroid). */
+    * (vec_id, label, embedding, nrm, centroid_id, dist-to-centroid) —
+    * the vector and its precomputed norm ride along so the persisted
+    * index (ensureIvfIndex) can serve probes without joining back to
+    * the source table. */
   def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
     val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
@@ -95,7 +98,8 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("centroid_id"),
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("centroid_id"),
         round(cosineDistancePre(col("embedding"), col("cv"),
           col("nrm"), col("cn")), 6).as("cdist"))
       .withColumn("rn", row_number().over(w))
@@ -103,36 +107,79 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Deterministic catalog name for the persisted IVF index of (dir,
+    * nCentroids). */
+  def ivfIndexName(dir: String, nCentroids: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_ivf_${h}_c$nCentroids"
+  }
+
+  /** Build-once / probe-many: persist the IVF assignment as a table
+    * bucketed by centroid_id (vectors + norms in-row), plus a tiny
+    * centroids side table. This is the pgvector `CREATE INDEX ...
+    * USING ivfflat` analog (/root/reference/scripts/init-db.sql:32):
+    * the assignment — the full-corpus shuffle — runs ONCE; every
+    * subsequent search is a bucket-pruned probe of nProbe cells, and
+    * the near-dup self-join is a shuffle-free co-located SortMergeJoin.
+    * At 100 TB this is the difference between a per-query corpus scan
+    * and touching nProbe/nCentroids of the data. Idempotent per
+    * session; the name is deterministic per (dir, nCentroids). */
+  def ensureIvfIndex(spark: SparkSession, dir: String,
+      nCentroids: Int): String = {
+    val name = ivfIndexName(dir, nCentroids)
+    if (!spark.catalog.tableExists(name)) {
+      val emb = Tables.embeddings(spark, dir)
+      ScaleOps.writeBucketed(ivfAssign(emb, nCentroids), name,
+        "centroid_id", nCentroids)
+      ScaleOps.writeBucketed(
+        emb.filter(col("vec_id") < lit(nCentroids.toLong))
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cv"), norm(col("embedding")).as("cn")),
+        s"${name}_cents", "centroid_id", 1)
+    }
+    name
+  }
+
   /** ANN search: probe the query's `nProbe` nearest IVF cells, exact
     * re-rank inside them — the standard ivfflat recall/latency trade
     * (probing more cells raises recall, touching nProbe/nCentroids of
     * the corpus). Deterministic: tiebreaks on centroid id and vec id.
+    *
+    * Probe path: the query vector is a one-row driver lookup (inherent
+    * to point-query ANN); the nProbe cell ids come from the centroids
+    * side table (nCentroids rows) and are inlined as an IN-list literal
+    * so the bucketed index scan statically prunes to those buckets
+    * (plan-asserted in SimilaritySpec). No assignment recompute, no
+    * join back to the source table.
     */
   def ivfTopK(
       spark: SparkSession, dir: String, qid: Long, k: Int,
       nCentroids: Int, nProbe: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val assigned = ivfAssign(emb, nCentroids)
-    val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    val q = emb.filter(col("vec_id") === lit(qid))
-      .select(col("embedding").as("qv"))
-    // the query's nProbe nearest centroids
-    val qCells = cents.crossJoin(broadcast(q))
-      .select(col("centroid_id").as("q_centroid"),
-        round(cosineDistance(col("cv"), col("qv")), 6).as("qdist"))
-      .orderBy(col("qdist").asc, col("q_centroid").asc)
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    // one-row point lookup of the query vector; cast mirrors dot()'s
+    // per-element double cast so downstream arithmetic is bit-identical
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    // nProbe nearest centroids — tiny frame, collected so the cell ids
+    // become a static IN-list the scan can bucket-prune on
+    val cells = spark.table(s"${idx}_cents")
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
       .limit(nProbe)
-      .select("q_centroid")
-    val cell = assigned
-      .join(broadcast(qCells), col("centroid_id") === col("q_centroid"))
+      .collect().map(_.getLong(0)).toSeq
+    spark.table(idx)
+      .filter(col("centroid_id").isin(cells: _*))
       .filter(col("vec_id") =!= lit(qid))
-      .select("vec_id", "label", "centroid_id")
-    cell
-      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
-      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), col("centroid_id"),
-        round(cosineDistance(col("embedding"), col("qv")), 6).as("dist"))
+        round(lit(1.0) - dot(col("embedding"), qvCol)
+          / (col("nrm") * lit(qn)), 6).as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -183,21 +230,21 @@ object Similarity {
     */
   def embCosinePairs(spark: SparkSession, dir: String, eps: Double,
       nCentroids: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cells = ivfAssign(emb, nCentroids).select("vec_id", "centroid_id")
-    val pairs = cells.as("x")
-      .join(cells.as("y"),
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    // self-join of the bucketed index on its bucket key: both sides are
+    // pre-partitioned and pre-sorted on centroid_id on disk, so this is
+    // a SortMergeJoin with ZERO shuffle exchanges (plan-asserted in
+    // SimilaritySpec); vectors and norms ride in-row, so no join back
+    // to the source either. Cost ∝ Σ_cell |cell|², never n².
+    val t = spark.table(idx)
+      .select("vec_id", "centroid_id", "embedding", "nrm")
+    t.as("x")
+      .join(t.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-    pairs
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va"),
-        norm(col("embedding")).as("na")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
-        norm(col("embedding")).as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(cosineDistancePre(col("va"), col("vb"),
-          col("na"), col("nb")), 6).as("dist"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosineDistancePre(col("x.embedding"), col("y.embedding"),
+          col("x.nrm"), col("y.nrm")), 6).as("dist"))
       .filter(col("dist") <= lit(eps))
       .orderBy(col("dist").asc, col("a").asc, col("b").asc)
   }

@@ -61,6 +61,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.last >= recalls.head)
   }
 
+  test("ivf probe bucket-prunes: index scan touches < all buckets") {
+    val df = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10, 2)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
+  test("embcos pair self-join is co-located: only the final sort shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Similarity.embCosinePairs(spark, Sf0001, 0.6, 10)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val shuffles = nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    // bucketed self-join on centroid_id needs no exchange; the single
+    // remaining shuffle is the global orderBy's range partitioning
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles")
+  }
+
   test("embedding-cosine dedup pairs are ordered, thresholded, deduplicated") {
     val pairs = Similarity.embCosinePairs(spark, Sf0001, 0.6, 10).collect()
     pairs.foreach { r =>

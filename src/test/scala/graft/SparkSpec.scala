@@ -13,6 +13,9 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keep bucketed scans bucketed even under pure-filter plans, so
+    // index probes (Similarity.ivfTopK) get static bucket pruning
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
