@@ -18,6 +18,10 @@ object SparkEntry {
     0 -> "vector query", 1 -> "stream batch", 2 -> "scan filter",
     3 -> "group agg", 4 -> "sort merge")
 
+  /** The `document_ids` in-list for the S3 pagination variant
+    * (/root/reference/src/core/vector_store.py:344-348). */
+  val PaginationIds: Seq[Long] = (0L to 120L by 3)
+
   /** Probe terms for the count-min sketch check: frequent, mid, absent. */
   val CountMinProbeTerms: Seq[String] =
     Seq("hash", "join", "vector", "zz_absent_term")
@@ -29,6 +33,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 full-text search
     "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
+    // ts_rank_cd normalization bitmask beyond the hardwired 32:
+    // 33 = (1 | 32) → log-doc-length damping then rank/(rank+1)
+    "fts_topk_norm" -> ((s, d) =>
+      Fts.searchNormalized(s, d, "hash join merge", "en", 10, 33)),
     "fts_topk_cd" -> ((s, d) =>
       Fts.searchCoverDensity(s, d, "hash join merge", "en", 10)),
     // stemmed search: "merging streams" matches docs containing the base
@@ -36,6 +44,10 @@ object SparkEntry {
     "fts_topk_stemmed" -> ((s, d) =>
       Fts.searchStemmed(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
+    // the full endpoint parameter surface composed in one query:
+    // collection scope + string-coerced metadata filter + min_score
+    "fts_endpoint" -> ((s, d) =>
+      Fts.searchEndpoint(s, d, "hash join merge", "en", "80", 0.79, 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
     // §2.3 vector similarity
@@ -46,9 +58,15 @@ object SparkEntry {
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
     "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
+    "s3_pagination_ids" -> ((s, d) =>
+      Relational.paginateDocumentsByIds(s, d, PaginationIds, 25, 5)),
     "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
     "s6_cascade_delete" -> ((s, d) =>
       Collections.cascadeDeleteSurvivors(s, d, "de")),
+    // S7/S8 ServiceNow XML source: deterministic fixture round-trip,
+    // searchable_text assembly hash-gated against the oracle
+    "s7_servicenow_xml" -> ((s, d) =>
+      graft.sources.ServiceNowXml.roundTripFixture(s, d)),
     // S9 relation-size stat: engine-specific (parquet footprint) →
     // rows-only check per SURVEY §2.1
     "s9_relation_size" -> ((s, d) => Collections.relationSizes(s, d)),
@@ -76,6 +94,8 @@ object SparkEntry {
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
     "p1_validate" -> ((s, d) => DocumentPipeline.validate(s, d)),
+    "p1_validate_meta" -> ((s, d) =>
+      DocumentPipeline.validateWithMetadata(s, d)),
     "p2_docid" -> ((s, d) => TextOps.deterministicIds(s, d)),
     "p3_preprocess" -> ((s, d) => DocumentPipeline.preprocessDigest(s, d)),
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
@@ -108,8 +128,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "fts_topk" -> Fts.searchOracleSql("hash join merge", "en", 10),
+    "fts_topk_norm" ->
+      Fts.searchNormalizedOracleSql("hash join merge", "en", 10, 33),
     "fts_topk_stemmed" -> Fts.searchStemmedOracleSql("merging streams", "en", 10),
     "fts_phrase" -> Fts.phraseSearchOracleSql("hash join", "en", 10),
+    "fts_endpoint" ->
+      Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
@@ -118,7 +142,10 @@ object SparkEntry {
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
+    "s3_pagination_ids" ->
+      Relational.paginateByIdsOracleSql(PaginationIds, 25, 5),
     "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
+    "s7_servicenow_xml" -> graft.sources.ServiceNowXml.roundTripOracleSql,
     "s6_cascade_delete" -> Collections.cascadeDeleteOracleSql("de"),
     "q1_pricing" -> Relational.q1OracleSql,
     "q3_shipping" -> Relational.q3OracleSql,
@@ -139,6 +166,7 @@ object SparkEntry {
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
+    "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,
     "p3_preprocess" -> DocumentPipeline.preprocessDigestOracleSql,
     "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,

@@ -74,6 +74,77 @@ object DocumentPipeline {
        |       THEN false ELSE true END AS is_valid
        |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  /** P1 complete: the metadata half of validate_document
+    * (/root/reference/src/core/document_processor.py:227-238) — non-dict
+    * metadata is rejected ("Metadata must be a dictionary"), then the
+    * reserved keys are checked IN THE REFERENCE'S FIXED ORDER
+    * (chunk_index, start_char, end_char, chunk_size: the loop iterates
+    * reserved_keys, so a doc carrying both start_char and chunk_size
+    * reports start_char). Empty/None metadata skips the checks
+    * (`if metadata:`). The documents table stores no metadata column,
+    * so the fixture derives one deterministically from doc_id (same
+    * derivation in the oracle): ≡1 mod 13 → none, ≡0 mod 7 → reserved
+    * chunk_index, ≡2 mod 7 → two reserved keys (order check),
+    * ≡3 mod 11 → non-dict, else a plain dict.
+    */
+  def validateWithMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val meta = when(id % 13 === 1, lit(null).cast("string"))
+      .when(id % 7 === 0,
+        concat(lit("{\"chunk_index\": "), (id % 5).cast("string"),
+          lit(", \"a\": 1}")))
+      .when(id % 7 === 2, lit("{\"start_char\": 0, \"chunk_size\": 10}"))
+      .when(id % 11 === 3, lit("[\"not\", \"a\", \"dict\"]"))
+      .otherwise(concat(lit("{\"source\": \""), col("source"), lit("\"}")))
+    val reservedErrs = ReservedMetadataKeys.map(k =>
+      when(get_json_object(col("metadata"), s"$$.$k").isNotNull,
+        lit(s"Metadata key '$k' is reserved")))
+    val metaErr = when(col("metadata").isNull, lit(null).cast("string"))
+      .when(!trim(col("metadata")).startsWith("{"),
+        lit("Metadata must be a dictionary"))
+      .otherwise(coalesce(reservedErrs :+ lit(null).cast("string"): _*))
+    Tables.documents(spark, dir)
+      .withColumn("metadata", meta)
+      .select(col("doc_id"), col("metadata"),
+        coalesce(validationError(col("text")), metaErr).as("error"))
+      .withColumn("is_valid", col("error").isNull)
+      .orderBy(col("doc_id").asc)
+  }
+
+  val validateWithMetadataOracleSql: String = {
+    // single-line fragment: embedding a stripMargin'd block inside
+    // another stripMargin'd template would strip the first '|' of a
+    // line-leading '||' concat
+    val metaCase =
+      "CASE WHEN doc_id % 13 = 1 THEN NULL " +
+        "WHEN doc_id % 7 = 0 THEN '{\"chunk_index\": ' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || ', \"a\": 1}' " +
+        "WHEN doc_id % 7 = 2 THEN '{\"start_char\": 0, \"chunk_size\": 10}' " +
+        "WHEN doc_id % 11 = 3 THEN '[\"not\", \"a\", \"dict\"]' " +
+        "ELSE '{\"source\": \"' || source || '\"}' END"
+    val reserved = ReservedMetadataKeys.map(k =>
+      s"""WHEN json_extract_string(metadata, '$$.$k') IS NOT NULL
+         |      THEN 'Metadata key ''$k'' is reserved'""".stripMargin)
+      .mkString("\n    ")
+    s"""WITH m AS (
+       |  SELECT doc_id, text, $metaCase AS metadata FROM documents
+       |), v AS (
+       |  SELECT doc_id, metadata,
+       |    CASE WHEN length(trim(text)) = 0
+       |           THEN 'Document content cannot be empty'
+       |         WHEN length(text) > ${MaxDocumentSizeMb * 1000000}
+       |           THEN 'Document content too large (max ${MaxDocumentSizeMb}MB)'
+       |         WHEN metadata IS NULL THEN NULL
+       |         WHEN NOT starts_with(trim(metadata), '{')
+       |           THEN 'Metadata must be a dictionary'
+       |    $reserved
+       |    END AS error
+       |  FROM m
+       |)
+       |SELECT doc_id, metadata, error, error IS NULL AS is_valid
+       |FROM v ORDER BY doc_id ASC""".stripMargin
+  }
+
   // ---- P4 metadata extraction ------------------------------------------
 
   private def containsAny(c: Column, needles: Seq[String]): Column =

@@ -166,6 +166,151 @@ object Fts {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** F4 with the full ts_rank_cd normalization bitmask
+    * (/root/reference/src/config/settings.py:22 exposes the knob; the
+    * shipped config hardwires 32). PG semantics, applied in PG's
+    * cascade order on the owned tf formula s = Σ ln(1+tf):
+    *   bit 1:  s /= 1 + ln(doclen)      (doclen = analyzed token count)
+    *   bit 2:  s /= doclen
+    *   bit 8:  s /= nuniq               (distinct analyzed tokens)
+    *   bit 16: s /= 1 + ln(nuniq)
+    *   bit 32: s = s / (1 + s)
+    * (bit 4, mean-harmonic-cover-distance, belongs to the
+    * cover-density scorer — CoverDensityScore carries proximity there.)
+    * doclen/nuniq are computed scan-locally from the same materialized
+    * token array as the tf columns — the plan stays zero-exchange.
+    */
+  def searchNormalized(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      k: Int, normalization: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    val statCols = Seq(
+      size(col("toks")).cast("double").as("doclen"),
+      size(array_distinct(col("toks"))).cast("double").as("nuniq"))
+    var s: Column = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    if ((normalization & 1) != 0) s = s / (lit(1.0) + log(col("doclen")))
+    if ((normalization & 2) != 0) s = s / col("doclen")
+    if ((normalization & 8) != 0) s = s / col("nuniq")
+    if ((normalization & 16) != 0) s = s / (lit(1.0) + log(col("nuniq")))
+    if ((normalization & 32) != 0) s = s / (lit(1.0) + s)
+    withToks
+      .select(col("doc_id") +: (tfCols ++ statCols): _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _))
+      .select(col("doc_id"), round(s, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle SQL mirroring `searchNormalized` (DuckDB dialect). */
+  def searchNormalizedOracleSql(query: String, lang: String, k: Int,
+      normalization: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    var s = "s"
+    if ((normalization & 1) != 0) s = s"($s) / (1 + ln(doclen))"
+    if ((normalization & 2) != 0) s = s"($s) / doclen"
+    if ((normalization & 8) != 0) s = s"($s) / nuniq"
+    if ((normalization & 16) != 0) s = s"($s) / (1 + ln(nuniq))"
+    if ((normalization & 32) != 0) s = s"($s) / (1 + ($s))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), ft AS (
+       |  SELECT doc_id, term FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |), stats AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS doclen,
+       |         CAST(count(DISTINCT term) AS DOUBLE) AS nuniq
+       |  FROM ft GROUP BY doc_id
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |)
+       |SELECT m.doc_id, round($s, 6) AS score
+       |FROM m JOIN stats ON m.doc_id = stats.doc_id
+       |WHERE nmatch = ${terms.length}
+       |ORDER BY score DESC, m.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** The composed FTS endpoint — the reference's full `POST
+    * /api/v1/search/similarity` parameter surface in ONE query:
+    * collection scope (F6), the accepted-but-never-applied
+    * `metadata_filter` (string-coerced equality, the legacy path's
+    * semantics: /root/reference/src/core/vector_store.py:290-292 — `80`
+    * matches `'80'`) and `min_score`
+    * (/root/reference/src/api/models.py:29), which the reference
+    * accepts and drops (vector_store.py:181,211-227). Metadata here is
+    * the P4-extracted `word_count` (the documents table has no stored
+    * metadata column; extraction is the pipeline's own metadata
+    * source). All three predicates compose scan-locally on the same
+    * single pass as `search` — zero exchanges, top-k via
+    * TakeOrderedAndProject. min_score compares on the ROUNDED score so
+    * the oracle filter is bit-identical.
+    */
+  def searchEndpoint(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      metaWordCount: String, minScore: Double, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))                          // scope
+      .filter(size(words).cast("string") === lit(metaWordCount))  // coerced
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    withToks
+      .select(col("doc_id") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .filter(col("score") >= lit(minScore))                      // min_score
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle SQL mirroring `searchEndpoint` exactly (DuckDB dialect). */
+  def searchEndpointOracleSql(query: String, lang: String,
+      metaWordCount: String, minScore: Double, k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE lang = '$lang'
+       |    AND CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |          w -> w <> '')) AS VARCHAR) = '$metaWordCount'
+       |), toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM src
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(s / (1 + s), 6) AS score
+       |FROM m WHERE nmatch = ${terms.length}
+       |  AND round(s / (1 + s), 6) >= $minScore
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** F4 v2: cover-density-ranked search using the native Catalyst
     * expression graft.functions.CoverDensityScore (the ts_rank_cd
     * analog — proximity-aware, unlike the tf-only v1 formula). Same

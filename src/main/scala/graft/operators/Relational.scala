@@ -194,6 +194,28 @@ object Relational {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |ORDER BY doc_id ASC LIMIT $limit OFFSET $offset""".stripMargin
 
+  /** S3 variant: the `document_ids` in-list filter composed with
+    * pagination (`query.where(Document.document_id.in_(document_ids))`,
+    * /root/reference/src/core/vector_store.py:344-348). The IN-list is
+    * a literal predicate pushed to the parquet scan (shows up in
+    * PushedFilters), then the same clamped sort+offset+limit →
+    * TakeOrderedAndProject shape as `paginateDocuments`. */
+  def paginateDocumentsByIds(
+      spark: SparkSession, dir: String, ids: Seq[Long], limit: Int,
+      offset: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc)
+      .offset(offset)
+      .limit(limit)
+
+  def paginateByIdsOracleSql(ids: Seq[Long], limit: Int,
+      offset: Int): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (${ids.mkString(", ")})
+       |ORDER BY doc_id ASC LIMIT $limit OFFSET $offset""".stripMargin
+
   /** S5 delete-as-anti-join: "delete" documents whose id appears in
     * embeddings with label = 3, returning the surviving rows
     * (immutable-parquet delete rewrite, SURVEY §2.1 S5/S6).

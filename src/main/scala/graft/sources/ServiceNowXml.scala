@@ -104,4 +104,82 @@ object ServiceNowXml {
         } ++ Seq(col("searchable_text"), col("source_file")): _*)
       .orderBy(col("source_file"))
   }
+
+  /** S7 oracled round-trip: a deterministic incident-XML fixture derived
+    * from the documents table (en docs, doc_id < 40), written once to a
+    * per-corpus temp dir, then parsed back through the secured SAX
+    * source above. The oracle recomputes every field and the
+    * searchable_text assembly (ingest_servicenow.py:59-80) directly
+    * from documents — so the XML write → SAX parse → display_value
+    * precedence → labeled "\n\n" concat path is hash-gated end-to-end.
+    * Exercised rules: display_value wins over element text (priority),
+    * absent elements drop out of searchable_text (close_notes on odd
+    * ids; subcategory/work_notes/... never emitted), element text is
+    * entity-escaped on write and trimmed on parse.
+    */
+  def roundTripFixture(spark: SparkSession, dir: String): DataFrame = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val outDir =
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_snxml_$h")
+    if (!outDir.exists()) {
+      outDir.mkdirs()
+      val rows = graft.Tables.documents(spark, dir)
+        .filter(col("lang") === lit("en") && col("doc_id") < 40)
+        .select("doc_id", "text", "source", "lang").collect()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val esc = (s: String) => scala.xml.Utility.escape(s)
+        val desc = esc(r.getString(1).substring(
+          0, math.min(80, r.getString(1).length)))
+        val closeNotes =
+          if (id % 2 == 0) s"<close_notes>resolved batch ${id % 10}</close_notes>"
+          else ""
+        val xml =
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<response><result><incident>
+             |<number>INC${"%07d".format(id)}</number>
+             |<short_description>${esc(r.getString(2))}</short_description>
+             |<description>$desc</description>
+             |<category>${esc(r.getString(3))}</category>
+             |<priority display_value="P${id % 4 + 1}">${id % 4 + 1}</priority>
+             |$closeNotes
+             |<active>true</active>
+             |</incident></result></response>""".stripMargin
+        java.nio.file.Files.writeString(
+          new java.io.File(outDir, s"incident_${"%05d".format(id)}.xml")
+            .toPath, xml)
+      }
+    }
+    read(spark, outDir.getPath)
+      .select("source_file", "number", "short_description", "description",
+        "category", "priority", "close_notes", "active", "searchable_text")
+  }
+
+  val roundTripOracleSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    'incident_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.xml'
+      |      AS source_file,
+      |    'INC' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS number,
+      |    source AS short_description,
+      |    trim(substr(text, 1, 80)) AS description,
+      |    lang AS category,
+      |    'P' || CAST(doc_id % 4 + 1 AS VARCHAR) AS priority,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'resolved batch ' || CAST(doc_id % 10 AS VARCHAR) END
+      |      AS close_notes,
+      |    'true' AS active
+      |  FROM documents WHERE lang = 'en' AND doc_id < 40
+      |)
+      |SELECT source_file, number, short_description, description,
+      |  category, priority, close_notes, active,
+      |  'Incident: ' || number
+      |    || chr(10) || chr(10) || 'Summary: ' || short_description
+      |    || chr(10) || chr(10) || 'Description: ' || description
+      |    || chr(10) || chr(10) || 'Category: ' || category
+      |    || coalesce(chr(10) || chr(10) || 'Resolution: ' || close_notes,
+      |                '')
+      |    AS searchable_text
+      |FROM src ORDER BY source_file ASC""".stripMargin
 }

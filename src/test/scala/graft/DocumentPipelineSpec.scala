@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions.col
 import graft.operators.DocumentPipeline
 
 class DocumentPipelineSpec extends SparkSpec {
+
+  test("metadata validation: reserved keys, non-dict, fixed error order") {
+    val rows = DocumentPipeline.validateWithMetadata(spark, Sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("error"))).toMap
+    rows.foreach { case (id, err) =>
+      if (id % 13 == 1) assert(err.isEmpty)           // no metadata → valid
+      else if (id % 7 == 0)
+        assert(err.contains("Metadata key 'chunk_index' is reserved"))
+      else if (id % 7 == 2)                           // both present →
+        assert(err.contains("Metadata key 'start_char' is reserved"))
+      else if (id % 11 == 3)                          // reference order wins
+        assert(err.contains("Metadata must be a dictionary"))
+      else assert(err.isEmpty)
+    }
+  }
   import spark.implicits._
 
   private def metaOf(text: String): (String, Option[String]) = {

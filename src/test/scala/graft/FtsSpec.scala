@@ -76,6 +76,42 @@ class FtsSpec extends SparkSpec {
     }
   }
 
+  test("endpoint composition: min_score and metadata filter both bind") {
+    // unfiltered baseline
+    val all = Fts.search(spark, Sf0001, "hash join merge", "en", 100)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // a metadata filter that passes nothing → empty, not an error
+    val none = Fts.searchEndpoint(spark, Sf0001, "hash join merge", "en",
+      "99999", 0.0, 100).collect()
+    assert(none.isEmpty)
+    // min_score = 1.0 is unreachable (score = s/(1+s) < 1) → empty
+    val tooHigh = Fts.searchEndpoint(spark, Sf0001, "hash join merge",
+      "en", "80", 1.0, 100).collect()
+    assert(tooHigh.isEmpty)
+    // min_score 0 + any word count: results ⊆ unfiltered match set
+    val some = Fts.searchNormalized(spark, Sf0001, "hash join merge",
+      "en", 100, 32).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(some == all)
+  }
+
+  test("rank normalization bitmask: 32 matches search; dampings reorder") {
+    val base = Fts.search(spark, Sf0001, "hash join merge", "en", 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val n32 = Fts.searchNormalized(spark, Sf0001, "hash join merge", "en",
+      100, 32).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(base.toSeq == n32.toSeq) // bit 32 alone IS the v1 formula
+    // bit 2 (per-token-length damping) yields scores <= undamped raw s;
+    // k beyond corpus size so both variants return the full match set
+    val n2 = Fts.searchNormalized(spark, Sf0001, "hash join merge", "en",
+      100000, 2).collect()
+    val n0 = Fts.searchNormalized(spark, Sf0001, "hash join merge", "en",
+      100000, 0).collect()
+    assert(n2.length == n0.length)
+    val raw = n0.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    n2.foreach(r =>
+      assert(r.getDouble(1) <= raw(r.getLong(0))))
+  }
+
   test("batch search: per-query top-k, one pass") {
     val res = Fts.batchSearch(spark, Sf0001,
       Seq(0 -> "hash join", 1 -> "sort merge"), "en", 3).collect()

@@ -66,4 +66,24 @@ class ServiceNowXmlSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("source_file")).sorted.toSeq ==
       Seq("incident_001.xml", "incident_002.xml"))
   }
+
+  test("round-trip fixture: display_value precedence + assembly survive the wire") {
+    val rows = ServiceNowXml.roundTripFixture(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[String]("number").stripPrefix("INC").toLong
+      // display_value wins over element text
+      assert(r.getAs[String]("priority") == s"P${id % 4 + 1}")
+      // absent element → null column and no searchable part
+      val st = r.getAs[String]("searchable_text")
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("close_notes") == s"resolved batch ${id % 10}")
+        assert(st.contains("\n\nResolution: resolved batch"))
+      } else {
+        assert(r.getAs[String]("close_notes") == null)
+        assert(!st.contains("Resolution:"))
+      }
+      assert(st.startsWith(s"Incident: ${r.getAs[String]("number")}"))
+    }
+  }
 }
