@@ -14,10 +14,16 @@ import org.apache.spark.sql.SparkSession
   * 0.12→0.51 s and 3.15→1.42 s between rounds), so no single-run number
   * is bankable.
   *
+  * The "queries" numbers time exactly what a caller pays: DataFrame
+  * construction + count() (one Catalyst pass + execution) — nothing is
+  * double-planned inside the timed region. A rep that throws is
+  * discarded; a query reports -1 only when EVERY rep failed.
+  *
   * Reported extras (additive to the driver contract):
   *   - "plan": per-query seconds to analyze+optimize+physically plan
-  *     (DataFrame construction through executedPlan), min-of-N — the
-  *     fixed Catalyst floor each query pays regardless of data volume.
+  *     (DataFrame construction through executedPlan), min-of-N, measured
+  *     in a SEPARATE untimed pass — the fixed Catalyst floor each query
+  *     pays regardless of data volume.
   *   - "floor_noop": min-of-N seconds for `spark.range(1).count` — pure
   *     job-dispatch cost, the irreducible per-job scheduling overhead.
   *   - "reps": N.
@@ -26,8 +32,6 @@ import org.apache.spark.sql.SparkSession
   *   - shuffle partitions default to the core count; AQE coalescing
   *     (on by default in Spark 4) folds tiny post-shuffle partitions
   *     back together, so the setting mainly caps scheduling fan-out.
-  *   - spark.sql.adaptive.localShuffleReader avoids extra shuffles on
-  *     broadcast-converted joins.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +53,7 @@ object Bench {
       builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.NativeFunctions.registerAll(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (untimed)
     names.foreach { name =>
@@ -63,20 +68,27 @@ object Bench {
       spark.range(1).count()
       (System.nanoTime() - t0) / 1e9
     }.min
-    // timed pass: min of N runs per query, planning split out
+    // timed pass: min of N successful runs per query (construction +
+    // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>
-      val runs = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        val tPlan = try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          df.queryExecution.executedPlan // force full Catalyst pipeline
-          val t1 = System.nanoTime()
-          df.count()
-          (t1 - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        ((System.nanoTime() - t0) / 1e9, tPlan)
+      val runs = (0 until reps).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      (name, runs.map(_._1).min, runs.map(_._2).min)
+      // separate pass: planning floor (construction through executedPlan)
+      val plans = (0 until reps).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      (name,
+        if (runs.nonEmpty) runs.min else -1.0,
+        if (plans.nonEmpty) plans.min else -1.0)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -18,6 +18,7 @@ object PlanCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.NativeFunctions.registerAll(spark)
     val wanted =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     wanted.foreach { name =>

@@ -21,6 +21,7 @@ object ProfileQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.NativeFunctions.registerAll(spark)
     val fn = SparkEntry.queries(name)
     (0 until reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -118,7 +118,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
-    // multimodal binary-column pipeline (decode stubbed; plumbing real)
+    // multimodal binary-column pipeline: real BMP/WAV codecs, the
+    // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
     "mm_features" -> ((s, d) => Multimodal.featureStats(s, d)),
     // MLlib TF-IDF embedding generation + LSH ANN (not SQL-expressible

@@ -118,7 +118,8 @@ object Fts {
   def searchStemmed(
       spark: SparkSession, dir: String, query: String, lang: String,
       k: Int): DataFrame = {
-    graft.functions.LightStem.register(spark)
+    // light_stem is registered at session setup (NativeFunctions
+    // .registerAll) — this builder is side-effect-free
     val terms = TextAnalyzer.analyzeStemmed(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
     val withToks = Tables.documents(spark, dir)
@@ -323,7 +324,8 @@ object Fts {
   def searchCoverDensity(
       spark: SparkSession, dir: String, query: String, lang: String,
       k: Int): DataFrame = {
-    graft.functions.CoverDensityScore.register(spark)
+    // cover_density_score is registered at session setup (NativeFunctions
+    // .registerAll) — this builder is side-effect-free
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
     val withToks = Tables.documents(spark, dir)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -11,12 +12,16 @@ import graft.Tables
   * as opaque `binary` columns with typed metadata, processed in batched
   * partition passes.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives a deterministic fake "decoded frame"
-  * from the bytes themselves, so the Spark-side plumbing — schema, batch
-  * shape, partition-parallel iteration, feature extraction, resize,
-  * frame-sampling — is real and testable end-to-end. Swapping the stub
-  * for a real codec changes ONE function.
+  * The decode step is REAL for the two pure-JVM formats: a BMP parser
+  * (magic, header geometry, declared pixel-array offset, bottom-up row
+  * order, 4-byte row padding) and a WAV parser (RIFF chunk walk, PCM
+  * format gate, data-chunk discovery). Assets are genuine BMP/WAV
+  * payloads synthesized deterministically from the documents fixture, so
+  * the full path — encode → binary column → partition-batched decode →
+  * feature extraction — is hash-gated against an oracle that recomputes
+  * the encoded geometry independently. A corrupt header yields None and
+  * the row is dropped, like the reference's parse-failure path
+  * (/root/reference/scripts/ingest_servicenow.py:85-87 pattern).
   *
   * Shapes mirror a production pipeline:
   *   - assets table: (asset_id, media BINARY, media_type, n_bytes)
@@ -39,8 +44,113 @@ object Multimodal {
   case class AssetFeatures(asset_id: Long, media_type: String, width: Int,
       height: Int, n_bytes: Long, histogram: Array[Float])
 
-  /** Build a deterministic binary assets table from the documents fixture
-    * (text bytes stand in for media payloads; media_type cycles). */
+  // ---- real codecs (pure JVM) ------------------------------------------
+
+  /** Minimal 24-bit uncompressed BMP writer (54-byte header, bottom-up
+    * rows, rows padded to 4 bytes — the format as actually specified). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 bytes")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * h
+    val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize).putInt(0).putInt(54)      // size, reserved, offset
+    bb.putInt(40).putInt(w).putInt(h)                  // BITMAPINFOHEADER
+    bb.putShort(1).putShort(24)                        // planes, bpp
+    bb.putInt(0).putInt(dataSize)                      // BI_RGB, image size
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0)   // 72 dpi, palette
+    val pad = new Array[Byte](rowBytes - w * 3)
+    (h - 1 to 0 by -1).foreach { r =>                  // bottom-up
+      bb.put(rgb, r * w * 3, w * 3).put(pad)
+    }
+    bb.array()
+  }
+
+  /** BMP decode: validates magic + geometry + declared offset, flips the
+    * bottom-up padded rows to a top-down packed pixel array. Returns
+    * None on anything malformed. */
+  def decodeBmp(media: Array[Byte]): Option[DecodedFrame] = {
+    if (media.length < 54 || media(0) != 'B' || media(1) != 'M') None
+    else {
+      val bb = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = bb.getInt(10)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      val bpp = bb.getShort(28)
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      if (w <= 0 || h <= 0 || bpp != 24 || dataOffset < 54 ||
+        media.length.toLong < dataOffset.toLong + rowBytes.toLong * h) None
+      else {
+        val px = new Array[Byte](w * h * 3)
+        (0 until h).foreach { r =>
+          System.arraycopy(media, dataOffset + (h - 1 - r) * rowBytes,
+            px, r * w * 3, w * 3)
+        }
+        Some(DecodedFrame(w, h, px))
+      }
+    }
+  }
+
+  /** Canonical 44-byte-header mono 8-bit PCM WAV writer. */
+  def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + samples.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(36 + samples.length)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(16).putShort(1).putShort(1)              // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate)           // byte rate = rate·1·1
+    bb.putShort(1).putShort(8)                         // block align, bits
+    bb.put("data".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
+  /** WAV decode: RIFF/WAVE gate, then a real chunk walk (fmt may be
+    * followed by LIST/fact/etc. before data). Only mono 8-bit PCM is
+    * accepted; the sample stream becomes a 1-row "frame" (width =
+    * sample count) so every downstream stage is modality-agnostic. */
+  def decodeWav(media: Array[Byte]): Option[DecodedFrame] = {
+    def ascii(off: Int, n: Int) =
+      new String(media, off, n, StandardCharsets.US_ASCII)
+    if (media.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      None
+    else {
+      val bb = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (pos + 8 <= media.length && data.isEmpty) {
+        val id = ascii(pos, 4)
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > media.length) pos = media.length
+        else {
+          if (id == "fmt " && len >= 16)
+            fmtOk = bb.getShort(pos + 8) == 1 &&      // PCM
+              bb.getShort(pos + 10) == 1 &&           // mono
+              bb.getShort(pos + 22) == 8              // 8-bit
+          else if (id == "data") data = Some((pos + 8, len))
+          pos += 8 + len + (len & 1)                  // chunks are word-aligned
+        }
+      }
+      data.collect { case (off, len) if fmtOk =>
+        DecodedFrame(len, 1, media.slice(off, off + len))
+      }
+    }
+  }
+
+  /** Modality dispatch: image/video payloads are BMP, audio is WAV. */
+  def decode(media: Array[Byte], mediaType: String): Option[DecodedFrame] =
+    if (mediaType == "audio") decodeWav(media) else decodeBmp(media)
+
+  // ---- asset synthesis + transforms ------------------------------------
+
+  /** Deterministic binary assets from the documents fixture: every doc
+    * becomes a REAL media file — image/video ids get a BMP whose
+    * geometry derives from the id and whose pixels are the doc's bytes
+    * (repeated), audio ids get an 8-bit PCM WAV of the doc's bytes. */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -49,28 +159,29 @@ object Multimodal {
       .map { case (id, text) =>
         val bytes = text.getBytes(StandardCharsets.UTF_8)
         val mt = Seq("image", "audio", "video")((id % 3).toInt)
-        Asset(id, bytes, mt, bytes.length.toLong)
+        val media = mt match {
+          case "audio" => encodeWav(8000, bytes)
+          case _ =>
+            val w = (id % 31).toInt + 2
+            val h = (id % 17).toInt + 2
+            val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+              bytes(i % bytes.length))
+            encodeBmp(w, h, rgb)
+        }
+        Asset(id, media, mt, media.length.toLong)
       }
   }
 
-  /** STUB decode: a real implementation would call an image/audio codec
-    * here. The fake derives WxH from the payload length and "pixels" from
-    * the bytes — deterministic, so downstream stages are fully testable. */
-  def decodeStub(media: Array[Byte]): DecodedFrame = {
-    val w = math.max(1, media.length % 64)
-    val h = math.max(1, (media.length / 64) + 1)
-    DecodedFrame(w, h, media)
-  }
-
-  /** Resize stub: crops/repeats pixel bytes to the target size (a real
-    * impl would interpolate). Pure function of the decoded frame. */
+  /** Resize: crops/repeats pixel bytes to the target size (nearest-
+    * neighbor would index rows/cols; byte-cyclic keeps it deterministic
+    * for the property tests). Pure function of the decoded frame. */
   def resizeStub(f: DecodedFrame, w: Int, h: Int): DecodedFrame = {
     val need = w * h
     val px = Array.tabulate[Byte](need)(i => f.pixels(i % f.pixels.length))
     DecodedFrame(w, h, px)
   }
 
-  /** Frame sampling stub for video: every nth "frame" (row of pixels). */
+  /** Frame sampling for video: every nth row of the decoded frame. */
   def sampleFramesStub(f: DecodedFrame, everyNth: Int): Seq[DecodedFrame] =
     (0 until f.height by everyNth).map { r =>
       val from = math.min(r * f.width, f.pixels.length)
@@ -79,24 +190,26 @@ object Multimodal {
     }
 
   /** Feature extraction over the assets table: batched mapPartitions,
-    * decode → normalized byte histogram. The batch buffer mirrors the
-    * mapInPandas batch shape (decode setup amortized per batch). */
+    * real decode → normalized byte histogram; undecodable payloads are
+    * dropped (parse-failure semantics). The batch buffer mirrors the
+    * mapInPandas batch shape (codec setup amortized per batch). */
   def extractFeatures(spark: SparkSession,
       assetsDs: Dataset[Asset]): Dataset[AssetFeatures] = {
     import spark.implicits._
     assetsDs.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch "codec setup" would happen here
-        batch.map { a =>
-          val frame = decodeStub(a.media)
-          val hist = new Array[Float](HistogramBins)
-          frame.pixels.foreach { b =>
-            hist(((b & 0xff) * HistogramBins) / 256) += 1f
+        batch.flatMap { a =>
+          decode(a.media, a.media_type).map { frame =>
+            val hist = new Array[Float](HistogramBins)
+            frame.pixels.foreach { b =>
+              hist(((b & 0xff) * HistogramBins) / 256) += 1f
+            }
+            val n = math.max(1, frame.pixels.length)
+            (0 until HistogramBins).foreach(i => hist(i) /= n)
+            AssetFeatures(a.asset_id, a.media_type, frame.width,
+              frame.height, a.n_bytes, hist)
           }
-          val n = math.max(1, frame.pixels.length)
-          (0 until HistogramBins).foreach(i => hist(i) /= n)
-          AssetFeatures(a.asset_id, a.media_type, frame.width,
-            frame.height, a.n_bytes, hist)
         }
       }
     }
@@ -120,21 +233,36 @@ object Multimodal {
       .orderBy(col("media_type").asc)
   }
 
-  /** Oracle for the SQL-expressible projection of the stub pipeline:
-    * width/height derive from octet_length only. (The histogram needs
+  /** Oracle for the decoded geometry: the BMP/WAV headers round-trip the
+    * encoder's deterministic parameters, so DuckDB recomputes width,
+    * height and file size (54-byte BMP header + 4-byte-padded rows;
+    * 44-byte WAV header + one byte per sample) from doc_id and the text
+    * byte length alone. A decode bug — wrong offset, padding, row
+    * order, chunk walk — breaks the hash. (The histogram needs
     * byte-level access — covered by MultimodalSpec instead.) */
   def dimensionsOracleSql: String =
-    s"""SELECT
-       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-       |    AS media_type,
-       |  count(*) AS n_assets,
-       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       |  round(avg(greatest(octet_length(encode(text)) % 64, 1)), 4)
-       |    AS avg_width,
-       |  round(avg((octet_length(encode(text)) // 64) + 1), 4)
-       |    AS avg_height
-       |FROM documents GROUP BY 1 ORDER BY media_type ASC""".stripMargin
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+       |      AS media_type,
+       |    octet_length(encode(text)) AS tl,
+       |    (doc_id % 31) + 2 AS bw,
+       |    (doc_id % 17) + 2 AS bh
+       |  FROM documents
+       |), d AS (
+       |  SELECT media_type,
+       |    CASE WHEN media_type = 'audio' THEN tl ELSE bw END AS width,
+       |    CASE WHEN media_type = 'audio' THEN 1 ELSE bh END AS height,
+       |    CASE WHEN media_type = 'audio' THEN 44 + tl
+       |         ELSE 54 + ((bw * 3 + 3) // 4) * 4 * bh END AS n_bytes
+       |  FROM a
+       |)
+       |SELECT media_type, count(*) AS n_assets,
+       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  round(avg(width), 4) AS avg_width,
+       |  round(avg(height), 4) AS avg_height
+       |FROM d GROUP BY 1 ORDER BY media_type ASC""".stripMargin
 
   /** The SQL-expressible projection (no histogram) for the oracle gate. */
   def dimensions(spark: SparkSession, dir: String): DataFrame = {

@@ -6,7 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs (one JVM-wide session — Spark
   * sessions are expensive; specs must not stop() it). */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = {
+    val s = buildSession()
+    graft.functions.NativeFunctions.registerAll(s)
+    s
+  }
+
+  private def buildSession(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
