@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Side-by-side Spark-vs-DuckDB timing on the SAME oracle workload.
+
+The ≤2x BASELINE.md target is a ratio against DuckDB running the very
+oracle SQL that gates correctness — so the denominator must be measured
+on the CURRENT workload, not a cached number from an earlier round's
+smaller query set (round 3's "11.9x" compared against a 47-query 2.1 s
+total; the md5-heavy dedup/winnow queries added since make DuckDB's
+total several times larger).
+
+Usage:
+  python3 tools/bench_compare.py <sf_dir> <oracle_sql.json> <bench_json>
+
+  sf_dir          parquet dir (e.g. /root/testdata/sf0.1)
+  oracle_sql.json as written by graft.Verify
+  bench_json      file holding graft.Bench's one-line JSON (the line may
+                  carry an sbt "[info] " prefix; it is stripped)
+
+DuckDB runs each oracle query N times (default 3, env BENCH_REPS) on 32
+threads and keeps the minimum — the same min-of-N steady-state rule
+graft.Bench applies, so both columns answer the same question.
+"""
+import duckdb, json, os, sys, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path, bench_path = sys.argv[1:4]
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    oracle = json.load(open(oracle_path))
+    raw = open(bench_path).read()
+    line = next(l for l in raw.splitlines() if '"metric"' in l)
+    bench = json.loads(line[line.index("{"):])
+    spark_times = bench["queries"]
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    duck = {}
+    for name, q in sorted(oracle.items()):
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            con.execute(q).fetchall()
+            runs.append(time.time() - t0)
+        duck[name] = min(runs)
+
+    common = sorted(set(duck) & set(spark_times))
+    print(f"{'query':24s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
+    for n in sorted(common, key=lambda n: -spark_times[n]):
+        r = spark_times[n] / duck[n] if duck[n] > 0 else float("inf")
+        print(f"{n:24s} {spark_times[n]:8.3f} {duck[n]:8.3f} {r:7.2f}")
+    s_tot = sum(spark_times[n] for n in common)
+    d_tot = sum(duck[n] for n in common)
+    extra = sorted(set(spark_times) - set(duck))
+    print("-" * 50)
+    print(f"{'TOTAL (oracled)':24s} {s_tot:8.2f} {d_tot:8.2f} "
+          f"{s_tot / d_tot:7.2f}")
+    if extra:
+        e_tot = sum(spark_times[n] for n in extra)
+        print(f"spark-only (rows-only checks, no oracle): "
+              f"{', '.join(extra)} = {e_tot:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
