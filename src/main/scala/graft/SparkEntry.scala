@@ -83,6 +83,8 @@ object SparkEntry {
     "win_running" -> ((s, d) => Relational.runningOrderStats(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    // §2.8 batch analog of the streaming sessionizer (30-min gap)
+    "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
     "asof_custom_op" -> ((s, d) => Relational.asofLatestOrderCustom(s, d)),
     "range_join_counts" -> ((s, d) =>
@@ -160,6 +162,7 @@ object SparkEntry {
     "win_running" -> Relational.runningOrderStatsOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
+    "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),

@@ -546,4 +546,72 @@ object Relational {
     """SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket, event_type,
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket ASC, event_type ASC""".stripMargin
+
+  /** Gap-based sessionization — the batch analog of the streaming
+    * sessionizer (EventStreams.scala's flatMapGroupsWithState path,
+    * SURVEY §2.8): a new session starts when a user's inter-event gap
+    * exceeds `gapSec`. Classic lag → flag → running-sum session ids,
+    * then per-session aggregates. ONE data shuffle: the window
+    * partitioning on user_id also satisfies the groupBy's clustering
+    * (user_id is a prefix of the grouping keys), so Catalyst inserts no
+    * second hash exchange — plan-verified: the only other exchange is
+    * the deterministic output sort's range partitioning.
+    * Integer-nanosecond arithmetic throughout (`div`,
+    * never double division — 1.7e18-scale nanos lose precision as
+    * doubles). Deterministic: event_id tiebreak in every window.
+    */
+  def eventSessions(spark: SparkSession, dir: String,
+      gapSec: Long): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts")).cast("long")
+    }
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    val sessioned = ev
+      .withColumn("tsec", tsec)
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tsec")).as("start_sec"),
+        max(col("tsec")).as("end_sec"),
+        (max(col("tsec")) - min(col("tsec"))).as("dur_sec"))
+      .orderBy(col("user_id").asc, col("session_seq").asc)
+  }
+
+  def eventSessionsOracleSql(gapSec: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |    epoch_ns(ts) // 1000000000 AS tsec
+       |  FROM events
+       |), l AS (
+       |  SELECT user_id, event_id, tsec,
+       |    lag(tsec) OVER (PARTITION BY user_id
+       |                    ORDER BY tsec ASC, event_id ASC) AS prev
+       |  FROM e
+       |), f AS (
+       |  SELECT user_id, event_id, tsec,
+       |    CASE WHEN prev IS NULL OR tsec - prev > $gapSec
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM l
+       |), s AS (
+       |  SELECT user_id, tsec,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY tsec ASC, event_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM f
+       |)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(tsec) AS start_sec, max(tsec) AS end_sec,
+       |  max(tsec) - min(tsec) AS dur_sec
+       |FROM s GROUP BY user_id, session_seq
+       |ORDER BY user_id ASC, session_seq ASC""".stripMargin
 }

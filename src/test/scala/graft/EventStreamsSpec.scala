@@ -133,6 +133,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("registered events_sessions query: sessions partition each user's events") {
+    val sess = graft.operators.Relational
+      .eventSessions(spark, Sf0001, 1800L).collect()
+    assert(sess.nonEmpty)
+    val total = sess.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, Sf0001).count()) // partition, no loss
+    sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("session_seq"))
+      // session_seq is 1..n dense per user
+      assert(ordered.map(_.getAs[Long]("session_seq")).toSeq ==
+        (1L to ordered.length).toSeq)
+      // consecutive sessions are separated by more than the gap
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_sec") - a.getAs[Long]("end_sec") > 1800L)
+        case _ =>
+      }
+    }
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString
