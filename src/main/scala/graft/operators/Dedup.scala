@@ -90,8 +90,12 @@ object Dedup {
     // null-derived band key (array_min(empty) = NULL ⇒ md5("") for every
     // band) — one giant bucket, an O(n_short²) candidate explosion. They
     // can never form a valid pair anyway, so drop them before banding.
+    // persist: the shingle-set frame feeds the signature computation AND
+    // both verification sides — without it the tokenize+shingle pass
+    // runs three times per query
     val docs = docShingleSets(Tables.documents(spark, dir))
       .filter(size(col("sh_set")) > 0)
+      .persist()
     // h_i = min over the shingle set of md5(i || ':' || shingle)
     val sigCols = (0 until NumHashes).map { i =>
       array_min(transform(col("sh_set"),

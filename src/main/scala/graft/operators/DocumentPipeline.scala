@@ -269,17 +269,22 @@ object DocumentPipeline {
       overlap: Int): DataFrame = {
     val stride = size - overlap
     val c = col("text")
-    val clean = preprocess(c)
-    val n = length(clean)
+    // explode(array(...)) barrier: materialize the preprocessed text
+    // ONCE per doc — referencing `preprocess(c)` from both the clean
+    // column and the chunk-start sequence would run the regex twice
+    val staged = Tables.documents(spark, dir)
+      .filter(validationError(c).isNull)                          // P1
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(array(preprocess(c))).as("clean"))                // P3
+    val n = length(col("clean"))
     val starts = sequence(lit(0),
       greatest(ceil((n - lit(size)).cast("double") / stride).cast("int"),
         lit(0)))
-    Tables.documents(spark, dir)
-      .filter(validationError(c).isNull)                          // P1
+    staged
       .select(col("doc_id"),
         substring(sha2(concat(c, lit("_source:"), col("source")), 256),
           1, 16).as("det_id"),                                    // P2
-        clean.as("clean"),                                        // P3
+        col("clean"),
         contentType(c).as("content_type"),                        // P4
         explode(starts).as("chunk_index"))                        // P5
       .filter(col("chunk_index") * stride < length(col("clean")))
