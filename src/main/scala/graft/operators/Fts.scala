@@ -50,6 +50,25 @@ object Fts {
         sort_array(collect_list(col("pos"))).as("positions"))
   }
 
+  /** Build-once / probe-many: the inverted index persisted as a table
+    * bucketed by term — the GIN-index analog this file's header promises
+    * at 100 TB ("a persisted table partitioned by collection and
+    * bucketed by term"). The tokenize+group build runs ONCE per corpus;
+    * index-shaped workloads (term statistics, multi-query batch search)
+    * probe it, and a term IN-list probe statically prunes to the terms'
+    * buckets. Single ad-hoc searches keep the scan-local zero-exchange
+    * path in `search` — strictly better when nothing is amortized. */
+  def ensureIndex(spark: SparkSession, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = s"graft_fts_$h"
+    if (!spark.catalog.tableExists(name)) {
+      ScaleOps.writeBucketed(
+        invertedIndex(Tables.documents(spark, dir)), name, "term", 32)
+    }
+    name
+  }
+
   /** F2–F7: AND-match + rank + top-k, scoped to one language.
     *
     * Shuffle-free formulation: with the query terms known up front, each
@@ -399,10 +418,13 @@ object Fts {
   }
 
   /** The inverted index itself as a checkable query: per-term document
-    * frequency + total tf (the GIN-index statistics view).
+    * frequency + total tf (the GIN-index statistics view). Probes the
+    * persisted bucketed index — bucketing co-locates each term's
+    * postings, so the groupBy aggregates bucket-locally with no hash
+    * exchange.
     */
   def termStats(spark: SparkSession, dir: String): DataFrame =
-    invertedIndex(Tables.documents(spark, dir))
+    spark.table(ensureIndex(spark, dir))
       .groupBy("term")
       .agg(
         countDistinct(col("doc_id")).as("df"),
@@ -446,7 +468,10 @@ object Fts {
       .toDF("query_idx", "term", "n_terms")
     val allTerms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // tiny: bounded by Σ query lengths
-    val idx = invertedIndex(Tables.documents(spark, dir))
+    // probe the persisted index: the term IN-list statically prunes to
+    // the query terms' buckets — cost ∝ posting lists touched, however
+    // large the corpus
+    val idx = spark.table(ensureIndex(spark, dir))
       .filter(col("lang") === lit(lang))
       .filter(col("term").isin(allTerms: _*))
     val perQueryDoc = idx

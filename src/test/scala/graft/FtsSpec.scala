@@ -112,6 +112,23 @@ class FtsSpec extends SparkSpec {
       assert(r.getDouble(1) <= raw(r.getLong(0))))
   }
 
+  test("persisted index probes: batch search bucket-prunes, termStats aggregates bucket-locally") {
+    val bs = Fts.batchSearch(spark, Sf0001,
+      Seq(0 -> "hash join", 1 -> "sort merge"), "en", 3)
+    bs.collect()
+    val plan = bs.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in batch-search plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+    // bucketed-by-term scan satisfies groupBy(term): no hash exchange
+    val ts = Fts.termStats(spark, Sf0001)
+    ts.collect()
+    val tsPlan = ts.queryExecution.executedPlan.toString
+    assert(!tsPlan.contains("Exchange hashpartitioning"),
+      s"termStats should aggregate bucket-locally:\n$tsPlan")
+  }
+
   test("batch search: per-query top-k, one pass") {
     val res = Fts.batchSearch(spark, Sf0001,
       Seq(0 -> "hash join", 1 -> "sort merge"), "en", 3).collect()
