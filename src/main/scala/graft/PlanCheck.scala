@@ -16,6 +16,9 @@ object PlanCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same probe regime as Verify/Bench: keep bucketed scans bucketed
+      // so index probes show their bucket pruning in the plan
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.NativeFunctions.registerAll(spark)

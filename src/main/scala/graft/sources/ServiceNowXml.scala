@@ -120,8 +120,10 @@ object ServiceNowXml {
   def roundTripFixture(spark: SparkSession, dir: String): DataFrame = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // v-suffix: bump when the generation recipe changes, else a stale
+    // tmp dir from an older binary would silently serve old fixtures
     val outDir =
-      new java.io.File(sys.props("java.io.tmpdir"), s"graft_snxml_$h")
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_snxml_v1_$h")
     if (!outDir.exists()) {
       outDir.mkdirs()
       val rows = graft.Tables.documents(spark, dir)
