@@ -92,6 +92,9 @@ object SparkEntry {
     "sketch_countmin" -> ((s, d) =>
       Sketches.countMinEstimates(s, d, CountMinProbeTerms)),
     "events_quantiles" -> ((s, d) => Sketches.eventQuantiles(s, d)),
+    // deterministic HyperLogLog: md5-derived registers, integer-exact
+    // harmonic sum, estimate next to the exact distinct count
+    "sketch_hll" -> ((s, d) => Sketches.hllVsExact(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -168,6 +171,7 @@ object SparkEntry {
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
     "sketch_countmin" -> Sketches.countMinOracleSql(CountMinProbeTerms),
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,
+    "sketch_hll" -> Sketches.hllOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,

@@ -112,6 +112,120 @@ object Sketches {
        |ORDER BY e.term ASC""".stripMargin
   }
 
+  // ---- HyperLogLog ------------------------------------------------------
+
+  val HllRegisters = 256 // one md5 hex-pair → register index (p = 8 bits)
+  val HllRankHexDigits = 12 // 48 bits of rank material after the index
+
+  /** Deterministic HyperLogLog distinct-count sketch (Flajolet et al.
+    * 2007), md5-derived so the DuckDB oracle computes bit-identical
+    * registers: register = first hex byte of md5(value), rank = 1 +
+    * leading zero BITS of the next 12 hex digits (nibble-position ×4 +
+    * per-nibble zeros), capped at 49 when all 48 bits are zero.
+    *
+    * Scale shape: the register table is the sketch — m rows per group,
+    * mergeable by register-wise MAX, which is exactly what the partial
+    * aggregate does across partitions; adding a corpus shard never
+    * reshuffles history. The estimate's harmonic sum Σ 2^-rank is
+    * computed as the INTEGER Σ 2^(49-rank) (exact in a long — float
+    * summation order would make the last ulp nondeterministic), so the
+    * only floating arithmetic is one fixed expression per group.
+    */
+  def hllEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    val reg = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val rest = substring(h, 3, HllRankHexDigits)
+    val zeros = length(regexp_extract(rest, "^(0*)", 1))
+    val nib = substring(rest, zeros + 1, lit(1))
+    val nibZeros = when(nib === "1", 3)
+      .when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rank = when(zeros === HllRankHexDigits,
+      lit(4 * HllRankHexDigits + 1))
+      .otherwise(zeros * 4 + nibZeros + 1)
+    val m = HllRegisters
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val regs = Tables.events(spark, dir)
+      .select(col("event_type"), reg.as("reg"), rank.as("rank"))
+      .groupBy("event_type", "reg")
+      .agg(max(col("rank")).as("mx"))
+    regs
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("regs_used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)")).as("isum"))
+      .select(col("event_type"), col("regs_used"), col("isum"),
+        round(
+          when(col("regs_used") < lit(m),
+            // small-range correction: linear counting over empty regs
+            lit(m.toDouble) * log(lit(m.toDouble)
+              / (lit(m) - col("regs_used")).cast("double")))
+            .otherwise(lit(alpha * m * m) /
+              (col("isum").cast("double") / lit(math.pow(2.0, 49)))),
+          2).as("hll_estimate"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Truth join for the HLL check: estimate next to the exact distinct
+    * count (the oracle recomputes both; error visibly small). */
+  def hllVsExact(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    hllEstimate(spark, dir)
+      .join(exact, Seq("event_type"))
+      .select("event_type", "exact_distinct", "regs_used", "isum",
+        "hll_estimate")
+      .orderBy(col("event_type").asc)
+  }
+
+  def hllOracleSql: String = {
+    val m = HllRegisters
+    val d = HllRankHexDigits
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events
+       |), parts AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(hx, 1, 2) AS INT) AS reg,
+       |    length(regexp_extract(substr(hx, 3, $d), '^(0*)', 1)) AS zeros,
+       |    substr(hx, 3 + length(regexp_extract(substr(hx, 3, $d),
+       |      '^(0*)', 1)), 1) AS nib
+       |  FROM h
+       |), ranked AS (
+       |  SELECT event_type, reg,
+       |    CASE WHEN zeros = $d THEN ${4 * d + 1}
+       |         ELSE zeros * 4 +
+       |           CASE WHEN nib = '1' THEN 3
+       |                WHEN nib IN ('2', '3') THEN 2
+       |                WHEN nib IN ('4', '5', '6', '7') THEN 1
+       |                ELSE 0 END + 1
+       |    END AS rank
+       |  FROM parts
+       |), regs AS (
+       |  SELECT event_type, reg, max(rank) AS mx
+       |  FROM ranked GROUP BY event_type, reg
+       |), agg AS (
+       |  SELECT event_type, count(*) AS regs_used,
+       |    CAST(sum(CAST(1 AS BIGINT) << (49 - mx)) AS BIGINT) AS isum
+       |  FROM regs GROUP BY event_type
+       |), exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT a.event_type, e.exact_distinct, a.regs_used, a.isum,
+       |  round(
+       |    CASE WHEN a.regs_used < $m
+       |      THEN $m.0 * ln($m.0 / CAST($m - a.regs_used AS DOUBLE))
+       |      ELSE (${0.7213 / (1 + 1.079 / m)} * $m * $m)
+       |           / (CAST(a.isum AS DOUBLE) / ${math.pow(2.0, 49)})
+       |    END, 2) AS hll_estimate
+       |FROM agg a JOIN exact e ON e.event_type = a.event_type
+       |ORDER BY a.event_type ASC""".stripMargin
+  }
+
   /** Exact interpolated quantiles of event values per type (Spark
     * `percentile` ≡ DuckDB `quantile_cont` — both the continuous
     * interpolated definition, so the oracle is exact). */

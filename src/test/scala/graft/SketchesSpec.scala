@@ -4,6 +4,48 @@ import graft.operators.Sketches
 
 class SketchesSpec extends SparkSpec {
 
+  test("hll estimate lands within 3 standard errors of the exact count") {
+    // standard error for m=256 registers is 1.04/sqrt(256) = 6.5%
+    val rows = Sketches.hllVsExact(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est - exact) / exact <= 3 * 1.04 / 16.0,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
+  test("hll registers merge by MAX: two half-corpus sketches equal the full sketch") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf0001)
+    def regsOf(df: org.apache.spark.sql.DataFrame) = {
+      // same register/rank derivation as hllEstimate, via a temp view
+      df.createOrReplaceTempView("hll_merge_probe")
+      spark.sql("""
+        SELECT event_type,
+          CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS INT) AS reg,
+          max(CASE WHEN length(regexp_extract(substr(md5(CAST(user_id AS STRING)), 3, 12), '^(0*)', 1)) = 12
+            THEN 49
+            ELSE length(regexp_extract(substr(md5(CAST(user_id AS STRING)), 3, 12), '^(0*)', 1)) * 4 +
+              CASE substr(substr(md5(CAST(user_id AS STRING)), 3, 12),
+                     length(regexp_extract(substr(md5(CAST(user_id AS STRING)), 3, 12), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1
+          END) AS mx
+        FROM hll_merge_probe GROUP BY event_type, reg""")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    }
+    val full = regsOf(ev)
+    val left = regsOf(ev.filter(col("event_id") % 2 === 0))
+    val right = regsOf(ev.filter(col("event_id") % 2 === 1))
+    val merged = (left.keySet ++ right.keySet).map { k =>
+      k -> math.max(left.getOrElse(k, 0), right.getOrElse(k, 0))
+    }.toMap
+    assert(merged == full) // register-wise MAX is lossless sharding
+  }
+
   test("count-min guarantee: estimate is never below the true count") {
     val rows = Sketches.countMinEstimates(spark, Sf0001,
       Seq("hash", "join", "vector", "zz_absent_term")).collect()
