@@ -22,6 +22,9 @@ object SparkEntry {
     * (/root/reference/src/core/vector_store.py:344-348). */
   val PaginationIds: Seq[Long] = (0L to 120L by 3)
 
+  /** Bloom probe ids: three present users, two absent. */
+  val BloomProbeIds: Seq[Long] = Seq(3L, 77L, 149L, 500000L, 999999L)
+
   /** Probe terms for the count-min sketch check: frequent, mid, absent. */
   val CountMinProbeTerms: Seq[String] =
     Seq("hash", "join", "vector", "zz_absent_term")
@@ -95,6 +98,11 @@ object SparkEntry {
     // deterministic HyperLogLog: md5-derived registers, integer-exact
     // harmonic sum, estimate next to the exact distinct count
     "sketch_hll" -> ((s, d) => Sketches.hllVsExact(s, d)),
+    // bloom membership: present ids + absent ids, verdict beside truth
+    "sketch_bloom" -> ((s, d) =>
+      Sketches.bloomMembership(s, d, BloomProbeIds)),
+    // deterministic hash-threshold sampling (reproducible, shard-stable)
+    "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -172,6 +180,8 @@ object SparkEntry {
     "sketch_countmin" -> Sketches.countMinOracleSql(CountMinProbeTerms),
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,
     "sketch_hll" -> Sketches.hllOracleSql,
+    "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
+    "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,

@@ -226,6 +226,104 @@ object Sketches {
        |ORDER BY a.event_type ASC""".stripMargin
   }
 
+  // ---- Bloom filter -----------------------------------------------------
+
+  val BloomBits = 256
+  val BloomWordBits = 32 // words stay < 2^32: no sign traps in either engine
+  val BloomWords = BloomBits / BloomWordBits
+  val BloomHashes = 4
+
+  /** bit index k(value) = first hex byte of md5(k || ':' || value),
+    * k in [0, BloomHashes). */
+  private def bloomIdx(k: Int, v: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$k:"), v)), 1, 2), 16, 10).cast("int")
+
+  /** Deterministic Bloom filter per event_type over user ids: one
+    * 256-bit filter as 8 32-bit words, built by a bit_or aggregate —
+    * mergeable across shards by word-wise OR (the partial aggregate),
+    * like every sketch here. Probes report the filter's verdict beside
+    * ground truth: no false negatives ever; false positives possible
+    * and visibly bounded. md5-derived bits → the DuckDB oracle builds
+    * the identical filter. */
+  def bloomMembership(spark: SparkSession, dir: String,
+      probeIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val idxs = ev.select(col("event_type"),
+      explode(array((0 until BloomHashes).map(k =>
+        bloomIdx(k, col("user_id").cast("string"))): _*)).as("idx"))
+    val words = idxs
+      .groupBy(col("event_type"), (col("idx") / BloomWordBits)
+        .cast("int").as("word"))
+      .agg(bit_or(expr(
+        s"shiftleft(CAST(1 AS BIGINT), idx % $BloomWordBits)")).as("bits"))
+    // probe bit positions (driver-side md5 of the literal probe ids)
+    val probes = probeIds.flatMap { id =>
+      (0 until BloomHashes).map { k =>
+        val idx = Integer.parseInt(md5Hex(s"$k:$id").substring(0, 2), 16)
+        (id, idx / BloomWordBits, idx % BloomWordBits)
+      }
+    }.toDF("probe_id", "word", "bit")
+    // every (event_type, probe-bit) must be tested: a word with no row
+    // in the filter means bits = 0 (non-member), so LEFT join from the
+    // full grid — an inner join would silently drop exactly the rows
+    // that prove non-membership
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(probes))
+    val truth = ev.select(col("event_type").as("t_type"),
+      col("user_id")).distinct()
+    grid.join(words, Seq("event_type", "word"), "left")
+      .withColumn("bits", coalesce(col("bits"), lit(0L)))
+      .groupBy("event_type", "probe_id")
+      .agg(min(expr("(bits >> bit) & 1")).cast("int").as("all_bits_set"))
+      .join(truth,
+        col("event_type") === col("t_type") &&
+          col("probe_id") === col("user_id"), "left")
+      .select(col("event_type"), col("probe_id"),
+        (col("all_bits_set") === 1).as("bloom_member"),
+        col("user_id").isNotNull.as("truth_member"))
+      .orderBy(col("event_type").asc, col("probe_id").asc)
+  }
+
+  def bloomOracleSql(probeIds: Seq[Long]): String = {
+    val idxExprs = (0 until BloomHashes).map(k =>
+      s"CAST('0x' || substr(md5('$k:' || CAST(user_id AS VARCHAR)), 1, 2) AS INT)")
+      .mkString(", ")
+    val probeRows = probeIds.flatMap { id =>
+      (0 until BloomHashes).map { k =>
+        val idx = Integer.parseInt(md5Hex(s"$k:$id").substring(0, 2), 16)
+        s"($id, ${idx / BloomWordBits}, ${idx % BloomWordBits})"
+      }
+    }.mkString(", ")
+    s"""WITH idxs AS (
+       |  SELECT event_type, unnest([$idxExprs]) AS idx FROM events
+       |), words AS (
+       |  SELECT event_type, idx // $BloomWordBits AS word,
+       |    CAST(bit_or(CAST(1 AS BIGINT) << (idx % $BloomWordBits))
+       |      AS BIGINT) AS bits
+       |  FROM idxs GROUP BY event_type, idx // $BloomWordBits
+       |), probes(probe_id, word, bit) AS (VALUES $probeRows),
+       |grid AS (
+       |  SELECT t.event_type, p.probe_id, p.word, p.bit
+       |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN probes p
+       |), verdict AS (
+       |  SELECT g.event_type, g.probe_id,
+       |    CAST(min((coalesce(w.bits, 0) >> g.bit) & 1) AS INT)
+       |      AS all_bits_set
+       |  FROM grid g LEFT JOIN words w
+       |    ON w.event_type = g.event_type AND w.word = g.word
+       |  GROUP BY g.event_type, g.probe_id
+       |), truth AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |)
+       |SELECT v.event_type, v.probe_id,
+       |  v.all_bits_set = 1 AS bloom_member,
+       |  t.user_id IS NOT NULL AS truth_member
+       |FROM verdict v LEFT JOIN truth t
+       |  ON t.event_type = v.event_type AND t.user_id = v.probe_id
+       |ORDER BY v.event_type ASC, v.probe_id ASC""".stripMargin
+  }
+
   /** Exact interpolated quantiles of event values per type (Spark
     * `percentile` ≡ DuckDB `quantile_cont` — both the continuous
     * interpolated definition, so the oracle is exact). */

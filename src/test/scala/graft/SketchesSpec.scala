@@ -46,6 +46,38 @@ class SketchesSpec extends SparkSpec {
     assert(merged == full) // register-wise MAX is lossless sharding
   }
 
+  test("bloom guarantee: no false negatives, ever") {
+    val rows = Sketches.bloomMembership(spark, Sf0001,
+      Seq(0L, 5L, 42L, 777777L, 31337L)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("truth_member"))
+        assert(r.getAs[Boolean]("bloom_member"),
+          s"false negative for probe ${r.getAs[Long]("probe_id")}")
+    }
+  }
+
+  test("hash sampling is deterministic and shard-consistent") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+    val keep = graft.operators.Sampling.hashKeep(col("doc_id"), 0.2)
+    val full = docs.filter(keep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same predicate over any partitioning of the data → same sample
+    val repartitioned = docs.repartition(17).filter(keep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full == repartitioned)
+    // samples of shards union to the sample of the union
+    val even = docs.filter(col("doc_id") % 2 === 0).filter(keep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val odd = docs.filter(col("doc_id") % 2 === 1).filter(keep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((even ++ odd) == full)
+    // rate is roughly honored (hash uniformity)
+    val n = docs.count().toDouble
+    assert(full.size > 0.1 * n && full.size < 0.3 * n)
+  }
+
   test("count-min guarantee: estimate is never below the true count") {
     val rows = Sketches.countMinEstimates(spark, Sf0001,
       Seq("hash", "join", "vector", "zz_absent_term")).collect()
