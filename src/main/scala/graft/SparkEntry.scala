@@ -131,6 +131,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
+    // connected components over the near-dup graph: canonical-doc
+    // selection (keep cluster minimum)
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d, 0.5)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -203,6 +206,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
+    "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
     //   chunks_ref_summary — boundary-snapping recurrence isn't ANSI SQL

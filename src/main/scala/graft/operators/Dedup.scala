@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -135,6 +136,77 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
       .orderBy(col("a").asc, col("b").asc)
   }
+
+  /** Near-duplicate CLUSTERS: connected components over the MinHash
+    * near-dup pair graph, labeled by each component's minimum doc id —
+    * the step a dedup pipeline actually ships (keep one canonical doc
+    * per duplicate cluster, `is_keeper`). Min-label propagation in
+    * Pregel-style supersteps: every vertex takes the min of its own and
+    * its neighbors' labels until fixpoint — ≤ graph-diameter rounds,
+    * each one join + partial-aggregated groupBy; `localCheckpoint`
+    * truncates the growing lineage each round (at cluster scale the
+    * same loop runs large-star/small-star style with checkpoints).
+    * The driver loop is superstep coordination, not data movement —
+    * per-round data stays distributed.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashPairs(spark, dir, threshold)
+      .select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("newlabel"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newlabel") =!= col("label")).count()
+      labels = updated.select(col("id"), col("newlabel").as("label"))
+      rounds += 1
+    }
+    val w = Window.partitionBy("cluster_id")
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("cluster_id").asc, col("doc_id").asc)
+  }
+
+  /** Oracle: the same components via a recursive reachability CTE over
+    * the identical MinHash pair SQL — component id = min reachable id. */
+  def nearDupClustersOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (${minhashPairsOracleSql(threshold)}) mh
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs
+       |  UNION SELECT a, a FROM pairs
+       |  UNION SELECT b, b FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), comp AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |    AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM comp ORDER BY cluster_id ASC, doc_id ASC""".stripMargin
 
   /** (doc_id, sh_set) — the distinct word 3-gram shingle array per doc,
     * scan-local behind a tokenizer barrier. */

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
+
+  test("near-dup clusters: pairs co-clustered, keeper is the cluster minimum") {
+    import graft.operators.Dedup
+    val clusters = Dedup.nearDupClusters(spark, Sf0001, 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Dedup.minhashPairs(spark, Sf0001, 0.5).collect()
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every near-dup pair's endpoints land in the same cluster
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label IS the member minimum (the canonical keeper)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
   import spark.implicits._
 
   test("shingles: 3-gram windows over analyzed tokens; short docs yield none") {
