@@ -134,6 +134,9 @@ object SparkEntry {
     // connected components over the near-dup graph: canonical-doc
     // selection (keep cluster minimum)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d, 0.5)),
+    // Hamming-banded simhash pairs (pigeonhole-complete for dist < 4;
+    // dist <= 1 keeps the 16-bit fingerprint selective)
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d, 1)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -207,6 +210,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
     "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
+    "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
     //   chunks_ref_summary — boundary-snapping recurrence isn't ANSI SQL

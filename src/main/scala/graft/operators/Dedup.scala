@@ -331,6 +331,72 @@ object Dedup {
        |FROM sums ORDER BY doc_id ASC""".stripMargin
   }
 
+  /** SimHash near-duplicate PAIRS within Hamming distance `maxDist`,
+    * found by pigeonhole banding — the scale path for Hamming search:
+    * split the fingerprint into maxDist+1 bands; fingerprints within
+    * Hamming distance maxDist differ in at most maxDist bands, so they
+    * AGREE on at least one (pigeonhole) — candidates = pairs sharing
+    * any (band, value) bucket, never all-pairs. Using the MINIMUM band
+    * count maximizes per-band width and thus bucket selectivity: for
+    * maxDist=1 that is 2 bands × 8 bits = 256 values/band (4 bands × 4
+    * bits would pigeonhole too, with 16× coarser buckets — measured
+    * ~10× slower). Exact verify = bit_count(xor) <= maxDist. Both
+    * sides md5-deterministic and mirrored in the oracle.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxDist: Int): DataFrame = {
+    val numBands = maxDist + 1
+    require(SimHashBits % numBands == 0,
+      s"$SimHashBits bits must split evenly into $numBands bands")
+    val bandBits = SimHashBits / numBands
+    val fps = simhash(spark, dir).persist()
+    val bands = (0 until numBands).map { b =>
+      fps.select(col("doc_id"), lit(b).as("band"),
+        expr(s"(simhash >> ${b * bandBits}) & " +
+          s"${(1L << bandBits) - 1}").as("bval"))
+    }.reduce(_ union _)
+    val cand = bands.as("x")
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(fps.select(col("doc_id").as("a"), col("simhash").as("ha")),
+        Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("simhash").as("hb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= lit(maxDist))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
+  def simhashPairsOracleSql(maxDist: Int): String = {
+    val numBands = maxDist + 1
+    val bandBits = SimHashBits / numBands
+    val bandSelects = (0 until numBands).map { b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * bandBits}) & " +
+        s"${(1L << bandBits) - 1} AS bval FROM fps"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH fps AS (
+       |  SELECT doc_id, simhash FROM ($simhashOracleSql) sh
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.a, c.b,
+       |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN fps fa ON fa.doc_id = c.a
+       |JOIN fps fb ON fb.doc_id = c.b
+       |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $maxDist
+       |ORDER BY a ASC, b ASC""".stripMargin
+  }
+
   // ---- Shingle Jaccard --------------------------------------------------
 
   val ShingleSize = 3

@@ -6,6 +6,19 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("simhash pairs: banding finds exactly the brute-force Hamming pairs") {
+    import graft.operators.Dedup
+    val fps = Dedup.simhash(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 1
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs(spark, Sf0001, 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(banded == brute) // pigeonhole completeness, no extras
+  }
+
   test("near-dup clusters: pairs co-clustered, keeper is the cluster minimum") {
     import graft.operators.Dedup
     val clusters = Dedup.nearDupClusters(spark, Sf0001, 0.5).collect()
