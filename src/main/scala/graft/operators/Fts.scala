@@ -466,8 +466,9 @@ object Fts {
     val queryTerms = analyzed
       .flatMap { case (qid, _, ts) => ts.map(t => (qid, t, ts.length)) }
       .toDF("query_idx", "term", "n_terms")
-    val allTerms = queryTerms.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq // tiny: bounded by Σ query lengths
+    // driver-side: the terms came from local query strings — collecting
+    // them back out of a DataFrame would cost a whole Spark job
+    val allTerms = analyzed.flatMap(_._3).distinct
     // probe the persisted index: the term IN-list statically prunes to
     // the query terms' buckets — cost ∝ posting lists touched, however
     // large the corpus
