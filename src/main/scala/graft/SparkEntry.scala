@@ -113,6 +113,9 @@ object SparkEntry {
     "p3_preprocess" -> ((s, d) => DocumentPipeline.preprocessDigest(s, d)),
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    // deflate-ratio quality signal (no SQL-expressible oracle: DuckDB
+    // has no deflate → rows-only; TextOpsSpec carries semantics)
+    "quality_compress" -> ((s, d) => TextOps.compressionQuality(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
     "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "langid_counts" -> ((s, d) =>

@@ -279,4 +279,43 @@ object TextOps {
        |WHERE i * $stride < length(text)
        |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
   }
+
+  /** Compression-ratio quality signal: deflate(level 6) size over raw
+    * size per document — the standard cheap detector for boilerplate,
+    * templated, and repetitive content in a training corpus (highly
+    * repetitive text compresses far below prose; near-random text
+    * doesn't compress). Deterministic: zlib with fixed level and
+    * strategy produces identical bytes for identical input everywhere.
+    * mapPartitions with one Deflater reset per row (codec reuse — the
+    * per-partition-setup pattern, not per-row allocation); scan-local,
+    * zero shuffles before the output sort. No reasonable ANSI-SQL
+    * oracle (DuckDB exposes no deflate) → rows-only + spec: ratios
+    * bounded, repetitive < shuffled-prose ratio, determinism.
+    */
+  def compressionQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes")
+    scored
+      .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+        round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6)
+          .as("compress_ratio"))
+      .orderBy(col("doc_id").asc)
+  }
 }

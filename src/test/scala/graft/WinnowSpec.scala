@@ -37,3 +37,36 @@ class WinnowSpec extends SparkSpec {
     assert(fps(0L).isEmpty)
   }
 }
+
+class CompressionQualitySpec extends SparkSpec {
+
+  test("deflate ratio: repetitive text compresses far below shuffled prose; deterministic") {
+    val rows = TextOps.compressionQuality(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("compress_ratio")
+      assert(ratio > 0.0 && ratio < 1.5) // deflate overhead bound
+      assert(r.getAs[Long]("deflate_bytes") > 0)
+    }
+    // determinism: a second run yields byte-identical measurements
+    val again = TextOps.compressionQuality(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("deflate ratio separates boilerplate from diverse text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rep = "copy paste boilerplate " * 80
+    val diverse = (0 until 80)
+      .map(i => s"w${i * 7919 % 9973}x${i * 104729 % 999}").mkString(" ")
+    val df = Seq((0L, rep), (1L, diverse)).toDF("doc_id", "text")
+    // reuse the operator body via a temp table round-trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cq").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.compressionQuality(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("compress_ratio"))
+      .toMap
+    assert(out(0L) < out(1L) / 2,
+      s"repetitive ${out(0L)} should compress far below diverse ${out(1L)}")
+  }
+}
