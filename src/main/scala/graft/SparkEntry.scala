@@ -116,6 +116,9 @@ object SparkEntry {
     // deflate-ratio quality signal (no SQL-expressible oracle: DuckDB
     // has no deflate → rows-only; TextOpsSpec carries semantics)
     "quality_compress" -> ((s, d) => TextOps.compressionQuality(s, d)),
+    // PII redaction: planted emails scrubbed, post-redaction text
+    // hash-gated
+    "redact_pii" -> ((s, d) => TextOps.redactPii(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
     "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "langid_counts" -> ((s, d) =>
@@ -198,6 +201,7 @@ object SparkEntry {
     "p3_preprocess" -> DocumentPipeline.preprocessDigestOracleSql,
     "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,
     "text_stats" -> TextOps.textStatsOracleSql,
+    "redact_pii" -> TextOps.redactPiiOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
     "fingerprint_winnow" -> TextOps.winnowOracleSql,
     "langid_counts" ->

@@ -280,6 +280,48 @@ object TextOps {
        |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
   }
 
+  /** PII scrubbing — the redaction pass every shared training corpus
+    * runs before release. Email addresses are replaced by a `<EMAIL>`
+    * token; the count of redactions rides along for auditing. The
+    * fixture corpus contains no emails, so the query deterministically
+    * plants one per doc_id ≡ 0 (mod 10) first (same derivation in the
+    * oracle) — the redaction is then visibly exercised and the FULL
+    * post-redaction text is hash-gated via md5. The pattern sticks to
+    * syntax shared by Java regex and RE2 (no backrefs/lookarounds) so
+    * both engines match identical spans. Scan-local, zero shuffles.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact: user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(planted)).as("t2"))
+      .select(col("doc_id"),
+        regexp_count(col("t2"), lit(EmailRe)).cast("long").as("n_emails"),
+        md5(regexp_replace(col("t2"), EmailRe, "<EMAIL>"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val redactPiiOracleSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+       |           || '@example.com'
+       |      ELSE text END AS t2
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  md5(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'))
+       |    AS redacted_md5
+       |FROM planted ORDER BY doc_id ASC""".stripMargin
+
   /** Compression-ratio quality signal: deflate(level 6) size over raw
     * size per document — the standard cheap detector for boilerplate,
     * templated, and repetitive content in a training corpus (highly

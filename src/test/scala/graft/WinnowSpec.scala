@@ -70,3 +70,27 @@ class CompressionQualitySpec extends SparkSpec {
       s"repetitive ${out(0L)} should compress far below diverse ${out(1L)}")
   }
 }
+
+class RedactPiiSpec extends SparkSpec {
+
+  test("planted emails are counted and scrubbed; untouched docs unchanged") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.redactPii(spark, Sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("doc_id") % 10 == 0) 1L else 0L
+      assert(r.getAs[Long]("n_emails") == expected)
+    }
+    // the redacted text of a planted doc differs from raw; scrub is total
+    val raw = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val redacted = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") === 0L)
+      .select(regexp_replace(
+        concat(col("text"), lit(" contact: user0@example.com")),
+        TextOps.EmailRe, "<EMAIL>").as("r"))
+      .head().getString(0)
+    assert(redacted == raw + " contact: <EMAIL>")
+    assert(!redacted.matches(s".*${TextOps.EmailRe}.*"))
+  }
+}
