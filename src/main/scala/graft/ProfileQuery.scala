@@ -19,6 +19,8 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same probe regime as Verify/Bench: keep bucketed scans bucketed
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.NativeFunctions.registerAll(spark)
