@@ -68,6 +68,13 @@ object Bench {
       spark.range(1).count()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Queries whose BUILDERS run driver-side Spark jobs (point-lookup
+    // head()/collect(), iterative supersteps): reaching executedPlan
+    // already executes those jobs, so a "planning floor" number would
+    // really be execution time — report plan = -1 (not separable)
+    // instead of a lie, and skip the redundant extra executions.
+    val driverActionBuilders = Set("ivf_ann", "emb_tfidf_ann",
+      "dedup_clusters")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>
@@ -79,13 +86,16 @@ object Bench {
         } catch { case _: Throwable => None }
       }
       // separate pass: planning floor (construction through executedPlan)
-      val plans = (0 until reps).flatMap { _ =>
-        try {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
+      val plans =
+        if (driverActionBuilders(name)) Seq.empty
+        else (0 until reps).flatMap { _ =>
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.executedPlan
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
       (name,
         if (runs.nonEmpty) runs.min else -1.0,
         if (plans.nonEmpty) plans.min else -1.0)
@@ -94,8 +104,12 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => (r._1, r._2)))
     val plans = jmap(results.map(r => (r._1, r._3)))
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"plan":$plans,"floor_noop":$floorNoop}""")
+    // a query that failed every rep must not shrink the headline total
+    // (summing its -1 sentinel would make failures look like speedups)
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"plan":$plans,"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}""")
     spark.stop()
   }
 }

@@ -161,7 +161,12 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    // safety cap far above any plausible component diameter — but NEVER
+    // a silent exit: returning before the fixpoint would split one
+    // component into several "clusters" with multiple keepers, so a
+    // pathological graph fails loudly (require below) instead
+    val maxRounds = 1000
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
@@ -176,6 +181,8 @@ object Dedup {
       labels = updated.select(col("id"), col("newlabel").as("label"))
       rounds += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds")
     val w = Window.partitionBy("cluster_id")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -71,11 +71,8 @@ object Embeddings {
 
   /** Deterministic catalog name for the persisted hashed-embedding
     * index of (dir, dim). */
-  def embIndexName(dir: String, dim: Int): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_emb_${h}_d$dim"
-  }
+  def embIndexName(dir: String, dim: Int): String =
+    s"graft_emb_${ScaleOps.dirHash(dir)}_d$dim"
 
   /** Build-once / probe-many: fit the TF-IDF pipeline and LSH model
     * once per (dir, dim), persist (doc_id, embedding, hashes) to the

@@ -59,9 +59,7 @@ object Fts {
     * buckets. Single ad-hoc searches keep the scan-local zero-exchange
     * path in `search` — strictly better when nothing is amortized. */
   def ensureIndex(spark: SparkSession, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val name = s"graft_fts_$h"
+    val name = s"graft_fts_${ScaleOps.dirHash(dir)}"
     if (!spark.catalog.tableExists(name)) {
       ScaleOps.writeBucketed(
         invertedIndex(Tables.documents(spark, dir)), name, "term", 32)

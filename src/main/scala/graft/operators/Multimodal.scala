@@ -77,13 +77,19 @@ object Multimodal {
       val w = bb.getInt(18)
       val h = bb.getInt(22)
       val bpp = bb.getShort(28)
-      val rowBytes = ((w * 3 + 3) / 4) * 4
-      if (w <= 0 || h <= 0 || bpp != 24 || dataOffset < 54 ||
-        media.length.toLong < dataOffset.toLong + rowBytes.toLong * h) None
+      // Long arithmetic + a geometry cap: a crafted header with
+      // w ~ Int.MaxValue/3 would overflow w*3 to negative, slip past a
+      // naive bounds check, and crash the task instead of returning
+      // None (the documented malformed-input contract)
+      val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+        bpp != 24 || dataOffset < 54 ||
+        media.length.toLong < dataOffset.toLong + rowBytes * h) None
       else {
         val px = new Array[Byte](w * h * 3)
         (0 until h).foreach { r =>
-          System.arraycopy(media, dataOffset + (h - 1 - r) * rowBytes,
+          System.arraycopy(media,
+            dataOffset + ((h - 1 - r) * rowBytes).toInt,
             px, r * w * 3, w * 3)
         }
         Some(DecodedFrame(w, h, px))

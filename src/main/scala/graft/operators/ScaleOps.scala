@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Stable 8-hex-char key for a corpus directory — the shared naming
+    * scheme for every per-corpus derived artifact (index tables,
+    * fixtures). One definition so they can never drift apart. */
+  def dirHash(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Write both sides of a fact-fact join bucketed+sorted by the join
     * key into the session catalog. A subsequent join of the two tables
     * on that key is a SortMergeJoin with NO shuffle exchange on either

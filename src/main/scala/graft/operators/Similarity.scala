@@ -109,11 +109,8 @@ object Similarity {
 
   /** Deterministic catalog name for the persisted IVF index of (dir,
     * nCentroids). */
-  def ivfIndexName(dir: String, nCentroids: Int): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_ivf_${h}_c$nCentroids"
-  }
+  def ivfIndexName(dir: String, nCentroids: Int): String =
+    s"graft_ivf_${ScaleOps.dirHash(dir)}_c$nCentroids"
 
   /** Build-once / probe-many: persist the IVF assignment as a table
     * bucketed by centroid_id (vectors + norms in-row), plus a tiny

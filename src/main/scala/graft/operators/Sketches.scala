@@ -150,6 +150,14 @@ object Sketches {
       .select(col("event_type"), reg.as("reg"), rank.as("rank"))
       .groupBy("event_type", "reg")
       .agg(max(col("rank")).as("mx"))
+    // harmonic denominator: present registers via the integer-exact
+    // scaled sum, plus 2^-0 = 1 for each EMPTY register; small-range
+    // linear counting applies on the standard E_raw <= 2.5m cutoff
+    // (gating on any-empty-register would cap estimates at m*ln(m) in
+    // the one-empty-register regime — Flajolet et al. 2007 §4)
+    val denom = col("isum").cast("double") / lit(math.pow(2.0, 49)) +
+      (lit(m) - col("regs_used")).cast("double")
+    val raw = lit(alpha * m * m) / denom
     regs
       .groupBy("event_type")
       .agg(
@@ -157,12 +165,10 @@ object Sketches {
         sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mx)")).as("isum"))
       .select(col("event_type"), col("regs_used"), col("isum"),
         round(
-          when(col("regs_used") < lit(m),
-            // small-range correction: linear counting over empty regs
+          when(raw <= lit(2.5 * m) && col("regs_used") < lit(m),
             lit(m.toDouble) * log(lit(m.toDouble)
               / (lit(m) - col("regs_used")).cast("double")))
-            .otherwise(lit(alpha * m * m) /
-              (col("isum").cast("double") / lit(math.pow(2.0, 49)))),
+            .otherwise(raw),
           2).as("hll_estimate"))
       .orderBy(col("event_type").asc)
   }
@@ -217,10 +223,14 @@ object Sketches {
        |)
        |SELECT a.event_type, e.exact_distinct, a.regs_used, a.isum,
        |  round(
-       |    CASE WHEN a.regs_used < $m
+       |    CASE WHEN (CAST(${0.7213 / (1 + 1.079 / m)} AS DOUBLE) * $m * $m)
+       |           / (CAST(a.isum AS DOUBLE) / ${math.pow(2.0, 49)}
+       |              + CAST($m - a.regs_used AS DOUBLE)) <= ${2.5 * m}
+       |         AND a.regs_used < $m
        |      THEN $m.0 * ln($m.0 / CAST($m - a.regs_used AS DOUBLE))
-       |      ELSE (${0.7213 / (1 + 1.079 / m)} * $m * $m)
-       |           / (CAST(a.isum AS DOUBLE) / ${math.pow(2.0, 49)})
+       |      ELSE (CAST(${0.7213 / (1 + 1.079 / m)} AS DOUBLE) * $m * $m)
+       |           / (CAST(a.isum AS DOUBLE) / ${math.pow(2.0, 49)}
+       |              + CAST($m - a.regs_used AS DOUBLE))
        |    END, 2) AS hll_estimate
        |FROM agg a JOIN exact e ON e.event_type = a.event_type
        |ORDER BY a.event_type ASC""".stripMargin

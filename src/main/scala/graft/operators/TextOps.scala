@@ -341,6 +341,10 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native zlib buffers when the task ends rather
+        // than waiting on GC finalization of the wrapper
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -356,7 +360,10 @@ object TextOps {
       .toDF("doc_id", "raw_bytes", "deflate_bytes")
     scored
       .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
-        round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6)
+        // empty docs have no meaningful ratio (and raw_bytes = 0 would
+        // divide to Infinity) — report null
+        when(col("raw_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6))
           .as("compress_ratio"))
       .orderBy(col("doc_id").asc)
   }

@@ -117,15 +117,19 @@ object ServiceNowXml {
     * ids; subcategory/work_notes/... never emitted), element text is
     * entity-escaped on write and trimmed on parse.
     */
+  /** Per-JVM fixture locations: a fresh temp dir per corpus per
+    * process. Reusing a durable /tmp path across JVMs would make a
+    * partially-written fixture (killed JVM) or a stale one (corpus
+    * regenerated at the same path) permanent; a session-scoped dir —
+    * like the session-catalog index tables — cannot outlive the code
+    * and data that wrote it. */
+  private val fixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def roundTripFixture(spark: SparkSession, dir: String): DataFrame = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    // v-suffix: bump when the generation recipe changes, else a stale
-    // tmp dir from an older binary would silently serve old fixtures
-    val outDir =
-      new java.io.File(sys.props("java.io.tmpdir"), s"graft_snxml_v1_$h")
-    if (!outDir.exists()) {
-      outDir.mkdirs()
+    val outPath = fixtureDirs.computeIfAbsent(dir, { _ =>
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_snxml_").toFile
       val rows = graft.Tables.documents(spark, dir)
         .filter(col("lang") === lit("en") && col("doc_id") < 40)
         .select("doc_id", "text", "source", "lang").collect()
@@ -152,8 +156,9 @@ object ServiceNowXml {
           new java.io.File(outDir, s"incident_${"%05d".format(id)}.xml")
             .toPath, xml)
       }
-    }
-    read(spark, outDir.getPath)
+      outDir.getPath
+    })
+    read(spark, outPath)
       .select("source_file", "number", "short_description", "description",
         "category", "priority", "close_notes", "active", "searchable_text")
   }

@@ -50,6 +50,12 @@ def main():
             runs.append(time.time() - t0)
         duck[name] = min(runs)
 
+    # -1 marks a query that failed every bench rep — surface it, never
+    # let the sentinel shrink a total or fabricate a ratio
+    failed = sorted(n for n, t in spark_times.items() if t < 0)
+    if failed:
+        print(f"SPARK-FAILED (excluded): {', '.join(failed)}")
+    spark_times = {n: t for n, t in spark_times.items() if t >= 0}
     common = sorted(set(duck) & set(spark_times))
     print(f"{'query':24s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
     for n in sorted(common, key=lambda n: -spark_times[n]):
