@@ -128,6 +128,9 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("detected").asc)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
     "chunks_ref_summary" -> ((s, d) => Chunker.chunkSummary(s, d, 100, 20)),
+    // the FULL boundary-snapping chunker, hash-gated via a recursive
+    // CTE oracle that walks the same (start, index) recurrence
+    "chunks_ref" -> ((s, d) => Chunker.chunkRows(s, d, 100, 20)),
     "p7_chunk_enrich" -> ((s, d) => TextOps.chunkEnrichment(s, d, 120, 30)),
     "pipeline_e2e" -> ((s, d) =>
       DocumentPipeline.ingestLineage(s, d, 120, 30)),
@@ -209,6 +212,7 @@ object SparkEntry {
          |  count(*) AS count
          |FROM documents GROUP BY 1 ORDER BY detected ASC""".stripMargin,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
+    "chunks_ref" -> Chunker.chunkRowsOracleSql(100, 20),
     "p7_chunk_enrich" -> TextOps.chunkEnrichmentOracleSql(120, 30),
     "pipeline_e2e" -> DocumentPipeline.ingestLineageOracleSql(120, 30),
     "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 32),

@@ -104,11 +104,75 @@ object Chunker {
       }
   }
 
-  /** Summary view (deterministic, no raw text) for the correctness gate:
-    * per-doc chunk count + coverage stats. No oracle SQL — the
-    * boundary-snapping recurrence is not reasonably expressible in ANSI
-    * SQL; the driver does a rows-only check, ScalaTest covers semantics.
-    */
+  /** The full chunk rows as a gated query (every column, including
+    * content). */
+  def chunkRows(spark: SparkSession, dir: String, chunkSize: Int,
+      overlap: Int): DataFrame = {
+    chunkDocuments(spark, dir, chunkSize, overlap).toDF()
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("start_char").cast("long").as("start_char"),
+        col("end_char").cast("long").as("end_char"),
+        col("chunk_size").cast("long").as("chunk_size"),
+        col("is_first_chunk"), col("is_last_chunk"), col("content"))
+      .orderBy(col("doc_id").asc, col("chunk_index").asc)
+  }
+
+  /** Oracle for the FULL boundary-snapping recurrence: a recursive CTE
+    * that advances one (start, chunk_index, iteration) state per doc
+    * per step — the exact loop of `chunk` above in SQL. The boundary
+    * snap is `list_max` over the probe window [end-100, end] (0-based
+    * probe i ∈ (floor, position], inclusive of position, +1 past the
+    * boundary char — mirroring findWordBoundary exactly); empty-after-
+    * trim chunks are emitted by the state walk but filtered out of the
+    * result WITHOUT consuming a chunk_index, exactly like the Scala
+    * path. The trim set mirrors String.trim's "<= U+0020" rule for
+    * every whitespace byte the corpus can contain. */
+  def chunkRowsOracleSql(chunkSize: Int, overlap0: Int): String = {
+    val overlap = math.min(overlap0, chunkSize / 2)
+    val bset = "(' ', chr(10), chr(9), '.', ',', ';', ':', '!', '?')"
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    // end-of-chunk for state start column `s` (0-based): min(s+size, n),
+    // snapped back to just after the nearest boundary char when < n
+    def ed(s: String) =
+      s"""CASE WHEN least($s + $chunkSize, n) < n
+         |  THEN coalesce(
+         |    list_max(list_filter(
+         |      range(greatest(least($s + $chunkSize, n) - $BoundaryLookback,
+         |                     0) + 1,
+         |            least($s + $chunkSize, n) + 1),
+         |      i -> substr(text, i + 1, 1) IN $bset)) + 1,
+         |    least($s + $chunkSize, n))
+         |  ELSE n END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    s"""WITH RECURSIVE st(doc_id, text, n, s, idx, iter) AS (
+       |  SELECT doc_id, text, length(text), 0, 0, 1 FROM documents
+       |  WHERE length(trim(text, $ws)) > 0
+       |  UNION ALL
+       |  SELECT doc_id, text, n,
+       |    ${ed("s")} - $overlap,
+       |    idx + CASE WHEN length(trim(substr(text, s + 1, ${ed("s")} - s),
+       |                              $ws)) > 0
+       |               THEN 1 ELSE 0 END,
+       |    iter + 1
+       |  FROM st
+       |  WHERE ${ed("s")} < n
+       |    AND ${ed("s")} - $overlap > s
+       |    AND iter < $MaxIterations
+       |), sel AS (
+       |  SELECT doc_id, idx, s, ${ed("s")} AS e, n,
+       |    trim(substr(text, s + 1, ${ed("s")} - s), $ws) AS content
+       |  FROM st
+       |)
+       |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_index,
+       |  CAST(s AS BIGINT) AS start_char, CAST(e AS BIGINT) AS end_char,
+       |  CAST(length(content) AS BIGINT) AS chunk_size,
+       |  idx = 0 AS is_first_chunk, e >= n AS is_last_chunk, content
+       |FROM sel WHERE length(content) > 0
+       |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
+  }
+
+  /** Summary view (deterministic, no raw text): per-doc chunk count +
+    * coverage stats over the same rows `chunkRows` gates. */
   def chunkSummary(
       spark: SparkSession, dir: String, chunkSize: Int,
       overlap: Int): DataFrame = {
