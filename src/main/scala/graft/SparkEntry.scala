@@ -223,6 +223,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
+    "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
     //   chunks_ref_summary — boundary-snapping recurrence isn't ANSI SQL
     //   mm_features — needs byte-level histogram access

@@ -42,7 +42,8 @@ object Multimodal {
       n_bytes: Long)
   case class DecodedFrame(width: Int, height: Int, pixels: Array[Byte])
   case class AssetFeatures(asset_id: Long, media_type: String, width: Int,
-      height: Int, n_bytes: Long, histogram: Array[Float])
+      height: Int, n_bytes: Long, n_pixels: Long, max_bin_count: Long,
+      histogram: Array[Float])
 
   // ---- real codecs (pure JVM) ------------------------------------------
 
@@ -207,28 +208,36 @@ object Multimodal {
         // per-batch "codec setup" would happen here
         batch.flatMap { a =>
           decode(a.media, a.media_type).map { frame =>
-            val hist = new Array[Float](HistogramBins)
+            // integer bin counts first: the max count is exact (and
+            // oracle-comparable); the float histogram is derived
+            val counts = new Array[Long](HistogramBins)
             frame.pixels.foreach { b =>
-              hist(((b & 0xff) * HistogramBins) / 256) += 1f
+              counts(((b & 0xff) * HistogramBins) / 256) += 1L
             }
             val n = math.max(1, frame.pixels.length)
-            (0 until HistogramBins).foreach(i => hist(i) /= n)
+            val hist = Array.tabulate(HistogramBins)(i =>
+              counts(i).toFloat / n)
             AssetFeatures(a.asset_id, a.media_type, frame.width,
-              frame.height, a.n_bytes, hist)
+              frame.height, a.n_bytes, frame.pixels.length.toLong,
+              counts.max, hist)
           }
         }
       }
     }
   }
 
-  /** Registered query: per-type feature statistics (deterministic;
-    * the histogram collapses to its max bin for a stable scalar). */
+  /** Registered query: per-type feature statistics. The histogram
+    * collapses to its dominant-bin FREQUENCY (max integer bin count
+    * over pixel count, divided in DOUBLE) — exact arithmetic both
+    * engines can reproduce bit-for-bit, unlike a float32 histogram
+    * lookup. */
   def featureStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(spark, assets(spark, dir)).toDF()
       .select(col("asset_id"), col("media_type"), col("width"),
         col("height"), col("n_bytes"),
-        array_max(col("histogram")).as("max_bin"))
+        (col("max_bin_count").cast("double") /
+          greatest(col("n_pixels"), lit(1L)).cast("double")).as("max_bin"))
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_assets"),
@@ -238,6 +247,55 @@ object Multimodal {
         round(avg(col("max_bin")), 6).as("avg_max_bin"))
       .orderBy(col("media_type").asc)
   }
+
+  /** Oracle for featureStats: the decoded pixel stream is the doc's
+    * UTF-8 bytes — verbatim for WAV, cyclically repeated to w*h*3 for
+    * BMP — so DuckDB recomputes each asset's per-bin byte counts from
+    * the text alone: bin(c) = c // 16; full cycles contribute
+    * reps × rawcount, the partial cycle adds counts over the first
+    * `rem` bytes. The corpus is ASCII so chars == bytes. A decode bug
+    * (row flip, padding, chunk walk) changes the pixel stream and
+    * breaks the hash. */
+  def featureStatsOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+       |      AS media_type,
+       |    text,
+       |    octet_length(encode(text)) AS tl,
+       |    (doc_id % 31) + 2 AS bw,
+       |    (doc_id % 17) + 2 AS bh
+       |  FROM documents
+       |), counted AS (
+       |  SELECT doc_id, media_type, text, tl, bw, bh,
+       |    list_transform(range(0, $HistogramBins), b ->
+       |      len(list_filter(range(1, tl + 1),
+       |        i -> ascii(substr(text, i, 1)) // 16 = b))) AS raw,
+       |    CASE WHEN media_type = 'audio' THEN tl
+       |         ELSE bw * bh * 3 END AS npix
+       |  FROM a
+       |), per_asset AS (
+       |  SELECT doc_id, media_type, bw, bh, tl, npix,
+       |    CASE WHEN media_type = 'audio' THEN 44 + tl
+       |         ELSE 54 + ((bw * 3 + 3) // 4) * 4 * bh END AS n_bytes,
+       |    list_max(CASE WHEN media_type = 'audio' THEN raw
+       |      ELSE list_transform(range(0, $HistogramBins), b ->
+       |        (npix // tl) * raw[b + 1] +
+       |        len(list_filter(range(1, (npix % tl) + 1),
+       |          i -> ascii(substr(text, i, 1)) // 16 = b))) END)
+       |      AS max_count
+       |  FROM counted
+       |)
+       |SELECT media_type, count(*) AS n_assets,
+       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  round(avg(CASE WHEN media_type = 'audio' THEN npix ELSE bw END),
+       |    4) AS avg_width,
+       |  round(avg(CASE WHEN media_type = 'audio' THEN 1 ELSE bh END), 4)
+       |    AS avg_height,
+       |  round(avg(CAST(max_count AS DOUBLE)
+       |        / CAST(greatest(npix, 1) AS DOUBLE)), 6) AS avg_max_bin
+       |FROM per_asset GROUP BY media_type ORDER BY media_type ASC""".stripMargin
 
   /** Oracle for the decoded geometry: the BMP/WAV headers round-trip the
     * encoder's deterministic parameters, so DuckDB recomputes width,
