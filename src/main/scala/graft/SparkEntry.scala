@@ -213,6 +213,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY detected ASC""".stripMargin,
     "chunks_fixed" -> TextOps.chunksFixedOracleSql(120, 30),
     "chunks_ref" -> Chunker.chunkRowsOracleSql(100, 20),
+    "chunks_ref_summary" -> Chunker.chunkSummaryOracleSql(100, 20),
     "p7_chunk_enrich" -> TextOps.chunkEnrichmentOracleSql(120, 30),
     "pipeline_e2e" -> DocumentPipeline.ingestLineageOracleSql(120, 30),
     "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 32),

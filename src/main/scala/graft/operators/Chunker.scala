@@ -171,6 +171,14 @@ object Chunker {
        |ORDER BY doc_id ASC, chunk_index ASC""".stripMargin
   }
 
+  /** Oracle for the summary: aggregate the same recursive-CTE rows. */
+  def chunkSummaryOracleSql(chunkSize: Int, overlap0: Int): String =
+    s"""WITH rows_gated AS (${chunkRowsOracleSql(chunkSize, overlap0)})
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(max(end_char) AS BIGINT) AS max_end,
+       |  CAST(sum(chunk_size) AS BIGINT) AS total_chunk_chars
+       |FROM rows_gated GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+
   /** Summary view (deterministic, no raw text): per-doc chunk count +
     * coverage stats over the same rows `chunkRows` gates. */
   def chunkSummary(
