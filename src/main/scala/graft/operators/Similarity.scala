@@ -138,6 +138,34 @@ object Similarity {
     name
   }
 
+  /** Incremental index maintenance — the append path a production
+    * system runs between rebuilds (pgvector's ivfflat likewise inserts
+    * into existing lists without re-clustering): assign ONLY the delta
+    * rows against the STORED centroids (broadcast — they never change
+    * within an index generation) and insert into the bucketed table.
+    * Cost ∝ |delta|, not corpus; the probe path is oblivious to how
+    * rows arrived. Centroid drift is a rebuild decision, not an append
+    * concern. */
+  def appendToIvfIndex(spark: SparkSession, dir: String, nCentroids: Int,
+      delta: DataFrame): Unit = {
+    val name = ensureIvfIndex(spark, dir, nCentroids)
+    val cents = spark.table(s"${name}_cents")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    delta
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("centroid_id"),
+        round(cosineDistancePre(col("embedding"), col("cv"),
+          col("nrm"), col("cn")), 6).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .write.insertInto(name) // positional; respects the bucket spec
+  }
+
   /** ANN search: probe the query's `nProbe` nearest IVF cells, exact
     * re-rank inside them — the standard ivfflat recall/latency trade
     * (probing more cells raises recall, touching nProbe/nCentroids of

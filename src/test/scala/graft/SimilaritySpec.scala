@@ -92,6 +92,32 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles")
   }
 
+  test("incremental append: delta rows land in the right cell and are probed") {
+    import org.apache.spark.sql.functions.typedLit
+    val idx = Similarity.ensureIvfIndex(spark, Sf0001, 10)
+    val before = spark.table(idx).count()
+    // a synthetic vector equal to centroid 3's vector must assign to
+    // cell 3 and surface as that centroid's nearest neighbor
+    val c3 = Tables.embeddings(spark, Sf0001)
+      .filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
+    val delta = Seq((900001L, 99))
+      .toDF("vec_id", "label")
+      .withColumn("embedding", typedLit(c3))
+      .select($"vec_id", $"label", $"embedding")
+    Similarity.appendToIvfIndex(spark, Sf0001, 10, delta)
+    assert(spark.table(idx).count() == before + 1)
+    val row = spark.table(idx).filter($"vec_id" === 900001L).head()
+    assert(row.getAs[Long]("centroid_id") == 3L)
+    assert(row.getAs[Double]("cdist") == 0.0)
+    // probing with qid=3 now finds the appended twin at distance 0
+    val hits = Similarity.ivfTopK(spark, Sf0001, 3L, 5, 10, 1).collect()
+    assert(hits.head.getAs[Long]("vec_id") == 900001L)
+    assert(hits.head.getAs[Double]("dist") == 0.0)
+    // clean up so later suites/queries see the pristine index
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx}_cents")
+  }
+
   test("embedding-cosine dedup pairs are ordered, thresholded, deduplicated") {
     val pairs = Similarity.embCosinePairs(spark, Sf0001, 0.6, 10).collect()
     pairs.foreach { r =>
