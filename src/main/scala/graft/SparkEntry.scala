@@ -160,6 +160,8 @@ object SparkEntry {
     "fts_topk_norm" ->
       Fts.searchNormalizedOracleSql("hash join merge", "en", 10, 33),
     "fts_topk_stemmed" -> Fts.searchStemmedOracleSql("merging streams", "en", 10),
+    "fts_topk_cd" ->
+      Fts.searchCoverDensityOracleSql("hash join merge", "en", 10),
     "fts_phrase" -> Fts.phraseSearchOracleSql("hash join", "en", 10),
     "fts_endpoint" ->
       Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),

@@ -365,6 +365,66 @@ object Fts {
       .limit(k)
   }
 
+  /** Oracle for `searchCoverDensity` — the Clarke/Cormack/Tudhope cover
+    * sweep re-expressed with window functions (no recursion needed):
+    * an event is a (doc, pos, term) occurrence; the cover ENDING at an
+    * event is [least of each term's running-max position, pos]; the
+    * sweep's "new minimal cover" condition is exactly "start advanced
+    * since the previous all-terms-seen event" (running maxes only move
+    * forward, so start is non-decreasing). Each contributing cover
+    * adds q/width; score = s/(1+s) (normalization 32). Positions are
+    * 0-based analyzed-token indexes, same as the Spark side's
+    * transform() arrays feeding the native expression. */
+  def searchCoverDensityOracleSql(query: String, lang: String,
+      k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val q = terms.length
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val latestCols = terms.zipWithIndex.map { case (t, i) =>
+      s"""max(CASE WHEN term = '$t' THEN pos END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS l$i""".stripMargin
+    }.mkString(",\n    ")
+    val lRefs = terms.indices.map(i => s"l$i")
+    val allSeen = lRefs.map(l => s"$l IS NOT NULL").mkString(" AND ")
+    val start =
+      if (q == 1) lRefs.head else s"least(${lRefs.mkString(", ")})"
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents WHERE lang = '$lang'
+       |), events0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks)),
+       |    i -> {'pos': i, 'term': toks[i + 1]})) AS e
+       |  FROM toklists
+       |), events AS (
+       |  SELECT doc_id, e.pos AS pos, e.term AS term FROM events0
+       |  WHERE e.term IN $termList
+       |), latest AS (
+       |  SELECT doc_id, pos, term,
+       |    $latestCols
+       |  FROM events
+       |), qualifying AS (
+       |  SELECT doc_id, pos, $start AS cover_start
+       |  FROM latest WHERE $allSeen
+       |), covers AS (
+       |  SELECT doc_id, pos, cover_start,
+       |    lag(cover_start) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS prev_start
+       |  FROM qualifying
+       |), scored AS (
+       |  SELECT doc_id,
+       |    sum(CAST($q AS DOUBLE) / (pos - cover_start + 1)) AS s
+       |  FROM covers
+       |  WHERE prev_start IS NULL OR cover_start <> prev_start
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(s / (1 + s), 6) AS score
+       |FROM scored WHERE round(s / (1 + s), 6) > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Phrase search: documents containing the query terms ADJACENT and in
     * order (the tsquery `<->` followed-by analog). A phrase of k terms
     * is exactly a k-gram over the analyzed token stream, so matching is
