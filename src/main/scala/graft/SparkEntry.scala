@@ -228,8 +228,9 @@ object SparkEntry {
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
-    //   chunks_ref_summary — boundary-snapping recurrence isn't ANSI SQL
-    //   mm_features — needs byte-level histogram access
-    //   emb_tfidf_ann — MLlib hashing/IDF/LSH aren't SQL-expressible
+    //   emb_tfidf_ann — MLlib murmur3 hashing/IDF/LSH aren't reasonably
+    //     SQL-expressible
+    //   quality_compress — DuckDB exposes no deflate
+    //   s9_relation_size — engine-specific parquet footprints by design
   )
 }

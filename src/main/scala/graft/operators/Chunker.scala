@@ -149,19 +149,19 @@ object Chunker {
        |  WHERE length(trim(text, $ws)) > 0
        |  UNION ALL
        |  SELECT doc_id, text, n,
-       |    ${ed("s")} - $overlap,
-       |    idx + CASE WHEN length(trim(substr(text, s + 1, ${ed("s")} - s),
+       |    t.e - $overlap,
+       |    idx + CASE WHEN length(trim(substr(text, s + 1, t.e - s),
        |                              $ws)) > 0
        |               THEN 1 ELSE 0 END,
        |    iter + 1
-       |  FROM st
-       |  WHERE ${ed("s")} < n
-       |    AND ${ed("s")} - $overlap > s
+       |  FROM (SELECT st.*, ${ed("s")} AS e FROM st) t
+       |  WHERE t.e < n
+       |    AND t.e - $overlap > s
        |    AND iter < $MaxIterations
        |), sel AS (
-       |  SELECT doc_id, idx, s, ${ed("s")} AS e, n,
-       |    trim(substr(text, s + 1, ${ed("s")} - s), $ws) AS content
-       |  FROM st
+       |  SELECT doc_id, idx, s, e, n,
+       |    trim(substr(text, s + 1, e - s), $ws) AS content
+       |  FROM (SELECT st.*, ${ed("s")} AS e FROM st) t
        |)
        |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_index,
        |  CAST(s AS BIGINT) AS start_char, CAST(e AS BIGINT) AS end_char,

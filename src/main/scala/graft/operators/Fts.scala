@@ -334,9 +334,10 @@ object Fts {
     * analog — proximity-aware, unlike the tf-only v1 formula). Same
     * shuffle-free plan shape as `search`: per-term position arrays are
     * computed scan-locally, the expression runs inside whole-stage
-    * codegen, top-k via TakeOrderedAndProject. Not oracle-expressible
-    * (the cover sweep isn't reasonable ANSI SQL) → CoverDensitySpec
-    * carries the semantics against hand-computed ranks.
+    * codegen, top-k via TakeOrderedAndProject. Hash-gated: the oracle
+    * (searchCoverDensityOracleSql above) re-expresses the sweep with
+    * window functions; CoverDensitySpec additionally pins the native
+    * expression to hand-computed ranks.
     */
   def searchCoverDensity(
       spark: SparkSession, dir: String, query: String, lang: String,
@@ -378,6 +379,7 @@ object Fts {
   def searchCoverDensityOracleSql(query: String, lang: String,
       k: Int): String = {
     val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms") // mirror search
     val q = terms.length
     val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
     val latestCols = terms.zipWithIndex.map { case (t, i) =>

@@ -258,15 +258,7 @@ object Multimodal {
     * breaks the hash. */
   def featureStatsOracleSql: String =
     s"""WITH a AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-       |      AS media_type,
-       |    text,
-       |    octet_length(encode(text)) AS tl,
-       |    (doc_id % 31) + 2 AS bw,
-       |    (doc_id % 17) + 2 AS bh
-       |  FROM documents
+       |  $synthCte
        |), counted AS (
        |  SELECT doc_id, media_type, text, tl, bw, bh,
        |    list_transform(range(0, $HistogramBins), b ->
@@ -277,8 +269,7 @@ object Multimodal {
        |  FROM a
        |), per_asset AS (
        |  SELECT doc_id, media_type, bw, bh, tl, npix,
-       |    CASE WHEN media_type = 'audio' THEN 44 + tl
-       |         ELSE 54 + ((bw * 3 + 3) // 4) * 4 * bh END AS n_bytes,
+       |    $synthNBytes AS n_bytes,
        |    list_max(CASE WHEN media_type = 'audio' THEN raw
        |      ELSE list_transform(range(0, $HistogramBins), b ->
        |        (npix // tl) * raw[b + 1] +
@@ -297,29 +288,40 @@ object Multimodal {
        |        / CAST(greatest(npix, 1) AS DOUBLE)), 6) AS avg_max_bin
        |FROM per_asset GROUP BY media_type ORDER BY media_type ASC""".stripMargin
 
+  /** ONE SQL rendering of the asset-synthesis parameters (type cycle,
+    * BMP geometry, byte lengths) — both multimodal oracles build on
+    * this so the constants cannot drift from `assets()` in one place
+    * but not the other. */
+  private val synthCte: String =
+    """SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+      |      AS media_type,
+      |    text,
+      |    octet_length(encode(text)) AS tl,
+      |    (doc_id % 31) + 2 AS bw,
+      |    (doc_id % 17) + 2 AS bh
+      |  FROM documents""".stripMargin
+
+  /** File size: 44-byte WAV header + one byte per sample, or 54-byte
+    * BMP header + 4-byte-padded rows. */
+  private val synthNBytes: String =
+    """CASE WHEN media_type = 'audio' THEN 44 + tl
+      |         ELSE 54 + ((bw * 3 + 3) // 4) * 4 * bh END""".stripMargin
+
   /** Oracle for the decoded geometry: the BMP/WAV headers round-trip the
     * encoder's deterministic parameters, so DuckDB recomputes width,
-    * height and file size (54-byte BMP header + 4-byte-padded rows;
-    * 44-byte WAV header + one byte per sample) from doc_id and the text
-    * byte length alone. A decode bug — wrong offset, padding, row
-    * order, chunk walk — breaks the hash. (The histogram needs
-    * byte-level access — covered by MultimodalSpec instead.) */
+    * height and file size from doc_id and the text byte length alone. A
+    * decode bug — wrong offset, padding, row order, chunk walk — breaks
+    * the hash. */
   def dimensionsOracleSql: String =
     s"""WITH a AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-       |      AS media_type,
-       |    octet_length(encode(text)) AS tl,
-       |    (doc_id % 31) + 2 AS bw,
-       |    (doc_id % 17) + 2 AS bh
-       |  FROM documents
+       |  $synthCte
        |), d AS (
        |  SELECT media_type,
        |    CASE WHEN media_type = 'audio' THEN tl ELSE bw END AS width,
        |    CASE WHEN media_type = 'audio' THEN 1 ELSE bh END AS height,
-       |    CASE WHEN media_type = 'audio' THEN 44 + tl
-       |         ELSE 54 + ((bw * 3 + 3) // 4) * 4 * bh END AS n_bytes
+       |    $synthNBytes AS n_bytes
        |  FROM a
        |)
        |SELECT media_type, count(*) AS n_assets,

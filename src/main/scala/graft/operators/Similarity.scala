@@ -88,13 +88,20 @@ object Similarity {
     * the vector and its precomputed norm ride along so the persisted
     * index (ensureIvfIndex) can serve probes without joining back to
     * the source table. */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = emb.filter(col("vec_id") < lit(nCentroids.toLong))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-        norm(col("embedding")).as("cn"))
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignTo(emb,
+      emb.filter(col("vec_id") < lit(nCentroids.toLong))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cv"), norm(col("embedding")).as("cn")))
+
+  /** Assignment against an explicit centroid frame — the ONE definition
+    * of the assignment semantics (rounding, tiebreak, column order):
+    * both the initial build and the incremental append path go through
+    * here, so they cannot drift. */
+  def ivfAssignTo(rows: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cdist").asc, col("centroid_id").asc)
-    emb
+    rows
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents))
@@ -149,20 +156,7 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, dir: String, nCentroids: Int,
       delta: DataFrame): Unit = {
     val name = ensureIvfIndex(spark, dir, nCentroids)
-    val cents = spark.table(s"${name}_cents")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-    delta
-      .select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("centroid_id"),
-        round(cosineDistancePre(col("embedding"), col("cv"),
-          col("nrm"), col("cn")), 6).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    ivfAssignTo(delta, spark.table(s"${name}_cents"))
       .write.insertInto(name) // positional; respects the bucket spec
   }
 

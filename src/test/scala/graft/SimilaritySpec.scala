@@ -104,18 +104,22 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "label")
       .withColumn("embedding", typedLit(c3))
       .select($"vec_id", $"label", $"embedding")
-    Similarity.appendToIvfIndex(spark, Sf0001, 10, delta)
-    assert(spark.table(idx).count() == before + 1)
-    val row = spark.table(idx).filter($"vec_id" === 900001L).head()
-    assert(row.getAs[Long]("centroid_id") == 3L)
-    assert(row.getAs[Double]("cdist") == 0.0)
-    // probing with qid=3 now finds the appended twin at distance 0
-    val hits = Similarity.ivfTopK(spark, Sf0001, 3L, 5, 10, 1).collect()
-    assert(hits.head.getAs[Long]("vec_id") == 900001L)
-    assert(hits.head.getAs[Double]("dist") == 0.0)
-    // clean up so later suites/queries see the pristine index
-    spark.sql(s"DROP TABLE IF EXISTS $idx")
-    spark.sql(s"DROP TABLE IF EXISTS ${idx}_cents")
+    try {
+      Similarity.appendToIvfIndex(spark, Sf0001, 10, delta)
+      assert(spark.table(idx).count() == before + 1)
+      val row = spark.table(idx).filter($"vec_id" === 900001L).head()
+      assert(row.getAs[Long]("centroid_id") == 3L)
+      assert(row.getAs[Double]("cdist") == 0.0)
+      // probing with qid=3 now finds the appended twin at distance 0
+      val hits = Similarity.ivfTopK(spark, Sf0001, 3L, 5, 10, 1).collect()
+      assert(hits.head.getAs[Long]("vec_id") == 900001L)
+      assert(hits.head.getAs[Double]("dist") == 0.0)
+    } finally {
+      // ALWAYS drop: a failure above must not leave the fake row in the
+      // shared index that later tests' ensureIvfIndex would reuse
+      spark.sql(s"DROP TABLE IF EXISTS $idx")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}_cents")
+    }
   }
 
   test("embedding-cosine dedup pairs are ordered, thresholded, deduplicated") {
