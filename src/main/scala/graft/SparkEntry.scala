@@ -57,6 +57,9 @@ object SparkEntry {
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
+    "hybrid_rrf" -> ((s, d) =>
+      Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -170,6 +173,8 @@ object SparkEntry {
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
+    "hybrid_rrf" ->
+      Hybrid.rrfSearchOracleSql("hash join merge", "en", 0L, 20, 60, 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),

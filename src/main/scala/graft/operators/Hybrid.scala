@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalyzer
+
+/** Hybrid search — reciprocal-rank fusion (RRF) of the FTS top-k list
+  * and the vector-KNN top-k list.
+  *
+  * The reference ships BOTH retrieval paths over the same documents
+  * table — FTS (/root/reference/src/core/vector_store.py:211-227) and
+  * the legacy pgvector cosine KNN (vector_store.py:263-319) — but never
+  * combines them; a user querying the service gets one or the other.
+  * Fusing the two ranked lists is the canonical completion of that
+  * surface (Cormack, Clarke & Buettcher, SIGIR 2009: RRF outperforms
+  * either list and needs no score calibration):
+  *
+  *   rrf(d) = Σ_lists 1 / (K + rank_list(d)),  K = 60 conventionally.
+  *
+  * Rank, not score, is fused — so the incomparable FTS score (0,1) and
+  * cosine distance scales never meet, and no normalization constant has
+  * to be tuned.
+  *
+  * Scale shape: each side is already a TakeOrderedAndProject producing
+  * ≤ kEach rows; the fusion is a full-outer join of two k-row frames —
+  * driver-scale work regardless of corpus size. The expensive parts
+  * (the two retrievals) keep their own optimal plans (scan-local FTS,
+  * bucket-pruned ANN probe); fusion adds nothing that grows with data.
+  */
+object Hybrid {
+
+  /** RRF of FTS(query text, lang) and KNN(query vector id).
+    * Output: (id, rrf, fts_rank, knn_rank) — ranks nullable when a doc
+    * appears in only one list.
+    */
+  def rrfSearch(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      qid: Long, kEach: Int, kRrf: Int, k: Int): DataFrame = {
+    // each ranked list is ≤ kEach rows, so the unpartitioned windows and
+    // the join below are constant-size regardless of corpus scale
+    val fts = Fts.search(spark, dir, query, lang, kEach)
+      .withColumn("fts_rank",
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("fts_rank"))
+    val knn = Similarity.knnCosine(spark, dir, qid, kEach, 2.0)
+      .withColumn("knn_rank",
+        row_number().over(
+          Window.orderBy(col("dist").asc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("vec_id"), col("knn_rank"))
+    fts.join(knn, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("fts_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("knn_rank")), lit(0.0)),
+          6).as("rrf"),
+        col("fts_rank"), col("knn_rank"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB oracle mirroring `rrfSearch` (both ranked lists rebuilt with
+    * the shared analyzer/cosine formulas, fused identically). */
+  def rrfSearchOracleSql(query: String, lang: String, qid: Long,
+      kEach: Int, kRrf: Int, k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |), fts_top AS (
+       |  SELECT doc_id, round(s / (1 + s), 6) AS score
+       |  FROM m WHERE nmatch = ${terms.length}
+       |  ORDER BY score DESC, doc_id ASC LIMIT $kEach
+       |), fts_r AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS fts_rank
+       |  FROM fts_top
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = $qid
+       |), d AS (
+       |  SELECT vec_id,
+       |    round(1.0 - list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+       |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(qv, qv))), 6) AS dist
+       |  FROM embeddings, q WHERE vec_id <> $qid
+       |), knn_top AS (
+       |  SELECT vec_id, dist FROM d
+       |  ORDER BY dist ASC, vec_id ASC LIMIT $kEach
+       |), knn_r AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS knn_rank
+       |  FROM knn_top
+       |)
+       |SELECT COALESCE(f.doc_id, v.vec_id) AS id,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / ($kRrf + f.fts_rank), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($kRrf + v.knn_rank), 0),
+       |    6) AS rrf,
+       |  f.fts_rank, v.knn_rank
+       |FROM fts_r f FULL OUTER JOIN knn_r v ON f.doc_id = v.vec_id
+       |ORDER BY rrf DESC, id ASC LIMIT $k""".stripMargin
+  }
+}
