@@ -60,6 +60,12 @@ object SparkEntry {
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
       Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
+    // int8 scalar quantization: KNN over integer codes + per-label audit
+    "knn_quantized" -> ((s, d) => Quantize.knnQuantized(s, d, 0L, 10)),
+    "quant_stats" -> ((s, d) => Quantize.quantStats(s, d)),
+    // Matryoshka two-stage KNN: coarse prefix-dim scan, exact re-rank
+    "knn_matryoshka" -> ((s, d) =>
+      Similarity.knnMatryoshka(s, d, 0L, 16, 50, 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -106,6 +112,10 @@ object SparkEntry {
       Sketches.bloomMembership(s, d, BloomProbeIds)),
     // deterministic hash-threshold sampling (reproducible, shard-stable)
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
+    // stratified quota sampling: exactly N rows per language stratum
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
+    // Gopher-style repetition signals (dup-word fraction, top bigram)
+    "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -175,6 +185,9 @@ object SparkEntry {
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
     "hybrid_rrf" ->
       Hybrid.rrfSearchOracleSql("hash join merge", "en", 0L, 20, 60, 10),
+    "knn_quantized" -> Quantize.knnQuantizedOracleSql(0L, 10),
+    "quant_stats" -> Quantize.quantStatsOracleSql,
+    "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 16, 50, 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
@@ -204,6 +217,8 @@ object SparkEntry {
     "sketch_hll" -> Sketches.hllOracleSql,
     "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
+    "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
+    "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,

@@ -55,4 +55,40 @@ object Sampling {
        |      AS INT) < $cut
        |GROUP BY lang ORDER BY lang ASC""".stripMargin
   }
+
+  /** Stratified QUOTA sample: exactly `quota` rows per stratum (vs the
+    * rate sample above, whose per-stratum size is binomial). Selection
+    * order inside a stratum is the md5 of the key — deterministic,
+    * reproducible, uncorrelated with ingestion order — so the quota
+    * sample is a uniform-without-replacement draw that any rerun (or
+    * any other engine) reproduces row-for-row.
+    *
+    * Scale shape: ONE shuffle, keyed by stratum (the window's
+    * partitionBy). Per-stratum data must fit a partition's working set
+    * for the rank — at 100 TB with heavy strata, swap in the two-pass
+    * variant: rate-sample with `hashKeep` at ~2x the quota's expected
+    * rate scan-locally, then rank only the survivors (the window then
+    * sees quota-scale rows, not stratum-scale). Semantics identical;
+    * same reason approx quantiles back `events_quantiles` at scale. */
+  def stratifiedQuota(spark: SparkSession, dir: String,
+      quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("long").as("pick"))
+      .filter(col("pick") <= quota)
+      .orderBy(col("lang").asc, col("pick").asc)
+  }
+
+  def stratifiedQuotaOracleSql(quota: Int): String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, n_chars, row_number() OVER (
+       |    PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pick
+       |  FROM documents
+       |)
+       |SELECT lang, doc_id, n_chars, pick FROM r WHERE pick <= $quota
+       |ORDER BY lang ASC, pick ASC""".stripMargin
 }

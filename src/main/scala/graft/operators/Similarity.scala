@@ -301,6 +301,66 @@ object Similarity {
        |       * sqrt(list_dot_product(eb.v, eb.v))), 6) <= $eps
        |ORDER BY dist ASC, a ASC, b ASC""".stripMargin
 
+  /** Matryoshka (truncated-dimension) two-stage KNN: stage 1 ranks by
+    * cosine over the first `dCoarse` dimensions only — reading/computing
+    * a quarter of each vector — and keeps `nCand` candidates; stage 2
+    * re-ranks those exactly over all dimensions. With MRL-style
+    * embeddings (Kusupati et al. 2022) prefix dims carry most of the
+    * signal, so recall survives while the scan cost drops by
+    * dCoarse/dim. At 100 TB the coarse stage reads a 4x-smaller column
+    * (store the prefix as its own parquet column and the scan prunes to
+    * it); stage 2 touches only nCand rows. Deterministic: rounded
+    * distances, id tiebreaks at both stages.
+    */
+  def knnMatryoshka(spark: SparkSession, dir: String, qid: Long,
+      dCoarse: Int, nCand: Int, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"),
+        slice(col("embedding"), 1, dCoarse).as("qc"),
+        norm(slice(col("embedding"), 1, dCoarse)).as("qcn"))
+    val coarse = emb.filter(col("vec_id") =!= lit(qid))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("qv"), col("qn"),
+        round(cosineDistancePre(
+          slice(col("embedding"), 1, dCoarse), col("qc"),
+          norm(slice(col("embedding"), 1, dCoarse)), col("qcn")), 6)
+          .as("cdist"))
+      .orderBy(col("cdist").asc, col("vec_id").asc)
+      .limit(nCand)
+    coarse
+      .select(col("vec_id"), col("label"), col("cdist"),
+        round(cosineDistancePre(col("embedding"), col("qv"),
+          norm(col("embedding")), col("qn")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def knnMatryoshkaOracleSql(qid: Long, dCoarse: Int, nCand: Int,
+      k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    CAST(list_slice(embedding, 1, $dCoarse) AS DOUBLE[]) AS vc
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT v AS qv, vc AS qc FROM e WHERE vec_id = $qid
+       |), coarse AS (
+       |  SELECT vec_id, label, v, qv,
+       |    round(1.0 - list_dot_product(vc, qc)
+       |      / (sqrt(list_dot_product(vc, vc))
+       |         * sqrt(list_dot_product(qc, qc))), 6) AS cdist
+       |  FROM e, q WHERE vec_id <> $qid
+       |  ORDER BY cdist ASC, vec_id ASC LIMIT $nCand
+       |)
+       |SELECT vec_id, label, cdist,
+       |  round(1.0 - list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v))
+       |       * sqrt(list_dot_product(qv, qv))), 6) AS dist
+       |FROM coarse
+       |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+
   /** Per-label embedding statistics: count + mean L2 norm (sanity view of
     * the label ground truth, FIXTURES.md A.embeddings). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =

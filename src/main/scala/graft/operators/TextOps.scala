@@ -367,4 +367,67 @@ object TextOps {
           .as("compress_ratio"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Repetition quality signals (Gopher, Rae et al. 2021 §A1.1.2: "we
+    * remove documents with excessive repetition" — duplicate-line/
+    * n-gram fractions). Our single-line corpus gets the word-level
+    * members of that family, all integer-exact:
+    *
+    *   - n_words / n_distinct  → duplicate-word fraction
+    *   - top_bigram, top_count → most-repeated adjacent word pair
+    *     (tiebreak: lexicographically smallest), the "top n-gram
+    *     fraction" numerator
+    *
+    * Scan-local: the bigram tally runs in-row over the token array
+    * (cost ∝ distinct-bigrams × bigrams per doc — bounded by document
+    * length, not corpus size), so the plan is scan → project → sort
+    * with zero shuffles at any scale; a filter on the emitted counts is
+    * the 100 TB cleaning predicate. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(words, i), lit(" "),
+        element_at(words, i + 1)))
+    // argmax by (count, then lexicographically smallest bigram) via a
+    // single in-row fold over the distinct bigrams
+    val best = aggregate(
+      array_distinct(bigrams),
+      struct(lit(0L).as("cnt"), lit("").as("bg")),
+      (acc, d) => {
+        val c = size(filter(bigrams, x => x === d)).cast("long")
+        when(c > acc("cnt") || (c === acc("cnt") && d < acc("bg")),
+          struct(c.as("cnt"), d.as("bg"))).otherwise(acc)
+      })
+    Tables.documents(spark, dir)
+      .filter(n >= 2)
+      .select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        best("bg").as("top_bigram"),
+        best("cnt").as("top_count"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val repetitionStatsOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w
+      |), c AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+      |), top AS (
+      |  SELECT doc_id, bg, cnt, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+      |  FROM c
+      |)
+      |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |  t.bg AS top_bigram, CAST(t.cnt AS BIGINT) AS top_count
+      |FROM w JOIN top t ON w.doc_id = t.doc_id AND t.rn = 1
+      |ORDER BY w.doc_id ASC""".stripMargin
 }

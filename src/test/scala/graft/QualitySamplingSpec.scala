@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, TextOps}
+
+class QualitySamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition stats invariants on the real corpus") {
+    val rows = TextOps.repetitionStats(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 2)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("top_count") >= 1)
+      assert(r.getAs[String]("top_bigram").split(" ").length >= 2)
+    }
+  }
+
+  test("repetition argmax picks the most frequent bigram, smallest on ties") {
+    // run the same expression pipeline on a controlled frame by writing
+    // it to a temp dir and pointing the operator at it
+    val dir = java.nio.file.Files.createTempDirectory("repet").toString
+    Seq(
+      (1L, "a b a b a b c", "en", "s", 13L),
+      (2L, "z y x w", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.repetitionStats(spark, dir).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("top_bigram") == "a b")
+    assert(out(0).getAs[Long]("top_count") == 3L)
+    assert(out(0).getAs[Long]("n_words") == 7L)
+    assert(out(0).getAs[Long]("n_distinct") == 3L)
+    // doc 2: every bigram occurs once -> lexicographically smallest wins
+    assert(out(1).getAs[String]("top_bigram") == "x w")
+    assert(out(1).getAs[Long]("top_count") == 1L)
+  }
+
+  test("stratified quota: exactly quota rows per stratum, deterministic") {
+    val q = 5
+    val out = Sampling.stratifiedQuota(spark, Sf0001, q)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val total = Tables.documents(spark, Sf0001).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(q.toLong, total(lang)),
+        s"$lang: $n vs quota $q (stratum ${total(lang)})")
+    }
+    // rerun is row-identical (hash order, no RNG)
+    val a = out.collect().map(_.toString).toSeq
+    val b = Sampling.stratifiedQuota(spark, Sf0001, q)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
