@@ -52,6 +52,9 @@ object SparkEntry {
     "fts_endpoint" -> ((s, d) =>
       Fts.searchEndpoint(s, d, "hash join merge", "en", "80", 0.79, 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
+    // ts_headline analog: KWIC snippets around the first term hit
+    "fts_headline" -> ((s, d) =>
+      Fts.headlines(s, d, "hash join merge", "en", 10, 5)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
     // §2.3 vector similarity
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
@@ -66,6 +69,8 @@ object SparkEntry {
     // Matryoshka two-stage KNN: coarse prefix-dim scan, exact re-rank
     "knn_matryoshka" -> ((s, d) =>
       Similarity.knnMatryoshka(s, d, 0L, 16, 50, 10)),
+    // MMR diversified re-rank of the KNN candidates (recursive oracle)
+    "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 0L, 20, 8, 0.7)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -179,6 +184,7 @@ object SparkEntry {
     "fts_endpoint" ->
       Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
+    "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
@@ -188,6 +194,7 @@ object SparkEntry {
     "knn_quantized" -> Quantize.knnQuantizedOracleSql(0L, 10),
     "quant_stats" -> Quantize.quantStatsOracleSql,
     "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 16, 50, 10),
+    "mmr_rerank" -> Similarity.mmrRerankOracleSql(0L, 20, 8, 0.7),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),

@@ -582,4 +582,83 @@ object Fts {
        |SELECT query_idx, doc_id, score FROM scored WHERE rn <= $k
        |ORDER BY query_idx ASC, score DESC, doc_id ASC""".stripMargin
   }
+
+  /** Headline / snippet generation — the `ts_headline` analog (the one
+    * member of PG's FTS function family the reference's SQL never
+    * reaches but any search UI over it needs): for each top-k hit,
+    * a keyword-in-context window of ±`window` words around the FIRST
+    * occurrence of any query term.
+    *
+    * Deterministic and oracle-mirrored: words are the raw
+    * space-separated tokens of lower(text); "first occurrence" is the
+    * least 1-based position over the query terms (absent terms
+    * contribute null, dropped by `least`).
+    *
+    * Scale shape: the search keeps its zero-exchange plan; the snippet
+    * pass joins the k-row hit list back to documents — broadcast the
+    * k rows, so the join is shuffle-free and the text column is read
+    * only for matching rows (at 100 TB: a broadcast-hash probe of k
+    * ids against the doc scan, not a corpus-wide projection of text).
+    */
+  def headlines(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int, window: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val top = search(spark, dir, query, lang, k)
+    val words = split(lower(col("text")), " ")
+    val posCols = terms.map(t => nullif(array_position(words, t), lit(0L)))
+    val firstPos =
+      if (posCols.length == 1) posCols.head else least(posCols: _*)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"), words.as("ws"), firstPos.as("fp"))
+    broadcast(top).join(docs, "doc_id")
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("score"), col("fp").as("first_pos"),
+        array_join(
+          slice(col("ws"),
+            greatest(lit(1L), col("fp") - window).cast("int"),
+            (least(size(col("ws")).cast("long"), col("fp") + window)
+              - greatest(lit(1L), col("fp") - window) + 1).cast("int")),
+          " ").as("snippet"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  def headlinesOracleSql(query: String, lang: String, k: Int,
+      window: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val posList = terms
+      .map(t => s"list_position(ws, '$t')").mkString(", ")
+    val firstPos =
+      if (terms.length == 1) posList else s"least($posList)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |), top AS (
+       |  SELECT doc_id, round(s / (1 + s), 6) AS score
+       |  FROM m WHERE nmatch = ${terms.length}
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE lang = '$lang'
+       |), h AS (
+       |  SELECT t.doc_id AS doc_id, t.score AS score, ws,
+       |    CAST($firstPos AS BIGINT) AS fp
+       |  FROM top t JOIN d ON t.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, score, fp AS first_pos,
+       |  array_to_string(list_slice(ws,
+       |    greatest(1, fp - $window),
+       |    least(len(ws), fp + $window)), ' ') AS snippet
+       |FROM h WHERE fp IS NOT NULL
+       |ORDER BY score DESC, doc_id ASC""".stripMargin
+  }
 }

@@ -361,6 +361,111 @@ object Similarity {
        |FROM coarse
        |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-rank of the KNN candidate list:
+    *
+    *   pick_1 = argmax rel(c)
+    *   pick_i = argmax  λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)
+    *
+    * rel = cosine similarity to the query; sim = pairwise cosine; both
+    * rounded to 6 BEFORE the greedy loop so every comparison the loop
+    * makes is over identical values in any engine (the DuckDB oracle
+    * replays the same recurrence as a recursive CTE). Tiebreak: lower
+    * vec_id.
+    *
+    * Scale shape: the candidate retrieval is the distributed part and
+    * keeps its KNN plan; the greedy loop is inherently sequential and
+    * runs driver-side over the nCand collected rows — bounded by the
+    * CONSTANT nCand (like the point-query head() lookups), independent
+    * of corpus size. Output: (step, vec_id, rel).
+    */
+  def mmrRerank(spark: SparkSession, dir: String, qid: Long, nCand: Int,
+      k: Int, lambda: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val cand = emb.filter(col("vec_id") =!= lit(qid))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * col("qn")), 6).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(nCand)
+      .collect()
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // left-to-right double accumulation — same order as dot()/DuckDB
+    def sdot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val ids = cand.map(_.getLong(0))
+    val rel = cand.map(_.getDouble(1))
+    val vs = cand.map(_.getSeq[Float](2).map(_.toDouble))
+    val nrm = vs.map(v => math.sqrt(sdot(v, v)))
+    val n = ids.length
+    val simv = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 1.0
+      else round6(sdot(vs(i), vs(j)) / (nrm(i) * nrm(j))))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (picked.length < math.min(k, n)) {
+      val remaining = (0 until n).filterNot(picked.contains)
+      val next = remaining.minBy { c =>
+        val score =
+          if (picked.isEmpty) rel(c)
+          else round6(
+            lambda * rel(c) - (1.0 - lambda) * picked.map(simv(c)).max)
+        (-score, ids(c)) // max score, then min id
+      }
+      picked += next
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, ids(c), rel(c)) }
+      .toDF("step", "vec_id", "rel")
+  }
+
+  def mmrRerankOracleSql(qid: Long, nCand: Int, k: Int,
+      lambda: Double): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), cand AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(v, qv)
+       |      / (sqrt(list_dot_product(v, v))
+       |         * sqrt(list_dot_product(qv, qv))), 6) AS rel, v
+       |  FROM e, q WHERE vec_id <> $qid
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $nCand
+       |), sim AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v))
+       |         * sqrt(list_dot_product(y.v, y.v))), 6) AS s
+       |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+       |), sel AS (
+       |  SELECT 1 AS step,
+       |    [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC
+       |      LIMIT 1)] AS chosen
+       |  UNION ALL
+       |  SELECT step + 1, list_append(chosen, (
+       |    SELECT c.vec_id FROM cand c
+       |    WHERE NOT list_contains(sel.chosen, c.vec_id)
+       |    ORDER BY round(CAST($lambda AS DOUBLE) * c.rel
+       |      - (CAST(1 AS DOUBLE) - CAST($lambda AS DOUBLE))
+       |        * (SELECT max(s.s) FROM sim s
+       |           WHERE s.a = c.vec_id
+       |             AND list_contains(sel.chosen, s.b)), 6) DESC,
+       |      c.vec_id ASC LIMIT 1))
+       |  FROM sel WHERE step < $k
+       |), last AS (
+       |  SELECT chosen FROM sel WHERE step = $k
+       |)
+       |SELECT CAST(t.i AS BIGINT) AS step, chosen[t.i] AS vec_id, c.rel
+       |FROM last, generate_series(1, $k) AS t(i)
+       |JOIN cand c ON c.vec_id = chosen[t.i]
+       |ORDER BY step ASC""".stripMargin
+
   /** Per-label embedding statistics: count + mean L2 norm (sanity view of
     * the label ground truth, FIXTURES.md A.embeddings). */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
