@@ -71,6 +71,8 @@ object SparkEntry {
       Similarity.knnMatryoshka(s, d, 0L, 16, 50, 10)),
     // MMR diversified re-rank of the KNN candidates (recursive oracle)
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 0L, 20, 8, 0.7)),
+    // product quantization: persisted 8-byte codes, ADC scan + refine
+    "pq_scan" -> ((s, d) => ProductQuant.pqScan(s, d, 7L, 50, 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -119,6 +121,10 @@ object SparkEntry {
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // stratified quota sampling: exactly N rows per language stratum
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
+    // z-order layout key (Morton interleave) over (user_id, time bucket)
+    "zorder_key" -> ((s, d) => ScaleOps.zorderEventKeys(s, d, 50)),
+    // salted two-stage aggregation: exact vs the plain GROUP BY oracle
+    "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // Gopher-style repetition signals (dup-word fraction, top bigram)
     "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
@@ -195,6 +201,7 @@ object SparkEntry {
     "quant_stats" -> Quantize.quantStatsOracleSql,
     "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 16, 50, 10),
     "mmr_rerank" -> Similarity.mmrRerankOracleSql(0L, 20, 8, 0.7),
+    "pq_scan" -> ProductQuant.pqScanOracleSql(7L, 50, 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
@@ -225,6 +232,8 @@ object SparkEntry {
     "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
+    "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
+    "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,

@@ -57,6 +57,45 @@ object ScaleOps {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative dimensions — x in even positions, y in odd. Rows
+    * sorted by this key cluster 2-D-close rows into the same parquet
+    * row groups/files, so a conjunctive range filter on (x, y) prunes
+    * by BOTH dimensions from one linear sort order (the layout trick
+    * behind Delta/Iceberg Z-ORDER table maintenance). Pure long bit
+    * arithmetic — exact, engine-independent, oracle-mirrored by
+    * `zorderKeySql`. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    val mx = x.bitwiseAND(lit((1L << bits) - 1))
+    val my = y.bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(mx, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(my, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The identical interleave as SQL text over expressions `x`/`y`
+    * (pass short identifiers). */
+  def zorderKeySql(x: String, y: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    (0 until bits).map { i =>
+      s"((((($x) & $mask) >> $i) & 1) << ${2 * i}) | " +
+        s"((((($y) & $mask) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Rewrite a frame into a Z-ordered layout: range-partition on the
+    * key (so FILES own disjoint key ranges) and sort within partitions
+    * (so ROW GROUPS inside each file are tight too). A later scan with
+    * a 2-D range predicate prunes files via the partition ranges and
+    * row groups via parquet min/max stats. */
+  def writeZOrdered(df: DataFrame, dir: String, zcol: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, col(zcol))
+      .sortWithinPartitions(zcol)
+      .write.mode("overwrite").parquet(dir)
+
   /** Write a table partitioned by a column (the documents-by-collection
     * layout, SURVEY §4.3): queries filtering on that column prune whole
     * directories at planning time instead of scanning and filtering.
@@ -82,6 +121,52 @@ object ScaleOps {
       case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
     }.sum
   }
+
+  /** Registered z-order demo: the Morton key over (user_id, 10-minute
+    * bucket) of the events table — the two columns an ops dashboard
+    * filters together — with the first `k` rows in key order. The KEY
+    * is the oracle-gated part; the layout effect (disjoint per-file
+    * ranges after `writeZOrdered`) is plan-asserted in ScaleOpsSpec. */
+  def zorderEventKeys(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val secs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    ev.select(col("event_id"), col("user_id"),
+        secs.cast("long").as("secs"))
+      .withColumn("tbucket", expr("secs div 600"))
+      .select(col("event_id"), col("user_id"), col("tbucket"),
+        zorderKey(col("user_id"), col("tbucket"), 16).as("zkey"))
+      .orderBy(col("zkey").asc, col("event_id").asc)
+      .limit(k)
+  }
+
+  def zorderEventKeysOracleSql(k: Int): String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id,
+       |    (epoch_ns(ts) // 1000000000) // 600 AS tbucket
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, tbucket,
+       |  ${zorderKeySql("user_id", "tbucket", 16)} AS zkey
+       |FROM b ORDER BY zkey ASC, event_id ASC LIMIT $k""".stripMargin
+
+  /** Registered salted-aggregation demo: per-supplier count + quantity
+    * total through the two-stage salted path. Salting is exact for
+    * decomposable aggregates, so the plain GROUP BY is the oracle —
+    * this hash-gates that the skew mechanism changes the SHAPE of the
+    * shuffle, never the numbers. (l_quantity is integer-valued, so the
+    * double sum is order-independent-exact.) */
+  def saltedSuppAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedCountSum(graft.Tables.lineitem(spark, dir),
+      "l_suppkey", "l_quantity", 8)
+      .orderBy(col("l_suppkey").asc)
+
+  val saltedSuppAggOracleSql: String =
+    """SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS total
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey ASC""".stripMargin
 
   /** Detects whether a physical plan contains a shuffle exchange.
     * Walks THROUGH AQE wrapper nodes (AdaptiveSparkPlanExec /

@@ -58,6 +58,17 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for ids
+    * older than the watermark is evicted (without the watermark,
+    * dropDuplicates state grows with the corpus — unusable at 100 TB;
+    * with it, state is O(events per horizon)). The batch analog —
+    * first row per id — is the dedup_exact family's streaming face. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding windows (10 min length, 5 min slide) — each event contributes
     * to two windows. */
   def slidingCounts(events: DataFrame): DataFrame =

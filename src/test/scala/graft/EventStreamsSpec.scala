@@ -51,6 +51,27 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops duplicate event_ids with bounded state") {
+    // source with planted duplicates: the events file read twice through
+    // a union would need two sources; instead duplicate rows via a
+    // written copy containing each event twice
+    val dir = Files.createTempDirectory("dupev").toString
+    val ev = Tables.events(spark, Sf0001).limit(200)
+    ev.union(ev).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/staging")
+    // rename to match the source's glob
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    runToMemory(
+      EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir)),
+      "dedup_stream", "append")
+    val got = spark.table("dedup_stream")
+    assert(got.count() == got.select("event_id").distinct().count())
+    assert(got.count() == 200)
+  }
+
   test("sliding windows: emitted window counts match batch; 2 windows per event") {
     runToMemory(
       EventStreams.slidingCounts(EventStreams.readEvents(spark, Sf0001)),

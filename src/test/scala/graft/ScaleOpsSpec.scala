@@ -72,4 +72,34 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(s - direct(k)._2) < 1e-6)
     }
   }
+
+  test("zorderKey interleaves bits (known values) and stays within 2*bits bits") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L),
+      (65535L, 65535L)).toDF("x", "y")
+    val out = df.select(ScaleOps.zorderKey(col("x"), col("y"), 16))
+      .collect().map(_.getLong(0))
+    // x bits land even, y bits odd: z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    // z(3,5)= x:011 y:101 -> 100111 = 39
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 39L, (1L << 32) - 1))
+  }
+
+  test("writeZOrdered yields disjoint per-file key ranges (file-pruning shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val keyed = ScaleOps.zorderEventKeys(spark, Sf0001, Int.MaxValue)
+    ScaleOps.writeZOrdered(keyed, dir, "zkey", 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val mm = spark.read.parquet(f)
+        .agg(min(col("zkey")), max(col("zkey"))).head()
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"overlapping file ranges: $hi > $lo2")
+      case _ =>
+    }
+  }
 }
