@@ -589,10 +589,15 @@ object Fts {
     * a keyword-in-context window of ±`window` words around the FIRST
     * occurrence of any query term.
     *
-    * Deterministic and oracle-mirrored: words are the raw
-    * space-separated tokens of lower(text); "first occurrence" is the
-    * least 1-based position over the query terms (absent terms
-    * contribute null, dropped by `least`).
+    * Deterministic and oracle-mirrored: display words are the raw
+    * space-separated tokens of lower(text); term MATCHING runs against
+    * a punctuation-stripped copy (each word minus `\W` chars — the same
+    * character class the scoring tokenizer splits on), so "merge,"
+    * still anchors the snippet for query term "merge". "First
+    * occurrence" is the least 1-based position over the query terms
+    * (absent terms contribute null, dropped by `least`). Remaining
+    * contract gap vs ts_headline: terms are matched unstemmed, so an
+    * inflected-only hit ("merging" for "merge") anchors no snippet.
     *
     * Scale shape: the search keeps its zero-exchange plan; the snippet
     * pass joins the k-row hit list back to documents — broadcast the
@@ -606,7 +611,8 @@ object Fts {
     require(terms.nonEmpty, "query analyzes to no terms")
     val top = search(spark, dir, query, lang, k)
     val words = split(lower(col("text")), " ")
-    val posCols = terms.map(t => nullif(array_position(words, t), lit(0L)))
+    val clean = transform(words, w => regexp_replace(w, "\\W+", ""))
+    val posCols = terms.map(t => nullif(array_position(clean, t), lit(0L)))
     val firstPos =
       if (posCols.length == 1) posCols.head else least(posCols: _*)
     val docs = Tables.documents(spark, dir)
@@ -629,7 +635,7 @@ object Fts {
     val terms = TextAnalyzer.analyze(query).distinct
     val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
     val posList = terms
-      .map(t => s"list_position(ws, '$t')").mkString(", ")
+      .map(t => s"list_position(cw, '$t')").mkString(", ")
     val firstPos =
       if (terms.length == 1) posList else s"least($posList)"
     s"""WITH toks AS (
@@ -647,7 +653,9 @@ object Fts {
        |  FROM m WHERE nmatch = ${terms.length}
        |  ORDER BY score DESC, doc_id ASC LIMIT $k
        |), d AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+       |    list_transform(string_split(lower(text), ' '),
+       |      w -> regexp_replace(w, '\\W+', '', 'g')) AS cw
        |  FROM documents WHERE lang = '$lang'
        |), h AS (
        |  SELECT t.doc_id AS doc_id, t.score AS score, ws,

@@ -89,11 +89,21 @@ object ProductQuant {
 
   /** Build-once: persist the PQ codes as a catalog table (the 32x-
     * smaller scan target every subsequent probe reads). Idempotent per
-    * (dir); same convention as Similarity.ensureIvfIndex. */
+    * (dir); same convention as Similarity.ensureIvfIndex. A fresh
+    * session sees tableExists=false while the managed location from a
+    * previous session may still exist on disk — so, like
+    * ScaleOps.writeBucketed, drop the catalog entry and remove an
+    * orphaned location before writing (a bare saveAsTable would fail
+    * with LOCATION_ALREADY_EXISTS on every session after the first). */
   def ensurePqTable(spark: SparkSession, dir: String): String = {
     val name = s"graft_pq_${ScaleOps.dirHash(dir)}"
     if (!spark.catalog.tableExists(name)) {
-      encode(spark, dir).write.saveAsTable(name)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(warehouse, name.toLowerCase))
+      encode(spark, dir).write.mode("overwrite").saveAsTable(name)
     }
     name
   }

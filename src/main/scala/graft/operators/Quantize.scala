@@ -57,16 +57,21 @@ object Quantize {
   def knnQuantized(spark: SparkSession, dir: String, qid: Long,
       k: Int): DataFrame = {
     val c = codes(Tables.embeddings(spark, dir))
+    // norm guard mirrors the scale guard: an all-zero vector quantizes
+    // to all-zero codes, and an unguarded 0/0 would give NaN dist whose
+    // sort placement differs between engines
     val q = c.filter(col("vec_id") === lit(qid))
       .select(col("codes").as("qc"),
-        sqrt(idot(col("codes"), col("codes")).cast("double")).as("qn"))
+        greatest(sqrt(idot(col("codes"), col("codes")).cast("double")),
+          lit(Tiny)).as("qn"))
     c.filter(col("vec_id") =!= lit(qid))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(
           lit(1.0) - idot(col("codes"), col("qc")).cast("double") /
-            (sqrt(idot(col("codes"), col("codes")).cast("double")) *
-              col("qn")), 6).as("dist"))
+            (greatest(
+              sqrt(idot(col("codes"), col("codes")).cast("double")),
+              lit(Tiny)) * col("qn")), 6).as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -87,12 +92,15 @@ object Quantize {
        |      AS codes
        |  FROM s
        |), q AS (
-       |  SELECT codes AS qc, sqrt(list_dot_product(codes, codes)) AS qn
+       |  SELECT codes AS qc,
+       |    greatest(sqrt(list_dot_product(codes, codes)),
+       |             CAST($Tiny AS DOUBLE)) AS qn
        |  FROM c WHERE vec_id = $qid
        |)
        |SELECT vec_id, label,
        |  round(1.0 - list_dot_product(codes, qc)
-       |    / (sqrt(list_dot_product(codes, codes)) * qn), 6) AS dist
+       |    / (greatest(sqrt(list_dot_product(codes, codes)),
+       |                CAST($Tiny AS DOUBLE)) * qn), 6) AS dist
        |FROM c, q WHERE vec_id <> $qid
        |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
 

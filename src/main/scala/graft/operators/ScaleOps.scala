@@ -126,7 +126,15 @@ object ScaleOps {
     * bucket) of the events table — the two columns an ops dashboard
     * filters together — with the first `k` rows in key order. The KEY
     * is the oracle-gated part; the layout effect (disjoint per-file
-    * ranges after `writeZOrdered`) is plan-asserted in ScaleOpsSpec. */
+    * ranges after `writeZOrdered`) is plan-asserted in ScaleOpsSpec.
+    *
+    * The time bucket is REBASED to the corpus minimum before the
+    * 16-bit mask: raw epoch buckets (~2.9M for 2026 data) alias every
+    * 65536 buckets (~45 days), which would silently destroy the 2-D
+    * clustering for any corpus spanning multiple alias periods. After
+    * the rebase 16 bits covers ~455 days of data span. The min is a
+    * one-number broadcast, not a driver action — the plan stays fully
+    * distributed. */
   def zorderEventKeys(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
@@ -134,11 +142,14 @@ object ScaleOps {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
       case _ => unix_timestamp(col("ts"))
     }
-    ev.select(col("event_id"), col("user_id"),
+    val keyed = ev.select(col("event_id"), col("user_id"),
         secs.cast("long").as("secs"))
       .withColumn("tbucket", expr("secs div 600"))
+    val tmin = keyed.agg(min(col("tbucket")).as("tmin"))
+    keyed.crossJoin(broadcast(tmin))
       .select(col("event_id"), col("user_id"), col("tbucket"),
-        zorderKey(col("user_id"), col("tbucket"), 16).as("zkey"))
+        zorderKey(col("user_id"), col("tbucket") - col("tmin"), 16)
+          .as("zkey"))
       .orderBy(col("zkey").asc, col("event_id").asc)
       .limit(k)
   }
@@ -148,10 +159,12 @@ object ScaleOps {
        |  SELECT event_id, user_id,
        |    (epoch_ns(ts) // 1000000000) // 600 AS tbucket
        |  FROM events
+       |), m AS (
+       |  SELECT min(tbucket) AS tmin FROM b
        |)
        |SELECT event_id, user_id, tbucket,
-       |  ${zorderKeySql("user_id", "tbucket", 16)} AS zkey
-       |FROM b ORDER BY zkey ASC, event_id ASC LIMIT $k""".stripMargin
+       |  ${zorderKeySql("user_id", "tbucket - tmin", 16)} AS zkey
+       |FROM b, m ORDER BY zkey ASC, event_id ASC LIMIT $k""".stripMargin
 
   /** Registered salted-aggregation demo: per-supplier count + quantity
     * total through the two-stage salted path. Salting is exact for
