@@ -117,16 +117,21 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
+    // degrade per-query precision until the line fits (~1900 chars
+    // stdout tail budget after sbt's trailing "[success]" line); the
+    // short sf basename and the elided empty failed-array buy ~30 more
+    // chars of headroom. Full precision is always in bench_detail.json.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs3 = jmap(results.map(r => (r._1, r3(r._2))))
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"failed":[${failed.mkString(",")}]}"""
-    if (line.length <= 1850) println(line)
-    else {
-      // degrade: per-query at 2 decimals keeps the line inside the
-      // driver's tail window even as the query count grows
-      def r2(v: Double): Double = math.rint(v * 100) / 100
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => (r._1, r2(r._2))))},"sf":"$sfDir","reps":$reps,"failed":[${failed.mkString(",")}]}""")
-    }
+    val sfShort = sfDir.split('/').last
+    val failedPart =
+      if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    val line = Seq(3, 2, 1).iterator.map { digits =>
+      val p = math.pow(10, digits)
+      def rd(v: Double): Double = math.rint(v * p) / p
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => (r._1, rd(r._2))))},"sf":"$sfShort","reps":$reps$failedPart}"""
+    }.find(_.length <= 1850)
+      .getOrElse(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfShort","reps":$reps,"note":"per-query map exceeds tail budget; see bench_detail.json"$failedPart}""")
+    println(line)
     spark.stop()
   }
 }

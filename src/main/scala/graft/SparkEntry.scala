@@ -47,6 +47,8 @@ object SparkEntry {
     "fts_topk_stemmed" -> ((s, d) =>
       Fts.searchStemmed(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
+    // Okapi BM25 (k1=1.2, b=0.75), OR-match — the ts_rank alternative
+    "fts_bm25" -> ((s, d) => Fts.searchBm25(s, d, "hash join merge", "en", 10)),
     // the full endpoint parameter surface composed in one query:
     // collection scope + string-coerced metadata filter + min_score
     "fts_endpoint" -> ((s, d) =>
@@ -94,6 +96,10 @@ object SparkEntry {
     "q3_shipping" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q4_semijoin" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
+    "q6_forecast" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
     "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "agg_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
@@ -170,6 +176,8 @@ object SparkEntry {
     // Hamming-banded simhash pairs (pigeonhole-complete for dist < 4;
     // dist <= 1 keeps the 16-bit fingerprint selective)
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d, 1)),
+    // benchmark-contamination screen: n-gram overlap vs a held-out slice
+    "contamination_ngram" -> ((s, d) => Contamination.screen(s, d, 97L)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -187,6 +195,7 @@ object SparkEntry {
     "fts_topk_cd" ->
       Fts.searchCoverDensityOracleSql("hash join merge", "en", 10),
     "fts_phrase" -> Fts.phraseSearchOracleSql("hash join", "en", 10),
+    "fts_bm25" -> Fts.searchBm25OracleSql("hash join merge", "en", 10),
     "fts_endpoint" ->
       Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
@@ -214,6 +223,10 @@ object SparkEntry {
     "q3_shipping" -> Relational.q3OracleSql,
     "q4_semijoin" -> Relational.q4OracleSql,
     "q5_nation_revenue" -> Relational.q5OracleSql,
+    "q6_forecast" -> Relational.q6OracleSql,
+    "q14_promo" -> Relational.q14OracleSql,
+    "q19_disjunctive" -> Relational.q19OracleSql,
+    "agg_gsets" -> Relational.groupingSetsOracleSql,
     "agg_distinct" -> Relational.distinctAggOracleSql,
     "agg_rollup" -> Relational.rollupOracleSql,
     "agg_cube" -> Relational.cubeOracleSql,
@@ -261,6 +274,7 @@ object SparkEntry {
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
     "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
+    "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):

@@ -427,6 +427,91 @@ object Fts {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Okapi BM25 top-k (k1 = 1.2, b = 0.75) — the ranking function the
+    * rest of the retrieval world uses where PG uses ts_rank; OR-match
+    * semantics (any query term qualifies), unlike `search`'s AND. The
+    * Lucene-style positive IDF: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    *
+    * Determinism: avgdl is sum(dl)/N over exact integer sums (never
+    * avg() — a float mean is summation-order-dependent); per-row score
+    * terms are added left-to-right in query-term order, identical in
+    * the oracle; round(…, 6).
+    *
+    * Scale shape: one scan-local pass computes (dl, tf_i per term) per
+    * doc; the corpus stats (N, Σdl, df_i) are ONE tiny aggregate row
+    * cross-joined back by broadcast — at 100 TB that is a full scan +
+    * a 1-row broadcast, no per-term shuffle, and the TakeOrdered top-k
+    * never materializes the ranking. */
+  def searchBm25(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val perDoc = withToks.select(
+      col("doc_id") +: size(col("toks")).as("dl") +:
+        terms.indices.map(i =>
+          size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i")): _*)
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val contrib = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      when(col(s"tf$i") > 0,
+        idf * (col(s"tf$i") * lit(k1 + 1.0)) /
+          (col(s"tf$i") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(contrib.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def searchBm25OracleSql(query: String, lang: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tl, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    // same left-to-right add chain as the Spark reduce
+    val contrib = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
+         |      * (tf$i * ${k1 + 1.0})
+         |      / (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString(" + ")
+    val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents WHERE lang = '$lang'
+       |), perdoc AS (
+       |  SELECT doc_id, len(tl) AS dl,
+       |    $tfCols
+       |  FROM toklists
+       |), stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |    $dfCols
+       |  FROM perdoc
+       |)
+       |SELECT doc_id, round($contrib, 6) AS score
+       |FROM perdoc, stats WHERE $anyMatch
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Phrase search: documents containing the query terms ADJACENT and in
     * order (the tsquery `<->` followed-by analog). A phrase of k terms
     * is exactly a k-gram over the analyzed token stream, so matching is

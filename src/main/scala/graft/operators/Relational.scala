@@ -114,6 +114,136 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name ASC, revenue DESC, n_name ASC""".stripMargin
 
+  /** TPC-H Q6 shape: the canonical predicate-pushdown showcase — a
+    * tight conjunctive range filter and a 2-column arithmetic aggregate
+    * over the fact table. The whole WHERE clause reaches the parquet
+    * scan as PushedFilters (row groups outside the shipdate/discount/
+    * quantity ranges are skipped via min/max stats), and the scan reads
+    * exactly 4 columns. At 100 TB this plan touches only the matching
+    * row groups of 4 columns — nothing else moves. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24))
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6OracleSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape: conditional aggregation through a broadcast
+    * dim join — promo revenue share for one ship month. The CASE runs
+    * map-side inside the partial aggregate; part is broadcast. The
+    * ratio is a two-double division of exact partial sums, so the
+    * value is engine-independent after rounding. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(
+          lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          4).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14OracleSql: String =
+    """SELECT
+      |  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q19 shape (adapted to the fixture's part columns): an
+    * OR-of-ANDs join predicate — three disjoint (brand, size-range,
+    * quantity-range) branches. Catalyst extracts the common l_partkey =
+    * p_partkey equi-condition for the broadcast hash join and evaluates
+    * the disjunction as a post-join filter; the per-branch part filters
+    * (brand/size) are pushed into the broadcast side's scan via
+    * constraint propagation of the OR. The showcase: disjunctive
+    * predicates do NOT degrade the join into a nested-loop. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === lit(brand) &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        branch("Brand#12", 1, 5, 1, 11) ||
+        branch("Brand#23", 1, 10, 10, 20) ||
+        branch("Brand#34", 1, 15, 20, 30))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19OracleSql: String =
+    """SELECT
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** GROUPING SETS: the explicit-set sibling of rollup/cube — per
+    * (status, priority), per status, and the grand total in ONE Expand +
+    * aggregate pass (no self-union, no re-scan). grouping_id
+    * disambiguates a NULL group key from a rolled-up level, exactly as
+    * DuckDB's GROUPING() pair does on the oracle side. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val groupingSetsOracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+      |       AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+      |         o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Window function: top-2 orders per customer by totalprice
     * (O1/O2 ranked-top-k generalized to per-group).
     */
