@@ -29,9 +29,15 @@ import org.apache.spark.sql.SparkSession
   *   - "reps": N.
   *
   * Tuning for the sf0.1 local[32] regime (all env-overridable):
-  *   - shuffle partitions default to the core count; AQE coalescing
-  *     (on by default in Spark 4) folds tiny post-shuffle partitions
-  *     back together, so the setting mainly caps scheduling fan-out.
+  *   - shuffle partitions default to 8, the measured sweet spot for
+  *     this regime (84-query totals: 32 parts ≈ 29.2 s, 8 ≈ 23.9 s,
+  *     4 ≈ 25.7 s — below 8 the big dedup/winnow shuffles lose
+  *     parallelism, above it task-scheduling overhead dominates the
+  *     sub-second queries). AQE coalescing already folds tiny
+  *     post-shuffle partitions, so the setting caps scheduling
+  *     fan-out, not correctness. This is a BENCH-regime default:
+  *     at warehouse scale partitions are sized by shuffle bytes
+  *     (~128 MB/partition), not by a constant.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +45,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val shuffleParts =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

@@ -54,6 +54,8 @@ object SparkEntry {
     "fts_endpoint" -> ((s, d) =>
       Fts.searchEndpoint(s, d, "hash join merge", "en", "80", 0.79, 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
+    // TF-IDF keyword extraction: top-3 characteristic terms per doc
+    "keywords_tfidf" -> ((s, d) => Fts.keywordsTfidf(s, d, 3)),
     // ts_headline analog: KWIC snippets around the first term hit
     "fts_headline" -> ((s, d) =>
       Fts.headlines(s, d, "hash join merge", "en", 10, 5)),
@@ -199,6 +201,7 @@ object SparkEntry {
     "fts_endpoint" ->
       Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
+    "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),

@@ -589,6 +589,65 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** TF-IDF keyword extraction: the top-`perDoc` most characteristic
+    * terms of every document — the per-doc summarization / tagging pass
+    * a training-data pipeline runs for corpus exploration and topic
+    * balancing. tfidf = tf · ln(N / df), integer tf/df/N so the double
+    * is engine-identical; ties break on term asc.
+    *
+    * Scale shape: reuses the persisted inverted index (one tokenize
+    * pass per corpus, amortized); df is a groupBy over the index's
+    * (term, doc) rows whose result is vocabulary-sized — orders of
+    * magnitude smaller than the corpus, so it joins back by term
+    * WITHOUT broadcasting (vocab can still exceed driver memory at
+    * 100 TB; the term-keyed shuffle join co-partitions with the
+    * bucketed index layout). The per-doc top-k is one ranked window
+    * partitioned by doc — a single shuffle of (doc, term, tfidf)
+    * triples, no corpus re-scan. */
+  def keywordsTfidf(spark: SparkSession, dir: String,
+      perDoc: Int): DataFrame = {
+    val idx = spark.table(ensureIndex(spark, dir))
+    val n = idx.select(countDistinct(col("doc_id")).as("n"))
+    val dfs = idx.groupBy("term")
+      .agg(count(lit(1)).as("df")) // index rows are (doc, term)-unique
+    val scored = idx.join(dfs, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id").asc, col("rank").asc)
+  }
+
+  def keywordsTfidfOracleSql(perDoc: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM idx GROUP BY term
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n FROM idx
+       |), scored AS (
+       |  SELECT idx.doc_id, idx.term,
+       |    round(idx.tf * ln(CAST(n.n AS DOUBLE) / dfs.df), 6) AS tfidf
+       |  FROM idx JOIN dfs ON dfs.term = idx.term, n
+       |), ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf DESC, term ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, rank, term, tfidf FROM ranked
+       |WHERE rank <= $perDoc
+       |ORDER BY doc_id ASC, rank ASC""".stripMargin
+
   /** B1 batch search — the reference's mocked endpoint
     * (/root/reference/src/api/search.py:108-135), given its intended
     * implementation as ONE joined pass: all queries' terms go through a

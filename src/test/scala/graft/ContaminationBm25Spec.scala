@@ -85,6 +85,26 @@ class ContaminationBm25Spec extends SparkSpec {
     assert(sh.sameElements(sh.sortBy(-(_: Long))))
   }
 
+  // ---- TF-IDF keywords ----------------------------------------------------
+
+  test("keywords: per-doc top-k ranked by tfidf, corpus-wide terms rank low") {
+    val rows = Fts.keywordsTfidf(spark, Sf0001, 3).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(
+        (1L to rs.length)))
+      // ranked desc by tfidf within the doc
+      val sc = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("tfidf"))
+      assert(sc.sameElements(sc.sortBy(-(_: Double))))
+    }
+    // a term present in EVERY doc has idf = ln(1) = 0 and can never be
+    // a top keyword unless nothing else exists; all reported tfidf > 0
+    // on this fixture
+    assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0))
+  }
+
   // ---- Relational additions ---------------------------------------------
 
   test("q6: the range predicates reach the parquet scan as pushed filters") {
