@@ -112,6 +112,10 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
+    // hopping 10-min windows every 5 min (each event in two windows)
+    "events_sliding" -> ((s, d) => Relational.eventsSliding(s, d)),
+    // PIVOT reshape: priorities as columns, explicit value domain
+    "agg_pivot" -> ((s, d) => Relational.pivotSummary(s, d)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
     "asof_custom_op" -> ((s, d) => Relational.asofLatestOrderCustom(s, d)),
     "range_join_counts" -> ((s, d) =>
@@ -180,6 +184,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d, 1)),
     // benchmark-contamination screen: n-gram overlap vs a held-out slice
     "contamination_ngram" -> ((s, d) => Contamination.screen(s, d, 97L)),
+    // char-level confirmation of the Jaccard-verified near-dup pairs
+    "dedup_editdist" -> ((s, d) =>
+      Dedup.editDistancePairs(s, d, 0.5, 240, 60)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -239,6 +246,8 @@ object SparkEntry {
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
+    "events_sliding" -> Relational.eventsSlidingOracleSql,
+    "agg_pivot" -> Relational.pivotOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
@@ -278,6 +287,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
+    "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):

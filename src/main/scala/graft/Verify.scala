@@ -26,15 +26,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.NativeFunctions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A query that throws must be VISIBLE in the artifact, not just on
+    // stderr: round 6's pq_scan threw (orphaned table location), its
+    // directory was simply absent, and the correctness artifact looked
+    // green with the query missing. _failures.json makes a silent drop
+    // impossible.
+    val failures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,6 +58,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer(ies) FAILED: " +
+          failures.map(_._1).mkString(", "))
+    }
     spark.stop()
   }
 }

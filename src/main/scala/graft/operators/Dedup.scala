@@ -404,6 +404,62 @@ object Dedup {
        |ORDER BY a ASC, b ASC""".stripMargin
   }
 
+  /** Edit-distance confirmation — the LAST stage of the dedup funnel
+    * (MinHash bands → shingle-Jaccard verify → char-level confirm):
+    * Levenshtein distance over the first `prefixLen` chars of each
+    * Jaccard-verified near-dup pair (the prefix bound keeps the O(n·m)
+    * DP affordable; near-dups diverge early or not at all). Both
+    * engines implement the identical unit-cost DP, so the integer
+    * distance is hash-gateable.
+    *
+    * Scale shape — the funnel ordering is the whole point: the DP runs
+    * only on pairs that already passed token-level Jaccard ≥
+    * `jaccThreshold`, a set whose size ∝ true near-duplicates, NOT on
+    * a raw fingerprint recall set (measured at sf0.1: 16-bit simhash
+    * buckets yield 39k collision pairs — 120 s of DP — where the
+    * Jaccard-verified set is a few hundred). A second guard skips the
+    * DP lazily (CASE in both engines) when the prefix LENGTHS already
+    * differ by more than `maxDist`, since length difference
+    * lower-bounds edit distance. */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      jaccThreshold: Double, prefixLen: Int, maxDist: Int): DataFrame = {
+    val pairs = minhashPairs(spark, dir, jaccThreshold)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("t"))
+    // long to match DuckDB levenshtein's BIGINT in the driver hash;
+    // the length guard makes the DP conditional (when() evaluates
+    // lazily under codegen)
+    val dist = when(
+      abs(length(col("ta")) - length(col("tb"))) <= lit(maxDist),
+      levenshtein(col("ta"), col("tb")).cast("long"))
+      .otherwise(lit(maxDist.toLong + 1L))
+    broadcast(pairs)
+      .join(docs.select(col("doc_id").as("a"), col("t").as("ta")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("t").as("tb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"), dist.as("editdist"))
+      .filter(col("editdist") <= lit(maxDist))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
+  def editDistancePairsOracleSql(jaccThreshold: Double, prefixLen: Int,
+      maxDist: Int): String =
+    s"""WITH pairs AS (
+       |  ${minhashPairsOracleSql(jaccThreshold)}
+       |), d AS (
+       |  SELECT doc_id, substr(text, 1, $prefixLen) AS t FROM documents
+       |), scored AS (
+       |  SELECT p.a, p.b, p.jaccard,
+       |    CASE WHEN abs(length(da.t) - length(db.t)) <= $maxDist
+       |         THEN levenshtein(da.t, db.t)
+       |         ELSE ${maxDist + 1} END AS editdist
+       |  FROM pairs p
+       |  JOIN d da ON da.doc_id = p.a
+       |  JOIN d db ON db.doc_id = p.b
+       |)
+       |SELECT a, b, jaccard, editdist FROM scored
+       |WHERE editdist <= $maxDist
+       |ORDER BY a ASC, b ASC""".stripMargin
+
   // ---- Shingle Jaccard --------------------------------------------------
 
   val ShingleSize = 3

@@ -677,6 +677,78 @@ object Relational {
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket ASC, event_type ASC""".stripMargin
 
+  /** Sliding (hopping) windows — Structured Streaming's
+    * window(slide < duration) semantics in batch: 10-minute windows
+    * hopping every 5, so every event lands in exactly TWO windows.
+    * Uses the native `window()` function (one Expand + aggregate pass,
+    * the same physical shape streaming uses); the window start is
+    * emitted as epoch seconds so the value is engine-independent.
+    * Oracle mirror: each event's two containing window starts are
+    * (s div 300)·300 and that minus 300, unnested. */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    ev.withColumn("tsec", tsec.cast("long").cast("timestamp"))
+      .groupBy(window(col("tsec"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart").asc, col("event_type").asc)
+  }
+
+  val eventsSlidingOracleSql: String =
+    """WITH e AS (
+      |  SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s,
+      |    event_type, value
+      |  FROM events
+      |), w AS (
+      |  SELECT unnest([(s // 300) * 300, (s // 300) * 300 - 300])
+      |      AS wstart,
+      |    event_type, value
+      |  FROM e
+      |)
+      |SELECT wstart, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM w GROUP BY wstart, event_type
+      |ORDER BY wstart ASC, event_type ASC""".stripMargin
+
+  /** PIVOT: order counts with priorities as columns — the
+    * wide-reshape operator every BI layer needs. The value list is
+    * EXPLICIT (the TPC-H priority domain): with known values Spark
+    * skips the extra distinct-collection job and the pivot compiles to
+    * ONE partial-aggregate pass, exactly like a manual CASE fan-out.
+    * Columns are re-aliased to identifier-safe names, mirrored in the
+    * oracle's conditional aggregates. */
+  def pivotSummary(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val safe = Seq("p1_urgent", "p2_high", "p3_medium", "p4_none", "p5_low")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        priorities.zip(safe).map { case (p, s) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s)
+        }: _*)
+      .orderBy(col("o_orderstatus").asc)
+  }
+
+  val pivotOracleSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1_urgent,
+      |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2_high,
+      |  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3_medium,
+      |  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4_none,
+      |  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5_low
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC""".stripMargin
+
   /** Gap-based sessionization — the batch analog of the streaming
     * sessionizer (EventStreams.scala's flatMapGroupsWithState path,
     * SURVEY §2.8): a new session starts when a user's inter-event gap

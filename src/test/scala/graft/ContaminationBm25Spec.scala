@@ -144,4 +144,37 @@ class ContaminationBm25Spec extends SparkSpec {
     val share = row.getAs[Double]("promo_share")
     assert(share >= 0.0 && share <= 100.0)
   }
+
+  test("sliding windows: every event lands in exactly two hops") {
+    val total = Relational.eventsSliding(spark, Sf0001)
+      .agg(sum("n")).collect().head.getLong(0)
+    val events = graft.Tables.events(spark, Sf0001).count()
+    assert(total == 2 * events)
+  }
+
+  test("pivot: per-status row sums equal the plain groupBy counts") {
+    val rows = Relational.pivotSummary(spark, Sf0001).collect()
+    val plain = graft.Tables.orders(spark, Sf0001)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val s = Seq("p1_urgent", "p2_high", "p3_medium", "p4_none", "p5_low")
+        .map(c => r.getAs[Long](c)).sum
+      assert(s == plain(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("edit distance: confirms a subset of the Jaccard-verified pairs") {
+    val confirmed = graft.operators.Dedup
+      .editDistancePairs(spark, Sf0001, 0.5, 240, 60).collect()
+    val candidates = graft.operators.Dedup
+      .minhashPairs(spark, Sf0001, 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(confirmed.nonEmpty)
+    confirmed.foreach { r =>
+      assert(candidates.contains(
+        (r.getAs[Long]("a"), r.getAs[Long]("b"))))
+      assert(r.getAs[Long]("editdist") >= 0L)
+    }
+  }
 }

@@ -85,6 +85,16 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_pass += 1
         else:
             n_fail += 1
+    # surface builder-side query failures recorded by graft.Verify —
+    # a query that threw has no result dir, so without this it would
+    # silently vanish from the gate (the round-6 pq_scan failure mode)
+    import os
+    fpath = f"{out_dir}/_failures.json"
+    if os.path.exists(fpath):
+        failures = json.load(open(fpath))
+        for name, err in sorted(failures.items()):
+            print(f"FAIL {name}: query threw in Verify: {err}")
+            n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
