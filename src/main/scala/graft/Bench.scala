@@ -123,20 +123,36 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
-    // degrade per-query precision until the line fits (~1900 chars
-    // stdout tail budget after sbt's trailing "[success]" line); the
-    // short sf basename and the elided empty failed-array buy ~30 more
-    // chars of headroom. Full precision is always in bench_detail.json.
+    // degrade the per-query map until the line fits (~1900 chars stdout
+    // tail budget after sbt's trailing "[success]" line): first lower
+    // precision with ALL queries; past ~90 queries even 1-decimal
+    // doesn't fit, so fall back to the LARGEST-k entries (the ones a
+    // reader actually compares round-over-round) plus a "rest" rollup
+    // {n, sum} so the map still accounts for the whole total. Full
+    // precision for every query is always in bench_detail.json.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     val sfShort = sfDir.split('/').last
     val failedPart =
       if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    val line = Seq(3, 2, 1).iterator.map { digits =>
+    def envelope(queriesJson: String, extra: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart}"""
+    val byCost = ok.sortBy(r => (-r._2, r._1))
+    val fullLadder = Seq(3, 2, 1).iterator.map { digits =>
       val p = math.pow(10, digits)
       def rd(v: Double): Double = math.rint(v * p) / p
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => (r._1, rd(r._2))))},"sf":"$sfShort","reps":$reps$failedPart}"""
-    }.find(_.length <= 1850)
-      .getOrElse(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfShort","reps":$reps,"note":"per-query map exceeds tail budget; see bench_detail.json"$failedPart}""")
+      envelope(jmap(results.map(r => (r._1, rd(r._2)))), "")
+    }
+    val topKLadder = Iterator.iterate(byCost.length - 5)(_ - 10)
+      .takeWhile(_ > 0).map { k =>
+        val kept = byCost.take(k).sortBy(_._1)
+        val rest = byCost.drop(k)
+        envelope(jmap(kept.map(r => (r._1, r2(r._2)))),
+          s""","rest":{"n":${rest.length},"sum":${r2(rest.map(_._2).sum)}}""")
+      }
+    val line = (fullLadder ++ topKLadder).find(_.length <= 1850)
+      .getOrElse(envelope("{}",
+        ""","note":"per-query map exceeds tail budget; see bench_detail.json""""))
     println(line)
     spark.stop()
   }

@@ -99,7 +99,10 @@ object SparkEntry {
     "q4_semijoin" -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
     "q6_forecast" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q7_volume" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q10_returned" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q18_bigorders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
@@ -129,6 +132,10 @@ object SparkEntry {
     // bloom membership: present ids + absent ids, verdict beside truth
     "sketch_bloom" -> ((s, d) =>
       Sketches.bloomMembership(s, d, BloomProbeIds)),
+    // fixed-bin value histogram: mergeable cells, one scan (like the
+    // count-min sketch but for a continuous column)
+    "events_histogram" -> ((s, d) =>
+      Sketches.valueHistogram(s, d, 0.0, 50.0, 10)),
     // deterministic hash-threshold sampling (reproducible, shard-stable)
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // stratified quota sampling: exactly N rows per language stratum
@@ -139,6 +146,10 @@ object SparkEntry {
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // Gopher-style repetition signals (dup-word fraction, top bigram)
     "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    // unigram-LM perplexity proxy (CCNet-style quality gate)
+    "quality_unigram_lm" -> ((s, d) => QualityLm.unigramNll(s, d)),
+    // per-(source,lang) training-mixture weights (sqrt-damped shares)
+    "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // §2.4 ingest pipeline
@@ -234,7 +245,10 @@ object SparkEntry {
     "q4_semijoin" -> Relational.q4OracleSql,
     "q5_nation_revenue" -> Relational.q5OracleSql,
     "q6_forecast" -> Relational.q6OracleSql,
+    "q7_volume" -> Relational.q7OracleSql,
+    "q10_returned" -> Relational.q10OracleSql,
     "q14_promo" -> Relational.q14OracleSql,
+    "q18_bigorders" -> Relational.q18OracleSql(300.0),
     "q19_disjunctive" -> Relational.q19OracleSql,
     "agg_gsets" -> Relational.groupingSetsOracleSql,
     "agg_distinct" -> Relational.distinctAggOracleSql,
@@ -255,11 +269,14 @@ object SparkEntry {
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,
     "sketch_hll" -> Sketches.hllOracleSql,
     "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
+    "events_histogram" -> Sketches.valueHistogramOracleSql(0.0, 50.0, 10),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
+    "quality_unigram_lm" -> QualityLm.unigramNllOracleSql,
+    "mix_weights" -> Sampling.mixWeightsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalyzer
+
+/** Unigram language-model quality scoring — the perplexity-proxy filter
+  * of the CCNet/RefinedWeb lineage (Wenzek et al. 2020 score web pages
+  * with a KenLM 5-gram; the unigram degenerate case keeps the exact
+  * same pipeline shape while staying oracle-expressible): score every
+  * document by its mean per-token negative log-likelihood under the
+  * corpus's own unigram distribution,
+  *
+  *   nll(doc) = -(1/n) Σ_t tf_t · ln(ctf_t / total)
+  *            =  ln(total) - (Σ_t tf_t · ln ctf_t) / n
+  *
+  * High nll = the document is made of corpus-rare tokens (boilerplate
+  * hashes, mojibake, exotic vocabulary) — the rows a quality gate
+  * inspects first. Low nll = stopword-ish common text.
+  *
+  * Scale shape: both sides of the one join are TERM-KEYED — the per-doc
+  * term frequencies (the inverted index, persisted and bucketed by term
+  * at 100 TB — Fts.ensureIndex) and the corpus term totals (an
+  * aggregate OF that index, so it inherits the term bucketing). The
+  * join is therefore co-partitioned/exchange-free against a persisted
+  * index; the per-doc regroup is one partial-agg shuffle on doc_id; the
+  * corpus-total scalar rides along as a broadcast single-row cross
+  * join (same pattern as Fts.searchBm25's corpus stats). Nothing is
+  * ever collected to the driver.
+  */
+object QualityLm {
+
+  /** (doc_id, n_tokens, nll) for every document, worst (rarest-token)
+    * first. Deterministic: the per-term contribution tf·ln(ctf) is a
+    * pure function of exact integer counts; only the final two-term
+    * expression is rounded. */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Fts.invertedIndex(Tables.documents(spark, dir))
+      .select("doc_id", "term", "tf")
+    val ctf = idx.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    idx.join(ctf, "term")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") * log(col("ctf").cast("double")))
+          .as("s"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("total").cast("double")) -
+          col("s") / col("n_tokens").cast("double"), 6).as("nll"))
+      .orderBy(col("nll").desc, col("doc_id").asc)
+  }
+
+  def unigramNllOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")})) AS term
+       |  FROM documents
+       |), tfs AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  GROUP BY doc_id, term
+       |), ctf AS (
+       |  SELECT term, sum(tf) AS ctf FROM tfs GROUP BY term
+       |), tot AS (
+       |  SELECT sum(tf) AS total FROM tfs
+       |)
+       |SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+       |  round(ln(CAST(max(tot.total) AS DOUBLE)) -
+       |    sum(f.tf * ln(CAST(c.ctf AS DOUBLE))) / sum(f.tf), 6) AS nll
+       |FROM tfs f JOIN ctf c USING (term), tot
+       |GROUP BY f.doc_id
+       |ORDER BY nll DESC, f.doc_id ASC""".stripMargin
+}

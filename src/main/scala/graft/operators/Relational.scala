@@ -789,6 +789,152 @@ object Relational {
       .orderBy(col("user_id").asc, col("session_seq").asc)
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations): both
+    * supplier-side and customer-side nation lookups are broadcast
+    * dim joins, pre-FILTERED to the two nations of interest before the
+    * broadcast — the fact scan then semi-probes two tiny hash tables
+    * and only surviving rows reach the one real shuffle
+    * (lineitem⋈orders on orderkey; at 100 TB both sides bucketed by
+    * orderkey make it exchange-free). The disjunctive nation-pair
+    * predicate runs AFTER both joins, on two broadcast-resolved
+    * string columns — no join explosion. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (n1, n2) = ("NATION_1", "NATION_2")
+    val natPair = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(n1, n2))
+    val supN = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(natPair.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(natPair.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("l_year").asc)
+  }
+
+  val q7OracleSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+      |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item revenue): a 3-month orders slice
+    * joins returned lineitems, then customer + nation dims resolve
+    * names. The orders slice is NOT broadcast — a quarter of all orders
+    * at 100 TB is far past broadcast size, so the plan keeps the honest
+    * orderkey shuffle (AQE is free to downgrade it to broadcast at
+    * fixture scale). The top-20 is TakeOrderedAndProject — per-partition
+    * heaps, no full sort. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === lit("R"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      // per-row decimal conversion before the sum: decimal addition is
+      // exact and order-independent, so the aggregate can't land on a
+      // rounding boundary differently per engine (double sums did)
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10OracleSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate lineitem to order
+    * grain FIRST (one partial-agg shuffle on orderkey), filter to the
+    * rare heavy orders, and only then join orders/customer — the join
+    * input is the filtered order-grain set, not the line-grain fact.
+    * At 100 TB this pre-aggregation is the difference between joining
+    * billions of lines and joining the handful of qualifying orders. */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > lit(minQty))
+    big
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  def q18OracleSql(minQty: Double): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING round(sum(l_quantity), 2) > $minQty
+       |)
+       |SELECT c_name, c_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  o_totalprice, sum_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   def eventSessionsOracleSql(gapSec: Long): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id,

@@ -91,4 +91,56 @@ object Sampling {
        |)
        |SELECT lang, doc_id, n_chars, pick FROM r WHERE pick <= $quota
        |ORDER BY lang ASC, pick ASC""".stripMargin
+
+  /** Training-mixture weights per (source, lang) — the data-mixing step
+    * of a pretraining pipeline (The Pile / LLaMA style): each stratum
+    * gets its exact token share plus a sqrt-damped sampling weight
+    * (w_g = √tokens_g / Σ_h √tokens_h — the unigram-distribution
+    * damping of word2vec/XLM-R applied to corpus mixing), which
+    * up-samples small high-value sources relative to raw proportion.
+    *
+    * Scale shape: token counting is scan-local (size of the analyzer's
+    * token array — no explode); ONE partial-agg shuffle down to
+    * nSources·nLangs rows; the two corpus scalars (total tokens, Σ√)
+    * aggregate the tiny grouped result and ride back as a broadcast
+    * single-row cross join. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(graft.functions.TextAnalyzer.tokens(col("text")))
+          .cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val totals = grouped.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("sum_sqrt"))
+    grouped.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_share"),
+        round(sqrt(col("n_tokens").cast("double")) / col("sum_sqrt"), 6)
+          .as("mix_weight"))
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+
+  def mixWeightsOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |      t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")})))
+       |      AS n_tokens
+       |  FROM documents GROUP BY source, lang
+       |), tot AS (
+       |  SELECT sum(n_tokens) AS total_tokens,
+       |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sqrt
+       |  FROM g
+       |)
+       |SELECT g.source, g.lang, g.n_docs,
+       |  CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(g.n_tokens AS DOUBLE) /
+       |    CAST(tot.total_tokens AS DOUBLE), 6) AS token_share,
+       |  round(sqrt(CAST(g.n_tokens AS DOUBLE)) / tot.sum_sqrt, 6)
+       |    AS mix_weight
+       |FROM g, tot
+       |ORDER BY g.source ASC, g.lang ASC""".stripMargin
 }

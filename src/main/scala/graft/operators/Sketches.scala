@@ -353,4 +353,35 @@ object Sketches {
       |  round(quantile_cont(value, 0.95), 6) AS p95,
       |  round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin
+
+  /** Fixed-bin value histogram per event type — the distribution sketch
+    * next to the quantiles above: bucket = clamp(floor((v-lo)/width)),
+    * a pure scan-local projection, then ONE partial-agg shuffle on
+    * (type, bucket) whose output is at most nTypes·nBins rows
+    * regardless of corpus size — the same "mergeable cells" property
+    * as the count-min sketch, so 100 TB histograms cost one scan. */
+  def valueHistogram(spark: SparkSession, dir: String, lo: Double,
+      width: Double, nBins: Int): DataFrame = {
+    val bucket = least(
+      greatest(floor((col("value") - lit(lo)) / lit(width)), lit(0L)),
+      lit((nBins - 1).toLong)).cast("int")
+    Tables.events(spark, dir)
+      .select(col("event_type"), bucket.as("bucket"), col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
+  def valueHistogramOracleSql(lo: Double, width: Double,
+      nBins: Int): String =
+    s"""SELECT event_type,
+       |  CAST(least(greatest(floor((value - $lo) / $width), 0),
+       |             ${nBins - 1}) AS INT) AS bucket,
+       |  count(*) AS n, round(sum(value), 2) AS sum_value
+       |FROM events
+       |GROUP BY event_type, CAST(least(greatest(floor((value - $lo)
+       |  / $width), 0), ${nBins - 1}) AS INT)
+       |ORDER BY event_type ASC, bucket ASC""".stripMargin
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{QualityLm, Relational, Sampling, Sketches}
+
+/** Semantics of the late-round-7 additions: TPC-H q7/q10/q18 shapes,
+  * the event-value histogram, the unigram-LM quality score, and the
+  * training-mixture weights. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TPC-H shapes -----------------------------------------------------
+
+  test("q7: only the two nation pairs appear, revenue recomputes") {
+    // sf0.001 may legitimately have zero NATION_1<->NATION_2 trade; the
+    // test asserts agreement with an independent join, not non-emptiness
+    // (the sf0.01/sf0.1 oracle gate covers the non-empty case)
+    val rows = Relational.q7VolumeShipping(spark, Sf0001).collect()
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"),
+      ("NATION_2", "NATION_1"))))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0)
+      assert(r.getAs[Long]("n_items") > 0)
+      val y = r.getAs[Long]("l_year")
+      assert(y >= 1995L && y <= 2001L)
+    }
+    // total line count cross-checks an independent join formulation
+    val expected = Tables.lineitem(spark, Sf0001).as("l")
+      .join(Tables.orders(spark, Sf0001).as("o"),
+        $"l.l_orderkey" === $"o.o_orderkey")
+      .join(Tables.supplier(spark, Sf0001).as("s"),
+        $"l.l_suppkey" === $"s.s_suppkey")
+      .join(Tables.customer(spark, Sf0001).as("c"),
+        $"o.o_custkey" === $"c.c_custkey")
+      .join(Tables.nation(spark, Sf0001).as("sn"),
+        $"s.s_nationkey" === $"sn.n_nationkey")
+      .join(Tables.nation(spark, Sf0001).as("cn"),
+        $"c.c_nationkey" === $"cn.n_nationkey")
+      .filter(($"sn.n_name" === "NATION_1" && $"cn.n_name" === "NATION_2") ||
+        ($"sn.n_name" === "NATION_2" && $"cn.n_name" === "NATION_1"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == expected)
+  }
+
+  test("q10: top-20 by revenue desc, only R-flag lines in the window") {
+    val rows = Relational.q10ReturnedItems(spark, Sf0001).collect()
+    assert(rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    // every reported customer really has an R-returned line in the window
+    val reported = rows.map(_.getAs[Long]("c_custkey")).toSet
+    val truth = Tables.lineitem(spark, Sf0001)
+      .filter($"l_returnflag" === "R").as("l")
+      .join(Tables.orders(spark, Sf0001)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-04-01").cast("timestamp")).as("o"),
+        $"l.l_orderkey" === $"o.o_orderkey")
+      .select($"o.o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(reported.subsetOf(truth))
+  }
+
+  test("q18: every order exceeds the quantity threshold; ordering holds") {
+    val rows = Relational.q18LargeOrders(spark, Sf0001, 150.0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 150.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+    // grain is order-level: no duplicate orderkeys
+    val keys = rows.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.distinct.length == keys.length)
+    // spot-check one order's quantity sum against a direct recompute
+    val k = keys.head
+    val direct = Tables.lineitem(spark, Sf0001)
+      .filter($"l_orderkey" === k)
+      .agg(round(sum($"l_quantity"), 2)).head().getDouble(0)
+    assert(rows.head.getAs[Double]("sum_qty") == direct)
+  }
+
+  // ---- histogram --------------------------------------------------------
+
+  test("histogram: bucket counts partition each type's events exactly") {
+    val rows = Sketches.valueHistogram(spark, Sf0001, 0.0, 50.0, 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 9)
+    }
+    val perType = rows.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val truth = Tables.events(spark, Sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perType == truth)
+    // one bucket's count against a direct range filter (bucket 2 of view)
+    val n2 = rows.find(r => r.getAs[String]("event_type") == "view" &&
+      r.getAs[Int]("bucket") == 2).map(_.getAs[Long]("n")).getOrElse(0L)
+    val direct = Tables.events(spark, Sf0001)
+      .filter($"event_type" === "view" &&
+        $"value" >= 100.0 && $"value" < 150.0).count()
+    assert(n2 == direct)
+  }
+
+  // ---- unigram LM quality ----------------------------------------------
+
+  test("unigram nll: one row per tokenized doc, recomputes driver-side") {
+    val rows = QualityLm.unigramNll(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> functions.TextAnalyzer.analyze(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    assert(rows.length == docs.length)
+    // full corpus unigram model, driver-side
+    val ctf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val total = ctf.values.sum.toDouble
+    val byId = docs.toMap
+    rows.take(20).foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      val s = toks.groupBy(identity).map { case (t, g) =>
+        g.size.toDouble * math.log(ctf(t).toDouble)
+      }.sum
+      val nll = math.log(total) - s / toks.length
+      assert(math.abs(r.getAs[Double]("nll") - nll) < 1e-5)
+      assert(r.getAs[Double]("nll") > 0) // rarer than uniform-1 impossible
+    }
+    // sorted worst-first
+    val nlls = rows.map(_.getAs[Double]("nll"))
+    assert(nlls.sameElements(nlls.sortBy(-_)))
+  }
+
+  // ---- mixture weights --------------------------------------------------
+
+  test("mix weights: shares and weights each sum to 1, docs conserve") {
+    val rows = Sampling.mixWeights(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    val weightSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    assert(math.abs(weightSum - 1.0) < 1e-3)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, Sf0001).count())
+    // sqrt damping: a stratum's weight exceeds its raw share iff the
+    // stratum is smaller than average (up-sampling small sources)
+    val nGroups = rows.length
+    rows.foreach { r =>
+      val (share, w) = (r.getAs[Double]("token_share"),
+        r.getAs[Double]("mix_weight"))
+      if (share * nGroups < 0.5) assert(w > share)
+    }
+  }
+}
