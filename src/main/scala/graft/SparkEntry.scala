@@ -198,6 +198,9 @@ object SparkEntry {
     // char-level confirmation of the Jaccard-verified near-dup pairs
     "dedup_editdist" -> ((s, d) =>
       Dedup.editDistancePairs(s, d, 0.5, 240, 60)),
+    // duplicated verbatim 5-token spans across documents (fixed-n
+    // approximation of exact-substring dedup)
+    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -305,6 +308,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
+    "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):

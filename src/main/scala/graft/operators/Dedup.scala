@@ -464,6 +464,72 @@ object Dedup {
 
   val ShingleSize = 3
 
+  /** Token n-gram size for the duplicated-span inventory — longer than
+    * the shingles so a reported span is a real verbatim run, not a
+    * common phrase. */
+  val SpanGramSize = 5
+
+  /** Duplicated-span inventory — the fixed-n approximation of
+    * exact-substring training-data dedup (Lee et al. 2021 build a
+    * suffix array to find all repeated substrings ≥50 chars; at fixed
+    * token-gram length the same question — "which verbatim runs appear
+    * in more than one document, and how often?" — is a sort/agg over
+    * the gram stream, no suffix structure needed). Output: every
+    * 5-token gram occurring in >1 distinct document, with its document
+    * frequency and total occurrence count (multiplicity preserved —
+    * unlike the shingle SETS above, a doc repeating a span internally
+    * counts every occurrence), worst offenders first.
+    *
+    * Scale shape: gram explosion is scan-local behind the tokenizer
+    * barrier; ONE shuffle on gram with map-side partial aggregation;
+    * the >1-doc filter runs post-agg on the vocabulary-sized result.
+    * At 100 TB the gram stream never materializes — it flows straight
+    * into the partial aggregate. */
+  def duplicatedSpans(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val idx = when(size(col("toks")) >= SpanGramSize,
+      sequence(lit(0), size(col("toks")) - SpanGramSize))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx,
+      i => concat_ws(" ",
+        (0 until SpanGramSize).map(j =>
+          element_at(col("toks"), i + j + 1)): _*))
+    toks.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("gram").asc)
+      .limit(topK)
+  }
+
+  def duplicatedSpansOracleSql(topK: Int): String = {
+    val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
+       |    i -> $gramExpr)) AS gram
+       |  FROM toklists
+       |)
+       |SELECT gram, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences
+       |FROM grams GROUP BY gram
+       |HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
+       |LIMIT $topK""".stripMargin
+  }
+
   /** (doc_id, shingle) distinct word 3-gram shingles via sliding window
     * over the analyzed token stream (transform over index sequence —
     * pure built-ins, no UDF).

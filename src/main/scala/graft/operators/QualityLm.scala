@@ -37,7 +37,7 @@ object QualityLm {
     * pure function of exact integer counts; only the final two-term
     * expression is rounded. */
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
-    val idx = Fts.invertedIndex(Tables.documents(spark, dir))
+    val idx = spark.table(Fts.ensureIndex(spark, dir))
       .select("doc_id", "term", "tf")
     val ctf = idx.groupBy("term").agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("total"))

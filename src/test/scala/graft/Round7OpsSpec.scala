@@ -80,6 +80,54 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sum_qty") == direct)
   }
 
+  // ---- plan shapes ------------------------------------------------------
+
+  test("q7: nation-filtered dims broadcast; no nested-loop from the OR") {
+    val plan = Relational.q7VolumeShipping(spark, Sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the nation pre-filter is pushed into the dim scans, not evaluated
+    // post-join (pushed as In or as two EqualTo arms)
+    assert(plan.contains("In(n_name") || plan.contains("EqualTo(n_name"))
+  }
+
+  test("q10: returnflag filter pushed to scan; customer/nation broadcast") {
+    val plan = Relational.q10ReturnedItems(spark, Sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q18: lineitem aggregates to order grain BEFORE the orders join") {
+    val plan = Relational.q18LargeOrders(spark, Sf0001, 150.0)
+      .queryExecution.executedPlan.toString()
+    // partial + final aggregate pair on l_orderkey feeding the join
+    assert(plan.contains("HashAggregate"))
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = math.max(plan.indexOf("SortMergeJoin"),
+      plan.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("histogram/unigram: single-shuffle aggregates, no extra exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(nodes) ++
+        (p match { case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+                   case _ => Seq.empty }))
+    val hist = Sketches.valueHistogram(spark, Sf0001, 0.0, 50.0, 10)
+    val shuffles = nodes(hist.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    // one partial-agg shuffle on (type, bucket) + the output sort's
+    // range exchange — nothing else
+    assert(shuffles <= 2, s"histogram plan has $shuffles exchanges")
+  }
+
   // ---- histogram --------------------------------------------------------
 
   test("histogram: bucket counts partition each type's events exactly") {
@@ -130,6 +178,30 @@ class Round7OpsSpec extends SparkSpec {
     // sorted worst-first
     val nlls = rows.map(_.getAs[Double]("nll"))
     assert(nlls.sameElements(nlls.sortBy(-_)))
+  }
+
+  // ---- duplicated spans -------------------------------------------------
+
+  test("dedup spans: cross-doc verbatim 5-gram runs, counts recompute") {
+    val rows = operators.Dedup.duplicatedSpans(spark, Sf0001, 50).collect()
+    assert(rows.nonEmpty) // fixture has exact-duplicate docs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 1)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("gram").split(" ").length ==
+        operators.Dedup.SpanGramSize)
+    }
+    // driver-side recompute of the top gram's counts
+    val gram = rows.head.getAs[String]("gram")
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> functions.TextAnalyzer.analyze(r.getString(1)))
+    val occ = docs.map { case (_, toks) =>
+      toks.sliding(operators.Dedup.SpanGramSize)
+        .count(_.mkString(" ") == gram)
+    }
+    assert(occ.sum.toLong == rows.head.getAs[Long]("n_occurrences"))
+    assert(occ.count(_ > 0).toLong == rows.head.getAs[Long]("n_docs"))
   }
 
   // ---- mixture weights --------------------------------------------------
