@@ -111,6 +111,13 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "win_running" -> ((s, d) => Relational.runningOrderStats(s, d)),
+    // bounded 10-event trailing frame (the windowed-FRAME shape)
+    "win_rolling" -> ((s, d) => Relational.rollingUserStats(s, d, 10)),
+    // NTILE decile bucketing (equal-count vs the histogram's equal-width)
+    "win_ntile" -> ((s, d) => Relational.customerDeciles(s, d)),
+    // bloom semi-join reduction: dim-key bloom pruned into the fact
+    // scan; the plain join is the oracle (no false negatives)
+    "join_bloom_prune" -> ((s, d) => ScaleOps.bloomPrunedRevenue(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
@@ -260,6 +267,9 @@ object SparkEntry {
     "set_ops" -> Relational.setOpsOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
     "win_running" -> Relational.runningOrderStatsOracleSql,
+    "win_rolling" -> Relational.rollingUserStatsOracleSql(10),
+    "win_ntile" -> Relational.customerDecilesOracleSql,
+    "join_bloom_prune" -> ScaleOps.bloomPrunedRevenueOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),

@@ -789,6 +789,83 @@ object Relational {
       .orderBy(col("user_id").asc, col("session_seq").asc)
   }
 
+  /** Bounded-frame rolling statistics per user — the window-FRAME shape
+    * the running stats above don't cover (they use an unbounded
+    * prefix): a 10-event trailing window of the value stream, the
+    * moving-average primitive of monitoring/feature pipelines.
+    *
+    * Scale shape: one shuffle keyed by user_id (the window partition);
+    * the bounded frame is O(frame) memory per row in both engines. The
+    * deterministic (tsec, event_id) order makes frame contents — and
+    * therefore the frame-ordered double summation — identical across
+    * engines. */
+  def rollingUserStats(spark: SparkSession, dir: String,
+      frame: Int): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts")).cast("long")
+    }
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    ev.withColumn("tsec", tsec)
+      .select(col("user_id"), col("event_id"), col("tsec"), col("value"),
+        count(lit(1)).over(w).as("roll_n"),
+        round(avg(col("value")).over(w), 6).as("roll_avg"),
+        round(max(col("value")).over(w), 2).as("roll_max"))
+      .orderBy(col("user_id").asc, col("tsec").asc, col("event_id").asc)
+  }
+
+  def rollingUserStatsOracleSql(frame: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS tsec,
+       |    value
+       |  FROM events
+       |)
+       |SELECT user_id, event_id, tsec, value,
+       |  count(*) OVER w AS roll_n,
+       |  round(avg(value) OVER w, 6) AS roll_avg,
+       |  round(max(value) OVER w, 2) AS roll_max
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC
+       |             ROWS BETWEEN ${frame - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id ASC, tsec ASC, event_id ASC""".stripMargin
+
+  /** NTILE decile summary of customers by account balance — the ranked-
+    * bucketing window shape (equal-count buckets, vs the equal-WIDTH
+    * buckets of Sketches.valueHistogram). NOTE the global ORDER BY
+    * window is a single-reducer construct: at 100 TB the same deciles
+    * come from approx_percentile boundary computation + a scan-local
+    * bucket assignment (the events_quantiles pattern); ntile is the
+    * exact fixture-scale formulation the oracle can mirror. */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("decile").asc)
+  }
+
+  val customerDecilesOracleSql: String =
+    """WITH d AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+      |      AS decile
+      |  FROM customer
+      |)
+      |SELECT decile, count(*) AS n,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(avg(c_acctbal), 4) AS avg_bal
+      |FROM d GROUP BY decile ORDER BY decile ASC""".stripMargin
+
   /** TPC-H Q7 shape (volume shipping between two nations): both
     * supplier-side and customer-side nation lookups are broadcast
     * dim joins, pre-FILTERED to the two nations of interest before the

@@ -181,6 +181,84 @@ object ScaleOps {
     """SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS total
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey ASC""".stripMargin
 
+  // --- Bloom semi-join reduction (runtime-filter pattern) ---------------
+
+  /** 4096-bit / 5-hash bloom over a join key — the explicit form of the
+    * engine runtime filter (Spark's spark.sql.optimizer.runtime.
+    * bloomFilter, the sideways information passing of warehouse
+    * engines): the DIM side's keys compress to a fixed 512-byte bit
+    * array that rides into the FACT scan as a literal, discarding
+    * non-matching rows before they reach the join's shuffle. No false
+    * negatives, so the join result is EXACTLY the plain join — which is
+    * what lets the plain join be the oracle. */
+  val JoinBloomBits = 4096 // 3 md5 hex chars
+  val JoinBloomHashes = 5
+
+  /** index_k(key) = first 3 hex chars of md5(k ':' key) ∈ [0, 4096). */
+  private def jbloomIdx(k: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$k:"), key)), 1, 3), 16, 10)
+      .cast("int")
+
+  /** Distributed bloom build: each dim key explodes to its 5 bit
+    * indexes, ONE partial-agg shuffle folds them to ≤64 (word, bits)
+    * cells, and only those 64 longs reach the driver — the build cost
+    * is dim-scan + a fixed-size collect no matter how large the dim. */
+  def buildJoinBloom(keys: DataFrame, keyCol: String): Array[Long] = {
+    val cells = keys
+      .select(explode(array((0 until JoinBloomHashes).map(k =>
+        jbloomIdx(k, col(keyCol).cast("string"))): _*)).as("idx"))
+      .groupBy((col("idx") / 64).cast("int").as("word"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), idx % 64)"))
+        .as("bits"))
+      .collect()
+    val words = Array.fill(JoinBloomBits / 64)(0L)
+    cells.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Scan-local might-contain predicate against the literal word array:
+    * 5 md5s + 5 bit tests per row, zero joins, zero shuffles. */
+  def joinBloomMightContain(words: Seq[Long], key: Column): Column = {
+    val wl = typedLit(words)
+    (0 until JoinBloomHashes).map { k =>
+      val idx = jbloomIdx(k, key.cast("string"))
+      val word = element_at(wl, (idx / 64).cast("int") + 1)
+      call_function("shiftright", word, pmod(idx, lit(64)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Registered demo: order revenue by priority for BUILDING-segment
+    * customers, with the orders scan pre-pruned by the customer-key
+    * bloom. ~1/5 of customers are BUILDING, so ~80% of orders rows
+    * (minus bloom false positives) never enter the join. The oracle is
+    * the PLAIN join — hash-equality proves the bloom pruned without
+    * changing a single row. Decimal summation keeps the aggregate off
+    * double rounding boundaries. */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select("c_custkey")
+    val words = buildJoinBloom(cust, "c_custkey")
+    graft.Tables.orders(spark, dir)
+      .filter(joinBloomMightContain(words.toSeq, col("o_custkey")))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val bloomPrunedRevenueOracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+      |    AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin
+
   /** Detects whether a physical plan contains a shuffle exchange.
     * Walks THROUGH AQE wrapper nodes (AdaptiveSparkPlanExec /
     * QueryStageExec hide their subtrees from a plain collect). */

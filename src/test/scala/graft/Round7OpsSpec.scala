@@ -180,6 +180,69 @@ class Round7OpsSpec extends SparkSpec {
     assert(nlls.sameElements(nlls.sortBy(-_)))
   }
 
+  // ---- bloom semi-join reduction ----------------------------------------
+
+  test("bloom join: prunes the fact scan, loses no true match") {
+    import graft.operators.ScaleOps
+    val cust = Tables.customer(spark, Sf0001)
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val words = ScaleOps.buildJoinBloom(cust, "c_custkey")
+    val orders = Tables.orders(spark, Sf0001)
+    val kept = orders
+      .filter(ScaleOps.joinBloomMightContain(words.toSeq, $"o_custkey"))
+    val custKeys = cust.collect().map(_.getLong(0)).toSet
+    val trueMatches = orders.collect()
+      .count(r => custKeys(r.getAs[Long]("o_custkey")))
+    val keptN = kept.count()
+    // no false negatives: every true match survives the bloom
+    assert(keptN >= trueMatches)
+    // and the filter genuinely prunes (false positives stay rare at
+    // 4096 bits / 5 hashes for a few hundred keys)
+    assert(keptN < orders.count())
+    // end to end: bloomed result == plain-join result
+    val bloomed = ScaleOps.bloomPrunedRevenue(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    val plain = orders
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy($"o_orderpriority".asc)
+      .collect().map(_.toString).toSeq
+    assert(bloomed == plain)
+  }
+
+  test("rolling window: frame counts clamp at the frame size") {
+    val rows = Relational.rollingUserStats(spark, Sf0001, 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("roll_n")
+      assert(n >= 1 && n <= 10)
+      assert(r.getAs[Double]("roll_max") >= r.getAs[Double]("roll_avg"))
+    }
+    // a user's first event has frame size 1 and avg == its own value
+    val first = rows.groupBy(_.getAs[Long]("user_id"))
+      .values.map(_.head)
+    first.foreach { r =>
+      assert(r.getAs[Long]("roll_n") == 1L)
+      assert(math.abs(r.getAs[Double]("roll_avg") -
+        math.rint(r.getAs[Double]("value") * 1e6) / 1e6) < 1e-6)
+    }
+  }
+
+  test("ntile: decile sizes differ by at most one, ranges nest") {
+    val rows = Relational.customerDeciles(spark, Sf0001).collect()
+    assert(rows.length == 10)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sum == Tables.customer(spark, Sf0001).count())
+    // deciles ordered by descending balance: min of decile d >= max of d+1
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Double]("min_bal") >= lo.getAs[Double]("max_bal"))
+    }
+  }
+
   // ---- duplicated spans -------------------------------------------------
 
   test("dedup spans: cross-doc verbatim 5-gram runs, counts recompute") {
