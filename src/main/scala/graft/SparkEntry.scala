@@ -155,6 +155,8 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // unigram-LM perplexity proxy (CCNet-style quality gate)
     "quality_unigram_lm" -> ((s, d) => QualityLm.unigramNll(s, d)),
+    // Gopher/MassiveWeb composite rule gate with per-rule attribution
+    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
     // per-(source,lang) training-mixture weights (sqrt-damped shares)
     "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
@@ -289,6 +291,7 @@ object SparkEntry {
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "quality_unigram_lm" -> QualityLm.unigramNllOracleSql,
+    "quality_gopher" -> TextOps.gopherQualityOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,

@@ -430,4 +430,83 @@ object TextOps {
       |  t.bg AS top_bigram, CAST(t.cnt AS BIGINT) AS top_count
       |FROM w JOIN top t ON w.doc_id = t.doc_id AND t.rn = 1
       |ORDER BY w.doc_id ASC""".stripMargin
+
+  /** Composite rule-based quality gate — the Gopher/MassiveWeb document
+    * filter (Rae et al. 2021, A1.1): a document passes only if it
+    * clears ALL of word-count bounds, mean-word-length bounds, symbol
+    * ratio, stopword evidence, and lexical diversity. Thresholds are
+    * adapted to the fixture corpus (the published 50-100k word bound
+    * would pass or fail everything here); the RULE SHAPES are the
+    * published ones. Per-rule booleans are emitted so downstream
+    * analysis can attribute rejections (the standard ablation view).
+    *
+    * Every signal is a scan-local expression over the text column —
+    * the whole gate is scan → project with zero shuffles (the output
+    * sort is the registered query's determinism, not the operator's).
+    * Rule booleans are computed on UNROUNDED doubles: each is a single
+    * arithmetic expression evaluated identically by both engines, so
+    * no rounding boundary exists; only the REPORTED ratios round. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val Stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val words = split(trim(col("text")), "\\s+")
+    val wc = size(words).cast("long")
+    val meanWl = length(regexp_replace(col("text"), "\\s", ""))
+      .cast("double") / wc
+    val symRatio = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+      .cast("double") / length(col("text"))
+    val nStop = size(array_intersect(
+      array_distinct(split(lower(col("text")), "\\W+")),
+      array(Stopwords.map(lit): _*))).cast("long")
+    val distinctFrac = size(array_distinct(split(lower(col("text")), "\\W+")))
+      .cast("double") / size(split(lower(col("text")), "\\W+"))
+    val rLength = wc >= 30 && wc <= 10000
+    val rMeanLen = meanWl >= lit(3.0) && meanWl <= lit(5.0)
+    val rSymbol = symRatio <= lit(0.1)
+    val rStop = nStop >= 1
+    val rRepeat = distinctFrac >= lit(0.5)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wc.as("word_count"),
+        round(meanWl, 4).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_ratio"),
+        nStop.as("n_stopwords"),
+        round(distinctFrac, 6).as("distinct_frac"),
+        rLength.as("r_length"), rMeanLen.as("r_meanlen"),
+        rSymbol.as("r_symbol"), rStop.as("r_stopword"),
+        rRepeat.as("r_repeat"),
+        (rLength && rMeanLen && rSymbol && rStop && rRepeat).as("pass"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val gopherQualityOracleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS wc,
+      |    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |      len(string_split_regex(trim(text), '\s+')) AS meanwl,
+      |    CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+      |      AS DOUBLE) / len(text) AS symratio,
+      |    CAST(len(list_intersect(
+      |      list_distinct(string_split_regex(lower(text), '\W+')),
+      |      ['the','be','to','of','and','that','have','with']))
+      |      AS BIGINT) AS nstop,
+      |    CAST(len(list_distinct(string_split_regex(lower(text), '\W+')))
+      |      AS DOUBLE) /
+      |      len(string_split_regex(lower(text), '\W+')) AS dfrac
+      |  FROM documents
+      |)
+      |SELECT doc_id, wc AS word_count,
+      |  round(meanwl, 4) AS mean_word_len,
+      |  round(symratio, 6) AS symbol_ratio,
+      |  nstop AS n_stopwords,
+      |  round(dfrac, 6) AS distinct_frac,
+      |  wc >= 30 AND wc <= 10000 AS r_length,
+      |  meanwl >= 3.0 AND meanwl <= 5.0 AS r_meanlen,
+      |  symratio <= 0.1 AS r_symbol,
+      |  nstop >= 1 AS r_stopword,
+      |  dfrac >= 0.5 AS r_repeat,
+      |  (wc >= 30 AND wc <= 10000) AND (meanwl >= 3.0 AND meanwl <= 5.0)
+      |    AND symratio <= 0.1 AND nstop >= 1 AND dfrac >= 0.5 AS pass
+      |FROM s ORDER BY doc_id ASC""".stripMargin
 }

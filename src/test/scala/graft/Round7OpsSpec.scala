@@ -267,6 +267,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(occ.count(_ > 0).toLong == rows.head.getAs[Long]("n_docs"))
   }
 
+  // ---- Gopher quality gate ----------------------------------------------
+
+  test("gopher gate: pass is the conjunction; signals recompute") {
+    val rows = operators.TextOps.gopherQuality(spark, Sf0001).collect()
+    assert(rows.length == Tables.documents(spark, Sf0001).count())
+    val outcomes = rows.map(_.getAs[Boolean]("pass")).toSet
+    assert(outcomes == Set(true, false)) // thresholds discriminate
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("r_length") &&
+        r.getAs[Boolean]("r_meanlen") && r.getAs[Boolean]("r_symbol") &&
+        r.getAs[Boolean]("r_stopword") && r.getAs[Boolean]("r_repeat")
+      assert(r.getAs[Boolean]("pass") == conj)
+    }
+    // spot recompute of the scalar signals on one document
+    val doc = Tables.documents(spark, Sf0001)
+      .orderBy($"doc_id".asc).select("doc_id", "text").head()
+    val text = doc.getString(1)
+    val words = text.trim.split("\\s+")
+    val row = rows.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get
+    assert(row.getAs[Long]("word_count") == words.length.toLong)
+    val meanWl = text.replaceAll("\\s", "").length.toDouble / words.length
+    assert(math.abs(row.getAs[Double]("mean_word_len") -
+      math.rint(meanWl * 1e4) / 1e4) < 1e-9)
+  }
+
   // ---- mixture weights --------------------------------------------------
 
   test("mix weights: shares and weights each sum to 1, docs conserve") {
