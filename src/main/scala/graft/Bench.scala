@@ -80,7 +80,7 @@ object Bench {
     // really be execution time — report plan = -1 (not separable)
     // instead of a lie, and skip the redundant extra executions.
     val driverActionBuilders = Set("ivf_ann", "emb_tfidf_ann",
-      "dedup_clusters")
+      "dedup_clusters", "pq_scan", "join_bloom_prune")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>

@@ -114,12 +114,20 @@ object ProductQuant {
   def pqScan(spark: SparkSession, dir: String, qid: Long, nCand: Int,
       k: Int): DataFrame = {
     val table = ensurePqTable(spark, dir)
-    val cb = codebook(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    // one-row point lookup (inherent to point-query ANN)
-    val qv = emb.filter(col("vec_id") === lit(qid))
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+    // ONE driver job fetches the codebook seeds AND the query vector
+    // (seed-filter pushdown + point lookup) instead of two sequential
+    // collects — the per-query driver-side floor is one scan, not two
+    val fetched = emb
+      .filter(col("vec_id") < lit(NCode.toLong) ||
+        col("vec_id") === lit(qid))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seeds = (0 until NCode).map(c => fetched(c.toLong))
+    val cb = Array.tabulate(M, NCode)((s, c) =>
+      seeds(c).slice(s * Dsub, (s + 1) * Dsub))
+    val qv = fetched(qid)
     // per-query lookup table lut[s][c] = |q_s - cw_sc|²
     val lut = Array.tabulate(M, NCode) { (s, c) =>
       val qs = qv.slice(s * Dsub, (s + 1) * Dsub).toSeq
