@@ -102,7 +102,10 @@ object SparkEntry {
     "q7_volume" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
     "q10_returned" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q15_topsupplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q17_smallqty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q18_bigorders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q22_prospects" -> ((s, d) => Relational.q22Prospects(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
@@ -260,7 +263,10 @@ object SparkEntry {
     "q7_volume" -> Relational.q7OracleSql,
     "q10_returned" -> Relational.q10OracleSql,
     "q14_promo" -> Relational.q14OracleSql,
+    "q15_topsupplier" -> Relational.q15OracleSql,
+    "q17_smallqty" -> Relational.q17OracleSql,
     "q18_bigorders" -> Relational.q18OracleSql(300.0),
+    "q22_prospects" -> Relational.q22OracleSql,
     "q19_disjunctive" -> Relational.q19OracleSql,
     "agg_gsets" -> Relational.groupingSetsOracleSql,
     "agg_distinct" -> Relational.distinctAggOracleSql,

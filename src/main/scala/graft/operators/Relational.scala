@@ -1012,6 +1012,132 @@ object Relational {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  /** TPC-H Q15 shape (top supplier): argmax over an aggregate — the
+    * revenue-per-supplier aggregate joins against its own one-row MAX
+    * (a broadcast single-row cross join, the scalar-subquery
+    * decorrelation), keeping every supplier tied at the maximum.
+    * Decimal revenue makes the equality test engine-exact — comparing
+    * double sums for equality would be a correctness bug. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 2).cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  val q15OracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |), m AS (SELECT max(total_rev) AS mx FROM rev)
+      |SELECT s_suppkey, s_name,
+      |  CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey, m
+      |WHERE total_rev = mx
+      |ORDER BY s_suppkey ASC""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated
+    * "l_quantity < 0.2 · avg(quantity of this part)" subquery
+    * DECORRELATED into a per-part aggregate joined back to the fact —
+    * the rewrite every optimizer applies, expressed directly. The
+    * per-part average is exact across engines because l_quantity is
+    * integer-valued (order-independent double sum), so the strict
+    * threshold comparison cannot straddle engines. Brand-filtered
+    * parts broadcast into both the aggregate and the final probe. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === lit("Brand#1"))
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy("l_partkey")
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .withColumnRenamed("l_partkey", "a_partkey")
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("small_qty_revenue"))
+  }
+
+  val q17OracleSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+      |), li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN p ON p_partkey = l_partkey
+      |), a AS (
+      |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+      |  FROM li GROUP BY l_partkey
+      |)
+      |SELECT count(*) AS n_lines,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+      |    AS DOUBLE) AS small_qty_revenue
+      |FROM li JOIN a ON a_partkey = l_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q22 shape (prospective customers): a scalar subquery (the
+    * positive-balance average, one broadcast row; exact across engines
+    * because the sum runs in decimal) gates customers, an ANTI-join
+    * against the recent-orders slice removes active ones, and the
+    * survivors aggregate per segment. The reference fixture has no
+    * order-less customers, so "recent" (post-2000) stands in for
+    * TPC-H's "no orders at all" — same plan shape. */
+  def q22Prospects(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val thresh = cust.filter(col("c_acctbal") > lit(0.0))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  val q22OracleSql: String =
+    """WITH t AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0
+      |), recent AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total_bal
+      |FROM customer, t
+      |WHERE c_acctbal > avg_bal
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment ASC""".stripMargin
+
   def eventSessionsOracleSql(gapSec: Long): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id,

@@ -80,6 +80,46 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sum_qty") == direct)
   }
 
+  test("q15/q17/q22: decorrelated shapes agree with direct recomputes") {
+    // q15: winners carry the max of the independent per-supplier agg
+    val rev = Tables.lineitem(spark, Sf0001)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q15 = Relational.q15TopSupplier(spark, Sf0001).collect()
+    assert(q15.nonEmpty)
+    val mx = rev.values.max
+    q15.foreach(r =>
+      assert(math.abs(r.getAs[Double]("total_rev") - mx) < 1e-6))
+    // q17: every qualifying line is strictly under 20% of its part avg
+    val q17 = Relational.q17SmallQtyRevenue(spark, Sf0001).head()
+    val li = Tables.lineitem(spark, Sf0001).as("l")
+      .join(Tables.part(spark, Sf0001)
+        .filter($"p_brand" === "Brand#1").select("p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .select("l_partkey", "l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val avgByPart = li.groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum / v.length).toMap
+    val expected17 = li.count { case (p, q) => q < 0.2 * avgByPart(p) }
+    assert(q17.getAs[Long]("n_lines") == expected17.toLong)
+    // q22: customer counts conserve against a driver-side recompute
+    val q22 = Relational.q22Prospects(spark, Sf0001).collect()
+    val cust = Tables.customer(spark, Sf0001)
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+    val pos = cust.filter(_.getDouble(1) > 0)
+    val avgBal = pos.map(_.getDouble(1)).sum / pos.length
+    val recent = Tables.orders(spark, Sf0001)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected22 = cust.count(r =>
+      r.getDouble(1) > avgBal && !recent(r.getLong(0)))
+    assert(q22.map(_.getAs[Long]("n_customers")).sum == expected22.toLong)
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("q7: nation-filtered dims broadcast; no nested-loop from the OR") {
