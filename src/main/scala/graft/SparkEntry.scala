@@ -154,6 +154,10 @@ object SparkEntry {
     "zorder_key" -> ((s, d) => ScaleOps.zorderEventKeys(s, d, 50)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
+    // order-independent multiset digests (dataset-versioning primitive)
+    "table_digest" -> ((s, d) => ScaleOps.tableDigests(s, d)),
+    // join-key skew diagnostic (the salting decision input)
+    "skew_stats" -> ((s, d) => ScaleOps.joinKeySkew(s, d, 10)),
     // Gopher-style repetition signals (dup-word fraction, top bigram)
     "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // unigram-LM perplexity proxy (CCNet-style quality gate)
@@ -295,6 +299,8 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
+    "table_digest" -> ScaleOps.tableDigestsOracleSql,
+    "skew_stats" -> ScaleOps.joinKeySkewOracleSql(10),
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "quality_unigram_lm" -> QualityLm.unigramNllOracleSql,
     "quality_gopher" -> TextOps.gopherQualityOracleSql,

@@ -259,6 +259,95 @@ object ScaleOps {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin
 
+  // --- Corpus integrity & diagnostics -----------------------------------
+
+  /** Order-independent table digest — the dataset-versioning primitive
+    * a training pipeline pins its runs to: per table, a 28-bit md5 row
+    * hash folded with BOTH an additive and a xor aggregate (either
+    * alone can be fooled; together they fingerprint multiset content).
+    * Both folds are commutative, so the digest is independent of
+    * partitioning, row order, and executor count — any two engines (or
+    * the same corpus before/after a rewrite) agree iff the rows agree.
+    * One scan + a 1-row aggregate per table; 28-bit hashes keep the
+    * additive fold far from long overflow (needs > 2^35 rows to wrap).
+    * Digest columns are the stable identity columns; mutable doubles
+    * and timestamps are excluded (their string forms are
+    * engine-formatting-sensitive). */
+  def tableDigests(spark: SparkSession, dir: String): DataFrame = {
+    def digest(df: DataFrame, name: String,
+        cols: Seq[Column]): DataFrame = {
+      val h = conv(substring(md5(concat_ws("|",
+        cols.map(_.cast("string")): _*)), 1, 7), 16, 10).cast("long")
+      df.select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"),
+          expr("bit_xor(h)").as("hash_xor"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("hash_sum"), col("hash_xor"))
+    }
+    val d = graft.Tables.documents(spark, dir)
+    val e = graft.Tables.events(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    digest(d, "documents",
+      Seq(col("doc_id"), col("lang"), col("source"), col("text")))
+      .unionAll(digest(e, "events",
+        Seq(col("event_id"), col("user_id"), col("event_type"))))
+      .unionAll(digest(o, "orders",
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))))
+      .orderBy(col("table_name").asc)
+  }
+
+  val tableDigestsOracleSql: String = {
+    def one(table: String, rowExpr: String): String =
+      s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+         |  CAST(sum(h) AS BIGINT) AS hash_sum,
+         |  bit_xor(h) AS hash_xor
+         |FROM (SELECT CAST('0x' || substr(md5($rowExpr), 1, 7)
+         |  AS BIGINT) AS h FROM $table)""".stripMargin
+    Seq(
+      one("documents",
+        "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || text"),
+      one("events",
+        "CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' || event_type"),
+      one("orders",
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name ASC")
+  }
+
+  /** Join-key skew diagnostic — the measurement that decides whether a
+    * key needs `saltedCountSum`: per-key frequency of the fact-side
+    * join key, the global max/avg skew factor, and the heaviest keys.
+    * ONE partial-agg shuffle to key grain; the scalar stats aggregate
+    * the key-grain result (broadcast back as a single row). The
+    * avg is exact across engines (integer counts). */
+  def joinKeySkew(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
+    val counts = graft.Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val stats = counts.agg(
+      max(col("n_orders")).as("mx"),
+      avg(col("n_orders")).as("av"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("n_orders") / col("av"), 4).as("rel_to_avg"),
+        round(col("mx") / col("av"), 4).as("skew_factor"))
+      .orderBy(col("n_orders").desc, col("o_custkey").asc)
+      .limit(topK)
+  }
+
+  def joinKeySkewOracleSql(topK: Int): String =
+    s"""WITH c AS (
+       |  SELECT o_custkey, count(*) AS n_orders FROM orders
+       |  GROUP BY o_custkey
+       |), s AS (
+       |  SELECT max(n_orders) AS mx, avg(n_orders) AS av FROM c
+       |)
+       |SELECT o_custkey, n_orders,
+       |  round(n_orders / av, 4) AS rel_to_avg,
+       |  round(mx / av, 4) AS skew_factor
+       |FROM c, s
+       |ORDER BY n_orders DESC, o_custkey ASC LIMIT $topK""".stripMargin
+
   /** Detects whether a physical plan contains a shuffle exchange.
     * Walks THROUGH AQE wrapper nodes (AdaptiveSparkPlanExec /
     * QueryStageExec hide their subtrees from a plain collect). */

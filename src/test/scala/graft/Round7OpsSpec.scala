@@ -220,6 +220,59 @@ class Round7OpsSpec extends SparkSpec {
     assert(nlls.sameElements(nlls.sortBy(-_)))
   }
 
+  // ---- digests & skew ---------------------------------------------------
+
+  test("table digest: invariant under repartition, changes on content") {
+    import graft.operators.ScaleOps
+    val base = ScaleOps.tableDigests(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    // same rows through a different partitioning/order produce the
+    // same digest (the whole point of commutative folds)
+    val dir2 = java.nio.file.Files.createTempDirectory("digest").toString
+    Seq("documents", "events", "orders").foreach { t =>
+      Tables.load(spark, Sf0001, t)
+        .repartition(7).sortWithinPartitions(rand(42))
+        .write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    val shuffled = ScaleOps.tableDigests(spark, dir2)
+      .collect().map(_.toString).toSeq
+    assert(base == shuffled)
+    // flipping one row's content changes the digest
+    val dir3 = java.nio.file.Files.createTempDirectory("digest3").toString
+    Tables.documents(spark, Sf0001)
+      .withColumn("text",
+        when($"doc_id" === 0L, lit("tampered")).otherwise($"text"))
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    Seq("events", "orders").foreach { t =>
+      Tables.load(spark, Sf0001, t)
+        .write.mode("overwrite").parquet(s"$dir3/$t.parquet")
+    }
+    val tampered = ScaleOps.tableDigests(spark, dir3)
+      .collect().map(_.toString).toSeq
+    assert(base != tampered)
+    assert(base.filterNot(_.contains("documents")) ==
+      tampered.filterNot(_.contains("documents")))
+  }
+
+  test("skew stats: relative frequencies recompute, skew is the max") {
+    val rows = graft.operators.ScaleOps.joinKeySkew(spark, Sf0001, 10)
+      .collect()
+    assert(rows.length == 10)
+    val counts = Tables.orders(spark, Sf0001)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val av = counts.values.sum.toDouble / counts.size
+    val mx = counts.values.max
+    // top row really is the global max key count
+    assert(rows.head.getAs[Long]("n_orders") == mx)
+    rows.foreach { r =>
+      assert(counts(r.getAs[Long]("o_custkey")) ==
+        r.getAs[Long]("n_orders"))
+      assert(math.abs(r.getAs[Double]("skew_factor") -
+        math.rint(mx / av * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
   // ---- bloom semi-join reduction ----------------------------------------
 
   test("bloom join: prunes the fact scan, loses no true match") {
