@@ -83,6 +83,8 @@ object SparkEntry {
     "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
     "s3_pagination_ids" -> ((s, d) =>
       Relational.paginateDocumentsByIds(s, d, PaginationIds, 25, 5)),
+    // keyset (seek) pagination — O(page) at any cursor depth vs OFFSET
+    "s3_keyset" -> ((s, d) => Relational.paginateKeyset(s, d, 240L, 25)),
     "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
     "s6_cascade_delete" -> ((s, d) =>
       Collections.cascadeDeleteSurvivors(s, d, "de")),
@@ -150,6 +152,8 @@ object SparkEntry {
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // stratified quota sampling: exactly N rows per language stratum
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
+    // mixture-weighted reproducible sampler (weights drive the rates)
+    "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d, 0.2)),
     // z-order layout key (Morton interleave) over (user_id, time bucket)
     "zorder_key" -> ((s, d) => ScaleOps.zorderEventKeys(s, d, 50)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
@@ -217,6 +221,8 @@ object SparkEntry {
     // duplicated verbatim 5-token spans across documents (fixed-n
     // approximation of exact-substring dedup)
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
+    // ingestion-time dedup: new batch probed against the corpus index
+    "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -256,6 +262,7 @@ object SparkEntry {
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
     "s3_pagination_ids" ->
       Relational.paginateByIdsOracleSql(PaginationIds, 25, 5),
+    "s3_keyset" -> Relational.paginateKeysetOracleSql(240L, 25),
     "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
     "s7_servicenow_xml" -> graft.sources.ServiceNowXml.roundTripOracleSql,
     "s6_cascade_delete" -> Collections.cascadeDeleteOracleSql("de"),
@@ -297,6 +304,7 @@ object SparkEntry {
     "events_histogram" -> Sketches.valueHistogramOracleSql(0.0, 50.0, 10),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
+    "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "table_digest" -> ScaleOps.tableDigestsOracleSql,
@@ -334,6 +342,7 @@ object SparkEntry {
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
+    "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):

@@ -137,6 +137,103 @@ object Dedup {
       .orderBy(col("a").asc, col("b").asc)
   }
 
+  /** Incremental (new-batch) near-dup probe — the ingestion-time mode
+    * of `minhashPairs`: only documents in the "new batch" (here the
+    * deterministic slice doc_id ≡ newRem mod `mod`; in production the
+    * arriving micro-batch) are checked against the existing corpus.
+    * The band join is new-bands × corpus-bands, NOT a self-join: with
+    * the corpus bands persisted as the LSH index (the ScaleOps
+    * bucketed-table pattern), an incremental run computes signatures
+    * for the BATCH only and probes — cost ∝ batch size, never corpus
+    * size. That asymmetry is what makes dedup-on-arrival viable at a
+    * 100 TB corpus with GB-sized daily batches. */
+  def minhashIncremental(spark: SparkSession, dir: String,
+      threshold: Double, mod: Long = 10L,
+      newRem: Long = 7L): DataFrame = {
+    val docs = docShingleSets(Tables.documents(spark, dir))
+      .filter(size(col("sh_set")) > 0)
+      .persist()
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh_set"),
+        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bkey"))
+    }.reduce(_ union _).persist()
+    val isNew = col("doc_id") % mod === lit(newRem)
+    val candidates = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y").hint("SHUFFLE_HASH"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val withN = docs
+      .select(col("doc_id").as("new_id"), col("sh_set").as("set_n"))
+      .join(broadcast(candidates), Seq("new_id"))
+    docs.select(col("doc_id").as("corpus_id"), col("sh_set").as("set_c"))
+      .join(broadcast(withN), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("set_n"), col("set_c"))).as("inter"),
+        size(col("set_n")).as("szn"), size(col("set_c")).as("szc"))
+      .select(col("new_id"), col("corpus_id"),
+        round(col("inter") /
+          (col("szn") + col("szc") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+      .orderBy(col("new_id").asc, col("corpus_id").asc)
+  }
+
+  def minhashIncrementalOracleSql(threshold: Double, mod: Long = 10L,
+      newRem: Long = 7L): String = {
+    val hashCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || token)) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(j => s"h${b * BandSize + j}")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(tl) - ${ShingleSize - 1}, 0) + 1),
+       |      i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS token
+       |  FROM toklists
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $hashCols
+       |  FROM toks GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % $mod = $newRem AND y.doc_id % $mod <> $newRem
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.new_id, c.corpus_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.new_id
+       |  JOIN toks tb ON tb.doc_id = c.corpus_id AND tb.token = ta.token
+       |  GROUP BY c.new_id, c.corpus_id
+       |)
+       |SELECT i.new_id, i.corpus_id,
+       |  round(CAST(i.inter AS DOUBLE) / (sn.sz + sc.sz - i.inter), 6)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN sizes sn ON sn.doc_id = i.new_id
+       |JOIN sizes sc ON sc.doc_id = i.corpus_id
+       |WHERE round(CAST(i.inter AS DOUBLE) / (sn.sz + sc.sz - i.inter), 6)
+       |      >= $threshold
+       |ORDER BY new_id ASC, corpus_id ASC""".stripMargin
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * near-dup pair graph, labeled by each component's minimum doc id —
     * the step a dedup pipeline actually ships (keep one canonical doc

@@ -340,6 +340,24 @@ object Relational {
       .offset(offset)
       .limit(limit)
 
+  /** Keyset (seek) pagination — the scale-correct sibling of the
+    * reference's OFFSET pagination (S3): OFFSET must scan and discard
+    * `offset` rows every page (O(offset) per page, O(n²) for a full
+    * sweep at 100 TB); seeking on the last-seen key is a pushed-down
+    * range filter + TakeOrderedAndProject — O(page) regardless of how
+    * deep the cursor is. */
+  def paginateKeyset(spark: SparkSession, dir: String, after: Long,
+      limit: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") > lit(after))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc)
+      .limit(limit)
+
+  def paginateKeysetOracleSql(after: Long, limit: Int): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id > $after ORDER BY doc_id ASC LIMIT $limit""".stripMargin
+
   def paginateByIdsOracleSql(ids: Seq[Long], limit: Int,
       offset: Int): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents

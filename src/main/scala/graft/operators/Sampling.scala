@@ -123,6 +123,65 @@ object Sampling {
       .orderBy(col("source").asc, col("lang").asc)
   }
 
+  /** The mixture weights put to work: a reproducible weighted sampler.
+    * Each (source, lang) stratum gets rate = min(1, base·w/share) —
+    * strata whose sqrt-damped weight exceeds their raw share (small
+    * sources) are up-sampled, large sources down-sampled — and rows are
+    * kept by the same order-stable hash threshold as `sampleSummary`.
+    * floor() before the int cast on BOTH sides: Spark's double→int cast
+    * truncates while DuckDB's rounds, so an explicit floor is the only
+    * engine-portable threshold.
+    *
+    * Scale shape: the rate table is nSources·nLangs rows (broadcast);
+    * the keep-predicate is scan-local; one partial-agg shuffle reports
+    * per-stratum outcomes. */
+  def weightedSample(spark: SparkSession, dir: String,
+      base: Double): DataFrame = {
+    val rates = mixWeights(spark, dir)
+      .select(col("source").as("w_source"), col("lang").as("w_lang"),
+        least(lit(1.0), lit(base) * col("mix_weight") / col("token_share"))
+          .as("rate"))
+    Tables.documents(spark, dir)
+      .join(broadcast(rates),
+        col("source") === col("w_source") && col("lang") === col("w_lang"))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") <
+          floor(col("rate") * lit(HashSpace.toDouble)).cast("int"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(max(col("rate")), 6).as("rate"))
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+
+  def weightedSampleOracleSql(base: Double): String =
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |      t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")})))
+       |      AS n_tokens
+       |  FROM documents GROUP BY source, lang
+       |), tot AS (
+       |  SELECT sum(n_tokens) AS total_tokens,
+       |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sqrt
+       |  FROM g
+       |), w AS (
+       |  SELECT g.source AS w_source, g.lang AS w_lang,
+       |    least(1.0,
+       |      $base * round(sqrt(CAST(g.n_tokens AS DOUBLE)) / tot.sum_sqrt, 6)
+       |      / round(CAST(g.n_tokens AS DOUBLE) /
+       |              CAST(tot.total_tokens AS DOUBLE), 6)) AS rate
+       |  FROM g, tot
+       |)
+       |SELECT d.source, d.lang, count(*) AS n_sampled,
+       |  round(max(w.rate), 6) AS rate
+       |FROM documents d
+       |JOIN w ON w.w_source = d.source AND w.w_lang = d.lang
+       |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |    AS INT) < CAST(floor(w.rate * $HashSpace) AS INT)
+       |GROUP BY d.source, d.lang
+       |ORDER BY d.source ASC, d.lang ASC""".stripMargin
+
   def mixWeightsOracleSql: String =
     s"""WITH g AS (
        |  SELECT source, lang, count(*) AS n_docs,

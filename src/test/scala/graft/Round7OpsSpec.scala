@@ -10,6 +10,17 @@ import graft.operators.{QualityLm, Relational, Sampling, Sketches}
 class Round7OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- driver contract hygiene ------------------------------------------
+
+  test("every oracle key names a registered query (stray oracles never gate)") {
+    val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stray.isEmpty, s"oracles without queries: $stray")
+    // and the rows-only set stays the documented three
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("emb_tfidf_ann", "quality_compress",
+      "s9_relation_size"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
   // ---- TPC-H shapes -----------------------------------------------------
 
   test("q7: only the two nation pairs appear, revenue recomputes") {
@@ -218,6 +229,50 @@ class Round7OpsSpec extends SparkSpec {
     // sorted worst-first
     val nlls = rows.map(_.getAs[Double]("nll"))
     assert(nlls.sameElements(nlls.sortBy(-_)))
+  }
+
+  // ---- keyset pagination / weighted sample / incremental dedup ----------
+
+  test("keyset pagination: exactly the ordered slice after the cursor") {
+    val rows = Relational.paginateKeyset(spark, Sf0001, 10L, 7)
+      .collect().map(_.getAs[Long]("doc_id"))
+    val all = Tables.documents(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == all.filter(_ > 10L).take(7).toSeq)
+  }
+
+  test("weighted sample: sqrt damping up-samples small strata") {
+    val sizes = Tables.documents(spark, Sf0001)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = graft.operators.Sampling.weightedSample(spark, Sf0001, 0.2)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_sampled") <= sizes(key))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // reruns are row-identical (hash threshold, no RNG)
+    val again = graft.operators.Sampling.weightedSample(spark, Sf0001, 0.2)
+      .collect().map(_.toString).toSeq
+    assert(rows.map(_.toString).toSeq == again)
+  }
+
+  test("incremental dedup: exactly the cross-batch slice of the pairs") {
+    val full = graft.operators.Dedup.minhashPairs(spark, Sf0001, 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val expected = full.collect {
+      case (a, b) if (a % 10 == 7) != (b % 10 == 7) =>
+        if (a % 10 == 7) (a, b) else (b, a)
+    }.toSet
+    val inc = graft.operators.Dedup.minhashIncremental(spark, Sf0001, 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+      .toSet
+    assert(inc == expected)
   }
 
   // ---- digests & skew ---------------------------------------------------
