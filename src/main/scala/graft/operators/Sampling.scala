@@ -105,12 +105,16 @@ object Sampling {
     * aggregate the tiny grouped result and ride back as a broadcast
     * single-row cross join. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the nSources·nLangs-row aggregate feeds both the final
+    // projection AND the corpus-scalar aggregate — without it the
+    // tokenize+count corpus scan runs twice per call
     val grouped = Tables.documents(spark, dir)
       .select(col("source"), col("lang"),
         size(graft.functions.TextAnalyzer.tokens(col("text")))
           .cast("long").as("toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .persist()
     val totals = grouped.agg(
       sum(col("n_tokens")).as("total_tokens"),
       sum(sqrt(col("n_tokens").cast("double"))).as("sum_sqrt"))
