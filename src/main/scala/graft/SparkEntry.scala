@@ -129,6 +129,10 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
     "events_sliding" -> ((s, d) => Relational.eventsSliding(s, d)),
+    // sequential funnel: view → click-after-view → purchase-after-click
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
+    // weekly cohort-retention triangle
+    "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     // PIVOT reshape: priorities as columns, explicit value domain
     "agg_pivot" -> ((s, d) => Relational.pivotSummary(s, d)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
@@ -293,6 +297,8 @@ object SparkEntry {
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
+    "events_funnel" -> Relational.eventsFunnelOracleSql,
+    "events_retention" -> Relational.eventsRetentionOracleSql,
     "agg_pivot" -> Relational.pivotOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,

@@ -1156,6 +1156,108 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment ASC""".stripMargin
 
+  private def eventsWithTsec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts")).cast("long")
+    }
+    ev.withColumn("tsec", tsec)
+  }
+
+  /** Funnel conversion (view → click → purchase): how many users reach
+    * each stage, where a stage counts only if it happens AFTER the
+    * user's first occurrence of the previous stage — the sequential
+    * funnel every product-analytics engine ships.
+    *
+    * Each stage is one type-filtered scan aggregated to user grain
+    * (pushed-down filter + partial agg), then a broadcast-sized join to
+    * the previous stage's first-times. User-grain frames shrink at
+    * every stage, so at 100 TB the chain is one fact scan per stage
+    * plus user-cardinality joins (co-partitioned on user_id if the
+    * fact is bucketed by user). Integer-second arithmetic — exact. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsWithTsec(spark, dir)
+    def firstAfter(eventType: String, prev: DataFrame,
+        prevCol: String, outCol: String): DataFrame =
+      ev.filter(col("event_type") === lit(eventType))
+        .join(prev, Seq("user_id"))
+        .filter(col("tsec") > col(prevCol))
+        .groupBy("user_id")
+        .agg(min(col("tsec")).as(outCol))
+    val v = ev.filter(col("event_type") === lit("view"))
+      .groupBy("user_id").agg(min(col("tsec")).as("tv"))
+    val c = firstAfter("click", v, "tv", "tc")
+    val p = firstAfter("purchase", c, "tc", "tp")
+    val stages = Seq(("1_view", v), ("2_click_after_view", c),
+      ("3_purchase_after_click", p))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("stage").asc)
+  }
+
+  val eventsFunnelOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS tsec
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, min(tsec) AS tv FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.tsec) AS tc
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.tsec > v.tv
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.tsec) AS tp
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsec > c.tc
+      |  GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT '2_click_after_view', count(*) FROM c
+      |UNION ALL
+      |SELECT '3_purchase_after_click', count(*) FROM p
+      |ORDER BY stage ASC""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-seen week, with
+    * the count still active N weeks later — the standard
+    * cohort-retention triangle. Two user-grain aggregates (first-seen,
+    * active-weeks) joined on user_id, then one partial agg to the
+    * (cohort, week-offset) grain whose cardinality is weeks² no matter
+    * the corpus size. Week arithmetic in integer epoch-seconds. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val week = 604800L
+    val ev = eventsWithTsec(spark, dir)
+      .select(col("user_id"), expr(s"tsec div $week").as("wk"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.select("user_id", "wk").distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .groupBy("cohort_wk", "offset_wk")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk").asc, col("offset_wk").asc)
+  }
+
+  val eventsRetentionOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    (epoch_ns(ts) // 1000000000) // 604800 AS wk
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+      |), a AS (
+      |  SELECT DISTINCT user_id, wk FROM e
+      |)
+      |SELECT f.cohort_wk, a.wk - f.cohort_wk AS offset_wk,
+      |  count(*) AS n_users
+      |FROM a JOIN f ON f.user_id = a.user_id
+      |GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+      |ORDER BY cohort_wk ASC, offset_wk ASC""".stripMargin
+
   def eventSessionsOracleSql(gapSec: Long): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id,

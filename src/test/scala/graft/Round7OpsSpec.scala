@@ -231,6 +231,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(nlls.sameElements(nlls.sortBy(-_)))
   }
 
+  // ---- funnel & retention -----------------------------------------------
+
+  test("funnel: stages shrink monotonically, stage 2 recomputes") {
+    val rows = Relational.eventsFunnel(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(rows("1_view") >= rows("2_click_after_view"))
+    assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
+    // driver-side recompute of click-after-first-view
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val firstView = ev.filter(_._3 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val stage2 = ev.filter { case (u, t, ty) =>
+      ty == "click" && firstView.get(u).exists(t > _)
+    }.map(_._1).distinct.length
+    assert(rows("2_click_after_view") == stage2.toLong)
+  }
+
+  test("retention: offset-0 equals cohort size, users conserve") {
+    val rows = Relational.eventsRetention(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val offset0 = rows.filter(_.getAs[Long]("offset_wk") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val totalUsers = Tables.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    // every user appears in their own cohort's week-0 cell exactly once
+    assert(offset0 == totalUsers)
+    rows.foreach(r => assert(r.getAs[Long]("offset_wk") >= 0L))
+  }
+
   // ---- keyset pagination / weighted sample / incremental dedup ----------
 
   test("keyset pagination: exactly the ordered slice after the cursor") {
