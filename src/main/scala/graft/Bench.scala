@@ -102,6 +102,13 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }
+      // operators that persist() intermediate frames (minhash family,
+      // mixture weights) create NEW cached copies per invocation; over
+      // 100+ queries × reps the dead copies accumulate until LRU
+      // eviction churns. Dropping the cache between queries keeps the
+      // memory profile flat (catalog TABLES — the persisted indexes —
+      // live on disk and are unaffected).
+      spark.catalog.clearCache()
       (name,
         if (runs.nonEmpty) runs.min else -1.0,
         if (plans.nonEmpty) plans.min else -1.0)

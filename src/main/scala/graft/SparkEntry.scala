@@ -172,6 +172,8 @@ object SparkEntry {
     "quality_unigram_lm" -> ((s, d) => QualityLm.unigramNll(s, d)),
     // Gopher/MassiveWeb composite rule gate with per-rule attribution
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
+    // per-source curation roll-up (gate pass rate + mean unigram NLL)
+    "curation_report" -> ((s, d) => QualityLm.curationReport(s, d)),
     // per-(source,lang) training-mixture weights (sqrt-damped shares)
     "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
@@ -318,6 +320,7 @@ object SparkEntry {
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "quality_unigram_lm" -> QualityLm.unigramNllOracleSql,
     "quality_gopher" -> TextOps.gopherQualityOracleSql,
+    "curation_report" -> QualityLm.curationReportOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "p1_validate" -> DocumentPipeline.validateOracleSql,

@@ -37,6 +37,9 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // drop per-query persist()ed frames (see Bench) so cached
+          // copies don't accumulate across the 100+ query dump
+          spark.catalog.clearCache()
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

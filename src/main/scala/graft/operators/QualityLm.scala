@@ -54,6 +54,43 @@ object QualityLm {
       .orderBy(col("nll").desc, col("doc_id").asc)
   }
 
+  /** Per-source curation report — the roll-up a data-curation pass
+    * actually reads: for every source, its Gopher-gate pass rate and
+    * mean unigram NLL side by side. Composes `TextOps.gopherQuality`
+    * and `unigramNll` (both scan-shaped) with one broadcast-sized join
+    * at document grain, then a partial agg down to nSources rows.
+    * Documents analyzing to zero tokens have no NLL and are excluded
+    * (inner join) — both engines agree on the exclusion. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val gq = TextOps.gopherQuality(spark, dir).select("doc_id", "pass")
+    val nll = unigramNll(spark, dir).select("doc_id", "nll")
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(gq, "doc_id")
+      .join(nll, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("pass").cast("int")), 6).as("pass_rate"),
+        round(avg(col("nll")), 6).as("mean_nll"))
+      .orderBy(col("source").asc)
+  }
+
+  def curationReportOracleSql: String = {
+    // reuse both operators' oracle chains as subqueries — the oracle
+    // composes exactly what the engine composes
+    val gopher = TextOps.gopherQualityOracleSql
+    val nll = unigramNllOracleSql
+    s"""WITH gq AS ($gopher), nq AS ($nll)
+       |SELECT d.source, count(*) AS n_docs,
+       |  round(avg(CAST(gq.pass AS INT)), 6) AS pass_rate,
+       |  round(avg(nq.nll), 6) AS mean_nll
+       |FROM documents d
+       |JOIN gq ON gq.doc_id = d.doc_id
+       |JOIN nq ON nq.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source ASC""".stripMargin
+  }
+
   def unigramNllOracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(

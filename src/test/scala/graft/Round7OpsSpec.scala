@@ -473,6 +473,24 @@ class Round7OpsSpec extends SparkSpec {
       math.rint(meanWl * 1e4) / 1e4) < 1e-9)
   }
 
+  // ---- curation report --------------------------------------------------
+
+  test("curation report: rates bounded, doc counts conserve") {
+    val rows = graft.operators.QualityLm.curationReport(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pass_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(r.getAs[Double]("mean_nll") > 0.0)
+    }
+    // inner-join grain: docs with tokens (all fixture docs tokenize)
+    val tokenized = Tables.documents(spark, Sf0001)
+      .select("text").collect()
+      .count(r => functions.TextAnalyzer.analyze(r.getString(0)).nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == tokenized.toLong)
+  }
+
   // ---- mixture weights --------------------------------------------------
 
   test("mix weights: shares and weights each sum to 1, docs conserve") {
