@@ -66,6 +66,10 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // drop the warm-up pass's persist()ed frames so the FIRST timed
+    // query doesn't run under ~110 queries of dead-cache LRU churn the
+    // per-query clearCache below spares every later query
+    spark.catalog.clearCache()
     // GC barrier so warm-up garbage is not collected mid-measurement
     System.gc()
     Thread.sleep(500)

@@ -85,6 +85,29 @@ object Dedup {
     * shingle ARRAYS directly (`array_intersect`) after broadcasting the
     * LSH candidates — the corpus is scanned, never shuffled.
     */
+  /** (doc_id, band, bkey) LSH band keys from a (doc_id, sh_set) frame:
+    * h_i = min over the shingle set of md5(i ':' shingle); band key =
+    * md5 of its BandSize signature slice. ONE definition feeding both
+    * the full self-join (`minhashPairs`) and the incremental probe
+    * (`minhashIncremental`) — a formula change applied to one but not
+    * the other would silently break the probe's equivalence to the
+    * full pairs' cross-batch slice. The signature frame (|corpus| rows
+    * × NumHashes — the table a production system materializes) is
+    * persisted: it feeds every band of the union and both sides of
+    * downstream joins. */
+  private def lshBands(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh_set"),
+        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*).persist()
+    (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bkey"))
+    }.reduce(_ union _)
+  }
+
   def minhashPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // Docs with an empty shingle set would all hash to the same
@@ -97,21 +120,7 @@ object Dedup {
     val docs = docShingleSets(Tables.documents(spark, dir))
       .filter(size(col("sh_set")) > 0)
       .persist()
-    // h_i = min over the shingle set of md5(i || ':' || shingle)
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh_set"),
-        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
-    }
-    // persist: the signature frame (|corpus| rows × 8 hashes — the table
-    // a production system materializes) feeds both sides of the band
-    // self-join; the candidate pairs feed both verification broadcasts.
-    // Without these, each reuse recomputes tokenize+shingle+signatures.
-    val sigs = docs.select(col("doc_id") +: sigCols: _*).persist()
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bkey"))
-    }.reduce(_ union _)
+    val bands = lshBands(docs)
     val candidates = bands.as("x")
       .join(bands.as("y").hint("SHUFFLE_HASH"), // same rationale as
         // shingleJaccardPairs: hash beats sort on a self-join whose
@@ -153,16 +162,7 @@ object Dedup {
     val docs = docShingleSets(Tables.documents(spark, dir))
       .filter(size(col("sh_set")) > 0)
       .persist()
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh_set"),
-        s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
-    val bands = (0 until NumHashes / BandSize).map { b =>
-      val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bkey"))
-    }.reduce(_ union _).persist()
+    val bands = lshBands(docs).persist()
     val isNew = col("doc_id") % mod === lit(newRem)
     val candidates = bands.filter(isNew).as("x")
       .join(bands.filter(!isNew).as("y").hint("SHUFFLE_HASH"),

@@ -33,9 +33,11 @@ import graft.functions.TextAnalyzer
 object QualityLm {
 
   /** (doc_id, n_tokens, nll) for every document, worst (rarest-token)
-    * first. Deterministic: the per-term contribution tf·ln(ctf) is a
-    * pure function of exact integer counts; only the final two-term
-    * expression is rounded. */
+    * first. Deterministic: each per-term contribution tf·ln(ctf) is an
+    * identical double in both engines, then scaled to integer
+    * nano-units and summed as BIGINT — an exact, order-independent
+    * fold, where a raw double sum could land on a rounding boundary
+    * differently per engine (the q10 failure class). */
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
     val idx = spark.table(Fts.ensureIndex(spark, dir))
       .select("doc_id", "term", "tf")
@@ -45,12 +47,14 @@ object QualityLm {
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_tokens"),
-        sum(col("tf").cast("double") * log(col("ctf").cast("double")))
-          .as("s"))
+        sum(round(col("tf").cast("double") *
+          log(col("ctf").cast("double")) * lit(1e9)).cast("long"))
+          .as("s9"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
         round(log(col("total").cast("double")) -
-          col("s") / col("n_tokens").cast("double"), 6).as("nll"))
+          (col("s9").cast("double") / lit(1e9)) /
+            col("n_tokens").cast("double"), 6).as("nll"))
       .orderBy(col("nll").desc, col("doc_id").asc)
   }
 
@@ -71,7 +75,11 @@ object QualityLm {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("pass").cast("int")), 6).as("pass_rate"),
-        round(avg(col("nll")), 6).as("mean_nll"))
+        // nll is rounded to 6, so nll·1e6 is integer-valued: the
+        // BIGINT fold is exact and order-independent (a double sum's
+        // order differs per engine)
+        round((sum(round(col("nll") * lit(1e6)).cast("long"))
+          .cast("double") / lit(1e6)) / count(lit(1)), 6).as("mean_nll"))
       .orderBy(col("source").asc)
   }
 
@@ -83,7 +91,8 @@ object QualityLm {
     s"""WITH gq AS ($gopher), nq AS ($nll)
        |SELECT d.source, count(*) AS n_docs,
        |  round(avg(CAST(gq.pass AS INT)), 6) AS pass_rate,
-       |  round(avg(nq.nll), 6) AS mean_nll
+       |  round((CAST(sum(CAST(round(nq.nll * 1e6, 0) AS BIGINT))
+       |    AS DOUBLE) / 1e6) / count(*), 6) AS mean_nll
        |FROM documents d
        |JOIN gq ON gq.doc_id = d.doc_id
        |JOIN nq ON nq.doc_id = d.doc_id
@@ -107,7 +116,8 @@ object QualityLm {
        |)
        |SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
        |  round(ln(CAST(max(tot.total) AS DOUBLE)) -
-       |    sum(f.tf * ln(CAST(c.ctf AS DOUBLE))) / sum(f.tf), 6) AS nll
+       |    (CAST(sum(CAST(round(f.tf * ln(CAST(c.ctf AS DOUBLE)) * 1e9,
+       |       0) AS BIGINT)) AS DOUBLE) / 1e9) / sum(f.tf), 6) AS nll
        |FROM tfs f JOIN ctf c USING (term), tot
        |GROUP BY f.doc_id
        |ORDER BY nll DESC, f.doc_id ASC""".stripMargin

@@ -782,15 +782,9 @@ object Relational {
     */
   def eventSessions(spark: SparkSession, dir: String,
       gapSec: Long): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val tsec = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts")).cast("long")
-    }
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("tsec").asc, col("event_id").asc)
-    val sessioned = ev
-      .withColumn("tsec", tsec)
+    val sessioned = eventsWithTsec(spark, dir)
       .withColumn("prev", lag(col("tsec"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L)
@@ -819,15 +813,10 @@ object Relational {
     * engines. */
   def rollingUserStats(spark: SparkSession, dir: String,
       frame: Int): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val tsec = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts")).cast("long")
-    }
     val w = Window.partitionBy("user_id")
       .orderBy(col("tsec").asc, col("event_id").asc)
       .rowsBetween(-(frame - 1), Window.currentRow)
-    ev.withColumn("tsec", tsec)
+    eventsWithTsec(spark, dir)
       .select(col("user_id"), col("event_id"), col("tsec"), col("value"),
         count(lit(1)).over(w).as("roll_n"),
         round(avg(col("value")).over(w), 6).as("roll_avg"),

@@ -26,10 +26,18 @@ object Sampling {
 
   val HashSpace = 65536 // 4 hex digits
 
+  /** Per-row keep/drop column for a column-valued rate: floor() before
+    * the int cast on BOTH engines (Spark's double→int cast truncates
+    * while DuckDB's rounds, so floor is the only portable threshold;
+    * for literal rates it equals the old (rate·HashSpace).toInt). */
+  def hashKeepCol(key: org.apache.spark.sql.Column,
+      rate: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") <
+      floor(rate * lit(HashSpace.toDouble)).cast("int")
+
   /** Per-row keep/drop column for rate `r` on the given key column. */
   def hashKeep(key: org.apache.spark.sql.Column, rate: Double) =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") <
-      lit((rate * HashSpace).toInt)
+    hashKeepCol(key, lit(rate))
 
   /** Stratified sample summary: the ~rate sample of documents with
     * per-language counts/statistics (summary keeps the registered
@@ -148,10 +156,7 @@ object Sampling {
     Tables.documents(spark, dir)
       .join(broadcast(rates),
         col("source") === col("w_source") && col("lang") === col("w_lang"))
-      .filter(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("int") <
-          floor(col("rate") * lit(HashSpace.toDouble)).cast("int"))
+      .filter(hashKeepCol(col("doc_id"), col("rate")))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_sampled"),
         round(max(col("rate")), 6).as("rate"))

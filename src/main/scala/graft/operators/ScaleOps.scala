@@ -276,8 +276,13 @@ object ScaleOps {
   def tableDigests(spark: SparkSession, dir: String): DataFrame = {
     def digest(df: DataFrame, name: String,
         cols: Seq[Column]): DataFrame = {
+      // NULL-safe row string: concat_ws would silently SKIP null
+      // columns (so a null-shift between adjacent columns hashes
+      // identically, and the oracle's || would null the whole row) —
+      // coalesce each column to a \u0001 sentinel instead
       val h = conv(substring(md5(concat_ws("|",
-        cols.map(_.cast("string")): _*)), 1, 7), 16, 10).cast("long")
+        cols.map(c => coalesce(c.cast("string"), lit("\u0001"))): _*)),
+        1, 7), 16, 10).cast("long")
       df.select(h.as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"),
           expr("bit_xor(h)").as("hash_xor"))
@@ -298,19 +303,22 @@ object ScaleOps {
   }
 
   val tableDigestsOracleSql: String = {
-    def one(table: String, rowExpr: String): String =
+    def nn(expr: String): String = s"coalesce($expr, chr(1))"
+    def one(table: String, cols: Seq[String]): String = {
+      val rowExpr = cols.map(nn).mkString(" || '|' || ")
       s"""SELECT '$table' AS table_name, count(*) AS n_rows,
          |  CAST(sum(h) AS BIGINT) AS hash_sum,
          |  bit_xor(h) AS hash_xor
          |FROM (SELECT CAST('0x' || substr(md5($rowExpr), 1, 7)
          |  AS BIGINT) AS h FROM $table)""".stripMargin
+    }
     Seq(
-      one("documents",
-        "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || text"),
-      one("events",
-        "CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' || event_type"),
-      one("orders",
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority")
+      one("documents", Seq("CAST(doc_id AS VARCHAR)", "lang", "source",
+        "text")),
+      one("events", Seq("CAST(event_id AS VARCHAR)",
+        "CAST(user_id AS VARCHAR)", "event_type")),
+      one("orders", Seq("CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)", "o_orderstatus", "o_orderpriority"))
     ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name ASC")
   }
 
