@@ -193,6 +193,8 @@ object SparkEntry {
     // hash-gated
     "redact_pii" -> ((s, d) => TextOps.redactPii(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
+    // concat-and-chunk sequence packing into fixed token budgets
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048L)),
     "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "langid_counts" -> ((s, d) =>
       graft.functions.LangId
@@ -331,6 +333,7 @@ object SparkEntry {
     "text_stats" -> TextOps.textStatsOracleSql,
     "redact_pii" -> TextOps.redactPiiOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
+    "pack_sequences" -> TextOps.packSequencesOracleSql(2048L),
     "fingerprint_winnow" -> TextOps.winnowOracleSql,
     "langid_counts" ->
       s"""SELECT ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,

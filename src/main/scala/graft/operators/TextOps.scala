@@ -431,6 +431,59 @@ object TextOps {
       |FROM w JOIN top t ON w.doc_id = t.doc_id AND t.rn = 1
       |ORDER BY w.doc_id ASC""".stripMargin
 
+  /** Sequence packing — the batch-construction step of a pretraining
+    * pipeline: documents are laid end-to-end in deterministic doc_id
+    * order and cut into fixed token-budget bins (the concat-and-chunk
+    * packing that turns ragged documents into dense training
+    * sequences). bin = floor(tokens-before-this-doc / budget): a doc
+    * straddling a boundary stays in the bin it started in, so bins can
+    * overflow by at most one document — the standard greedy
+    * approximation.
+    *
+    * The running total is a global-order window (single reducer here);
+    * at 100 TB the same prefix-sum runs as the classic two-pass
+    * (per-partition totals → broadcast prefix offsets → scan-local
+    * cumsum), which changes the plan, not the numbers. Integer token
+    * counts — exact. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalyzer.tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("toks"),
+        expr(s"cum_before div ${budget}L").as("bin")) // integer div,
+        // mirrors the oracle's // exactly (no double quotient)
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        round(sum(col("toks")).cast("double") / budget, 4).as("fill"))
+      .orderBy(col("bin").asc)
+  }
+
+  def packSequencesOracleSql(budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |      tk -> ${TextAnalyzer.sqlTermFilter("tk")})) AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |    coalesce(sum(toks) OVER (ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM t
+       |)
+       |SELECT CAST(cum_before // $budget AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(toks) AS DOUBLE) / $budget, 4) AS fill
+       |FROM c GROUP BY cum_before // $budget
+       |ORDER BY bin ASC""".stripMargin
+
   /** Composite rule-based quality gate — the Gopher/MassiveWeb document
     * filter (Rae et al. 2021, A1.1): a document passes only if it
     * clears ALL of word-count bounds, mean-word-length bounds, symbol

@@ -342,6 +342,55 @@ class Round7OpsSpec extends SparkSpec {
       tampered.filterNot(_.contains("documents")))
   }
 
+  test("table digest: null-shift between adjacent columns is detected") {
+    import graft.operators.ScaleOps
+    // (lang=NULL, source="x") vs (lang="x", source=NULL) must hash
+    // differently — the concat_ws-skips-nulls bug made them identical
+    val dirA = java.nio.file.Files.createTempDirectory("nullA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("nullB").toString
+    val base = Seq((1L, "t", null.asInstanceOf[String], "x", 1L),
+      (2L, "u", "en", "y", 1L))
+    val shifted = Seq((1L, "t", "x", null.asInstanceOf[String], 1L),
+      (2L, "u", "en", "y", 1L))
+    Seq((dirA, base), (dirB, shifted)).foreach { case (dir, rows) =>
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq("events", "orders").foreach { t =>
+        Tables.load(spark, Sf0001, t)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    }
+    def docDigest(dir: String) = ScaleOps.tableDigests(spark, dir)
+      .filter($"table_name" === "documents").head().toString
+    assert(docDigest(dirA) != docDigest(dirB))
+  }
+
+  test("packing: bins are contiguous, budgets respected before overflow") {
+    val budget = 500L
+    val rows = graft.operators.TextOps.packSequences(spark, Sf0001, budget)
+      .collect()
+    assert(rows.length > 1)
+    // bins are consecutive from 0
+    assert(rows.map(_.getAs[Long]("bin")).toSeq ==
+      (0L until rows.length.toLong))
+    // every bin except possibly the last holds >= budget tokens only
+    // via its final straddling doc: tokens-before-last-doc < budget
+    // => n_tokens < budget + max doc size; and total conserves
+    val totalToks = Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.size(
+        functions.TextAnalyzer.tokens($"text")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    // every non-last bin's cumulative end crosses its budget boundary
+    // (a single bin's fill may be < 1 when the previous bin's
+    // straddling doc consumed the start of its range)
+    val cumEnds = rows.map(_.getAs[Long]("n_tokens")).scanLeft(0L)(_ + _)
+      .drop(1)
+    cumEnds.init.zipWithIndex.foreach { case (end, k) =>
+      assert(end >= (k + 1) * budget, s"bin $k ends at $end")
+    }
+  }
+
   test("skew stats: relative frequencies recompute, skew is the max") {
     val rows = graft.operators.ScaleOps.joinKeySkew(spark, Sf0001, 10)
       .collect()
