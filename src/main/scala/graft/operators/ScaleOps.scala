@@ -259,6 +259,47 @@ object ScaleOps {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin
 
+  // --- Distributed prefix sum -------------------------------------------
+
+  /** The two-pass distributed prefix sum — the cluster-scale form of a
+    * global-order running total that a single-reducer window cannot
+    * provide at 100 TB. Pass 1: range-partition on the order key, so
+    * partitions own disjoint, ordered key ranges; aggregate ONE sum
+    * per partition (nPartitions rows). Pass 2: the per-partition sums'
+    * own exclusive prefix (a window over nPartitions rows — trivially
+    * small) broadcasts back as each partition's offset, and every
+    * row's exclusive prefix is its scan-local within-partition running
+    * total plus the offset. No row-level data ever converges on one
+    * reducer; each partition's window sees only its own rows.
+    *
+    * Exact for integer values (long addition is associative), which is
+    * what running token/row totals are. Emits the input columns plus
+    * `cum_before` = the exclusive prefix sum of `valCol` in `orderCol`
+    * order (ties within a duplicate order key are resolved by the
+    * row's partition-local position — pass a unique key). */
+  def prefixSummed(df: DataFrame, orderCol: String, valCol: String,
+      partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df
+      .repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = Window.partitionBy("_pid")
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parted.withColumn("_local",
+      coalesce(sum(col(valCol)).over(local), lit(0L)))
+    val offsets = parted.groupBy("_pid")
+      .agg(sum(col(valCol)).as("_psum"))
+      .withColumn("_offset",
+        coalesce(sum(col("_psum")).over(
+          Window.orderBy(col("_pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    withLocal.join(broadcast(offsets), "_pid")
+      .withColumn("cum_before", col("_local") + col("_offset"))
+      .drop("_pid", "_local")
+  }
+
   // --- Corpus integrity & diagnostics -----------------------------------
 
   /** Order-independent table digest — the dataset-versioning primitive

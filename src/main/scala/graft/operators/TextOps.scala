@@ -441,10 +441,12 @@ object TextOps {
     * approximation.
     *
     * The running total is a global-order window (single reducer here);
-    * at 100 TB the same prefix-sum runs as the classic two-pass
-    * (per-partition totals → broadcast prefix offsets → scan-local
-    * cumsum), which changes the plan, not the numbers. Integer token
-    * counts — exact. */
+    * at 100 TB the same prefix-sum runs as the two-pass
+    * `ScaleOps.prefixSummed` (range partition → per-partition totals →
+    * broadcast prefix offsets → partition-local cumsum), which changes
+    * the plan, not the numbers — Round7OpsSpec proves row-exact
+    * equality between the two formulations. Integer token counts —
+    * exact. */
   def packSequences(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -391,6 +391,31 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("two-pass prefix sum matches the single-reducer window exactly") {
+    import graft.operators.ScaleOps
+    val toks = Tables.documents(spark, Sf0001)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          functions.TextAnalyzer.tokens($"text")).cast("long").as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id".asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val global = toks
+      .withColumn("cum_before", coalesce(sum($"toks").over(w), lit(0L)))
+      .select("doc_id", "cum_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoPass = ScaleOps.prefixSummed(toks, "doc_id", "toks", 5)
+      .select("doc_id", "cum_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPass == global)
+    // and the scale path really distributes: >1 range partition
+    val nPids = ScaleOps.prefixSummed(toks, "doc_id", "toks", 5)
+      .select(org.apache.spark.sql.functions
+        .spark_partition_id()).distinct().count()
+    assert(nPids > 1)
+  }
+
   test("skew stats: relative frequencies recompute, skew is the max") {
     val rows = graft.operators.ScaleOps.joinKeySkew(spark, Sf0001, 10)
       .collect()
