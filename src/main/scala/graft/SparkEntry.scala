@@ -102,7 +102,9 @@ object SparkEntry {
     "q5_nation_revenue" -> ((s, d) => Relational.q5RevenueByNation(s, d)),
     "q6_forecast" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q7_volume" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q8_mktshare" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q10_returned" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q13_custdist" -> ((s, d) => Relational.q13CustomerDistribution(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q15_topsupplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "q17_smallqty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
@@ -120,6 +122,8 @@ object SparkEntry {
     "win_rolling" -> ((s, d) => Relational.rollingUserStats(s, d, 10)),
     // NTILE decile bucketing (equal-count vs the histogram's equal-width)
     "win_ntile" -> ((s, d) => Relational.customerDeciles(s, d)),
+    // percent_rank/cume_dist per segment (partitioned ranked windows)
+    "win_percentile" -> ((s, d) => Relational.segmentPercentiles(s, d)),
     // bloom semi-join reduction: dim-key bloom pruned into the fact
     // scan; the plain join is the oracle (no false negatives)
     "join_bloom_prune" -> ((s, d) => ScaleOps.bloomPrunedRevenue(s, d)),
@@ -280,7 +284,9 @@ object SparkEntry {
     "q5_nation_revenue" -> Relational.q5OracleSql,
     "q6_forecast" -> Relational.q6OracleSql,
     "q7_volume" -> Relational.q7OracleSql,
+    "q8_mktshare" -> Relational.q8OracleSql,
     "q10_returned" -> Relational.q10OracleSql,
+    "q13_custdist" -> Relational.q13OracleSql,
     "q14_promo" -> Relational.q14OracleSql,
     "q15_topsupplier" -> Relational.q15OracleSql,
     "q17_smallqty" -> Relational.q17OracleSql,
@@ -296,6 +302,7 @@ object SparkEntry {
     "win_running" -> Relational.runningOrderStatsOracleSql,
     "win_rolling" -> Relational.rollingUserStatsOracleSql(10),
     "win_ntile" -> Relational.customerDecilesOracleSql,
+    "win_percentile" -> Relational.segmentPercentilesOracleSql,
     "join_bloom_prune" -> ScaleOps.bloomPrunedRevenueOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
     "events_tumbling" -> Relational.eventsTumblingOracleSql,

@@ -1145,6 +1145,125 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment ASC""".stripMargin
 
+  /** TPC-H Q8 shape (national market share): one nation's share of the
+    * line revenue inside one region's customer orders, per order year.
+    * Both nation lookups are broadcast dims; the share is a conditional
+    * aggregate over ONE joined pass (no per-nation re-scan). Decimal
+    * volume sums make numerator and denominator engine-exact; the final
+    * division of two exact sums is a single identical double op. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custRegion = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === lit("ASIA"))
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey",
+        "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === lit("NATION_1"), vol)
+            .otherwise(lit(0.0).cast("decimal(18,6)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year").asc)
+  }
+
+  val q8OracleSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  round(
+      |    CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+      |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+      |        AS DECIMAL(18,6))
+      |      ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = cn.n_regionkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY year(o_orderdate)
+      |ORDER BY o_year ASC""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so order-less customers land in the zero bucket, aggregate
+    * to customer grain, then re-aggregate the counts into the
+    * distribution — two partial-agg shuffles whose second input is
+    * customer-grain (small) and whose output is distinct-count-sized. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13OracleSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** percent_rank + cume_dist per market segment (windows partitioned
+    * by segment — each reducer sees one segment, not the world): the
+    * top-5 customers per segment with their in-segment percentile
+    * standing. Integer rank arithmetic over doubles computed
+    * identically per engine. */
+  def segmentPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_mktsegment").asc, col("rn").asc)
+  }
+
+  val segmentPercentilesOracleSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER w AS rn,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cume
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal DESC, c_custkey ASC)
+      |)
+      |SELECT c_mktsegment, c_custkey, c_acctbal, rn, pct_rank, cume
+      |FROM r WHERE rn <= 5
+      |ORDER BY c_mktsegment ASC, rn ASC""".stripMargin
+
   private def eventsWithTsec(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val tsec = ev.schema("ts").dataType match {

@@ -91,6 +91,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sum_qty") == direct)
   }
 
+  test("q8/q13/percentiles: shares bounded, distributions conserve") {
+    val q8 = Relational.q8MarketShare(spark, Sf0001).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val q13 = Relational.q13CustomerDistribution(spark, Sf0001).collect()
+    assert(q13.map(_.getAs[Long]("custdist")).sum ==
+      Tables.customer(spark, Sf0001).count())
+    val wp = Relational.segmentPercentiles(spark, Sf0001).collect()
+    wp.foreach { r =>
+      val p = r.getAs[Double]("pct_rank")
+      assert(p >= 0.0 && p <= 1.0)
+      if (r.getAs[Long]("rn") == 1L) assert(p == 0.0)
+      assert(r.getAs[Double]("cume") > 0.0)
+    }
+  }
+
   test("q15/q17/q22: decorrelated shapes agree with direct recomputes") {
     // q15: winners carry the max of the independent per-supplier agg
     val rev = Tables.lineitem(spark, Sf0001)
