@@ -54,6 +54,8 @@ object SparkEntry {
     "fts_endpoint" -> ((s, d) =>
       Fts.searchEndpoint(s, d, "hash join merge", "en", "80", 0.79, 10)),
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
+    // prefix search (the tsquery 'pre:*' analog) over the term index
+    "fts_prefix" -> ((s, d) => Fts.prefixSearch(s, d, "ha", 10)),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc
     "keywords_tfidf" -> ((s, d) => Fts.keywordsTfidf(s, d, 3)),
     // ts_headline analog: KWIC snippets around the first term hit
@@ -156,6 +158,8 @@ object SparkEntry {
     // count-min sketch but for a continuous column)
     "events_histogram" -> ((s, d) =>
       Sketches.valueHistogram(s, d, 0.0, 50.0, 10)),
+    // z-score outliers (rounded-z threshold, engine-stable row set)
+    "events_outliers" -> ((s, d) => Sketches.valueOutliers(s, d, 3.0)),
     // deterministic hash-threshold sampling (reproducible, shard-stable)
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // stratified quota sampling: exactly N rows per language stratum
@@ -182,6 +186,9 @@ object SparkEntry {
     "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
+    // numeric-coerced JSON range filter (the comparison sibling of V2)
+    "meta_filter_range" -> ((s, d) =>
+      TextOps.metadataRangeFilter(s, d, "k", 25L, 75L)),
     // §2.4 ingest pipeline
     "p1_validate" -> ((s, d) => DocumentPipeline.validate(s, d)),
     "p1_validate_meta" -> ((s, d) =>
@@ -256,6 +263,7 @@ object SparkEntry {
     "fts_endpoint" ->
       Fts.searchEndpointOracleSql("hash join merge", "en", "80", 0.79, 10),
     "fts_termstats" -> Fts.termStatsOracleSql,
+    "fts_prefix" -> Fts.prefixSearchOracleSql("ha", 10),
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
@@ -319,6 +327,7 @@ object SparkEntry {
     "sketch_hll" -> Sketches.hllOracleSql,
     "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
     "events_histogram" -> Sketches.valueHistogramOracleSql(0.0, 50.0, 10),
+    "events_outliers" -> Sketches.valueOutliersOracleSql(3.0),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
@@ -332,6 +341,8 @@ object SparkEntry {
     "curation_report" -> QualityLm.curationReportOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
+    "meta_filter_range" ->
+      TextOps.metadataRangeFilterOracleSql("k", 25L, 75L),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,

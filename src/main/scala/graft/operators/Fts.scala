@@ -589,6 +589,39 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Prefix search — the `to_tsquery('pre:*')` analog (the reference's
+    * plainto_tsquery has no prefix form, but the Postgres FTS surface
+    * it stands on does): documents matching ANY indexed term starting
+    * with the prefix, ranked by their total matched tf. Probes the
+    * persisted term-bucketed index with a pushed-down StartsWith
+    * filter; at scale a prefix probe reads only the matching terms'
+    * posting lists (parquet min/max on the sorted term column prunes
+    * row groups — the btree-prefix-scan analog). */
+  def prefixSearch(spark: SparkSession, dir: String, prefix: String,
+      k: Int): DataFrame =
+    spark.table(ensureIndex(spark, dir))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+
+  def prefixSearchOracleSql(prefix: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT doc_id, count(DISTINCT term) AS n_terms,
+       |  CAST(sum(tf) AS BIGINT) AS matched_tf
+       |FROM idx WHERE term LIKE '$prefix%'
+       |GROUP BY doc_id
+       |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** TF-IDF keyword extraction: the top-`perDoc` most characteristic
     * terms of every document — the per-doc summarization / tagging pass
     * a training-data pipeline runs for corpus exploration and topic

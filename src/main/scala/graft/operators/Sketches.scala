@@ -384,4 +384,42 @@ object Sketches {
        |GROUP BY event_type, CAST(least(greatest(floor((value - $lo)
        |  / $width), 0), ${nBins - 1}) AS INT)
        |ORDER BY event_type ASC, bucket ASC""".stripMargin
+
+  /** Z-score outlier detection per event type — the third distribution
+    * lens next to quantiles (order statistics) and histograms (shape):
+    * rows more than `z` sample standard deviations above their type's
+    * mean. The per-type stats are a tiny aggregate broadcast back into
+    * a scan-local filter — one pass for stats, one for the verdict, no
+    * row-level shuffle. The z-score is ROUNDED to 6 before the
+    * threshold test in BOTH engines: mean/stddev carry ~1e-12
+    * summation-order differences, and an unrounded comparison would
+    * let a value that close to the boundary flip row membership per
+    * engine. */
+  def valueOutliers(spark: SparkSession, dir: String,
+      z: Double): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("s_type"))
+      .agg(avg(col("value")).as("mean"),
+        stddev_samp(col("value")).as("sd"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), col("event_type") === col("s_type"))
+      .withColumn("zscore",
+        round((col("value") - col("mean")) / col("sd"), 6))
+      .filter(col("zscore") > lit(z))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("zscore"))
+      .orderBy(col("zscore").desc, col("event_id").asc)
+  }
+
+  def valueOutliersOracleSql(z: Double): String =
+    s"""WITH s AS (
+       |  SELECT event_type AS s_type, avg(value) AS m,
+       |    stddev_samp(value) AS sd
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT event_id, e.event_type, value,
+       |  round((value - s.m) / s.sd, 6) AS zscore
+       |FROM events e JOIN s ON s.s_type = e.event_type
+       |WHERE round((value - s.m) / s.sd, 6) > $z
+       |ORDER BY zscore DESC, event_id ASC""".stripMargin
 }

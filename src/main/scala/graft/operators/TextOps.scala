@@ -431,6 +431,39 @@ object TextOps {
       |FROM w JOIN top t ON w.doc_id = t.doc_id AND t.rn = 1
       |ORDER BY w.doc_id ASC""".stripMargin
 
+  /** Numeric-coerced JSON range filter — the comparison sibling of the
+    * reference's string-coerced equality filter (V2): the JSON value
+    * casts to a number and a range predicate applies. Scan-local
+    * extraction + filter (pushdown-friendly), then a type-grain
+    * summary so the registered output stays bounded. */
+  def metadataRangeFilter(spark: SparkSession, dir: String, key: String,
+      lo: Long, hi: Long): DataFrame = {
+    val kv = get_json_object(col("props"), s"$$.$key").cast("long")
+    Tables.events(spark, dir)
+      .withColumn("kv", kv)
+      .filter(col("kv") >= lit(lo) && col("kv") < lit(hi))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("kv")).as("min_k"),
+        max(col("kv")).as("max_k"))
+      .orderBy(col("event_type").asc)
+  }
+
+  def metadataRangeFilterOracleSql(key: String, lo: Long,
+      hi: Long): String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(CAST(json_extract_string(props, '$$.$key') AS BIGINT))
+       |    AS min_k,
+       |  max(CAST(json_extract_string(props, '$$.$key') AS BIGINT))
+       |    AS max_k
+       |FROM events
+       |WHERE CAST(json_extract_string(props, '$$.$key') AS BIGINT)
+       |      >= $lo
+       |  AND CAST(json_extract_string(props, '$$.$key') AS BIGINT)
+       |      < $hi
+       |GROUP BY event_type ORDER BY event_type ASC""".stripMargin
+
   /** Sequence packing — the batch-construction step of a pretraining
     * pipeline: documents are laid end-to-end in deterministic doc_id
     * order and cut into fixed token-budget bins (the concat-and-chunk

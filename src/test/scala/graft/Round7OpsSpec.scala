@@ -250,6 +250,43 @@ class Round7OpsSpec extends SparkSpec {
     assert(nlls.sameElements(nlls.sortBy(-_)))
   }
 
+  // ---- prefix search / json range / outliers ----------------------------
+
+  test("prefix search, json range, outliers recompute driver-side") {
+    // prefix: top doc's matched_tf equals a direct token count
+    val hits = graft.operators.Fts.prefixSearch(spark, Sf0001, "ha", 5)
+      .collect()
+    assert(hits.nonEmpty)
+    val top = hits.head
+    val text = Tables.documents(spark, Sf0001)
+      .filter($"doc_id" === top.getAs[Long]("doc_id"))
+      .select("text").head().getString(0)
+    val toks = functions.TextAnalyzer.analyze(text)
+    assert(toks.count(_.startsWith("ha")).toLong ==
+      top.getAs[Long]("matched_tf"))
+    // json range: conservation against a driver-side parse
+    val rows = graft.operators.TextOps
+      .metadataRangeFilter(spark, Sf0001, "k", 25L, 75L).collect()
+    val expected = Tables.events(spark, Sf0001)
+      .select("event_type", "props").collect()
+      .map(r => r.getString(0) ->
+        """\d+""".r.findFirstIn(r.getString(1)).get.toLong)
+      .filter { case (_, k) => k >= 25 && k < 75 }
+    assert(rows.map(_.getAs[Long]("n")).sum == expected.length.toLong)
+    // outliers: all above their type mean, sorted by zscore
+    val out = graft.operators.Sketches.valueOutliers(spark, Sf0001, 3.0)
+      .collect()
+    assert(out.nonEmpty)
+    val means = Tables.events(spark, Sf0001).groupBy("event_type")
+      .agg(avg($"value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(r.getAs[Double]("value") >
+      means(r.getAs[String]("event_type"))))
+    val zs = out.map(_.getAs[Double]("zscore"))
+    assert(zs.sameElements(zs.sortBy(-_)))
+    assert(zs.forall(_ > 3.0))
+  }
+
   // ---- funnel & retention -----------------------------------------------
 
   test("funnel: stages shrink monotonically, stage 2 recomputes") {
