@@ -377,16 +377,34 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  val SimHashBits = 16
+  val SimHashBits = 64
 
-  /** 16-bit SimHash per document, weighted by term frequency. Bit b of
-    * token t = high bit of hex digit b+1 of md5(t) (digit in 8..f → +1,
-    * else -1); fingerprint bit b set iff Σ_t tf(t)·sign_b(t) > 0.
-    * Hamming-near fingerprints ⇒ near-duplicate docs.
+  /** Hex digits whose nibble has bit k set — the cross-engine way to
+    * read bit k of an md5 nibble (both engines test set membership of
+    * the hex CHARACTER; no base conversion, which the engines expose
+    * differently). k=3 is the historical high-bit test. */
+  private val NibbleBit: Array[Seq[String]] = Array(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"), // bit 0
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"), // bit 1
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"), // bit 2
+    Seq("8", "9", "a", "b", "c", "d", "e", "f")) // bit 3
+
+  /** 64-bit SimHash per document, weighted by term frequency. Bit b of
+    * token t = bit b%4 of hex digit b/4+1 of md5(t) (set → +1, clear →
+    * -1); fingerprint bit b set iff Σ_t tf(t)·sign_b(t) > 0.
+    * Hamming-near fingerprints ⇒ near-duplicate docs. 64 bits (not
+    * 16): a 16-bit space holds 65,536 fingerprints, so at corpus scale
+    * every band bucket saturates and banded candidate generation goes
+    * quadratic; 2^64 keeps buckets sparse at any corpus size.
+    *
+    * The fingerprint lands in the long's full two's-complement range
+    * (bit 63 = the sign bit): Spark's wrapping `+ Long.MinValue` and
+    * the oracle's exact `+ (-2^63)` produce the same signed value
+    * because the low-63-bit sum is < 2^63 — no ANSI overflow either.
     *
     * The tf-weighted sum over distinct tokens equals the plain sum over
     * token OCCURRENCES, so the whole fingerprint is scan-local: hash
-    * array materialized once per row behind a barrier, 16 array
+    * array materialized once per row behind a barrier, 64 array
     * aggregates, zero shuffles (vs. two groupBys for the tf
     * formulation) — a shape that holds at any corpus size.
     */
@@ -397,8 +415,8 @@ object Dedup {
           t => md5(t)))).as("hashes"))
     val bitSums = (0 until SimHashBits).map { b =>
       aggregate(col("hashes"), lit(0L),
-        (acc, h) => acc + when(substring(h, b + 1, 1).isin(
-          "8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
+        (acc, h) => acc + when(substring(h, b / 4 + 1, 1).isin(
+          NibbleBit(b % 4): _*), 1L).otherwise(-1L))
         .as(s"s$b")
     }
     val fp = (0 until SimHashBits).map { b =>
@@ -416,7 +434,8 @@ object Dedup {
 
   def simhashOracleSql: String = {
     val bitSums = (0 until SimHashBits).map { b =>
-      s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s$b"
+      val digits = NibbleBit(b % 4).map(d => s"'$d'").mkString(",")
+      s"sum(CASE WHEN substr(h, ${b / 4 + 1}, 1) IN ($digits) THEN tf ELSE -tf END) AS s$b"
     }.mkString(",\n    ")
     val fp = (0 until SimHashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
@@ -442,10 +461,12 @@ object Dedup {
     * AGREE on at least one (pigeonhole) — candidates = pairs sharing
     * any (band, value) bucket, never all-pairs. Using the MINIMUM band
     * count maximizes per-band width and thus bucket selectivity: for
-    * maxDist=1 that is 2 bands × 8 bits = 256 values/band (4 bands × 4
-    * bits would pigeonhole too, with 16× coarser buckets — measured
-    * ~10× slower). Exact verify = bit_count(xor) <= maxDist. Both
-    * sides md5-deterministic and mirrored in the oracle.
+    * maxDist=1 that is 2 bands × 32 bits = 2^32 values/band, so a
+    * bucket collision is already near-certain evidence of a true
+    * near-dup (the 16-bit ancestor of this operator had 256-value
+    * bands that saturated — candidate counts went quadratic and it was
+    * the slowest query in the bench). Exact verify = bit_count(xor) <=
+    * maxDist. Both sides md5-deterministic and mirrored in the oracle.
     */
   def simhashPairs(spark: SparkSession, dir: String,
       maxDist: Int): DataFrame = {

@@ -263,36 +263,60 @@ object ScaleOps {
 
   /** The two-pass distributed prefix sum — the cluster-scale form of a
     * global-order running total that a single-reducer window cannot
-    * provide at 100 TB. Pass 1: range-partition on the order key, so
-    * partitions own disjoint, ordered key ranges; aggregate ONE sum
-    * per partition (nPartitions rows). Pass 2: the per-partition sums'
-    * own exclusive prefix (a window over nPartitions rows — trivially
-    * small) broadcasts back as each partition's offset, and every
-    * row's exclusive prefix is its scan-local within-partition running
-    * total plus the offset. No row-level data ever converges on one
-    * reducer; each partition's window sees only its own rows.
+    * provide at 100 TB. Pass 0: one distributed quantile sketch over
+    * the order key yields `partitions-1` range boundaries, collected
+    * ONCE to the driver (bounded: a few doubles) and baked into the
+    * plan as literals, so every row's bucket `_pid` is a pure
+    * scan-local function of its key. This is deliberate: a
+    * `repartitionByRange` here would plant a sampling RangePartitioner
+    * in BOTH downstream branches (the row window and the offset
+    * aggregate), and their bucket assignments would agree only while
+    * exchange reuse happens to fire — literal boundaries make the two
+    * branches agree by construction. Pass 1: each bucket owns a
+    * disjoint, contiguous key range; the within-bucket running total
+    * is a `partitionBy(_pid)` window (each reducer sees only its own
+    * bucket). Pass 2: per-bucket sums (nPartitions rows) take their
+    * own exclusive prefix — a window over a trivially small frame —
+    * and broadcast back as each bucket's offset. No row-level data
+    * ever converges on one reducer.
     *
     * Exact for integer values (long addition is associative), which is
-    * what running token/row totals are. Emits the input columns plus
-    * `cum_before` = the exclusive prefix sum of `valCol` in `orderCol`
-    * order (ties within a duplicate order key are resolved by the
-    * row's partition-local position — pass a unique key). */
+    * what running token/row totals are. Quantile error only skews
+    * bucket SIZES, never the result. Requires a numeric, non-null
+    * order key. Emits the input columns plus `cum_before` = the
+    * exclusive prefix sum of `valCol` in `orderCol` order (ties within
+    * a duplicate order key are resolved by the row's bucket-local
+    * position — pass a unique key). */
   def prefixSummed(df: DataFrame, orderCol: String, valCol: String,
       partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = df
-      .repartitionByRange(partitions, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.01)
+    // bucket i owns keys in (bounds(i-1), bounds(i)] — contiguous by
+    // construction since every row compares against the same literals
+    val pidExpr = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("_pid", pidExpr)
     val local = Window.partitionBy("_pid")
       .orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = parted.withColumn("_local",
+    val withLocal = bucketed.withColumn("_local",
       coalesce(sum(col(valCol)).over(local), lit(0L)))
-    val offsets = parted.groupBy("_pid")
+    // the offsets window runs over nPartitions rows (one per bucket) —
+    // bounded by construction. Its partition key is constant-zero
+    // (_pid is never negative) but written non-foldably: a bare lit(0)
+    // would be constant-folded out of the windowspec and WindowExec
+    // would log its misleading single-partition warning for a frame
+    // that is small by design
+    val offsets = bucketed.groupBy("_pid")
       .agg(sum(col(valCol)).as("_psum"))
       .withColumn("_offset",
         coalesce(sum(col("_psum")).over(
-          Window.orderBy(col("_pid").asc)
+          Window.partitionBy(least(col("_pid"), lit(0)))
+            .orderBy(col("_pid").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_offset")
     withLocal.join(broadcast(offsets), "_pid")

@@ -473,22 +473,20 @@ object TextOps {
     * overflow by at most one document — the standard greedy
     * approximation.
     *
-    * The running total is a global-order window (single reducer here);
-    * at 100 TB the same prefix-sum runs as the two-pass
-    * `ScaleOps.prefixSummed` (range partition → per-partition totals →
-    * broadcast prefix offsets → partition-local cumsum), which changes
-    * the plan, not the numbers — Round7OpsSpec proves row-exact
-    * equality between the two formulations. Integer token counts —
-    * exact. */
+    * The running total is the two-pass distributed prefix sum
+    * (`ScaleOps.prefixSummed`: quantile-bucket the order key →
+    * bucket-local window → broadcast per-bucket offsets) — no
+    * single-reducer global window anywhere in the plan, so the same
+    * plan shape runs at 100 TB. Round7OpsSpec proves the two-pass
+    * result row-equal to the global-window formulation; the DuckDB
+    * oracle keeps expressing it as the global window. Integer token
+    * counts — exact. */
   def packSequences(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(TextAnalyzer.tokens(col("text"))).cast("long").as("toks"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+    ScaleOps.prefixSummed(toks, "doc_id", "toks", 32)
       .select(col("doc_id"), col("toks"),
         expr(s"cum_before div ${budget}L").as("bin")) // integer div,
         // mirrors the oracle's // exactly (no double quotient)

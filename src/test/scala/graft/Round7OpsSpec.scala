@@ -465,11 +465,19 @@ class Round7OpsSpec extends SparkSpec {
       .select("doc_id", "cum_before").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(twoPass == global)
-    // and the scale path really distributes: >1 range partition
-    val nPids = ScaleOps.prefixSummed(toks, "doc_id", "toks", 5)
-      .select(org.apache.spark.sql.functions
-        .spark_partition_id()).distinct().count()
-    assert(nPids > 1)
+    // and the scale path really distributes: rows occupy >1 physical
+    // partition AFTER the bucket window. AQE would coalesce the tiny
+    // fixture shuffle, and selecting only spark_partition_id() lets
+    // column pruning delete the window+exchange entirely — so keep
+    // cum_before in the projection and distinct on the driver
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nPids = ScaleOps.prefixSummed(toks, "doc_id", "toks", 5)
+        .select(org.apache.spark.sql.functions
+          .spark_partition_id().as("p"), col("cum_before"))
+        .collect().map(_.getInt(0)).distinct.length
+      assert(nPids > 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("skew stats: relative frequencies recompute, skew is the max") {
