@@ -69,6 +69,7 @@ object Bench {
     // drop the warm-up pass's persist()ed frames so the FIRST timed
     // query doesn't run under ~110 queries of dead-cache LRU churn the
     // per-query clearCache below spares every later query
+    graft.operators.CacheScope.release(spark)
     spark.catalog.clearCache()
     // GC barrier so warm-up garbage is not collected mid-measurement
     System.gc()
@@ -111,7 +112,9 @@ object Bench {
       // 100+ queries × reps the dead copies accumulate until LRU
       // eviction churns. Dropping the cache between queries keeps the
       // memory profile flat (catalog TABLES — the persisted indexes —
-      // live on disk and are unaffected).
+      // live on disk and are unaffected). release() first so the
+      // CacheScope registry does not grow across 100+ queries.
+      graft.operators.CacheScope.release(spark)
       spark.catalog.clearCache()
       (name,
         if (runs.nonEmpty) runs.min else -1.0,

@@ -36,6 +36,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 full-text search
     "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
+    // language-keyed analysis: French stopwords strip the query's
+    // function words; zh runs the bare-tokenization (PG `simple`) path
+    "fts_topk_fr" -> ((s, d) =>
+      Fts.searchLang(s, d, "le merge et la table", "fr", 10)),
+    "fts_topk_zh" -> ((s, d) =>
+      Fts.searchLang(s, d, "the stream filter", "zh", 10)),
     // ts_rank_cd normalization bitmask beyond the hardwired 32:
     // 33 = (1 | 32) → log-doc-length damping then rank/(rank+1)
     "fts_topk_norm" -> ((s, d) =>
@@ -124,12 +130,20 @@ object SparkEntry {
     "win_rolling" -> ((s, d) => Relational.rollingUserStats(s, d, 10)),
     // NTILE decile bucketing (equal-count vs the histogram's equal-width)
     "win_ntile" -> ((s, d) => Relational.customerDeciles(s, d)),
+    // same deciles with no global-order window anywhere in the plan
+    // (exact rank via bucket offsets — the 100 TB formulation)
+    "win_ntile_scale" -> ((s, d) => Relational.customerDecilesScale(s, d)),
     // percent_rank/cume_dist per segment (partitioned ranked windows)
     "win_percentile" -> ((s, d) => Relational.segmentPercentiles(s, d)),
     // bloom semi-join reduction: dim-key bloom pruned into the fact
     // scan; the plain join is the oracle (no false negatives)
     "join_bloom_prune" -> ((s, d) => ScaleOps.bloomPrunedRevenue(s, d)),
     "agg_status_tally" -> ((s, d) => Relational.statusTally(s, d)),
+    // job-ledger metrics (A4 progress %, A5 tallies, O1 recency) over
+    // the deterministic jobs frame — see graft.jobs.JobLedger
+    "jobs_progress" -> ((s, d) => graft.jobs.JobLedger.jobProgress(s, d)),
+    "jobs_tally" -> ((s, d) => graft.jobs.JobLedger.jobTally(s, d)),
+    "jobs_recent" -> ((s, d) => graft.jobs.JobLedger.jobsRecent(s, d, 10)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
@@ -253,6 +267,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "fts_topk" -> Fts.searchOracleSql("hash join merge", "en", 10),
+    "fts_topk_fr" ->
+      Fts.searchLangOracleSql("le merge et la table", "fr", 10),
+    "fts_topk_zh" ->
+      Fts.searchLangOracleSql("the stream filter", "zh", 10),
     "fts_topk_norm" ->
       Fts.searchNormalizedOracleSql("hash join merge", "en", 10, 33),
     "fts_topk_stemmed" -> Fts.searchStemmedOracleSql("merging streams", "en", 10),
@@ -310,9 +328,13 @@ object SparkEntry {
     "win_running" -> Relational.runningOrderStatsOracleSql,
     "win_rolling" -> Relational.rollingUserStatsOracleSql(10),
     "win_ntile" -> Relational.customerDecilesOracleSql,
+    "win_ntile_scale" -> Relational.customerDecilesScaleOracleSql,
     "win_percentile" -> Relational.segmentPercentilesOracleSql,
     "join_bloom_prune" -> ScaleOps.bloomPrunedRevenueOracleSql,
     "agg_status_tally" -> Relational.statusTallyOracleSql,
+    "jobs_progress" -> graft.jobs.JobLedger.jobProgressOracleSql,
+    "jobs_tally" -> graft.jobs.JobLedger.jobTallyOracleSql,
+    "jobs_recent" -> graft.jobs.JobLedger.jobsRecentOracleSql(10),
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,

@@ -39,10 +39,13 @@ object Verify {
             .parquet(s"$outDir/$name")
           // drop per-query persist()ed frames (see Bench) so cached
           // copies don't accumulate across the 100+ query dump
+          graft.operators.CacheScope.release(spark)
           spark.catalog.clearCache()
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          graft.operators.CacheScope.release(spark)
+          spark.catalog.clearCache()
           Some(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }

@@ -35,6 +35,29 @@ object TextAnalyzer {
 
   private val StopSet = StopWords.toSet
 
+  /** Fixed French stopword list — the high-frequency function words of
+    * PG's `french` config, frozen for the same reason as `StopWords`. */
+  val StopWordsFr: Seq[String] = Seq(
+    "le", "la", "les", "de", "des", "du", "un", "une", "et", "ou",
+    "est", "en", "que", "qui", "dans", "pour", "sur", "pas", "plus",
+    "par", "avec", "son", "ses", "sa", "au", "aux", "ce", "ces", "se",
+    "il", "elle", "ne", "je", "tu", "nous", "vous", "ils", "elles",
+    "mais", "ont", "sont")
+
+  /** Per-language analysis policy (reference surface: the FTS language
+    * is a deployment parameter, /root/reference/src/config/settings.py:21,
+    * applied at src/core/vector_store.py:222). `en` = English stopwords
+    * + light stemmer; `fr` = French stopwords, NO stemmer (the light
+    * stemmer encodes English morphology — applied to French it would
+    * corrupt recall, so unsupported-stemmer languages bypass it); any
+    * other language = bare tokenization (length filter only), the PG
+    * `simple`-config analog. */
+  def stopWordsFor(lang: String): Seq[String] = lang match {
+    case "en" => StopWords
+    case "fr" => StopWordsFr
+    case _    => Seq.empty
+  }
+
   val SplitPattern = "\\W+"
 
   /** tokens(content): Column[Array[String]] — the analyzed token stream
@@ -52,6 +75,24 @@ object TextAnalyzer {
   def analyze(text: String): Seq[String] =
     text.toLowerCase.split(SplitPattern).toSeq
       .filter(t => t.length >= MinTokenLen && !StopSet.contains(t))
+
+  /** Language-keyed variant of `tokens` — identical mechanics, the
+    * language's stopword set. */
+  def tokensFor(c: Column, lang: String): Column = stopWordsFor(lang) match {
+    case Nil =>
+      filter(split(lower(c), SplitPattern), t => length(t) >= MinTokenLen)
+    case stops =>
+      filter(split(lower(c), SplitPattern),
+        t => length(t) >= MinTokenLen && !t.isin(stops: _*))
+  }
+
+  /** Language-keyed variant of `analyze` (query path — MUST match
+    * `tokensFor` exactly). */
+  def analyzeFor(text: String, lang: String): Seq[String] = {
+    val stops = stopWordsFor(lang).toSet
+    text.toLowerCase.split(SplitPattern).toSeq
+      .filter(t => t.length >= MinTokenLen && !stops.contains(t))
+  }
 
   // ---- Light stemmer (F1 stemming, SURVEY §2.2) -------------------------
   //
@@ -107,6 +148,15 @@ object TextAnalyzer {
   def stemmedTokens(c: Column): Column =
     transform(tokens(c), t => call_function("light_stem", t))
 
+  /** Indexed-token stream honoring the language's stemmer policy:
+    * only `en` stems; every other language bypasses the stemmer. */
+  def stemmedTokensFor(c: Column, lang: String): Column =
+    if (lang == "en") stemmedTokens(c) else tokensFor(c, lang)
+
+  /** Query-path mirror of `stemmedTokensFor`. */
+  def analyzeStemmedFor(text: String, lang: String): Seq[String] =
+    if (lang == "en") analyzeStemmed(text) else analyzeFor(text, lang)
+
   // ---- Oracle-SQL mirrors (DuckDB dialect) ------------------------------
 
   /** SQL list literal of the stopwords, e.g. ('the','a',...). */
@@ -121,6 +171,15 @@ object TextAnalyzer {
   /** WHERE-clause filter matching steps 3-4 for a term column named `t`. */
   def sqlTermFilter(t: String): String =
     s"length($t) >= $MinTokenLen AND $t NOT IN $sqlStopList"
+
+  /** Language-keyed `sqlTermFilter` — mirrors `tokensFor`. */
+  def sqlTermFilterFor(t: String, lang: String): String =
+    stopWordsFor(lang) match {
+      case Nil => s"length($t) >= $MinTokenLen"
+      case ws =>
+        val list = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"length($t) >= $MinTokenLen AND $t NOT IN $list"
+    }
 
   /** Stage A of `stemOne` over an expression `x` (pass a short identifier;
     * oracles chain the stages through CTEs or list_transform steps so each

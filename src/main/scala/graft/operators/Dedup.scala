@@ -100,7 +100,7 @@ object Dedup {
       array_min(transform(col("sh_set"),
         s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")
     }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*).persist()
+    val sigs = docs.select(col("doc_id") +: sigCols: _*).transform(CacheScope.cached)
     (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
@@ -119,7 +119,7 @@ object Dedup {
     // runs three times per query
     val docs = docShingleSets(Tables.documents(spark, dir))
       .filter(size(col("sh_set")) > 0)
-      .persist()
+      .transform(CacheScope.cached)
     val bands = lshBands(docs)
     val candidates = bands.as("x")
       .join(bands.as("y").hint("SHUFFLE_HASH"), // same rationale as
@@ -129,7 +129,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      .persist()
+      .transform(CacheScope.cached)
     // exact verification: set intersection on the candidates' arrays
     val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
       .join(broadcast(candidates), Seq("a"))
@@ -161,8 +161,8 @@ object Dedup {
       newRem: Long = 7L): DataFrame = {
     val docs = docShingleSets(Tables.documents(spark, dir))
       .filter(size(col("sh_set")) > 0)
-      .persist()
-    val bands = lshBands(docs).persist()
+      .transform(CacheScope.cached)
+    val bands = lshBands(docs).transform(CacheScope.cached)
     val isNew = col("doc_id") % mod === lit(newRem)
     val candidates = bands.filter(isNew).as("x")
       .join(bands.filter(!isNew).as("y").hint("SHUFFLE_HASH"),
@@ -252,7 +252,7 @@ object Dedup {
       .select(col("a"), col("b"))
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      .transform(CacheScope.cached)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -474,7 +474,7 @@ object Dedup {
     require(SimHashBits % numBands == 0,
       s"$SimHashBits bits must split evenly into $numBands bands")
     val bandBits = SimHashBits / numBands
-    val fps = simhash(spark, dir).persist()
+    val fps = simhash(spark, dir).transform(CacheScope.cached)
     val bands = (0 until numBands).map { b =>
       fps.select(col("doc_id"), lit(b).as("band"),
         expr(s"(simhash >> ${b * bandBits}) & " +
@@ -670,7 +670,7 @@ object Dedup {
     */
   def shingleJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShinglesSized(Tables.documents(spark, dir)).persist()
+    val sh = docShinglesSized(Tables.documents(spark, dir)).transform(CacheScope.cached)
     // SHUFFLE_HASH: both sides are the same co-partitioned frame; a hash
     // build skips SortMergeJoin's two 242k-row sorts (measured ~1.4x on
     // the whole query). The build side is one partition's posting lists

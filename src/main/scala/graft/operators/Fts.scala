@@ -123,6 +123,59 @@ object Fts {
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** `search` with language-keyed analysis (reference surface: the FTS
+    * language is a deployment parameter, settings.py:21) — both the
+    * corpus side and the query string run the LANGUAGE'S analyzer:
+    * French stopwords for `fr` (a query "le merge et la table" reduces
+    * to the content terms; the English analyzer would keep every one of
+    * those function words and match nothing), bare tokenization for
+    * languages without a stopword set, and the stemmer stays
+    * English-only (`TextAnalyzer.stemmedTokensFor`). Identical
+    * zero-exchange plan shape as `search`. */
+  def searchLang(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyzeFor(query, lang).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokensFor(col("text"), lang)))
+          .as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    withToks
+      .select(col("doc_id") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle SQL mirroring `searchLang` exactly (DuckDB dialect). */
+  def searchLangOracleSql(query: String, lang: String, k: Int): String = {
+    val terms = TextAnalyzer.analyzeFor(query, lang).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilterFor("term", lang)}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(s / (1 + s), 6) AS score
+       |FROM m WHERE nmatch = ${terms.length}
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** F1+F2 stemmed variant: the reference's actual behavior — both the
     * indexed document text and the query go through the `english`
     * stemmer (`plainto_tsquery('english', ...)`,

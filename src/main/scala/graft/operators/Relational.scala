@@ -808,9 +808,14 @@ object Relational {
     *
     * Scale shape: one shuffle keyed by user_id (the window partition);
     * the bounded frame is O(frame) memory per row in both engines. The
-    * deterministic (tsec, event_id) order makes frame contents — and
-    * therefore the frame-ordered double summation — identical across
-    * engines. */
+    * deterministic (tsec, event_id) order pins frame CONTENTS across
+    * engines, but not the accumulation ORDER of the double avg —
+    * DuckDB evaluates sliding frames via a segment tree (tree-order
+    * sums), Spark in frame order. The round(..., 6) is what actually
+    * absorbs that ~1e-12 order noise; a value within ~1e-12 of a
+    * rounding boundary could still flip, so any future frame operator
+    * needing a hard gate should sum in scaled-integer nano-units (the
+    * q10/unigram-NLL pattern) instead of relying on frame order. */
   def rollingUserStats(spark: SparkSession, dir: String,
       frame: Int): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -866,6 +871,79 @@ object Relational {
       |    ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
       |      AS decile
       |  FROM customer
+      |)
+      |SELECT decile, count(*) AS n,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(avg(c_acctbal), 4) AS avg_bal
+      |FROM d GROUP BY decile ORDER BY decile ASC""".stripMargin
+
+  /** The 100 TB decile formulation: the EXACT global rank computed
+    * without any global-order window, then `decile = (rank-1)*10 div N
+    * + 1` (equal-count rank buckets; identical to ntile(10) whenever
+    * 10 divides N, and equal-count ±1 always — our oracled semantics).
+    *
+    * Rank at scale is the prefix-sum trick specialized to counting:
+    * quantile boundaries over the sort value — collected once as plan
+    * literals, so every branch buckets rows identically and boundary
+    * precision only skews bucket SIZES, never the rank — then
+    * rank = (count of rows in strictly-higher buckets, the tiny
+    * per-bucket offset prefix) + (row_number within the bucket). Rows
+    * with equal balance always share a bucket (they compare equally
+    * against every literal), so the custkey tiebreak stays inside one
+    * bucket window and the composite global order is exact. No
+    * row-level data ever converges on one reducer; N rides along as a
+    * broadcast 1-row aggregate, not a driver action. */
+  def customerDecilesScale(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val probs = (1 until 10).map(_ / 10.0).toArray
+    val bounds = cust.stat.approxQuantile("c_acctbal", probs, 0.01)
+    val pid = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("c_acctbal") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = cust.withColumn("_pid", pid)
+    val localW = Window.partitionBy("_pid")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val withLocal = bucketed
+      .withColumn("_lrn", row_number().over(localW).cast("long"))
+    // global order is balance DESC ⇒ a bucket's offset is the count of
+    // rows in HIGHER-value buckets; bounded frame (≤10 rows), with the
+    // non-foldable constant partition key (see ScaleOps.prefixSummed)
+    val offsets = bucketed.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        coalesce(sum(col("_cnt")).over(
+          Window.partitionBy(least(col("_pid"), lit(0)))
+            .orderBy(col("_pid").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    val total = cust.groupBy().agg(count(lit(1)).as("_n"))
+    withLocal.join(broadcast(offsets), "_pid")
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("_off") + col("_lrn"))
+      .select(col("c_acctbal"),
+        expr("((rnk - 1) * 10) div _n + 1").as("decile"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("decile").asc)
+  }
+
+  val customerDecilesScaleOracleSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+      |      AS rnk,
+      |    count(*) OVER () AS nn
+      |  FROM customer
+      |), d AS (
+      |  SELECT c_acctbal,
+      |    CAST((rnk - 1) * 10 // nn AS BIGINT) + 1 AS decile
+      |  FROM r
       |)
       |SELECT decile, count(*) AS n,
       |  round(min(c_acctbal), 2) AS min_bal,
@@ -1139,9 +1217,10 @@ object Relational {
       |SELECT c_mktsegment, count(*) AS n_customers,
       |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
       |    AS total_bal
-      |FROM customer, t
+      |FROM customer c, t
       |WHERE c_acctbal > avg_bal
-      |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+      |  AND NOT EXISTS (SELECT 1 FROM recent r
+      |                  WHERE r.o_custkey = c.c_custkey)
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment ASC""".stripMargin
 

@@ -122,7 +122,7 @@ object Sampling {
           .cast("long").as("toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      .persist()
+      .transform(CacheScope.cached)
     val totals = grouped.agg(
       sum(col("n_tokens")).as("total_tokens"),
       sum(sqrt(col("n_tokens").cast("double"))).as("sum_sqrt"))

@@ -394,7 +394,9 @@ object Sketches {
     * threshold test in BOTH engines: mean/stddev carry ~1e-12
     * summation-order differences, and an unrounded comparison would
     * let a value that close to the boundary flip row membership per
-    * engine. */
+    * engine. A degenerate constant-valued type (sd = 0) is filtered on
+    * BOTH sides: Spark's double division would yield Infinity/NaN
+    * while DuckDB's yields NULL — opposite row-membership verdicts. */
   def valueOutliers(spark: SparkSession, dir: String,
       z: Double): DataFrame = {
     val stats = Tables.events(spark, dir)
@@ -403,6 +405,7 @@ object Sketches {
         stddev_samp(col("value")).as("sd"))
     Tables.events(spark, dir)
       .join(broadcast(stats), col("event_type") === col("s_type"))
+      .filter(col("sd") > lit(0d))
       .withColumn("zscore",
         round((col("value") - col("mean")) / col("sd"), 6))
       .filter(col("zscore") > lit(z))
@@ -420,6 +423,7 @@ object Sketches {
        |SELECT event_id, e.event_type, value,
        |  round((value - s.m) / s.sd, 6) AS zscore
        |FROM events e JOIN s ON s.s_type = e.event_type
-       |WHERE round((value - s.m) / s.sd, 6) > $z
+       |WHERE s.sd > 0
+       |  AND round((value - s.m) / s.sd, 6) > $z
        |ORDER BY zscore DESC, event_id ASC""".stripMargin
 }

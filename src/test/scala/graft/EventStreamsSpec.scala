@@ -174,6 +174,44 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-vs-batch gate: streamed windows equal the ORACLED " +
+      "events_tumbling rows") {
+    // the streaming analog of a correctness row: the streamed windowed
+    // aggregate must reproduce the hash-gated batch query's rows
+    // (Relational.eventsTumbling — the registered events_tumbling
+    // entry), keyed to its bucket convention (epoch sec div 600)
+    runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, Sf0001)),
+      "win_gate", "append")
+    val streamed = spark.table("win_gate")
+      .select(
+        expr("CAST(floor(unix_timestamp(window_start) / 600) AS LONG)")
+          .as("bucket"),
+        $"event_type", $"n", $"sum_value")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(streamed.nonEmpty)
+    val oracled = graft.operators.Relational
+      .eventsTumbling(spark, Sf0001)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // every emitted (closed) window row must equal the oracled row:
+    // counts exactly; sums to 1e-6 (cross-micro-batch state
+    // accumulation order can differ from the batch sum at ~1e-12)
+    streamed.foreach { case (k, (n, sv)) =>
+      val (on, osv) = oracled(k)
+      assert(n == on, s"count mismatch at $k")
+      assert(math.abs(sv - osv) < 1e-6, s"sum mismatch at $k")
+    }
+    // and completeness: windows closed by the final watermark are there
+    val maxTs = Tables.events(spark, Sf0001)
+      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val cutoffBucket = (maxTs - 30 * 60) / 600
+    oracled.keys.filter(_._1 < cutoffBucket - 1).foreach { k =>
+      assert(streamed.contains(k), s"closed window $k missing")
+    }
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString
