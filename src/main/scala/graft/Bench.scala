@@ -57,6 +57,8 @@ object Bench {
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", v))
+    sys.env.get("SPARK_GRAFT_CONSTRAINT_PROP").foreach(v =>
+      builder.config("spark.sql.constraintPropagation.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.NativeFunctions.registerAll(spark)
@@ -149,8 +151,27 @@ object Bench {
     val sfShort = sfDir.split('/').last
     val failedPart =
       if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    // paired DuckDB denominator from the most recent same-sf
+    // tools/bench_compare.py run on this host, if one exists — stamps
+    // the contract line with the ratio's other half so a round's bench
+    // artifact is self-contained (numerator and denominator no longer
+    // live in different sessions' notes)
+    val duckPart = {
+      val p = java.nio.file.Paths.get("bench_duckdb.json")
+      if (!java.nio.file.Files.exists(p)) ""
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def field(k: String): Option[String] =
+          s""""$k"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(s)
+            .map(_.group(1))
+        (for {
+          d <- field("duckdb_total") if s.contains(s""""sf": "$sfDir"""")
+          n <- field("n_paired")
+        } yield s""","duckdb_paired":{"total":$d,"n":$n}""").getOrElse("")
+      }
+    }
     def envelope(queriesJson: String, extra: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart$duckPart}"""
     val byCost = ok.sortBy(r => (-r._2, r._1))
     val fullLadder = Seq(3, 2, 1).iterator.map { digits =>
       val p = math.pow(10, digits)

@@ -71,6 +71,14 @@ def main():
         e_tot = sum(spark_times[n] for n in extra)
         print(f"spark-only (rows-only checks, no oracle): "
               f"{', '.join(extra)} = {e_tot:.2f}s")
+    # persist the pairing so the next graft.Bench run can stamp its
+    # stdout line with a same-host DuckDB denominator (the r7 verdict's
+    # numerator/denominator-from-different-sessions ambiguity)
+    with open("bench_duckdb.json", "w") as f:
+        json.dump({"sf": sf_dir, "n_paired": len(common),
+                   "spark_total": round(s_tot, 3),
+                   "duckdb_total": round(d_tot, 3),
+                   "ratio": round(s_tot / d_tot, 3)}, f)
 
 
 if __name__ == "__main__":
