@@ -185,7 +185,9 @@ object Bench {
         envelope(jmap(kept.map(r => (r._1, r2(r._2)))),
           s""","rest":{"n":${rest.length},"sum":${r2(rest.map(_._2).sum)}}""")
       }
-    val line = (fullLadder ++ topKLadder).find(_.length <= 1850)
+    // 1800, not 1850: the driver tails RAW stdout, so sbt's "[info] "
+    // prefix rides inside the 2000-char budget with the JSON
+    val line = (fullLadder ++ topKLadder).find(_.length <= 1800)
       .getOrElse(envelope("{}",
         ""","note":"per-query map exceeds tail budget; see bench_detail.json""""))
     println(line)

@@ -192,6 +192,10 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // unigram-LM perplexity proxy (CCNet-style quality gate)
     "quality_unigram_lm" -> ((s, d) => QualityLm.unigramNll(s, d)),
+    // held-out bigram LM with stupid backoff (KenLM-shape, one rung up)
+    "quality_bigram_lm" -> ((s, d) => Ngrams.bigramNll(s, d)),
+    // PMI collocation mining over adjacent analyzed-token pairs
+    "pmi_collocations" -> ((s, d) => Ngrams.pmiCollocations(s, d)),
     // Gopher/MassiveWeb composite rule gate with per-rule attribution
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
     // per-source curation roll-up (gate pass rate + mean unigram NLL)
@@ -243,6 +247,9 @@ object SparkEntry {
     // connected components over the near-dup graph: canonical-doc
     // selection (keep cluster minimum)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d, 0.5)),
+    // the dedup pass's deliverable: per-source kept/removed doc+char
+    // counts after near-dup removal
+    "dedup_reduction" -> ((s, d) => Dedup.dedupReduction(s, d, 0.5)),
     // Hamming-banded simhash pairs (pigeonhole-complete for dist < 4;
     // dist <= 1 keeps the 16-bit fingerprint selective)
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d, 1)),
@@ -359,6 +366,8 @@ object SparkEntry {
     "skew_stats" -> ScaleOps.joinKeySkewOracleSql(10),
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,
     "quality_unigram_lm" -> QualityLm.unigramNllOracleSql,
+    "quality_bigram_lm" -> Ngrams.bigramNllOracleSql(),
+    "pmi_collocations" -> Ngrams.pmiOracleSql(),
     "quality_gopher" -> TextOps.gopherQualityOracleSql,
     "curation_report" -> QualityLm.curationReportOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
@@ -390,6 +399,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),
     "dedup_clusters" -> Dedup.nearDupClustersOracleSql(0.5),
+    "dedup_reduction" -> Dedup.dedupReductionOracleSql(0.5),
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),

@@ -312,6 +312,59 @@ object Dedup {
        |  doc_id = cluster_id AS is_keeper
        |FROM comp ORDER BY cluster_id ASC, doc_id ASC""".stripMargin
 
+  /** Corpus-reduction report — the number a dedup pass is actually run
+    * to produce: per source, how many documents (and characters) survive
+    * near-dup removal. Composes [[nearDupClusters]] (keeper flags) with
+    * the full documents table via one doc_id-keyed left join — docs in
+    * no cluster are trivially kept — then partial-aggregates to nSources
+    * rows. The cluster side is tiny relative to the corpus (only docs
+    * with a near-dup), so at 100 TB this is a broadcast join against the
+    * full scan; nothing new shuffles at corpus grain.
+    *
+    * Determinism: counts and n_chars sums are exact BIGINT folds;
+    * removed-side sums coalesce to 0 where a source has no removals
+    * (Spark's sum-of-empty is NULL in both engines).
+    */
+  def dedupReduction(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val flags = nearDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("is_keeper"))
+    val keep = coalesce(col("is_keeper"), lit(true))
+    Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .join(broadcast(flags), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(keep.cast("long")).as("n_kept"),
+        sum((!keep).cast("long")).as("n_removed"),
+        sum(when(keep, col("n_chars"))).as("chars_kept"),
+        coalesce(sum(when(!keep, col("n_chars"))), lit(0L))
+          .as("chars_removed"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Oracle: the clusters oracle as a subquery, left-joined to the full
+    * documents table — the same composition the engine runs. */
+  def dedupReductionOracleSql(threshold: Double): String =
+    s"""WITH flags AS (
+       |  SELECT doc_id, is_keeper
+       |  FROM (${nearDupClustersOracleSql(threshold)}) c
+       |)
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CAST(COALESCE(f.is_keeper, true) AS BIGINT))
+       |    AS BIGINT) AS n_kept,
+       |  CAST(sum(CAST(NOT COALESCE(f.is_keeper, true) AS BIGINT))
+       |    AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN COALESCE(f.is_keeper, true)
+       |    THEN d.n_chars END) AS BIGINT) AS chars_kept,
+       |  CAST(COALESCE(sum(CASE WHEN NOT COALESCE(f.is_keeper, true)
+       |    THEN d.n_chars END), 0) AS BIGINT) AS chars_removed
+       |FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source ASC""".stripMargin
+
   /** (doc_id, sh_set) — the distinct word 3-gram shingle array per doc,
     * scan-local behind a tokenizer barrier. */
   def docShingleSets(documents: DataFrame): DataFrame = {

@@ -147,6 +147,68 @@ object EventStreams {
       }
   }
 
+  /** Production-contract sessionization: [[sessionize]] plus EVENT-TIME
+    * TIMEOUT emission. The plain version only closes a session when a
+    * LATER event from the same user arrives — a user who stops clicking
+    * leaves their last session in state forever. Here every state update
+    * arms a timeout at session_end + gap (+1 s, since an event at
+    * exactly `gapSec` still extends); when the watermark passes it, no
+    * in-order event can extend the session any more, so it is emitted
+    * and its state removed. This closes the stream-vs-batch gap by
+    * construction: a session the batch sessionizer considers closed is
+    * emitted as soon as the watermark proves it closed, not when (if
+    * ever) the user returns. State stays O(open sessions); timed-out
+    * keys are freed.
+    */
+  /** [[SessionEvent]] plus the watermarked event-time column — the
+    * unsupported-operation checker requires the watermark attribute to
+    * reach the stateful operator's input, so it must survive the typed
+    * projection. */
+  case class TimedSessionEvent(user_id: Long, ts_sec: Long, value: Double,
+      event_time: java.sql.Timestamp)
+
+  def sessionizeWithTimeout(spark: SparkSession, events: DataFrame,
+      gapSec: Long, delay: String = "0 seconds"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+        col("value"), col("event_time"))
+      .as[TimedSessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[TimedSessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator.single(Session(uid, cur.start, cur.last, cur.n,
+              cur.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts_sec)
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              if (cur == null) {
+                cur = SessionState(e.ts_sec, e.ts_sec, 1L, e.value)
+              } else if (e.ts_sec - cur.last <= gapSec) {
+                cur = SessionState(cur.start, e.ts_sec, cur.n + 1,
+                  cur.total + e.value)
+              } else {
+                out += Session(uid, cur.start, cur.last, cur.n, cur.total)
+                cur = SessionState(e.ts_sec, e.ts_sec, 1L, e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.last + gapSec + 1L) * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Continuous inverted-index maintenance: each micro-batch of documents
     * is analyzed and appended to the index directory — the Spark analog
     * of the reference's tsvector-populating DB trigger. Returns the

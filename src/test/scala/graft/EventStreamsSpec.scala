@@ -212,6 +212,48 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("timeout sessionization: streamed sessions reproduce the ORACLED " +
+      "events_sessions rows") {
+    // gate against the REGISTERED (hash-gated) batch query, not an
+    // ad-hoc ground truth: every session the watermark can prove closed
+    // must be emitted (the plain sessionizer leaves each user's trailing
+    // session in state forever), and nothing may be emitted that the
+    // batch sessionizer doesn't produce
+    val gap = 1800L
+    runToMemory(
+      EventStreams.sessionizeWithTimeout(
+        spark, EventStreams.readEvents(spark, Sf0001), gap).toDF(),
+      "sess_timeout", "append")
+    val streamed = spark.table("sess_timeout")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    val batch = graft.operators.Relational
+      .eventSessions(spark, Sf0001, gap)
+      .select($"user_id", $"start_sec", $"end_sec", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.subsetOf(batch),
+      s"streamed-only sessions: ${streamed -- batch}")
+    // completeness: the final watermark is max(ts) (delay 0s); any
+    // session whose timeout (end + gap + 1) lies strictly below it has
+    // provably closed and MUST have been emitted
+    val maxTs = Tables.events(spark, Sf0001)
+      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val mustClose = batch.filter { case (_, _, end, _) =>
+      end + gap + 2 < maxTs
+    }
+    assert(mustClose.nonEmpty, "fixture premise: some session must close")
+    assert(mustClose.subsetOf(streamed),
+      s"provably-closed sessions not emitted: ${mustClose -- streamed}")
+    // and the timeout path is load-bearing: at least one emitted session
+    // is its user's LAST (no later event ever closes it)
+    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) =>
+      ss.maxBy(_._3)
+    }.toSet
+    assert((streamed & lastPerUser).nonEmpty,
+      "no trailing session emitted — the timeout never fired")
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString

@@ -57,4 +57,92 @@ class Round8OpsSpec extends SparkSpec {
           s"unpartitioned window: $line")
       }
   }
+
+  // ---- bigram LM / PMI / dedup reduction --------------------------------
+
+  test("bigram NLL matches a from-scratch Scala scorer on the fixture") {
+    import graft.functions.TextAnalyzer
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextAnalyzer.analyze(r.getString(1)))
+    val train = docs.filter(_._1 % 10 != 7)
+    val eval = docs.filter(_._1 % 10 == 7)
+    def bigrams(ts: Seq[String]) = ts.sliding(2).filter(_.size == 2)
+      .map(p => p.head + " " + p(1)).toSeq
+    val cb = train.flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cu = train.flatMap(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = train.map(_._2.length.toLong).sum
+    val expected = eval.flatMap { case (id, ts) =>
+      val bs = bigrams(ts)
+      if (bs.isEmpty) None
+      else {
+        val s9 = bs.groupBy(identity).map { case (bg, occ) =>
+          val Array(w1, w2) = bg.split(" ")
+          val s = cb.get(bg) match {
+            case Some(c) => c.toDouble / cu(w1)
+            case None    => 0.4 * cu.getOrElse(w2, 1L).toDouble / n
+          }
+          math.rint(occ.length * math.log(s) * 1e9).toLong
+        }.sum
+        Some(id -> BigDecimal(-(s9.toDouble / 1e9) / bs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+    val got = operators.Ngrams.bigramNll(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, nll) =>
+      assert(math.abs(nll - expected(id)) < 1e-9, s"doc $id")
+    }
+    // the held-out split must actually exercise backoff, or the stupid-
+    // backoff branch is dead code at fixture scale
+    val evalBigrams = eval.flatMap(d => bigrams(d._2)).toSet
+    assert((evalBigrams -- cb.keySet).nonEmpty,
+      "every eval bigram was in the train model — backoff untested")
+  }
+
+  test("PMI collocations: threshold respected, score recomputes") {
+    import graft.functions.TextAnalyzer
+    val rows = operators.Ngrams.pmiCollocations(spark, Sf0001, 5L, 20)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Long]("n") >= 5L))
+    // descending by pmi with bigram tiebreak = a total order
+    val keys = rows.map(r => (-r.getAs[Double]("pmi"),
+      r.getAs[String]("bigram")))
+    assert(keys.sameElements(keys.sorted))
+    // recompute the top row's PMI from raw counts
+    val docs = Tables.documents(spark, Sf0001)
+      .select("text").collect().map(r => TextAnalyzer.analyze(r.getString(0)))
+    val bs = docs.flatMap(_.sliding(2).filter(_.size == 2)
+      .map(p => p.head + " " + p(1)))
+    val us = docs.flatMap(identity)
+    val top = rows.head
+    val bg = top.getAs[String]("bigram")
+    val Array(w1, w2) = bg.split(" ")
+    val pmi = math.log((bs.count(_ == bg).toDouble / bs.length) /
+      ((us.count(_ == w1).toDouble / us.length) *
+        (us.count(_ == w2).toDouble / us.length)))
+    assert(math.abs(top.getAs[Double]("pmi") - pmi) < 1e-5)
+  }
+
+  test("dedup reduction: partitions the corpus, reconciles with clusters") {
+    val rows = operators.Dedup.dedupReduction(spark, Sf0001, 0.5).collect()
+    val docs = Tables.documents(spark, Sf0001)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chars_removed") >= 0L)
+    }
+    val totalChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    assert(rows.map(r => r.getAs[Long]("chars_kept") +
+      r.getAs[Long]("chars_removed")).sum == totalChars)
+    // removed == non-keeper cluster members, corpus-wide
+    val nonKeepers = operators.Dedup.nearDupClusters(spark, Sf0001, 0.5)
+      .filter(!col("is_keeper")).count()
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == nonKeepers)
+  }
 }

@@ -61,6 +61,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.last >= recalls.head)
   }
 
+  test("ivf recall gate: full probe equals exact; default probe clears " +
+      "a recall floor") {
+    // quantifies the approximation the DuckDB oracle can't express:
+    // recall@10 over a panel of query points, against brute force.
+    // Everything is deterministic (seed centroids, rounded distances,
+    // id tiebreaks), so these are exact repeatable numbers, not flaky
+    // statistics.
+    val k = 10
+    val qids = Seq(3L, 11L, 27L, 42L, 55L)
+    val recalls = qids.map { q =>
+      val exact = Similarity.knnCosine(spark, Sf0001, q, k, 2.0)
+        .select("vec_id").as[Long].collect()
+      // probing every cell IS brute force — identical metric, rounding
+      // and tiebreaks must reproduce the exact list element-for-element
+      val full = Similarity.ivfTopK(spark, Sf0001, q, k, 10, 10)
+        .select("vec_id").as[Long].collect()
+      assert(full.sameElements(exact), s"full-probe IVF != exact at q=$q")
+      val ann = Similarity.ivfTopK(spark, Sf0001, q, k, 10, 2)
+        .select("vec_id").as[Long].collect().toSet
+      ann.intersect(exact.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.46 on this fixture (seed-vector centroids, 2/10 cells
+    // probed — the floor pins against regression, it isn't a target;
+    // production recall comes from trained centroids + higher nProbe)
+    assert(mean >= 0.4, s"mean recall@10 = $mean (per-query: $recalls)")
+  }
+
   test("ivf probe bucket-prunes: index scan touches < all buckets") {
     val df = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10, 2)
     df.collect() // finalize AQE
