@@ -22,6 +22,9 @@ object SparkEntry {
     * (/root/reference/src/core/vector_store.py:344-348). */
   val PaginationIds: Seq[Long] = (0L to 120L by 3)
 
+  /** Query-vector ids for the batched KNN (one job, Q queries). */
+  val BatchKnnIds: Seq[Long] = Seq(0L, 7L, 19L, 42L, 88L)
+
   /** Bloom probe ids: three present users, two absent. */
   val BloomProbeIds: Seq[Long] = Seq(3L, 77L, 149L, 500000L, 999999L)
 
@@ -70,6 +73,8 @@ object SparkEntry {
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
     // §2.3 vector similarity
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
+    // batched exact KNN: Q query vectors in one q_id-keyed window job
+    "knn_batch" -> ((s, d) => Similarity.knnBatch(s, d, BatchKnnIds, 5)),
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
@@ -293,6 +298,7 @@ object SparkEntry {
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
+    "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
     "hybrid_rrf" ->

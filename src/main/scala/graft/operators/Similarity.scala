@@ -203,6 +203,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact KNN — every query vector resolved in ONE distributed
+    * job (the [[graft.operators.Fts.batchSearch]] shape over vectors):
+    * the Q query rows broadcast against the corpus scan, distances are
+    * scan-local, and the grouped top-k is a single q_id-keyed window
+    * shuffle — cost ∝ Q·n once, instead of Q sequential jobs each
+    * re-scanning the corpus. Queries stay in a frame end to end (no
+    * driver collect of vectors — contrast [[ivfTopK]]'s single-point
+    * lookup, which is inherent to point queries). At 100 TB the same
+    * batch composes against the IVF index instead (join the broadcast
+    * per-query probe cells to the bucketed index), trading exactness
+    * for touching nProbe/nCentroids of the corpus per query.
+    * Deterministic: rounded distances, (dist, vec_id) tiebreak.
+    */
+  def knnBatch(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(cosineDistancePre(col("embedding"), col("qv"),
+          col("nrm"), col("qn")), 6).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "label", "dist")
+      .orderBy(col("q_id").asc, col("dist").asc, col("vec_id").asc)
+  }
+
+  def knnBatchOracleSql(qids: Seq[Long], k: Int): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e
+       |  WHERE vec_id IN ($inList)
+       |), d AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    round(1.0 - list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v))
+       |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |  FROM e, q WHERE e.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist ASC, vec_id ASC) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, vec_id, label, dist FROM r WHERE rn <= $k
+       |ORDER BY q_id ASC, dist ASC, vec_id ASC""".stripMargin
+  }
+
   def ivfTopKOracleSql(qid: Long, k: Int, nCentroids: Int,
       nProbe: Int = 2): String =
     s"""WITH e AS (

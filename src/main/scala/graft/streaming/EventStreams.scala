@@ -209,6 +209,84 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts_sec: Long, event_type: String,
+      event_time: java.sql.Timestamp)
+  case class FunnelProgress(pending: Seq[(Long, String)], tv: Option[Long],
+      tc: Option[Long], tp: Option[Long])
+  case class FunnelStage(user_id: Long, stage: String, t_sec: Long)
+
+  /** Stateful streaming FUNNEL — the incremental face of the oracled
+    * events_funnel batch query (first view → first click AFTER it →
+    * first purchase AFTER that, strict inequalities). The hard part is
+    * out-of-order arrival: folding an event into the state machine the
+    * moment it arrives is wrong, because a still-in-flight EARLIER view
+    * could change first-view time and cascade through every later stage.
+    * So events BUFFER in state until the watermark passes them — only
+    * events no in-order event can precede any more are folded, in
+    * event-time order, and each stage transition is emitted exactly
+    * once, already final (an Append-mode row, never retracted).
+    *
+    * Same-timestamp ties fold (ts, type)-sorted — click < purchase <
+    * view alphabetically — which reproduces the batch query's strict
+    * inequalities: a click sharing its timestamp with the first view is
+    * processed while tv is still unset, exactly as `tsec > tv` rejects
+    * it in batch.
+    *
+    * State is O(per-user horizon buffer + 3 longs); the buffer drains
+    * to the watermark every trigger. Completed funnels keep their
+    * 3-long record so a late replay can't restart stage 1 (a real
+    * deployment ages these out with a state TTL).
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      delay: String = "0 seconds"): Dataset[FunnelStage] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+        col("event_type"), col("event_time"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) =>
+          val st0 = state.getOption
+            .getOrElse(FunnelProgress(Nil, None, None, None))
+          val pending = st0.pending ++
+            batch.map(e => (e.ts_sec, e.event_type))
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          // an event at ts is final once wm > ts: nothing earlier can
+          // still arrive (later rows below the watermark are dropped
+          // before this operator)
+          val (ready, still) = pending.partition(_._1 < wmSec)
+          var tv = st0.tv; var tc = st0.tc; var tp = st0.tp
+          val out = Seq.newBuilder[FunnelStage]
+          ready.sorted.foreach { case (ts, et) =>
+            et match {
+              case "view" if tv.isEmpty =>
+                tv = Some(ts); out += FunnelStage(uid, "1_view", ts)
+              case "click" if tc.isEmpty && tv.exists(ts > _) =>
+                tc = Some(ts)
+                out += FunnelStage(uid, "2_click_after_view", ts)
+              case "purchase" if tp.isEmpty && tc.exists(ts > _) =>
+                tp = Some(ts)
+                out += FunnelStage(uid, "3_purchase_after_click", ts)
+              case _ => ()
+            }
+          }
+          state.update(FunnelProgress(still, tv, tc, tp))
+          if (still.nonEmpty) {
+            // wake when the watermark can finalize the earliest pending
+            // event (never at or below the current watermark)
+            state.setTimeoutTimestamp(
+              math.max((still.map(_._1).min + 1L) * 1000L,
+                wmSec * 1000L + 1000L))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Continuous inverted-index maintenance: each micro-batch of documents
     * is analyzed and appended to the index directory — the Spark analog
     * of the reference's tsvector-populating DB trigger. Returns the

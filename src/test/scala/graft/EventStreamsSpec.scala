@@ -254,6 +254,92 @@ class EventStreamsSpec extends SparkSpec {
       "no trailing session emitted — the timeout never fired")
   }
 
+  test("stateful streaming funnel reproduces the batch first-after chain " +
+      "(out-of-order safe)") {
+    runToMemory(
+      EventStreams.funnelStream(
+        spark, EventStreams.readEvents(spark, Sf0001)).toDF(),
+      "funnel_stream", "append")
+    val streamed = spark.table("funnel_stream")
+      .select($"user_id", $"stage", $"t_sec")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // per-user ground truth from the same SQL shape the ORACLED
+    // events_funnel aggregates (it publishes only stage counts; the
+    // gate needs the per-user transition times)
+    Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "ts div 1000000000 AS tsec", "event_type")
+      .createOrReplaceTempView("ev_funnel")
+    val truth = spark.sql(
+      """WITH v AS (
+        |  SELECT user_id, min(tsec) AS t FROM ev_funnel
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.tsec) AS t
+        |  FROM ev_funnel e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.tsec > v.t
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.tsec) AS t
+        |  FROM ev_funnel e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsec > c.t
+        |  GROUP BY e.user_id
+        |)
+        |SELECT user_id, '1_view' AS stage, t FROM v
+        |UNION ALL SELECT user_id, '2_click_after_view', t FROM c
+        |UNION ALL SELECT user_id, '3_purchase_after_click', t FROM p
+        |""".stripMargin)
+      .as[(Long, String, Long)].collect().toSet
+    // the final watermark is max(ts) (delay 0): transitions strictly
+    // below it are final and MUST match; transitions at max(ts) are
+    // legitimately still pending in stream state
+    val maxTs = Tables.events(spark, Sf0001)
+      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val finalTruth = truth.filter(_._3 < maxTs)
+    assert(streamed == finalTruth,
+      s"streamed-only: ${streamed -- finalTruth}; " +
+        s"missing: ${finalTruth -- streamed}")
+    // every stage must be represented or the gate is vacuous
+    assert(Set("1_view", "2_click_after_view", "3_purchase_after_click")
+      .subsetOf(streamed.map(_._2)))
+  }
+
+  test("funnel folds late-arriving earlier events correctly " +
+      "(click/purchase delivered before their view)") {
+    // a fold-on-arrival funnel would reject the click (no view yet) and
+    // the purchase (no click); the buffer-until-watermark design must
+    // recover the full chain once the view arrives in a LATER batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val df = ms.toDF()
+      .selectExpr("_1 AS user_id", "_2 * 1000000000 AS ts",
+        "_3 AS event_type")
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.funnelStream(spark, df, "500 seconds").toDF()
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_funnel_ooo").toString)
+      .start()
+    try {
+      ms.addData((1L, 300L, "purchase"), (1L, 200L, "click"))
+      q.processAllAvailable()
+      ms.addData((1L, 100L, "view")) // the EARLIER event, one batch later
+      q.processAllAvailable()
+      // watermark pusher: 1000 - 500s delay = 500 > every user-1 event
+      ms.addData((99L, 1000L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_ooo")
+      .select($"user_id", $"stage", $"t_sec")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, "1_view", 100L),
+      (1L, "2_click_after_view", 200L),
+      (1L, "3_purchase_after_click", 300L)), s"got: $rows")
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString

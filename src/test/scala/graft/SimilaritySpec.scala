@@ -89,6 +89,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("batched knn: each query's slice equals the single-query exact knn") {
+    val qids = Seq(0L, 7L, 42L)
+    val batch = Similarity.knnBatch(spark, Sf0001, qids, 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val single = Similarity.knnCosine(spark, Sf0001, q, 5, 2.0)
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = batch(q).sortBy(_.getAs[Double]("dist"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toSeq
+      assert(slice == single, s"batch slice diverges for q=$q")
+    }
+    // one job, one grouped-topk shuffle: the corpus side must appear
+    // once, not once per query
+    val plan = Similarity.knnBatch(spark, Sf0001, qids, 5)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1)
+  }
+
   test("ivf probe bucket-prunes: index scan touches < all buckets") {
     val df = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10, 2)
     df.collect() // finalize AQE
