@@ -261,6 +261,100 @@ object Similarity {
        |ORDER BY q_id ASC, dist ASC, vec_id ASC""".stripMargin
   }
 
+  /** Batched ANN over the persisted IVF index — [[knnBatch]]'s 100 TB
+    * form: instead of Q·n exact distances, each query is routed to its
+    * `nProbe` nearest cells (a Q×C cross join on the tiny centroid side
+    * table, grouped rank per query) and the bucketed index is probed
+    * once with the broadcast (query, cell) routing frame — each index
+    * row is scored only against the queries probing its cell, so total
+    * work ∝ Q · nProbe/nCentroids · n. No driver collect anywhere: the
+    * query vectors ride the routing frame. Deterministic: rounded
+    * distances, centroid/vec-id tiebreaks, identical to [[ivfTopK]]
+    * per query.
+    */
+  def ivfBatch(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int, nCentroids: Int, nProbe: Int = 2): DataFrame = {
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val wCells = Window.partitionBy("q_id")
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+    val routing = spark.table(s"${idx}_cents")
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("qv"), col("qn"), col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), col("qv")) /
+          (col("cn") * col("qn")), 6).as("qdist"))
+      .withColumn("rn", row_number().over(wCells))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "qn", "centroid_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    spark.table(idx)
+      .join(broadcast(routing), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        col("centroid_id"),
+        round(lit(1.0) - dot(col("embedding"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "label", "centroid_id", "dist")
+      .orderBy(col("q_id").asc, col("dist").asc, col("vec_id").asc)
+  }
+
+  def ivfBatchOracleSql(qids: Seq[Long], k: Int, nCentroids: Int,
+      nProbe: Int = 2): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e
+       |  WHERE vec_id < $nCentroids
+       |), asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e
+       |  WHERE vec_id IN ($inList)
+       |), qcells AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(1.0 - list_dot_product(cents.cv, q.qv)
+       |          / (sqrt(list_dot_product(cents.cv, cents.cv))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) ASC,
+       |        cents.centroid_id ASC) AS rn
+       |    FROM cents, q) WHERE rn <= $nProbe
+       |), d AS (
+       |  SELECT q.q_id, c.vec_id, c.label, c.centroid_id,
+       |    round(1.0 - list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v))
+       |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |  FROM cells c
+       |  JOIN qcells qc ON qc.centroid_id = c.centroid_id
+       |  JOIN q ON q.q_id = qc.q_id
+       |  JOIN e ON e.vec_id = c.vec_id
+       |  WHERE c.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist ASC, vec_id ASC) AS rn
+       |  FROM d
+       |)
+       |SELECT q_id, vec_id, label, centroid_id, dist FROM r
+       |WHERE rn <= $k
+       |ORDER BY q_id ASC, dist ASC, vec_id ASC""".stripMargin
+  }
+
   def ivfTopKOracleSql(qid: Long, k: Int, nCentroids: Int,
       nProbe: Int = 2): String =
     s"""WITH e AS (

@@ -287,6 +287,45 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the remaining §2.8 operator class
+    * (windowed aggs, stateful map/flatMap, dedup and foreachBatch are
+    * covered elsewhere): click→purchase attribution, each purchase
+    * joined to every click by the same user in the preceding
+    * `attrWindowSec`. Both sides are watermarked, and the join
+    * condition bounds purchase_time to [click_time, click_time +
+    * window], so Spark can evict click state once the purchase-side
+    * watermark passes click_time + window and purchase state
+    * symmetrically — state is O(events per horizon), not O(stream).
+    * This is the streaming face of the batch range-join family
+    * (Relational range/as-of joins).
+    */
+  def clickAttribution(spark: SparkSession, events: DataFrame,
+      attrWindowSec: Long, delay: String = "0 seconds"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === lit("click"))
+      .select(col("user_id").as("c_user"),
+        expr("ts div 1000000000").as("click_sec"),
+        col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", delay)
+    val purchases = events
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user"),
+        expr("ts div 1000000000").as("purchase_sec"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", delay)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_time") > col("click_time") &&
+        col("purchase_time") <=
+          col("click_time") + expr(s"INTERVAL $attrWindowSec SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("click_sec"), col("purchase_id"), col("purchase_sec"),
+        col("purchase_value"))
+  }
+
   /** Continuous inverted-index maintenance: each micro-batch of documents
     * is analyzed and appended to the index directory — the Spark analog
     * of the reference's tsvector-populating DB trigger. Returns the

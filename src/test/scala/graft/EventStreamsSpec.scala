@@ -340,6 +340,39 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "3_purchase_after_click", 300L)), s"got: $rows")
   }
 
+  test("stream-stream interval join: click attribution equals the batch " +
+      "range join") {
+    val win = 3600L
+    runToMemory(
+      EventStreams.clickAttribution(
+        spark, EventStreams.readEvents(spark, Sf0001), win),
+      "attr_stream", "append")
+    val streamed = spark.table("attr_stream")
+      .select($"user_id", $"click_id", $"purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // batch ground truth with the IDENTICAL join condition (an inner
+    // stream-stream join emits every match found in-batch, so with the
+    // fixture arriving as one micro-batch the sets must be EQUAL — the
+    // watermark bounds state, not results)
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("sec", expr("ts div 1000000000"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"sec".as("c_sec"), $"event_time".as("c_time"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"sec".as("p_sec"), $"event_time".as("p_time"))
+    val batch = c.join(p,
+      $"c_user" === $"p_user" && $"p_time" > $"c_time" &&
+        $"p_time" <= $"c_time" + expr(s"INTERVAL $win SECONDS"))
+      .select($"c_user", $"click_id", $"purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed-only: ${streamed -- batch}; missing: ${batch -- streamed}")
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString

@@ -128,6 +128,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("pmi") - pmi) < 1e-5)
   }
 
+  test("round-8 plans: no cartesian products; reduction join broadcasts") {
+    Seq(
+      "quality_bigram_lm" -> operators.Ngrams.bigramNll(spark, Sf0001),
+      "pmi_collocations" ->
+        operators.Ngrams.pmiCollocations(spark, Sf0001, 5L, 20),
+      "knn_batch" ->
+        operators.Similarity.knnBatch(spark, Sf0001, Seq(0L, 7L), 5)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+    // the cluster flags (only docs with a near-dup) broadcast against
+    // the full corpus scan — never a corpus-grain shuffle
+    val red = operators.Dedup.dedupReduction(spark, Sf0001, 0.5)
+    val plan = red.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "reduction's docs-flags join is not broadcast")
+  }
+
   test("dedup reduction: partitions the corpus, reconciles with clusters") {
     val rows = operators.Dedup.dedupReduction(spark, Sf0001, 0.5).collect()
     val docs = Tables.documents(spark, Sf0001)

@@ -109,6 +109,23 @@ class SimilaritySpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(plan).size == 1)
   }
 
+  test("ivf batch routing: each query's slice equals the single-query " +
+      "ivf probe") {
+    val qids = Seq(0L, 42L, 88L)
+    val batch = Similarity.ivfBatch(spark, Sf0001, qids, 5, 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val single = Similarity.ivfTopK(spark, Sf0001, q, 5, 10)
+        .select("vec_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = batch(q)
+        .sortBy(r => (r.getAs[Double]("dist"), r.getAs[Long]("vec_id")))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toSeq
+      assert(slice == single, s"ivf batch slice diverges for q=$q")
+    }
+  }
+
   test("ivf probe bucket-prunes: index scan touches < all buckets") {
     val df = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10, 2)
     df.collect() // finalize AQE
