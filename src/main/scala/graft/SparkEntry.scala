@@ -133,6 +133,10 @@ object SparkEntry {
     "agg_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "win_top_orders" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    // the same top-k via the BoundedTopK Aggregator: map-side partial
+    // top-k bounds the shuffle to k rows/customer/task (no row window)
+    "win_topk_scale" -> ((s, d) =>
+      Relational.topOrdersPerCustomerScale(s, d)),
     "win_running" -> ((s, d) => Relational.runningOrderStats(s, d)),
     // bounded 10-event trailing frame (the windowed-FRAME shape)
     "win_rolling" -> ((s, d) => Relational.rollingUserStats(s, d, 10)),
@@ -342,6 +346,7 @@ object SparkEntry {
     "agg_cube" -> Relational.cubeOracleSql,
     "set_ops" -> Relational.setOpsOracleSql,
     "win_top_orders" -> Relational.topOrdersOracleSql,
+    "win_topk_scale" -> Relational.topOrdersOracleSql,
     "win_running" -> Relational.runningOrderStatsOracleSql,
     "win_rolling" -> Relational.rollingUserStatsOracleSql(10),
     "win_ntile" -> Relational.customerDecilesOracleSql,

@@ -270,6 +270,30 @@ object Relational {
       |FROM ranked WHERE rn <= 2
       |ORDER BY o_custkey ASC, rn ASC""".stripMargin
 
+  /** [[topOrdersPerCustomer]] in its 100 TB form: grouped top-k via the
+    * [[graft.functions.BoundedTopK]] typed Aggregator instead of a
+    * window. The window idiom shuffles EVERY order row to its customer
+    * partition before ranking; the Aggregator partial-aggregates map-
+    * side, so the exchange carries at most k rows per customer per map
+    * task (plan-asserted: two ObjectHashAggregates around the
+    * exchange). Identical semantics and tiebreak — oracle is the same
+    * row_number SQL, and the spec pins row-equality with the window
+    * form. */
+  def topOrdersPerCustomerScale(spark: SparkSession,
+      dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.BoundedTopK(2),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Scored]())
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        round(col("col.score"), 2).as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
   /** Window-function coverage beyond ranking: per-customer running
     * order-value totals and gaps between consecutive orders (lag). */
   def runningOrderStats(spark: SparkSession, dir: String): DataFrame = {

@@ -298,9 +298,16 @@ object EventStreams {
     * symmetrically — state is O(events per horizon), not O(stream).
     * This is the streaming face of the batch range-join family
     * (Relational range/as-of joins).
+    *
+    * `joinType` "inner" emits matches as found; "left_outer"
+    * additionally emits each unmatched click with null purchase
+    * columns — but only once the watermark passes click_time + window,
+    * when "no purchase arrived" has become a fact rather than a race
+    * (the state-eviction deadline IS the emission trigger).
     */
   def clickAttribution(spark: SparkSession, events: DataFrame,
-      attrWindowSec: Long, delay: String = "0 seconds"): DataFrame = {
+      attrWindowSec: Long, delay: String = "0 seconds",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events
       .filter(col("event_type") === lit("click"))
       .select(col("user_id").as("c_user"),
@@ -320,7 +327,8 @@ object EventStreams {
       col("c_user") === col("p_user") &&
         col("purchase_time") > col("click_time") &&
         col("purchase_time") <=
-          col("click_time") + expr(s"INTERVAL $attrWindowSec SECONDS"))
+          col("click_time") + expr(s"INTERVAL $attrWindowSec SECONDS"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("click_sec"), col("purchase_id"), col("purchase_sec"),
         col("purchase_value"))

@@ -373,6 +373,59 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed-only: ${streamed -- batch}; missing: ${batch -- streamed}")
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit nulls only " +
+      "once the watermark proves no purchase can arrive") {
+    val win = 3600L
+    runToMemory(
+      EventStreams.clickAttribution(
+        spark, EventStreams.readEvents(spark, Sf0001), win,
+        joinType = "left_outer"),
+      "attr_outer", "append")
+    val outer = spark.table("attr_outer")
+    val matched = outer.filter($"purchase_id".isNotNull)
+      .select($"click_id").as[Long].collect().toSet
+    val unmatched = outer.filter($"purchase_id".isNull)
+      .select($"click_id", $"click_sec").as[(Long, Long)].collect()
+    assert(unmatched.nonEmpty)
+    // no click appears both matched and null-extended
+    assert(unmatched.map(_._1).toSet.intersect(matched).isEmpty)
+    // batch truth: clicks with zero purchases in their window
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        expr("ts div 1000000000").as("c_sec"), $"event_time".as("c_time"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"event_time".as("p_time"))
+    val batchUnmatched = c.join(p,
+      $"c_user" === $"p_user" && $"p_time" > $"c_time" &&
+        $"p_time" <= $"c_time" + expr(s"INTERVAL $win SECONDS"),
+      "left_anti")
+      .select($"click_id", $"c_sec").as[(Long, Long)].collect()
+      .map(_._1).toSet
+    // every streamed null-extension is a true no-purchase click...
+    assert(unmatched.map(_._1).toSet.subsetOf(batchUnmatched))
+    // ...and completeness for clicks whose window the final watermark
+    // has provably closed. The GLOBAL watermark is the MIN of the two
+    // sides' watermarks (each side's EventTimeWatermark tracks only its
+    // own filtered stream), so the final value is min(max click ts,
+    // max purchase ts), not the overall max
+    val wmFinal = Tables.events(spark, Sf0001)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(max(expr("ts div 1000000000")).as("m"))
+      .select(min($"m")).as[Long].collect()(0)
+    val provable = c.select($"click_id", $"c_sec").as[(Long, Long)]
+      .collect()
+      .filter { case (id, sec) =>
+        batchUnmatched.contains(id) && sec + win + 2 < wmFinal
+      }.map(_._1).toSet
+    assert(provable.nonEmpty, "fixture premise: some closed-window miss")
+    assert(provable.subsetOf(unmatched.map(_._1).toSet),
+      s"missing null-extensions: ${provable -- unmatched.map(_._1).toSet}")
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString

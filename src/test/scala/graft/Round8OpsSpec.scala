@@ -148,6 +148,37 @@ class Round8OpsSpec extends SparkSpec {
       "reduction's docs-flags join is not broadcast")
   }
 
+  test("BoundedTopK aggregator: row-equal to the window top-k, " +
+      "partial-aggregates map-side") {
+    val win = Relational.topOrdersPerCustomer(spark, Sf0001).collect()
+      .map(_.toSeq).toSeq
+    val agg = Relational.topOrdersPerCustomerScale(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(agg == win)
+    // the scale claim: two ObjectHashAggregates (partial, final) around
+    // the exchange — the shuffle carries k-capped buffers, not rows —
+    // and no row-level window anywhere
+    val plan = Relational.topOrdersPerCustomerScale(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(
+      "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial/final aggregate pair:\n$plan")
+    assert(!plan.contains("Window"), "unexpected window operator")
+    // merge-order independence: reduce/merge from any partitioning
+    // reach the same k-set
+    val a = new graft.functions.BoundedTopK(3)
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 7.0))
+      .map { case (i, s) => graft.functions.Scored(i, s) }
+    val whole = rows.foldLeft(a.zero)(a.reduce)
+    rows.permutations.take(24).foreach { p =>
+      val (l, r) = p.splitAt(2)
+      val merged = a.merge(l.foldLeft(a.zero)(a.reduce),
+        r.foldLeft(a.zero)(a.reduce))
+      assert(merged == whole, s"order-dependent result for $p")
+    }
+    assert(whole.map(_.id) == Seq(2L, 3L, 5L)) // 9.0, 9.0(tie->id), 7.0
+  }
+
   test("dedup reduction: partitions the corpus, reconciles with clusters") {
     val rows = operators.Dedup.dedupReduction(spark, Sf0001, 0.5).collect()
     val docs = Tables.documents(spark, Sf0001)
