@@ -190,6 +190,15 @@ object SparkEntry {
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
     // stratified quota sampling: exactly N rows per language stratum
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
+    // the same quota draw via BoundedTopK: map-side partial top-k
+    // bounds the exchange to quota rows/stratum/task (no row window)
+    "sample_quota_scale" ->
+      ((s, d) => Sampling.stratifiedQuotaScale(s, d, 20)),
+    // token-budget corpus selection: Gopher-graded best-first greedy
+    // fill via the two-pass distributed prefix sum
+    "select_budget" -> ((s, d) => Sampling.selectBudget(s, d, 10000L)),
+    // CDC merge-on-read: latest version wins, deletes apply last
+    "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
     // mixture-weighted reproducible sampler (weights drive the rates)
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d, 0.2)),
     // z-order layout key (Morton interleave) over (user_id, time bucket)
@@ -374,6 +383,9 @@ object SparkEntry {
     "events_outliers" -> Sketches.valueOutliersOracleSql(3.0),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
+    "sample_quota_scale" -> Sampling.stratifiedQuotaScaleOracleSql(20),
+    "select_budget" -> Sampling.selectBudgetOracleSql(10000L),
+    "merge_upsert" -> Cdc.mergeUpsertOracleSql,
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,

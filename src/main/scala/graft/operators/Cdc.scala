@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Change-data-capture merge — the corpus-maintenance operation between
+  * the reference's insert sink and delete sink (SURVEY.md §2.1 S4/S5;
+  * /root/reference/src/core/vector_store.py insert/delete paths): apply
+  * a change batch (updates + inserts + deletes) to a base corpus and
+  * read back the merged state, i.e. the merge-on-read a re-ingest
+  * produces without rewriting the base table.
+  *
+  * Semantics: latest version wins per doc_id; deletes apply LAST (a doc
+  * that is both updated and deleted in the batch ends deleted — the
+  * reference's delete endpoint has the same last-word behavior, it
+  * removes whatever is current).
+  *
+  * Scale shape: version resolution is ONE partial-aggregable shuffle
+  * keyed by doc_id (`max_by` — map-side combine keeps one winner per
+  * key per task, so the exchange carries O(distinct keys), not
+  * O(base + delta)). The delete set is a change-batch-sized dimension —
+  * broadcast anti-join; a corpus-scale purge would swap in a shuffled
+  * anti-join on the same key, already co-partitioned with the winner
+  * aggregate. The change batch here is derived deterministically from
+  * the fixture (every 10th doc revised, every 25th re-inserted under a
+  * shifted id, every 17th deleted) so both engines construct the
+  * identical delta.
+  */
+object Cdc {
+
+  /** Winning row per doc after the change batch, minus deletions:
+    * (doc_id, version, source, content_sig). The content signature is
+    * an md5 prefix of the WINNING text — proof of which version's
+    * content survived, without hauling text through the gate. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      lit(1L).as("version"))
+    val upd = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" [rev]")).as("text"),
+        lit(2L).as("version"))
+    val ins = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text"), lit(2L).as("version"))
+    val del = docs.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    base.unionByName(upd).unionByName(ins)
+      .groupBy("doc_id")
+      .agg(
+        max(col("version")).as("version"),
+        expr("max_by(source, version)").as("source"),
+        substring(md5(expr("max_by(text, version)")), 1, 8)
+          .as("content_sig"))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mergeUpsertOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text, 1 AS version FROM documents
+      |), upd AS (
+      |  SELECT doc_id, source, text || ' [rev]' AS text, 2 AS version
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), ins AS (
+      |  SELECT doc_id + 1000000 AS doc_id, source, text, 2 AS version
+      |  FROM documents WHERE doc_id % 25 = 0
+      |), allrows AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins
+      |), won AS (
+      |  SELECT doc_id, CAST(max(version) AS BIGINT) AS version,
+      |    arg_max(source, version) AS source,
+      |    substr(md5(arg_max(text, version)), 1, 8) AS content_sig
+      |  FROM allrows GROUP BY doc_id
+      |)
+      |SELECT doc_id, version, source, content_sig FROM won
+      |WHERE NOT EXISTS (SELECT 1 FROM documents d
+      |                  WHERE d.doc_id % 17 = 0
+      |                    AND d.doc_id = won.doc_id)
+      |ORDER BY doc_id ASC""".stripMargin
+}

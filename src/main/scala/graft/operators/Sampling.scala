@@ -100,6 +100,110 @@ object Sampling {
        |SELECT lang, doc_id, n_chars, pick FROM r WHERE pick <= $quota
        |ORDER BY lang ASC, pick ASC""".stripMargin
 
+  /** [[stratifiedQuota]] in its 100 TB form — the "two-pass variant"
+    * its docstring promises: grouped top-k via the
+    * [[graft.functions.BoundedTopK]] typed Aggregator instead of a
+    * per-stratum window. The window form shuffles EVERY corpus row to
+    * its stratum before ranking; the Aggregator partial-aggregates
+    * map-side, so the exchange carries at most `quota` candidates per
+    * stratum per map task — O(strata · quota), independent of corpus
+    * size. Same uniform-without-replacement draw: selection order is
+    * a deterministic md5 of the key.
+    *
+    * The rank key rides the Aggregator's Double score, so it is the
+    * digest's first 13 hex digits (52 bits — the widest prefix a
+    * Double carries EXACTLY; the full 128-bit digest would round and
+    * reorder). The oracle ranks by the same 13-hex prefix, doc_id
+    * tiebreak, so both engines compute one total order by
+    * construction. */
+  def stratifiedQuotaScale(spark: SparkSession, dir: String,
+      quota: Int): DataFrame = {
+    val topk = udaf(new graft.functions.BoundedTopK(quota),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Scored]())
+    // conv() emits a decimal string; ≤ 2^52 casts to Double exactly.
+    // Negated: BoundedTopK keeps score DESC, the draw wants hash ASC.
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("double")
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(topk(col("doc_id"), -h).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("pick"))
+      .orderBy(col("lang").asc, col("pick").asc)
+  }
+
+  /** Token-budget corpus selection — the "best data under a budget"
+    * step of a pretraining pipeline: grade every document (number of
+    * Gopher rules passed, 0..5), lay the corpus out best-first, and
+    * keep documents until the cumulative token count reaches the
+    * budget (the straddling document stays — the same greedy
+    * convention as sequence packing). Output is the per-source
+    * composition of the selected corpus, i.e. what the budget actually
+    * buys from each source.
+    *
+    * Scale shape: grading and token counting are scan-local; the
+    * global best-first running total is [[ScaleOps.prefixSummed]]
+    * (quantile-bucketed two-pass — no single-reducer window), then a
+    * scan-local budget filter and one partial-agg shuffle down to
+    * nSources rows. The selection key is integer-exact:
+    * (5 - grade) · 2^32 + doc_id, ascending = best grade first,
+    * doc_id tiebreak — both engines compute the identical total
+    * order, no doubles anywhere in the ordering or the sums. */
+  def selectBudget(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val graded = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextAnalyzer.tokens(col("text")))
+          .cast("long").as("toks"),
+        TextOps.gopherRuleCount.as("q"))
+      .withColumn("sel_key",
+        (lit(5L) - col("q")) * lit(4294967296L) + col("doc_id"))
+    ScaleOps.prefixSummed(graded, "sel_key", "toks", 32)
+      .filter(col("cum_before") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("q")).as("worst_grade"))
+      .orderBy(col("source").asc)
+  }
+
+  def selectBudgetOracleSql(budget: Long): String =
+    s"""WITH sig AS (
+       |  ${TextOps.gopherSignalsSql}
+       |), s AS (
+       |  SELECT sig.doc_id, sig.source,
+       |    len(list_filter(string_split_regex(lower(d.text), '\\W+'),
+       |      tk -> ${graft.functions.TextAnalyzer.sqlTermFilter("tk")}))
+       |      AS toks,
+       |    ${TextOps.gopherRuleCountSql} AS q
+       |  FROM sig JOIN documents d ON d.doc_id = sig.doc_id
+       |), k AS (
+       |  SELECT source, toks, q,
+       |    coalesce(sum(toks) OVER (
+       |      ORDER BY (5 - q) * 4294967296 + doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM s
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(min(q) AS BIGINT) AS worst_grade
+       |FROM k WHERE cum_before < $budget
+       |GROUP BY source ORDER BY source ASC""".stripMargin
+
+  def stratifiedQuotaScaleOracleSql(quota: Int): String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, row_number() OVER (
+       |    PARTITION BY lang
+       |    ORDER BY CAST('0x' ||
+       |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+       |      ASC, doc_id ASC) AS pick
+       |  FROM documents
+       |)
+       |SELECT lang, doc_id, pick FROM r WHERE pick <= $quota
+       |ORDER BY lang ASC, pick ASC""".stripMargin
+
   /** Training-mixture weights per (source, lang) — the data-mixing step
     * of a pretraining pipeline (The Pile / LLaMA style): each stratum
     * gets its exact token share plus a sqrt-damped sampling weight

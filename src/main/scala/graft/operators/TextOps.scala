@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -532,25 +532,74 @@ object TextOps {
     * Rule booleans are computed on UNROUNDED doubles: each is a single
     * arithmetic expression evaluated identically by both engines, so
     * no rounding boundary exists; only the REPORTED ratios round. */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
-    val Stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
-      "with")
-    val words = split(trim(col("text")), "\\s+")
-    val wc = size(words).cast("long")
-    val meanWl = length(regexp_replace(col("text"), "\\s", ""))
-      .cast("double") / wc
-    val symRatio = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+  // --- Gopher rule expressions, shared by gopherQuality and the
+  // token-budget selector (Sampling.selectBudget) so the quality
+  // definition cannot drift between the report and the selection ---
+  private def gWordCount: Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+  private def gMeanWordLen: Column =
+    length(regexp_replace(col("text"), "\\s", ""))
+      .cast("double") / gWordCount
+  private def gSymbolRatio: Column =
+    length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
       .cast("double") / length(col("text"))
-    val nStop = size(array_intersect(
+  private val GopherStopwords = Seq("the", "be", "to", "of", "and",
+    "that", "have", "with")
+  private def gStopwordHits: Column =
+    size(array_intersect(
       array_distinct(split(lower(col("text")), "\\W+")),
-      array(Stopwords.map(lit): _*))).cast("long")
-    val distinctFrac = size(array_distinct(split(lower(col("text")), "\\W+")))
+      array(GopherStopwords.map(lit): _*))).cast("long")
+  private def gDistinctFrac: Column =
+    size(array_distinct(split(lower(col("text")), "\\W+")))
       .cast("double") / size(split(lower(col("text")), "\\W+"))
-    val rLength = wc >= 30 && wc <= 10000
-    val rMeanLen = meanWl >= lit(3.0) && meanWl <= lit(5.0)
-    val rSymbol = symRatio <= lit(0.1)
-    val rStop = nStop >= 1
-    val rRepeat = distinctFrac >= lit(0.5)
+  private def gopherRules: Seq[Column] = Seq(
+    gWordCount >= 30 && gWordCount <= 10000,
+    gMeanWordLen >= lit(3.0) && gMeanWordLen <= lit(5.0),
+    gSymbolRatio <= lit(0.1),
+    gStopwordHits >= 1,
+    gDistinctFrac >= lit(0.5))
+
+  /** Number of Gopher rules (0..5) the document passes — the integer
+    * quality grade the budgeted selector orders by. Scan-local. */
+  def gopherRuleCount: Column =
+    gopherRules.map(_.cast("long")).reduce(_ + _)
+
+  /** The same grade in DuckDB SQL (mirrors [[gopherQualityOracleSql]]'s
+    * rule expressions term for term), as a SQL fragment over a CTE
+    * exposing wc/meanwl/symratio/nstop/dfrac. */
+  val gopherRuleCountSql: String =
+    """CAST(wc >= 30 AND wc <= 10000 AS INT)
+      |    + CAST(meanwl >= 3.0 AND meanwl <= 5.0 AS INT)
+      |    + CAST(symratio <= 0.1 AS INT)
+      |    + CAST(nstop >= 1 AS INT)
+      |    + CAST(dfrac >= 0.5 AS INT)""".stripMargin
+
+  /** The wc/meanwl/symratio/nstop/dfrac signal CTE body shared by the
+    * gopher oracle and the budget-selection oracle. */
+  val gopherSignalsSql: String =
+    """SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS wc,
+      |    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |      len(string_split_regex(trim(text), '\s+')) AS meanwl,
+      |    CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+      |      AS DOUBLE) / len(text) AS symratio,
+      |    CAST(len(list_intersect(
+      |      list_distinct(string_split_regex(lower(text), '\W+')),
+      |      ['the','be','to','of','and','that','have','with']))
+      |      AS BIGINT) AS nstop,
+      |    CAST(len(list_distinct(string_split_regex(lower(text), '\W+')))
+      |      AS DOUBLE) /
+      |      len(string_split_regex(lower(text), '\W+')) AS dfrac
+      |  FROM documents""".stripMargin
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val wc = gWordCount
+    val meanWl = gMeanWordLen
+    val symRatio = gSymbolRatio
+    val nStop = gStopwordHits
+    val distinctFrac = gDistinctFrac
+    val Seq(rLength, rMeanLen, rSymbol, rStop, rRepeat) = gopherRules
     Tables.documents(spark, dir)
       .select(col("doc_id"), wc.as("word_count"),
         round(meanWl, 4).as("mean_word_len"),

@@ -196,4 +196,114 @@ class Round8OpsSpec extends SparkSpec {
       .filter(!col("is_keeper")).count()
     assert(rows.map(_.getAs[Long]("n_removed")).sum == nonKeepers)
   }
+
+  test("quota sample scale form: row-equal to the window draw, " +
+      "no window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 7
+    val scale = operators.Sampling
+      .stratifiedQuotaScale(spark, Sf0001, quota)
+      .collect().map(_.toSeq).toSeq
+    // window formulation over the SAME 13-hex-digit rank key
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("double")
+    val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+    val win = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("pick"))
+      .filter(col("pick") <= quota)
+      .orderBy(col("lang").asc, col("pick").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(scale == win)
+    // every stratum fills its quota (fixture has >> quota docs/lang)
+    val perLang = scale.groupBy(_.head).view.mapValues(_.size)
+    assert(perLang.values.forall(_ == quota), perLang.toMap.toString)
+    // scale claim: partial/final aggregate pair, no row-level window
+    val plan = operators.Sampling
+      .stratifiedQuotaScale(spark, Sf0001, quota)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial/final aggregate pair:\n$plan")
+    assert(!plan.contains("Window"), "unexpected window operator")
+  }
+
+  test("select_budget: greedy best-first fill matches a driver-side " +
+      "reference and stops at the budget") {
+    val budget = 3000L
+    val out = operators.Sampling.selectBudget(spark, Sf0001, budget)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("worst_grade")))
+      .toSeq
+    // driver-side greedy reference: grade desc, doc_id asc, take while
+    // tokens-before < budget (straddler included)
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextAnalyzer.tokens(col("text")))
+          .cast("long").as("toks"),
+        operators.TextOps.gopherRuleCount.as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, _, _, q) => (5L - q, id) }
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var cum = 0L
+    docs.foreach { d =>
+      if (cum < budget) { sel += d; cum += d._3 }
+    }
+    val ref = sel.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.size.toLong, ds.map(_._3).sum, ds.map(_._4).min)
+    }.toSeq.sortBy(_._1)
+    assert(out == ref)
+    // the fill reaches the budget and is a strict subset of the corpus
+    val total = docs.map(_._3).sum
+    val got = out.map(_._3).sum
+    assert(got >= budget && got < total, s"got=$got budget=$budget")
+    // quality-monotone: every selected grade >= every unselected grade
+    // is too strong under the doc_id tiebreak at the cut grade; what
+    // must hold is that no UNSELECTED doc outgrades the worst selected
+    val selIds = sel.map(_._1).toSet
+    val worstSel = sel.map(_._4).min
+    val bestUnsel = docs.filterNot(d => selIds.contains(d._1))
+      .map(_._4).max
+    assert(bestUnsel <= worstSel,
+      s"unselected grade $bestUnsel beats selected $worstSel")
+  }
+
+  test("merge_upsert: latest version wins, deletes beat updates, " +
+      "inserts survive") {
+    val out = operators.Cdc.mergeUpsert(spark, Sf0001).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val baseIds = Tables.documents(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every 10th doc revised to version 2, unless deleted (every 17th)
+    baseIds.foreach { id =>
+      if (id % 17 == 0) assert(!byId.contains(id), s"$id not deleted")
+      else if (id % 10 == 0)
+        assert(byId(id).getAs[Long]("version") == 2L, s"$id not updated")
+      else assert(byId(id).getAs[Long]("version") == 1L)
+    }
+    // inserts appear under the shifted id, version 2
+    baseIds.filter(_ % 25 == 0).foreach { id =>
+      assert(byId.contains(id + 1000000L), s"insert ${id + 1000000L}")
+      assert(byId(id + 1000000L).getAs[Long]("version") == 2L)
+    }
+    // the winning CONTENT is the revised text for updated docs
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 8).as("s0"),
+        substring(md5(concat(col("text"), lit(" [rev]"))), 1, 8).as("s2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    docs.foreach { case (id, s0, s2) =>
+      byId.get(id).foreach { r =>
+        val want = if (id % 10 == 0) s2 else s0
+        assert(r.getAs[String]("content_sig") == want, s"doc $id sig")
+      }
+    }
+    // scale shape: broadcast anti-join, partial-aggregable max_by
+    val plan = operators.Cdc.mergeUpsert(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"delete join not broadcast anti:\n$plan")
+  }
 }
