@@ -284,6 +284,12 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
     // ingestion-time dedup: new batch probed against the corpus index
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
+    // integer-exact PageRank over the minhash candidate graph:
+    // centrality-based canonical-doc selection
+    "pagerank_dups" -> ((s, d) => GraphOps.pagerankDups(s, d, 0.5, 20)),
+    // distributed multinomial NB: training artifact + held-out confusion
+    "nb_model" -> ((s, d) => Classifier.nbModel(s, d, 3)),
+    "nb_confusion" -> ((s, d) => Classifier.nbConfusion(s, d)),
     // multimodal binary-column pipeline: real BMP/WAV codecs, the
     // decoded geometry hash-gated against an independent recompute
     "mm_dimensions" -> ((s, d) => Multimodal.dimensions(s, d)),
@@ -432,6 +438,9 @@ object SparkEntry {
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
+    "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
+    "nb_model" -> Classifier.nbModelOracleSql(3),
+    "nb_confusion" -> Classifier.nbConfusionOracleSql,
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the near-duplicate candidate graph — the
+  * centrality lens on the same edges the dedup funnel builds. Public
+  * web-corpus pipelines use link/similarity centrality as a quality
+  * prior and to pick the CANONICAL representative of a duplicate
+  * cluster (the doc every near-dup points at survives; the rest are
+  * dropped); the reference's delete path keeps whichever row is
+  * "current", this keeps whichever is most central.
+  *
+  * Scale shape (100 TB): edges come from [[Dedup.minhashPairs]] —
+  * band-bucketed, never all-pairs. Each PageRank iteration is one
+  * edge⋈rank shuffle join plus one partial-aggregable groupBy(dst);
+  * the Pregel shape. Ranks/degrees stay distributed; the driver loop
+  * is iteration coordination only (fixed count, no convergence
+  * collect).
+  *
+  * Cross-engine determinism: ranks live in integer NANO-units. Each
+  * contribution is `rank div degree` (exact integral division), the
+  * damping fold is `(85 · Σ) div 100` — every operation is BIGINT
+  * arithmetic, so iteration k is bit-identical across engines and
+  * summation order cannot matter. No doubles anywhere.
+  */
+object GraphOps {
+
+  val Iterations = 5
+  private val InitNano = 1000000000L
+
+  /** PageRank over the symmetrized MinHash candidate graph, restricted
+    * to edge-touched documents (isolated docs have no centrality
+    * question). Returns the `topK` most central docs:
+    * (doc_id, degree, rank_nano). */
+  def pagerankDups(spark: SparkSession, dir: String, threshold: Double,
+      topK: Int): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir, threshold)
+      .select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .transform(CacheScope.cached)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .transform(CacheScope.cached)
+    var ranks = deg.select(col("id"), lit(InitNano).as("rank"))
+    for (_ <- 1 to Iterations) {
+      val inbound = edges
+        .join(ranks.join(deg, Seq("id")), edges("src") === col("id"))
+        .select(col("dst"), expr("rank div degree").as("contrib"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("contrib")).as("mass"))
+      // symmetrized graph ⇒ every node has in-edges; inner join is total
+      ranks = inbound.select(col("id"),
+        (lit(150000000L) + expr("85 * mass div 100")).as("rank"))
+    }
+    ranks.join(deg, Seq("id"))
+      .select(col("id").as("doc_id"), col("degree"),
+        col("rank").as("rank_nano"))
+      .orderBy(col("rank_nano").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  def pagerankDupsOracleSql(threshold: Double, topK: Int): String = {
+    val iters = (1 to Iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS id,
+         |    150000000 + 85 * sum(r.rank // d.degree) // 100 AS rank
+         |  FROM r${k - 1} r
+         |  JOIN edges e ON e.src = r.id
+         |  JOIN deg d ON d.id = r.id
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT a, b FROM (${Dedup.minhashPairsOracleSql(threshold)}) mh
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs
+       |), deg AS (
+       |  SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1
+       |), r0 AS (
+       |  SELECT id, CAST($InitNano AS BIGINT) AS rank FROM deg
+       |), $iters
+       |SELECT r.id AS doc_id, deg.degree, CAST(r.rank AS BIGINT)
+       |  AS rank_nano
+       |FROM r$Iterations r JOIN deg ON deg.id = r.id
+       |ORDER BY rank_nano DESC, doc_id ASC LIMIT $topK""".stripMargin
+  }
+}

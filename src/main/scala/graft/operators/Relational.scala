@@ -402,9 +402,13 @@ object Relational {
       .orderBy(col("doc_id").asc)
   }
 
+  // NOT EXISTS, not NOT IN: a NULL vec_id would empty a NOT IN result
+  // while the Spark left_anti keeps non-matching rows — NOT EXISTS has
+  // the anti-join's null semantics (same fix as q22's oracle).
   val deleteSurvivorsOracleSql: String =
-    """SELECT doc_id, lang, source FROM documents
-      |WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    """SELECT doc_id, lang, source FROM documents dd
+      |WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+      |                  WHERE e.label = 3 AND e.vec_id = dd.doc_id)
       |ORDER BY doc_id ASC""".stripMargin
 
   /** TPC-H Q4 shape: EXISTS rewritten as a left-semi join — orders with

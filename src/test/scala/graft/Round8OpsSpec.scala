@@ -306,4 +306,57 @@ class Round8OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"delete join not broadcast anti:\n$plan")
   }
+
+  test("pagerank_dups matches a driver-side integer PageRank on the " +
+      "same edges") {
+    val threshold = 0.5
+    val out = operators.GraphOps.pagerankDups(spark, Sf0001, threshold, 20)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("rank_nano")))
+      .toSeq
+    // reference: same integer recurrence, computed in plain Scala
+    val pairs = operators.Dedup.minhashPairs(spark, Sf0001, threshold)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to operators.GraphOps.Iterations) {
+      val mass = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = mass.map { case (id, m) => id -> (150000000L + 85 * m / 100) }
+    }
+    val ref = rank.toSeq.map { case (id, r) => (id, deg(id), r) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(20)
+    assert(out == ref)
+    assert(out.nonEmpty && out.forall(_._3 > 0))
+  }
+
+  test("nb classifier: every held-out doc classified once, classes " +
+      "come from training, scoring joins broadcast") {
+    val conf = operators.Classifier.nbConfusion(spark, Sf0001).collect()
+    val classified = conf.map(_.getAs[Long]("n_docs")).sum
+    val nTest = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % operators.Classifier.Split === 0).count()
+    assert(classified == nTest, s"$classified of $nTest classified")
+    val trainLangs = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % operators.Classifier.Split =!= 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(conf.map(_.getAs[String]("pred_lang")).toSet
+      .subsetOf(trainLangs))
+    // model artifact: k rows per class, ranks 1..k, counts descending
+    val model = operators.Classifier.nbModel(spark, Sf0001, 3).collect()
+    model.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"ranks for $lang")
+      val ns = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n"))
+      assert(ns.sorted.reverse.toSeq == ns.toSeq, s"counts not desc: $lang")
+      rows.foreach(r => assert(r.getAs[Long]("logp_nano") < 0))
+    }
+    // scale shape: the model-side joins of the scoring scan broadcast
+    val plan = operators.Classifier.nbConfusion(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }
