@@ -287,6 +287,11 @@ object SparkEntry {
     // integer-exact PageRank over the minhash candidate graph:
     // centrality-based canonical-doc selection
     "pagerank_dups" -> ((s, d) => GraphOps.pagerankDups(s, d, 0.5, 20)),
+    // SemDeDup shape: integer k-means over embeddings + within-cluster
+    // near-pair scan (bit-reproducible Lloyd iterations, no doubles)
+    "kmeans_clusters" -> ((s, d) => Clustering.kmeansClusters(s, d, 8)),
+    "semdedup_report" ->
+      ((s, d) => Clustering.semdedupReport(s, d, 8, 1100000000000L)),
     // distributed multinomial NB: training artifact + held-out confusion
     "nb_model" -> ((s, d) => Classifier.nbModel(s, d, 3)),
     "nb_confusion" -> ((s, d) => Classifier.nbConfusion(s, d)),
@@ -439,6 +444,9 @@ object SparkEntry {
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
+    "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
+    "semdedup_report" ->
+      Clustering.semdedupReportOracleSql(8, 1100000000000L),
     "nb_model" -> Classifier.nbModelOracleSql(3),
     "nb_confusion" -> Classifier.nbConfusionOracleSql,
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding-space clustering — the SemDeDup shape (Abbas et al. 2023:
+  * k-means the corpus embeddings, then look for near-duplicate pairs
+  * only WITHIN a cluster, turning an O(n²) all-pairs search into
+  * per-cluster work). The reference stops at per-query ANN
+  * (/root/reference/src/core/vector_store.py search path); this is the
+  * corpus-curation counterpart built on the same vectors.
+  *
+  * Determinism across engines is the whole design: embeddings are
+  * quantized ONCE to integer micro-units (round(x·1e6) — the same
+  * half-away-from-zero rounding in Spark and DuckDB), and every
+  * downstream step is BIGINT arithmetic: distances are integer
+  * squared-euclidean sums, the argmin key is dist·k + cluster (exact
+  * composite, no window), centroid updates are sum-div-count integral
+  * division. k-means on doubles would diverge across engines in one
+  * iteration; k-means on integers is bit-reproducible anywhere.
+  *
+  * Scale shape (100 TB): the per-iteration join is ivec ⋈ centroids —
+  * centroids are k·dim rows, broadcast; assignment and the centroid
+  * update are partial-aggregable groupBys. The only window is the seed
+  * labeling over exactly k rows. The within-cluster pair scan is the
+  * SemDeDup contract: clusters bound the quadratic term (k chosen so
+  * n/k vectors fit a partition; skewed clusters would re-shard by a
+  * salted sub-cluster pass).
+  */
+object Clustering {
+
+  val Iterations = 3
+
+  /** (vec_id, dim, q): embeddings exploded to quantized micro-unit
+    * components. */
+  private def ivec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long"))))
+      .toDF("vec_id", "dim", "q")
+
+  /** Final (vec_id, cluster) assignment plus the final centroid rows
+    * (cluster, dim, c), after `Iterations` Lloyd rounds from the k
+    * lowest vec_ids as seeds. */
+  private def fit(spark: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val vecs = ivec(spark, dir).transform(CacheScope.cached)
+    // seeds: the k lowest vec_ids, cluster = rank − 1. The window runs
+    // over exactly k rows (post-limit) — bounded by construction.
+    val seedW = Window.orderBy(col("vec_id").asc)
+    val seeds = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).orderBy(col("vec_id").asc).limit(k)
+      .withColumn("cluster", row_number().over(seedW).cast("long") - 1)
+    var cent = vecs.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("cluster"), col("dim"), col("q").as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to Iterations) {
+      val keyed = vecs
+        .join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+          .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dist") * k + col("cluster")).as("key"))
+      assign = keyed.select(col("vec_id"),
+        (col("key") % k).as("cluster"))
+      // integral-mean update; a cluster that lost every vector keeps
+      // its previous centroid (left join from the old centroid spine)
+      val sums = vecs.join(assign, Seq("vec_id"))
+        .groupBy(col("cluster").as("s_cluster"), col("dim").as("s_dim"))
+        .agg(expr("sum(q) div count(1)").as("c_new"))
+      cent = cent.join(sums,
+          col("cluster") === col("s_cluster") && col("dim") === col("s_dim"),
+          "left")
+        .select(col("cluster"), col("dim"),
+          coalesce(col("c_new"), col("c")).as("c"))
+    }
+    (assign, cent)
+  }
+
+  /** Per-cluster summary: size and the centroid's integer energy
+    * Σ c² — a checksum that pins the exact centroid without k·dim
+    * output rows. */
+  def kmeansClusters(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val (assign, cent) = fit(spark, dir, k)
+    val sizes = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val energy = cent.groupBy(col("cluster"))
+      .agg(sum(col("c") * col("c")).as("energy"))
+    sizes.join(energy, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("energy"))
+      .orderBy(col("cluster").asc)
+  }
+
+  /** SemDeDup report: within each final cluster, count vector pairs
+    * closer than `maxDistMicro2` (integer squared micro-units) and
+    * report the tightest pair's distance — the "how much near-dup mass
+    * does each cluster hold" read a curation pass starts from. */
+  def semdedupReport(spark: SparkSession, dir: String, k: Int,
+      maxDistMicro2: Long): DataFrame = {
+    val (assign, _) = fit(spark, dir, k)
+    val comps = ivec(spark, dir).join(assign, Seq("vec_id"))
+      .transform(CacheScope.cached)
+    val pairDists = comps.as("x")
+      .join(comps.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.dim") === col("y.dim") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .groupBy(col("x.cluster").as("cluster"),
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .agg(sum((col("x.q") - col("y.q")) * (col("x.q") - col("y.q")))
+        .as("dist"))
+    val close = pairDists
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("dist") <= maxDistMicro2, 1L).otherwise(0L))
+        .as("n_close_pairs"),
+        min(col("dist")).as("min_dist"))
+    assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+      .join(close, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"),
+        col("min_dist"))
+      .orderBy(col("cluster").asc)
+  }
+
+  // ---- oracle SQL ----
+
+  private val IvecSql: String =
+    """SELECT vec_id,
+      |    generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS q
+      |  FROM embeddings""".stripMargin
+
+  /** The shared fit: seeds, then `Iterations` unrolled assign/update
+    * CTE pairs. Exposes `assign$Iterations` (vec_id, cluster) and
+    * `cent$Iterations` (cluster, dim, c). */
+  private def fitSql(k: Int): String = {
+    val iters = (1 to Iterations).map { i =>
+      s"""dist$i AS (
+         |  SELECT v.vec_id, c.cluster,
+         |    sum((v.q - c.c) * (v.q - c.c)) AS dist
+         |  FROM ivec v JOIN cent${i - 1} c ON c.dim = v.dim
+         |  GROUP BY 1, 2
+         |), assign$i AS (
+         |  SELECT vec_id,
+         |    CAST(min(dist * $k + cluster) % $k AS BIGINT) AS cluster
+         |  FROM dist$i GROUP BY 1
+         |), sums$i AS (
+         |  SELECT a.cluster, v.dim, sum(v.q) // count(*) AS c_new
+         |  FROM ivec v JOIN assign$i a ON a.vec_id = v.vec_id
+         |  GROUP BY 1, 2
+         |), cent$i AS (
+         |  SELECT p.cluster, p.dim,
+         |    CAST(coalesce(s.c_new, p.c) AS BIGINT) AS c
+         |  FROM cent${i - 1} p LEFT JOIN sums$i s
+         |    ON s.cluster = p.cluster AND s.dim = p.dim
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""ivec AS (
+       |  $IvecSql
+       |), seeds AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
+       |  FROM embeddings ORDER BY vec_id ASC LIMIT $k
+       |), cent0 AS (
+       |  SELECT s.cluster, v.dim, v.q AS c
+       |  FROM ivec v JOIN seeds s ON s.vec_id = v.vec_id
+       |), $iters""".stripMargin
+  }
+
+  def kmeansClustersOracleSql(k: Int): String =
+    s"""WITH ${fitSql(k)}
+       |SELECT a.cluster, count(*) AS n_vecs,
+       |  (SELECT CAST(sum(c.c * c.c) AS BIGINT) FROM cent$Iterations c
+       |   WHERE c.cluster = a.cluster) AS energy
+       |FROM assign$Iterations a
+       |GROUP BY a.cluster ORDER BY a.cluster ASC""".stripMargin
+
+  def semdedupReportOracleSql(k: Int, maxDistMicro2: Long): String =
+    s"""WITH ${fitSql(k)}, comps AS (
+       |  SELECT v.vec_id, v.dim, v.q, a.cluster
+       |  FROM ivec v JOIN assign$Iterations a ON a.vec_id = v.vec_id
+       |), pd AS (
+       |  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+       |    sum((x.q - y.q) * (x.q - y.q)) AS dist
+       |  FROM comps x JOIN comps y
+       |    ON y.cluster = x.cluster AND y.dim = x.dim
+       |      AND x.vec_id < y.vec_id
+       |  GROUP BY 1, 2, 3
+       |), cl AS (
+       |  SELECT cluster,
+       |    CAST(sum(CASE WHEN dist <= $maxDistMicro2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_close_pairs,
+       |    CAST(min(dist) AS BIGINT) AS min_dist
+       |  FROM pd GROUP BY 1
+       |)
+       |SELECT a.cluster, count(*) AS n_vecs,
+       |  coalesce(any_value(cl.n_close_pairs), 0) AS n_close_pairs,
+       |  any_value(cl.min_dist) AS min_dist
+       |FROM assign$Iterations a LEFT JOIN cl ON cl.cluster = a.cluster
+       |GROUP BY a.cluster ORDER BY a.cluster ASC""".stripMargin
+}

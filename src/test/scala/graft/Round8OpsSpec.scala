@@ -359,4 +359,54 @@ class Round8OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("integer k-means matches a driver-side Lloyd reference; " +
+      "centroid join broadcasts") {
+    val k = 4
+    val out = operators.Clustering.kmeansClusters(spark, Sf0001, k)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("energy")))
+      .toSeq
+    // reference: identical integer recurrence in plain Scala
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.rint(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val dim = vecs.head._2.length
+    var cent = vecs.take(k).map(_._2.clone)
+    var assign = Map.empty[Long, Int]
+    for (_ <- 1 to operators.Clustering.Iterations) {
+      assign = vecs.map { case (id, v) =>
+        val key = cent.zipWithIndex.map { case (c, ci) =>
+          var d = 0L
+          var i = 0
+          while (i < dim) { val t = v(i) - c(i); d += t * t; i += 1 }
+          d * k + ci
+        }.min
+        id -> (key % k).toInt
+      }.toMap
+      cent = (0 until k).map { ci =>
+        val members = vecs.filter(v => assign(v._1) == ci)
+        if (members.isEmpty) cent(ci)
+        else Array.tabulate(dim) { i =>
+          members.map(_._2(i)).sum / members.length // JVM / == div
+        }
+      }.toArray
+    }
+    val ref = (0 until k).map { ci =>
+      val n = assign.values.count(_ == ci).toLong
+      val energy = cent(ci).map(c => c * c).sum
+      (ci.toLong, n, energy)
+    }
+    assert(out == ref)
+    // every vector assigned, clusters non-trivial at fixture scale
+    assert(out.map(_._2).sum == vecs.length.toLong)
+    // scale shape: the per-iteration centroid join is broadcast
+    val plan = operators.Clustering.kmeansClusters(spark, Sf0001, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
 }
