@@ -290,6 +290,9 @@ object SparkEntry {
     // SemDeDup shape: integer k-means over embeddings + within-cluster
     // near-pair scan (bit-reproducible Lloyd iterations, no doubles)
     "kmeans_clusters" -> ((s, d) => Clustering.kmeansClusters(s, d, 8)),
+    // distributed BPE tokenizer training: 8 merge steps over the
+    // corpus word-frequency table (fold-rewrite, bounded collects)
+    "bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
     "semdedup_report" ->
       ((s, d) => Clustering.semdedupReport(s, d, 8, 1100000000000L)),
     // distributed multinomial NB: training artifact + held-out confusion
@@ -445,6 +448,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
+    "bpe_merges" -> Bpe.bpeMergesOracleSql,
     "semdedup_report" ->
       Clustering.semdedupReportOracleSql(8, 1100000000000L),
     "nb_model" -> Classifier.nbModelOracleSql(3),

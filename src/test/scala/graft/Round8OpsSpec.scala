@@ -409,4 +409,48 @@ class Round8OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
+
+  test("bpe_merges matches a from-scratch Sennrich reference on the " +
+      "fixture corpus") {
+    val out = operators.Bpe.bpeMerges(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+    // reference: plain-Scala BPE on the same word-frequency table
+    val wf = scala.collection.mutable.Map.empty[Vector[String], Long]
+    Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(r => graft.functions.TextAnalyzer.analyze(r.getString(0)))
+      .foreach { w =>
+        val k = w.map(_.toString).toVector
+        wf(k) = wf.getOrElse(k, 0L) + 1L
+      }
+    val ref = Seq.newBuilder[(Long, String, String, Long)]
+    var words = wf.toMap
+    for (step <- 1 to operators.Bpe.Merges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((l, r), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      ref += ((step.toLong, l, r, cnt))
+      // greedy left-to-right scan-replace (Sennrich merge)
+      words = words.toSeq.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    assert(out == ref.result())
+    // merged symbols compound: some late-step side is multi-char
+    assert(out.drop(4).exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no compound merges in $out")
+  }
 }
