@@ -293,6 +293,11 @@ object SparkEntry {
     // distributed BPE tokenizer training: 8 merge steps over the
     // corpus word-frequency table (fold-rewrite, bounded collects)
     "bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
+    // the tokenizer applied: corpus frequency of the learned vocab
+    "bpe_vocab" -> ((s, d) => Bpe.bpeVocab(s, d, 20)),
+    // content-defined chunking: rolling-hash boundaries, per-source
+    // rollup (storage-dedup CDC — scan-local, no boundary state chain)
+    "cdc_chunks" -> ((s, d) => Chunker.cdcChunks(s, d, 64)),
     "semdedup_report" ->
       ((s, d) => Clustering.semdedupReport(s, d, 8, 1100000000000L)),
     // distributed multinomial NB: training artifact + held-out confusion
@@ -449,6 +454,8 @@ object SparkEntry {
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
     "bpe_merges" -> Bpe.bpeMergesOracleSql,
+    "bpe_vocab" -> Bpe.bpeVocabOracleSql(20),
+    "cdc_chunks" -> Chunker.cdcChunksOracleSql(64),
     "semdedup_report" ->
       Clustering.semdedupReportOracleSql(8, 1100000000000L),
     "nb_model" -> Classifier.nbModelOracleSql(3),

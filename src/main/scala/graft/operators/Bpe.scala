@@ -39,9 +39,10 @@ object Bpe {
 
   val Merges = 8
 
-  /** The learned merge table: (step, left_sym, right_sym, pair_count)
-    * for `Merges` steps — the artifact a tokenizer ships. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** Fit result: the rewritten word-frequency table (word, freq, syms
+    * after `Merges` steps) and the merge log. */
+  private def fit(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
     var wf = Tables.documents(spark, dir)
       .select(explode(TextAnalyzer.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -74,10 +75,46 @@ object Bpe {
             .otherwise(concat(acc, array(x)))))
         .localCheckpoint(true)
     }
+    (wf, merges.result())
+  }
+
+  /** The learned merge table: (step, left_sym, right_sym, pair_count)
+    * for `Merges` steps — the artifact a tokenizer ships. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    merges.result()
+    fit(spark, dir)._2
       .toDF("step", "left_sym", "right_sym", "pair_count")
       .orderBy(col("step").asc)
+  }
+
+  /** The tokenizer APPLIED: corpus frequency of each learned symbol —
+    * Σ over words of word-freq × symbol occurrences, straight off the
+    * fitted vocab table (no corpus rescan; the word-frequency table IS
+    * the corpus aggregate). Top-`k` by count, token-asc tiebreak. */
+  def bpeVocab(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val (wf, _) = fit(spark, dir)
+    wf.select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("corpus_count"))
+      .orderBy(col("corpus_count").desc, col("token").asc)
+      .limit(k)
+  }
+
+  def bpeVocabOracleSql(k: Int): String = {
+    val steps = (1 to Merges).map(stepSql).mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT t AS word FROM (
+       |    SELECT ${TextAnalyzer.sqlTokenize("text")} AS t
+       |    FROM documents) u
+       |  WHERE ${TextAnalyzer.sqlTermFilter("t")}
+       |), wf0 AS (
+       |  SELECT word, count(*) AS freq, string_split(word, '') AS syms
+       |  FROM tok GROUP BY word
+       |), $steps
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS corpus_count
+       |FROM (SELECT freq, unnest(syms) AS token FROM wf$Merges) x
+       |GROUP BY token ORDER BY corpus_count DESC, token ASC
+       |LIMIT $k""".stripMargin
   }
 
   /** One unrolled merge step: from `wf${i-1}` derive the best pair

@@ -194,4 +194,62 @@ object Chunker {
         org.apache.spark.sql.functions.sum(col("chunk_size")).as("total_chunk_chars"))
       .orderBy(col("doc_id").asc)
   }
+
+  // ---- content-defined chunking (Rabin-style rolling hash) ----
+
+  /** Rolling-hash window width and the per-offset coefficient 31^(w-1-k)
+    * — small enough that window·maxAscii·31^7 stays far inside BIGINT,
+    * so the hash is exact integer arithmetic on both engines. */
+  val CdcWindow = 8
+  private val CdcPowers: Seq[Long] =
+    (0 until CdcWindow).map(k => math.pow(31, CdcWindow - 1 - k).toLong)
+
+  /** Content-defined chunk boundaries (the storage-dedup chunker:
+    * Rabin/Gear CDC, here a polynomial rolling hash with divisor
+    * `divisor` ⇒ expected chunk ≈ divisor chars). A position ends a
+    * chunk iff the hash of the trailing `CdcWindow` chars ≡ 0 (mod
+    * divisor). Boundaries depend only on LOCAL content — the property
+    * that makes CDC dedup shift-robust AND makes this embarrassingly
+    * parallel: no min/max-length state chain, every document (or file
+    * split) chunks independently, scan-local. Returns the per-source
+    * rollup: docs, chunks, integral mean chunk size. */
+  def cdcChunks(spark: SparkSession, dir: String, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chars = split(col("text"), "")
+    val n = length(col("text"))
+    val hashAt = (i: org.apache.spark.sql.Column) =>
+      CdcPowers.zipWithIndex.map { case (p, k) =>
+        ascii(element_at(chars, i - (CdcWindow - 1) + k)) * lit(p)
+      }.reduce(_ + _)
+    val bounds = when(n >= CdcWindow,
+      filter(sequence(lit(CdcWindow), n), i => hashAt(i) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    graft.Tables.documents(spark, dir)
+      .select(col("source"), n.cast("long").as("n_chars"),
+        (size(bounds) + 1).cast("long").as("n_chunks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("total_chunks"),
+        expr("sum(n_chars) div sum(n_chunks)").as("avg_chunk_chars"))
+      .orderBy(col("source").asc)
+  }
+
+  def cdcChunksOracleSql(divisor: Int): String = {
+    val pows = CdcPowers.mkString("[", ", ", "]")
+    val w = CdcWindow
+    s"""WITH cd AS (
+       |  SELECT source, len(text) AS n_chars,
+       |    1 + CASE WHEN len(text) >= $w THEN
+       |      len(list_filter(range($w, len(text) + 1), i ->
+       |        (list_sum(list_transform(range(0, $w), k ->
+       |          ascii(text[i - ${w - 1} + k]) * $pows[k + 1]))
+       |         % $divisor) = 0))
+       |    ELSE 0 END AS n_chunks
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+       |  CAST(sum(n_chars) // sum(n_chunks) AS BIGINT) AS avg_chunk_chars
+       |FROM cd GROUP BY source ORDER BY source ASC""".stripMargin
+  }
 }

@@ -452,5 +452,42 @@ class Round8OpsSpec extends SparkSpec {
     // merged symbols compound: some late-step side is multi-char
     assert(out.drop(4).exists(m => m._2.length > 1 || m._3.length > 1),
       s"no compound merges in $out")
+    // the applied vocab surfaces learned multi-char tokens
+    val vocab = operators.Bpe.bpeVocab(spark, Sf0001, 20).collect()
+      .map(_.getString(0))
+    assert(vocab.exists(_.length > 1), s"no learned token in top-20")
+  }
+
+  test("cdc boundaries: driver recompute agrees; boundaries are " +
+      "shift-robust past the window") {
+    def boundaries(text: String, divisor: Int): Seq[Int] = {
+      val w = operators.Chunker.CdcWindow
+      (w to text.length).filter { i =>
+        val h = (0 until w).map { k =>
+          text.charAt(i - w + k).toLong *
+            math.pow(31, w - 1 - k).toLong
+        }.sum
+        h % divisor == 0
+      }
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.map(d => boundaries(d._2, 64).size + 1L)
+      (src, ds.size.toLong, chunks.sum,
+        ds.map(_._2.length.toLong).sum / chunks.sum)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Chunker.cdcChunks(spark, Sf0001, 64).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_chunks"), r.getAs[Long]("avg_chunk_chars")))
+      .toSeq
+    assert(got == expect)
+    // content-defined property: a prefix insertion shifts every
+    // boundary past the first window by exactly the prefix length
+    val t = docs.head._2
+    val shifted = boundaries("XY" + t, 64).filter(_ > 10).map(_ - 2)
+    val orig = boundaries(t, 64).filter(_ > 8)
+    assert(shifted == orig, "boundaries not shift-robust")
   }
 }
