@@ -298,6 +298,10 @@ object SparkEntry {
     // content-defined chunking: rolling-hash boundaries, per-source
     // rollup (storage-dedup CDC — scan-local, no boundary state chain)
     "cdc_chunks" -> ((s, d) => Chunker.cdcChunks(s, d, 64)),
+    // per-source compression under the learned tokenizer (vocab fit)
+    "bpe_compression" -> ((s, d) => Bpe.bpeCompression(s, d)),
+    // DSIR importance weights: target-domain vs corpus LM log-ratio
+    "dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d, "src0", 20)),
     "semdedup_report" ->
       ((s, d) => Clustering.semdedupReport(s, d, 8, 1100000000000L)),
     // distributed multinomial NB: training artifact + held-out confusion
@@ -456,6 +460,8 @@ object SparkEntry {
     "bpe_merges" -> Bpe.bpeMergesOracleSql,
     "bpe_vocab" -> Bpe.bpeVocabOracleSql(20),
     "cdc_chunks" -> Chunker.cdcChunksOracleSql(64),
+    "bpe_compression" -> Bpe.bpeCompressionOracleSql,
+    "dsir_weights" -> Sampling.dsirWeightsOracleSql("src0", 20),
     "semdedup_report" ->
       Clustering.semdedupReportOracleSql(8, 1100000000000L),
     "nb_model" -> Classifier.nbModelOracleSql(3),

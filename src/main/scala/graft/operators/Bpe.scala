@@ -100,6 +100,56 @@ object Bpe {
       .limit(k)
   }
 
+  /** Compression under the learned tokenizer, per source: chars per
+    * BPE token in micro-units (integral) — the Pile-style "how well
+    * does the tokenizer fit this slice" signal; a source that
+    * compresses poorly is out-of-distribution for the vocab. Doc words
+    * join the fitted vocab table (broadcast — vocab-bounded). */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    val (wf, _) = fit(spark, dir)
+    val vocab = wf.select(col("word"), size(col("syms")).cast("long")
+      .as("n_toks"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalyzer.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(length(col("word")).cast("long")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"))
+      .select(col("source"), col("total_chars"), col("total_tokens"),
+        expr("total_chars * 1000000 div total_tokens")
+          .as("chars_per_token_micro"))
+      .orderBy(col("source").asc)
+  }
+
+  def bpeCompressionOracleSql: String = {
+    val steps = (1 to Merges).map(stepSql).mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT t AS word FROM (
+       |    SELECT ${TextAnalyzer.sqlTokenize("text")} AS t
+       |    FROM documents) u
+       |  WHERE ${TextAnalyzer.sqlTermFilter("t")}
+       |), wf0 AS (
+       |  SELECT word, count(*) AS freq, string_split(word, '') AS syms
+       |  FROM tok GROUP BY word
+       |), $steps, dtok AS (
+       |  SELECT source, t AS word FROM (
+       |    SELECT source, ${TextAnalyzer.sqlTokenize("text")} AS t
+       |    FROM documents) u
+       |  WHERE ${TextAnalyzer.sqlTermFilter("t")}
+       |), agg AS (
+       |  SELECT d.source,
+       |    CAST(sum(length(d.word)) AS BIGINT) AS total_chars,
+       |    CAST(sum(len(w.syms)) AS BIGINT) AS total_tokens
+       |  FROM dtok d JOIN wf$Merges w ON w.word = d.word
+       |  GROUP BY d.source
+       |)
+       |SELECT source, total_chars, total_tokens,
+       |  CAST(total_chars * 1000000 // total_tokens AS BIGINT)
+       |    AS chars_per_token_micro
+       |FROM agg ORDER BY source ASC""".stripMargin
+  }
+
   def bpeVocabOracleSql(k: Int): String = {
     val steps = (1 to Merges).map(stepSql).mkString(", ")
     s"""WITH tok AS (

@@ -26,6 +26,79 @@ object Sampling {
 
   val HashSpace = 65536 // 4 hex digits
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rate every
+    * document by how much more likely a TARGET-domain unigram LM finds
+    * its tokens than the all-corpus LM — the importance score
+    * Σ_tokens ln(p_target(t) / p_corpus(t)). Documents that read like
+    * the target domain float up; selection then resamples by weight
+    * (here: the top-`k` ranking, the deterministic core of it).
+    *
+    * Target domain = documents from source `targetSource`; both LMs
+    * use add-one smoothing over the corpus vocabulary, so
+    * out-of-target terms contribute the smoothed floor, never a NULL.
+    *
+    * Scale shape: both LMs are one partial-aggregable term-count
+    * shuffle (vocab-bounded output); scoring joins doc tokens to the
+    * broadcast LM table and folds per doc. Cross-engine determinism:
+    * per-token log-ratios round to nano-unit BIGINTs before the
+    * order-independent integer sum (the established nano-fold rule).
+    */
+  def dsirWeights(spark: SparkSession, dir: String, targetSource: String,
+      k: Int): DataFrame = {
+    import graft.functions.TextAnalyzer
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalyzer.tokens(col("text"))).as("term"))
+    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("n_c"))
+    val target = toks.filter(col("source") === targetSource)
+      .groupBy(col("term").as("t_term")).agg(count(lit(1)).as("n_t"))
+    val lm = corpus.join(target, col("term") === col("t_term"), "left")
+      .select(col("term"), col("n_c"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"))
+    val totals = lm.agg(sum(col("n_c")).as("tot_c"),
+      sum(col("n_t")).as("tot_t"), count(lit(1)).as("v"))
+    val scored = toks
+      .join(broadcast(lm), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"),
+        round((log((col("n_t") + 1).cast("double") / (col("tot_t") + col("v"))) -
+          log((col("n_c") + 1).cast("double") / (col("tot_c") + col("v"))))
+          * 1e9).cast("long").as("lr_nano"))
+    scored.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lr_nano")).as("imp_nano"))
+      .orderBy(col("imp_nano").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def dsirWeightsOracleSql(targetSource: String, k: Int): String = {
+    import graft.functions.TextAnalyzer
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, t AS term FROM (
+       |    SELECT doc_id, source, ${TextAnalyzer.sqlTokenize("text")} AS t
+       |    FROM documents) u
+       |  WHERE ${TextAnalyzer.sqlTermFilter("t")}
+       |), lm AS (
+       |  SELECT term, count(*) AS n_c,
+       |    coalesce(sum(CASE WHEN source = '$targetSource'
+       |                      THEN 1 ELSE 0 END), 0) AS n_t
+       |  FROM toks GROUP BY term
+       |), tot AS (
+       |  SELECT sum(n_c) AS tot_c, sum(n_t) AS tot_t, count(*) AS v
+       |  FROM lm
+       |), sc AS (
+       |  SELECT toks.doc_id, toks.source,
+       |    CAST(round((ln(CAST(lm.n_t + 1 AS DOUBLE) / (tot.tot_t + tot.v))
+       |      - ln(CAST(lm.n_c + 1 AS DOUBLE) / (tot.tot_c + tot.v)))
+       |      * 1e9) AS BIGINT) AS lr_nano
+       |  FROM toks JOIN lm ON lm.term = toks.term CROSS JOIN tot
+       |)
+       |SELECT doc_id, source, count(*) AS n_toks,
+       |  CAST(sum(lr_nano) AS BIGINT) AS imp_nano
+       |FROM sc GROUP BY doc_id, source
+       |ORDER BY imp_nano DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Per-row keep/drop column for a column-valued rate: floor() before
     * the int cast on BOTH engines (Spark's double→int cast truncates
     * while DuckDB's rounds, so floor is the only portable threshold;

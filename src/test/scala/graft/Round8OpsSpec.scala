@@ -490,4 +490,26 @@ class Round8OpsSpec extends SparkSpec {
     val orig = boundaries(t, 64).filter(_ > 8)
     assert(shifted == orig, "boundaries not shift-robust")
   }
+
+  test("dsir weights rank target-source docs up; compression joins " +
+      "broadcast") {
+    val out = operators.Sampling.dsirWeights(spark, Sf0001, "src0", 20)
+      .collect()
+    assert(out.length == 20)
+    val imps = out.map(_.getAs[Long]("imp_nano")).toSeq
+    assert(imps == imps.sorted.reverse, "not importance-ordered")
+    // the target-domain LM must on average prefer its own documents:
+    // mean importance of src0 docs > mean of the rest (corpus-wide)
+    val all = operators.Sampling
+      .dsirWeights(spark, Sf0001, "src0", 1000000).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("imp_nano")))
+    val (tgt, rest) = all.partition(_._1 == "src0")
+    def mean(xs: Array[(String, Long)]) =
+      xs.map(_._2).sum.toDouble / xs.length
+    assert(mean(tgt) > mean(rest),
+      s"target mean ${mean(tgt)} not above rest ${mean(rest)}")
+    val plan = operators.Bpe.bpeCompression(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join:\n$plan")
+  }
 }
