@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -26,6 +28,26 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+
+  /** Epoch seconds for an events frame's `ts` column, whichever dtype the
+    * driver fixture shipped: BIGINT nanoseconds (legacy nanosAsLong parquet
+    * reads) or TIMESTAMP. The single normalization point for batch AND
+    * streaming operators — integer `div` on the nanos path avoids
+    * double-precision loss at 1.7e18-scale values. */
+  def tsSeconds(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case _        => unix_timestamp(col("ts")).cast("long")
+  }
+
+  /** `ts` as a proper TimestampType event-time column, either dtype —
+    * the watermark/window input for the streaming operators. The fixture's
+    * TIMESTAMP is parquet NTZ; watermarks require TIMESTAMP (ltz), so the
+    * cast reinterprets the wall-clock under the session zone (pinned UTC
+    * by every entry point — deterministic). */
+  def tsTimestamp(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("timestamp_micros(ts div 1000)")
+    case _        => col("ts").cast("timestamp")
+  }
 
   /** Register all tables as temp views so spark.sql(...) works. */
   def registerAll(spark: SparkSession, dir: String): Unit =

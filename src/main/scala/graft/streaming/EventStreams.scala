@@ -26,23 +26,28 @@ import graft.functions.TextAnalyzer
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as long nanos (nanosAsLong). */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-stream source over the events table. FileStreamSource requires a
-    * directory path; pathGlobFilter scopes it to the one table file. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(EventSchema)
+  /** The events table's ACTUAL on-disk schema, sniffed with a batch
+    * footer read (metadata-only — no data scan). The driver fixture has
+    * shipped `ts` both as BIGINT nanoseconds (legacy nanosAsLong) and as
+    * TIMESTAMP; pinning a hardcoded schema strands whichever variant is
+    * on disk, so the stream schema is always derived from the file. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .schema
+
+  /** File-stream source over the events table. FileStreamSource requires a
+    * directory path; pathGlobFilter scopes it to the one table file. The
+    * emitted frame always carries an `event_time` TIMESTAMP column
+    * normalized from either `ts` dtype ([[graft.Tables.tsTimestamp]]). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.readStream
+      .schema(eventsSchema(spark, dir))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    df.withColumn("event_time", graft.Tables.tsTimestamp(df))
+  }
 
   /** Tumbling 10-minute windows per event_type with a 30-minute watermark
     * (late data beyond the watermark is dropped; state is bounded).
@@ -120,7 +125,7 @@ object EventStreams {
       gapSec: Long): Dataset[Session] = {
     import spark.implicits._
     events
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+      .select(col("user_id"), graft.Tables.tsSeconds(events).as("ts_sec"),
         col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
@@ -172,7 +177,7 @@ object EventStreams {
     import spark.implicits._
     events
       .withWatermark("event_time", delay)
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+      .select(col("user_id"), graft.Tables.tsSeconds(events).as("ts_sec"),
         col("value"), col("event_time"))
       .as[TimedSessionEvent]
       .groupByKey(_.user_id)
@@ -243,7 +248,7 @@ object EventStreams {
     events
       .withWatermark("event_time", delay)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+      .select(col("user_id"), graft.Tables.tsSeconds(events).as("ts_sec"),
         col("event_type"), col("event_time"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
@@ -311,14 +316,14 @@ object EventStreams {
     val clicks = events
       .filter(col("event_type") === lit("click"))
       .select(col("user_id").as("c_user"),
-        expr("ts div 1000000000").as("click_sec"),
+        graft.Tables.tsSeconds(events).as("click_sec"),
         col("event_id").as("click_id"),
         col("event_time").as("click_time"))
       .withWatermark("click_time", delay)
     val purchases = events
       .filter(col("event_type") === lit("purchase"))
       .select(col("user_id").as("p_user"),
-        expr("ts div 1000000000").as("purchase_sec"),
+        graft.Tables.tsSeconds(events).as("purchase_sec"),
         col("event_id").as("purchase_id"),
         col("value").as("purchase_value"),
         col("event_time").as("purchase_time"))

@@ -29,16 +29,17 @@ class EventStreamsSpec extends SparkSpec {
       .select($"window_start", $"event_type", $"n")
       .as[(java.sql.Timestamp, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    val batchRows = Tables.events(spark, Sf0001)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val evTbl = Tables.events(spark, Sf0001)
+    val batchRows = evTbl
+      .withColumn("event_time", Tables.tsTimestamp(evTbl))
       .groupBy(window($"event_time", "10 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"), max($"event_time").as("mx"))
       .select($"window.start".as("ws"), $"window.end".as("we"),
         $"event_type", $"n")
       .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect()
     val batch = batchRows.map(r => (r._1, r._3) -> r._4).toMap
-    val maxTs = Tables.events(spark, Sf0001)
-      .select(max(expr("timestamp_micros(ts div 1000)")))
+    val maxTs = evTbl
+      .select(max(Tables.tsTimestamp(evTbl)))
       .collect()(0).getTimestamp(0)
     val cutoff = maxTs.getTime - 30 * 60 * 1000
     // append mode: windows closed by the final watermark must be emitted
@@ -80,8 +81,9 @@ class EventStreamsSpec extends SparkSpec {
       .select($"window_start", $"event_type", $"n")
       .as[(java.sql.Timestamp, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    val batch = Tables.events(spark, Sf0001)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val evTbl = Tables.events(spark, Sf0001)
+    val batch = evTbl
+      .withColumn("event_time", Tables.tsTimestamp(evTbl))
       .groupBy(window($"event_time", "10 minutes", "5 minutes"),
         $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -125,8 +127,9 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
 
     // batch ground truth: lag -> boundary flag -> cumulative session id
-    Tables.events(spark, Sf0001)
-      .selectExpr("user_id", "ts div 1000000000 AS ts_sec", "value")
+    val evTbl = Tables.events(spark, Sf0001)
+    evTbl
+      .select($"user_id", Tables.tsSeconds(evTbl).as("ts_sec"), $"value")
       .createOrReplaceTempView("ev_sess")
     val batchAll = spark.sql(
       s"""WITH flagged AS (
@@ -204,8 +207,9 @@ class EventStreamsSpec extends SparkSpec {
       assert(math.abs(sv - osv) < 1e-6, s"sum mismatch at $k")
     }
     // and completeness: windows closed by the final watermark are there
-    val maxTs = Tables.events(spark, Sf0001)
-      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val evTbl = Tables.events(spark, Sf0001)
+    val maxTs = evTbl
+      .select(max(Tables.tsSeconds(evTbl))).as[Long].collect()(0)
     val cutoffBucket = (maxTs - 30 * 60) / 600
     oracled.keys.filter(_._1 < cutoffBucket - 1).foreach { k =>
       assert(streamed.contains(k), s"closed window $k missing")
@@ -237,8 +241,9 @@ class EventStreamsSpec extends SparkSpec {
     // completeness: the final watermark is max(ts) (delay 0s); any
     // session whose timeout (end + gap + 1) lies strictly below it has
     // provably closed and MUST have been emitted
-    val maxTs = Tables.events(spark, Sf0001)
-      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val evTbl = Tables.events(spark, Sf0001)
+    val maxTs = evTbl
+      .select(max(Tables.tsSeconds(evTbl))).as[Long].collect()(0)
     val mustClose = batch.filter { case (_, _, end, _) =>
       end + gap + 2 < maxTs
     }
@@ -267,8 +272,10 @@ class EventStreamsSpec extends SparkSpec {
     // per-user ground truth from the same SQL shape the ORACLED
     // events_funnel aggregates (it publishes only stage counts; the
     // gate needs the per-user transition times)
-    Tables.events(spark, Sf0001)
-      .selectExpr("user_id", "ts div 1000000000 AS tsec", "event_type")
+    val evTbl = Tables.events(spark, Sf0001)
+    evTbl
+      .select($"user_id", Tables.tsSeconds(evTbl).as("tsec"),
+        $"event_type")
       .createOrReplaceTempView("ev_funnel")
     val truth = spark.sql(
       """WITH v AS (
@@ -293,8 +300,8 @@ class EventStreamsSpec extends SparkSpec {
     // the final watermark is max(ts) (delay 0): transitions strictly
     // below it are final and MUST match; transitions at max(ts) are
     // legitimately still pending in stream state
-    val maxTs = Tables.events(spark, Sf0001)
-      .select(max(expr("ts div 1000000000"))).as[Long].collect()(0)
+    val maxTs = evTbl
+      .select(max(Tables.tsSeconds(evTbl))).as[Long].collect()(0)
     val finalTruth = truth.filter(_._3 < maxTs)
     assert(streamed == finalTruth,
       s"streamed-only: ${streamed -- finalTruth}; " +
@@ -355,9 +362,10 @@ class EventStreamsSpec extends SparkSpec {
     // stream-stream join emits every match found in-batch, so with the
     // fixture arriving as one micro-batch the sets must be EQUAL — the
     // watermark bounds state, not results)
-    val ev = Tables.events(spark, Sf0001)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("sec", expr("ts div 1000000000"))
+    val evTbl = Tables.events(spark, Sf0001)
+    val ev = evTbl
+      .withColumn("event_time", Tables.tsTimestamp(evTbl))
+      .withColumn("sec", Tables.tsSeconds(evTbl))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("click_id"),
         $"sec".as("c_sec"), $"event_time".as("c_time"))
@@ -390,11 +398,13 @@ class EventStreamsSpec extends SparkSpec {
     // no click appears both matched and null-extended
     assert(unmatched.map(_._1).toSet.intersect(matched).isEmpty)
     // batch truth: clicks with zero purchases in their window
-    val ev = Tables.events(spark, Sf0001)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val evTbl = Tables.events(spark, Sf0001)
+    val ev = evTbl
+      .withColumn("event_time", Tables.tsTimestamp(evTbl))
+      .withColumn("sec", Tables.tsSeconds(evTbl))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("click_id"),
-        expr("ts div 1000000000").as("c_sec"), $"event_time".as("c_time"))
+        $"sec".as("c_sec"), $"event_time".as("c_time"))
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
         $"event_time".as("p_time"))
@@ -411,10 +421,10 @@ class EventStreamsSpec extends SparkSpec {
     // sides' watermarks (each side's EventTimeWatermark tracks only its
     // own filtered stream), so the final value is min(max click ts,
     // max purchase ts), not the overall max
-    val wmFinal = Tables.events(spark, Sf0001)
+    val wmFinal = ev
       .filter($"event_type".isin("click", "purchase"))
       .groupBy($"event_type")
-      .agg(max(expr("ts div 1000000000")).as("m"))
+      .agg(max($"sec").as("m"))
       .select(min($"m")).as[Long].collect()(0)
     val provable = c.select($"click_id", $"c_sec").as[(Long, Long)]
       .collect()
@@ -424,6 +434,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(provable.nonEmpty, "fixture premise: some closed-window miss")
     assert(provable.subsetOf(unmatched.map(_._1).toSet),
       s"missing null-extensions: ${provable -- unmatched.map(_._1).toSet}")
+  }
+
+  test("fixture guard: every streaming entry point analyzes against the " +
+      "REAL driver fixture AND a BIGINT-nanos variant") {
+    // Round-8 regression: the module pinned `ts` to LongType nanos while
+    // the driver fixture shipped TIMESTAMP — every streaming test failed
+    // analysis. This guard runs each entry point's ANALYSIS against the
+    // real on-disk schema (whatever the driver ships) plus the legacy
+    // nanos-long schema, so a fixture dtype change can never strand §2.8
+    // again without failing here by name.
+    val evTbl = Tables.events(spark, Sf0001)
+    val dir = Files.createTempDirectory("ev_nanos").toString
+    evTbl.select($"event_id",
+        (Tables.tsSeconds(evTbl) * lit(1000000000L)).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging")
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    for (src <- Seq(EventStreams.readEvents(spark, Sf0001),
+        EventStreams.readEvents(spark, dir))) {
+      // .analyzed forces resolution — the exact phase the round-8 break
+      // failed in (DATATYPE_MISMATCH at analysis, not execution)
+      EventStreams.windowedCounts(src).queryExecution.analyzed
+      EventStreams.slidingCounts(src).queryExecution.analyzed
+      EventStreams.dedupedEvents(src).queryExecution.analyzed
+      EventStreams.runningUserTotals(spark, src).queryExecution.analyzed
+      EventStreams.sessionize(spark, src, 1800L).queryExecution.analyzed
+      EventStreams.sessionizeWithTimeout(spark, src, 1800L)
+        .queryExecution.analyzed
+      EventStreams.funnelStream(spark, src).queryExecution.analyzed
+      EventStreams.clickAttribution(spark, src, 3600L)
+        .queryExecution.analyzed
+    }
+
+    // and one end-to-end execution on the nanos variant: the two dtypes
+    // must produce IDENTICAL windowed aggregates
+    runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, dir)),
+      "win_nanos", "append")
+    runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, Sf0001)),
+      "win_real", "append")
+    val a = spark.table("win_nanos")
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = spark.table("win_real")
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(a.nonEmpty && a == b)
   }
 
   test("foreachBatch index maintenance builds the same index as batch") {

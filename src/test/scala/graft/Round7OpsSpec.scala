@@ -295,8 +295,9 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows("1_view") >= rows("2_click_after_view"))
     assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
     // driver-side recompute of click-after-first-view
-    val ev = Tables.events(spark, Sf0001)
-      .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+    val evTbl = Tables.events(spark, Sf0001)
+    val ev = evTbl
+      .select(col("user_id"), Tables.tsSeconds(evTbl).as("tsec"),
         col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
