@@ -253,9 +253,21 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .transform(CacheScope.cached)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Size the superstep shuffles to the duplicate GRAPH, not the corpus:
+    // the label frame holds only docs that HAVE a near-dup — orders of
+    // magnitude smaller than the corpus at any SF. One partition per
+    // ~256k edges (grows with the graph alone at 100 TB); the count also
+    // materializes the edge cache once, before the loop.
+    val nParts = math.max(1L, math.min(32L, edges.count() / 262144L + 1L)).toInt
+    val e = edges.repartition(nParts, col("b"))
+    // Seed label = min(id, min neighbor) — the first superstep fused into
+    // initialization (symmetric edges ⇒ the groupBy covers every vertex,
+    // replacing the old distinct()+identity seed AND its first round).
+    var labels = e
+      .groupBy(col("a").as("id")).agg(min(col("b")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(true)
+    var prevCached: DataFrame = null
     var changed = 1L
     var rounds = 0
     // safety cap far above any plausible component diameter — but NEVER
@@ -264,19 +276,35 @@ object Dedup {
     // pathological graph fails loudly (require below) instead
     val maxRounds = 1000
     while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid"))
+      val t0 = System.nanoTime()
+      val neighborMin = e
+        .join(labels, e("b") === labels("id"))
+        .groupBy(e("a").as("nid"))
         .agg(min(col("label")).as("nmin"))
       val updated = labels
         .join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("newlabel"))
-        .localCheckpoint(true)
+        .persist()
+      // ONE action per round: the count materializes the persisted frame
+      // (populating the cache for the next superstep) AND returns the
+      // convergence signal — no separate eager-checkpoint job
       changed = updated.filter(col("newlabel") =!= col("label")).count()
+      if (prevCached != null) prevCached.unpersist(false)
+      prevCached = updated
       labels = updated.select(col("id"), col("newlabel").as("label"))
+      // periodic lineage truncation keeps analysis cost bounded on
+      // high-diameter graphs without paying a checkpoint job every round
+      if (rounds % 8 == 7) {
+        labels = labels.localCheckpoint(true)
+        prevCached.unpersist(false)
+        prevCached = null
+      }
       rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
+        println(f"[clusters round=$rounds changed=$changed " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs]")
     }
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")

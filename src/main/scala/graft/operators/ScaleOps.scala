@@ -133,22 +133,21 @@ object ScaleOps {
     * 65536 buckets (~45 days), which would silently destroy the 2-D
     * clustering for any corpus spanning multiple alias periods. After
     * the rebase 16 bits covers ~455 days of data span. The min is a
-    * one-number broadcast, not a driver action — the plan stays fully
-    * distributed. */
+    * bounded one-row collect baked in as a LITERAL (the same pattern as
+    * the IVF probe cells, Similarity.ivfTopK): paying one tiny
+    * min-aggregation job up front keeps the main pass a single
+    * scan-local job — the r7 crossJoin(broadcast) form re-planned an
+    * extra aggregation + exchange per query for the same one number. */
   def zorderEventKeys(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
-    val secs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _ => unix_timestamp(col("ts"))
-    }
     val keyed = ev.select(col("event_id"), col("user_id"),
-        secs.cast("long").as("secs"))
+        graft.Tables.tsSeconds(ev).cast("long").as("secs"))
       .withColumn("tbucket", expr("secs div 600"))
-    val tmin = keyed.agg(min(col("tbucket")).as("tmin"))
-    keyed.crossJoin(broadcast(tmin))
+    val tmin = keyed.agg(min(col("tbucket"))).collect()(0).getLong(0)
+    keyed
       .select(col("event_id"), col("user_id"), col("tbucket"),
-        zorderKey(col("user_id"), col("tbucket") - col("tmin"), 16)
+        zorderKey(col("user_id"), col("tbucket") - lit(tmin), 16)
           .as("zkey"))
       .orderBy(col("zkey").asc, col("event_id").asc)
       .limit(k)
