@@ -303,7 +303,7 @@ object SparkEntry {
     // DSIR importance weights: target-domain vs corpus LM log-ratio
     "dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d, "src0", 20)),
     "semdedup_report" ->
-      ((s, d) => Clustering.semdedupReport(s, d, 8, 1100000000000L)),
+      ((s, d) => Clustering.semdedupReport(s, d, 128L, 1100000000000L)),
     // distributed multinomial NB: training artifact + held-out confusion
     "nb_model" -> ((s, d) => Classifier.nbModel(s, d, 3)),
     "nb_confusion" -> ((s, d) => Classifier.nbConfusion(s, d)),
@@ -463,7 +463,7 @@ object SparkEntry {
     "bpe_compression" -> Bpe.bpeCompressionOracleSql,
     "dsir_weights" -> Sampling.dsirWeightsOracleSql("src0", 20),
     "semdedup_report" ->
-      Clustering.semdedupReportOracleSql(8, 1100000000000L),
+      Clustering.semdedupReportOracleSql(128L, 1100000000000L),
     "nb_model" -> Classifier.nbModelOracleSql(3),
     "nb_confusion" -> Classifier.nbConfusionOracleSql,
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,

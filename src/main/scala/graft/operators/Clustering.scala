@@ -99,9 +99,24 @@ object Clustering {
   /** SemDeDup report: within each final cluster, count vector pairs
     * closer than `maxDistMicro2` (integer squared micro-units) and
     * report the tightest pair's distance — the "how much near-dup mass
-    * does each cluster hold" read a curation pass starts from. */
-  def semdedupReport(spark: SparkSession, dir: String, k: Int,
-      maxDistMicro2: Long): DataFrame = {
+    * does each cluster hold" read a curation pass starts from.
+    *
+    * The scale contract is the K POLICY: k = max(8, n/targetClusterSize)
+    * GROWS WITH THE CORPUS, so per-cluster all-pairs work is bounded by
+    * targetClusterSize² regardless of n and the total pair scan is
+    * O(n · targetClusterSize) — linear in corpus size. (SemDeDup, Abbas
+    * et al. 2023, runs tens of thousands of clusters on billion-vector
+    * corpora for exactly this reason; a FIXED k makes clusters ~n/k and
+    * the pair scan O(n²) — the shape this replaced.) The count feeding k
+    * is a parquet-metadata job, not a scan. Beyond ~10⁷ centroid rows
+    * (k·dim) the broadcast assignment join itself outgrows memory; at
+    * that scale the standard move is two-level (hierarchical) k-means —
+    * out of scope for this fixture, documented as the next rung. Skewed
+    * clusters re-shard by a salted sub-cluster pass (see object doc). */
+  def semdedupReport(spark: SparkSession, dir: String,
+      targetClusterSize: Long, maxDistMicro2: Long): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = math.max(8L, n / targetClusterSize).toInt
     val (assign, _) = fit(spark, dir, k)
     val comps = ivec(spark, dir).join(assign, Seq("vec_id"))
       .transform(CacheScope.cached)
@@ -138,8 +153,11 @@ object Clustering {
 
   /** The shared fit: seeds, then `Iterations` unrolled assign/update
     * CTE pairs. Exposes `assign$Iterations` (vec_id, cluster) and
-    * `cent$Iterations` (cluster, dim, c). */
-  private def fitSql(k: Int): String = {
+    * `cent$Iterations` (cluster, dim, c). `kSql` is any BIGINT-valued
+    * SQL expression — a literal for fixed-k callers, a scalar subquery
+    * for the corpus-relative SemDeDup policy. */
+  private def fitSql(kSql: String): String = {
+    val k = kSql
     val iters = (1 to Iterations).map { i =>
       s"""dist$i AS (
          |  SELECT v.vec_id, c.cluster,
@@ -166,7 +184,7 @@ object Clustering {
        |), seeds AS (
        |  SELECT vec_id,
        |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
-       |  FROM embeddings ORDER BY vec_id ASC LIMIT $k
+       |  FROM embeddings ORDER BY vec_id ASC LIMIT ($k)
        |), cent0 AS (
        |  SELECT s.cluster, v.dim, v.q AS c
        |  FROM ivec v JOIN seeds s ON s.vec_id = v.vec_id
@@ -174,15 +192,21 @@ object Clustering {
   }
 
   def kmeansClustersOracleSql(k: Int): String =
-    s"""WITH ${fitSql(k)}
+    s"""WITH ${fitSql(k.toString)}
        |SELECT a.cluster, count(*) AS n_vecs,
        |  (SELECT CAST(sum(c.c * c.c) AS BIGINT) FROM cent$Iterations c
        |   WHERE c.cluster = a.cluster) AS energy
        |FROM assign$Iterations a
        |GROUP BY a.cluster ORDER BY a.cluster ASC""".stripMargin
 
-  def semdedupReportOracleSql(k: Int, maxDistMicro2: Long): String =
-    s"""WITH ${fitSql(k)}, comps AS (
+  /** Oracle twin of the corpus-relative policy: DuckDB derives the SAME
+    * k = greatest(8, n // targetClusterSize) from the table it scans. */
+  def semdedupReportOracleSql(targetClusterSize: Long,
+      maxDistMicro2: Long): String =
+    s"""WITH kpick AS (
+       |  SELECT greatest(8, count(*) // $targetClusterSize) AS kk
+       |  FROM embeddings
+       |), ${fitSql("(SELECT kk FROM kpick)")}, comps AS (
        |  SELECT v.vec_id, v.dim, v.q, a.cluster
        |  FROM ivec v JOIN assign$Iterations a ON a.vec_id = v.vec_id
        |), pd AS (

@@ -424,29 +424,39 @@ class Round8OpsSpec extends SparkSpec {
         val k = w.map(_.toString).toVector
         wf(k) = wf.getOrElse(k, 0L) + 1L
       }
+    // batched-pass reference: per pass, rank snapshot pair counts, take
+    // the top BatchSize, keep the non-conflicting ones (shared rule),
+    // and apply them all — symbol-disjointness makes per-pair
+    // sequential scan-replace equal to the simultaneous rewrite
     val ref = Seq.newBuilder[(Long, String, String, Long)]
     var words = wf.toMap
-    for (step <- 1 to operators.Bpe.Merges) {
+    var step = 0L
+    for (_ <- 1 to operators.Bpe.Passes) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       words.foreach { case (syms, f) =>
         syms.zip(syms.tail).foreach { p =>
           counts(p) = counts.getOrElse(p, 0L) + f
         }
       }
-      val ((l, r), cnt) = counts.toSeq
-        .minBy { case ((a, b), c) => (-c, a, b) }
-      ref += ((step.toLong, l, r, cnt))
-      // greedy left-to-right scan-replace (Sennrich merge)
-      words = words.toSeq.map { case (syms, f) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += l + r; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        out.toVector -> f
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ranked = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }
+        .take(operators.Bpe.BatchSize)
+        .map { case ((a, b), c) => (a, b, c) }
+      val kept = operators.Bpe.keepNonConflicting(ranked)
+      kept.foreach { case (l, r, cnt) =>
+        step += 1; ref += ((step, l, r, cnt))
+        // greedy left-to-right scan-replace (Sennrich merge)
+        words = words.toSeq.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
     }
     assert(out == ref.result())
     // merged symbols compound: some late-step side is multi-char
