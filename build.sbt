@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through instead of re-logging it with
+// an "[info] " prefix: the bench driver tails RAW stdout and JSON-parses
+// the contract line, and the logger prefix has broken that parse in
+// every round so far (BENCH_r*.json "parsed": null with the line present
+// but prefixed in the captured tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

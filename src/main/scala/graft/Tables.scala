@@ -15,8 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped base-relation cache. The fixture tables are
+    * immutable for a session's lifetime, so re-resolving a table on
+    * EVERY query construction — directory listing + parquet footer
+    * schema read — is pure planner overhead paid ~150× per bench run;
+    * a real deployment resolves tables once through the catalog. Keyed
+    * by (session, path): different sessions and different SF dirs stay
+    * isolated, and only the logical relation is reused (no data is
+    * cached — execution still scans files; clearCache is unaffected). */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
