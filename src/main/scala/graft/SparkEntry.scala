@@ -199,6 +199,7 @@ object SparkEntry {
     "select_budget" -> ((s, d) => Sampling.selectBudget(s, d, 10000L)),
     // CDC merge-on-read: latest version wins, deletes apply last
     "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
+    "cdc_timestamps" -> ((s, d) => Cdc.mergeTimestamps(s, d)),
     // mixture-weighted reproducible sampler (weights drive the rates)
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d, 0.2)),
     // z-order layout key (Morton interleave) over (user_id, time bucket)
@@ -282,6 +283,7 @@ object SparkEntry {
     // duplicated verbatim 5-token spans across documents (fixed-n
     // approximation of exact-substring dedup)
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
+    "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     // ingestion-time dedup: new batch probed against the corpus index
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
     // integer-exact PageRank over the minhash candidate graph:
@@ -409,6 +411,7 @@ object SparkEntry {
     "sample_quota_scale" -> Sampling.stratifiedQuotaScaleOracleSql(20),
     "select_budget" -> Sampling.selectBudgetOracleSql(10000L),
     "merge_upsert" -> Cdc.mergeUpsertOracleSql,
+    "cdc_timestamps" -> Cdc.mergeTimestampsOracleSql,
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
@@ -454,6 +457,7 @@ object SparkEntry {
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
+    "dedup_span_coverage" -> Dedup.spanCoverageOracleSql,
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),

@@ -57,6 +57,69 @@ object Cdc {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Logical batch timestamps (epoch seconds): the base load and the
+    * change batch one day later. Deterministic stand-ins for the
+    * reference trigger's now() — an engine gated on bit-equal oracles
+    * cannot stamp wall-clock time. */
+  val BaseTs = 1700000000L
+  val BatchTs = 1700086400L
+
+  /** `created_at`/`updated_at` maintenance on the merge path — the
+    * reference keeps these columns with a DB trigger that bumps
+    * updated_at on every UPDATE (/root/reference/scripts/init-db.sql:36-49).
+    * Re-expressed for merge-on-read: created_at = the timestamp of the
+    * row's FIRST version (min ts), updated_at = the timestamp of the
+    * WINNING version (max_by ts version) — so never-updated rows keep
+    * updated_at = created_at, updated rows are bumped to the batch
+    * time, and fresh inserts get both stamps equal to the batch time;
+    * exactly the trigger's observable behavior. Same single
+    * partial-aggregable shuffle as [[mergeUpsert]] — the stamps ride
+    * the existing doc_id aggregate for free. */
+  def mergeTimestamps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+      lit(1L).as("version"), lit(BaseTs).as("ts"))
+    val upd = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        lit(2L).as("version"), lit(BatchTs).as("ts"))
+    val ins = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        lit(2L).as("version"), lit(BatchTs).as("ts"))
+    val del = docs.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    base.unionByName(upd).unionByName(ins)
+      .groupBy("doc_id")
+      .agg(
+        max(col("version")).as("version"),
+        min(col("ts")).as("created_at"),
+        expr("max_by(ts, version)").as("updated_at"))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mergeTimestampsOracleSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, 1 AS version, $BaseTs AS ts FROM documents
+      |), upd AS (
+      |  SELECT doc_id, 2 AS version, $BatchTs AS ts
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), ins AS (
+      |  SELECT doc_id + 1000000 AS doc_id, 2 AS version, $BatchTs AS ts
+      |  FROM documents WHERE doc_id % 25 = 0
+      |), allrows AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins
+      |), won AS (
+      |  SELECT doc_id, CAST(max(version) AS BIGINT) AS version,
+      |    CAST(min(ts) AS BIGINT) AS created_at,
+      |    CAST(arg_max(ts, version) AS BIGINT) AS updated_at
+      |  FROM allrows GROUP BY doc_id
+      |)
+      |SELECT doc_id, version, created_at, updated_at FROM won
+      |WHERE NOT EXISTS (SELECT 1 FROM documents d
+      |                  WHERE d.doc_id % 17 = 0
+      |                    AND d.doc_id = won.doc_id)
+      |ORDER BY doc_id ASC""".stripMargin
+
   val mergeUpsertOracleSql: String =
     """WITH base AS (
       |  SELECT doc_id, source, text, 1 AS version FROM documents

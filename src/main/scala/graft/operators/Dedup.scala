@@ -729,6 +729,123 @@ object Dedup {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Duplicated-span COVERAGE per source — the Lee et al. 2022 removal
+    * criterion made queryable: for every document, the fraction of its
+    * token positions covered by some `SpanGramSize`-token run that also
+    * appears verbatim in ANOTHER document; rolled up per source with
+    * the would-be removal set (docs ≥50% duplicated). Where
+    * [[duplicatedSpans]] inventories the offending grams, this measures
+    * how much of each slice of the corpus is duplicated text — the
+    * number that decides whether a source is worth keeping.
+    *
+    * Shape: positions+grams are scan-local; duplicate grams come from
+    * ONE gram-keyed partial-aggregable shuffle; covered positions
+    * semi-join that (gram-keyed again — same partitioning); the
+    * interval union (overlapping [p, p+n) windows must not double
+    * count) is a per-document running-max window — bounded by document
+    * length, never corpus-wide. Grams travel as md5 digests to cut
+    * shuffle bytes. All-integer arithmetic; coverage reported in
+    * integral micro-units.
+    */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalyzer.tokens(col("text")).as("toks"))
+      .transform(CacheScope.cached)
+    val idx = when(size(col("toks")) >= SpanGramSize,
+      sequence(lit(0), size(col("toks")) - SpanGramSize))
+      .otherwise(array().cast("array<int>"))
+    val pg = transform(idx, i => struct(
+      i.as("p"),
+      md5(concat_ws(" ",
+        (0 until SpanGramSize).map(j =>
+          element_at(col("toks"), i + j + 1)): _*)).as("g")))
+    val positions = docs
+      .select(col("doc_id"), explode(pg).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+      .transform(CacheScope.cached)
+    val dups = positions.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    // per-doc interval union: (doc_id, p) is unique by construction, so
+    // the running max of span ends over PRECEDING rows yields exact
+    // non-double-counted coverage: contribution = (p+n) - max(p, prev_end)
+    val w = Window.partitionBy("doc_id").orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = positions.join(dups, "g")
+      .withColumn("prev_end",
+        max(col("p") + SpanGramSize).over(w))
+      .select(col("doc_id"),
+        (col("p") + SpanGramSize -
+          greatest(col("p"), coalesce(col("prev_end"), lit(0)))).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("covered"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("covered") > 0).cast("long")).as("n_with_dup"),
+        sum(when(col("covered") * 2 >= col("n_tokens") &&
+          col("n_tokens") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("covered")).as("covered_tokens"))
+      .select(col("source"), col("n_docs"), col("n_with_dup"),
+        col("n_flagged"), col("total_tokens"), col("covered_tokens"),
+        expr("covered_tokens * 1000000 div total_tokens")
+          .as("coverage_micro"))
+      .orderBy(col("source").asc)
+  }
+
+  def spanCoverageOracleSql: String = {
+    val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH toklists AS (
+       |  SELECT doc_id, source, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, s['p'] AS p, s['g'] AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
+       |      i -> {'p': i, 'g': md5($gramExpr)})) AS s
+       |    FROM toklists)
+       |), dups AS (
+       |  SELECT g FROM pos GROUP BY g
+       |  HAVING count(DISTINCT doc_id) > 1
+       |), cov AS (
+       |  SELECT doc_id, p,
+       |    coalesce(max(p + $SpanGramSize) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prev_end
+       |  FROM pos WHERE g IN (SELECT g FROM dups)
+       |), perdoc AS (
+       |  SELECT doc_id,
+       |    sum(p + $SpanGramSize - greatest(p, prev_end)) AS covered
+       |  FROM cov GROUP BY doc_id
+       |), grain AS (
+       |  SELECT t.doc_id, t.source, len(t.tl) AS n_tokens,
+       |    coalesce(p.covered, 0) AS covered
+       |  FROM toklists t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_dup,
+       |  CAST(sum(CASE WHEN covered * 2 >= n_tokens AND n_tokens > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       |  CAST(sum(covered) * 1000000 // sum(n_tokens) AS BIGINT)
+       |    AS coverage_micro
+       |FROM grain GROUP BY source ORDER BY source ASC""".stripMargin
+  }
+
   /** (doc_id, shingle) distinct word 3-gram shingles via sliding window
     * over the analyzed token stream (transform over index sequence —
     * pure built-ins, no UDF).
