@@ -39,23 +39,35 @@ object GraphOps {
       topK: Int): DataFrame = {
     val pairs = Dedup.minhashPairs(spark, dir, threshold)
       .select(col("a"), col("b"))
+    // Eagerly materialize the (graph-sized, corpus-small) edge list and
+    // continue from the resulting LEAF: without this, every iteration's
+    // logical plan re-embeds the whole minhashPairs subtree and Catalyst
+    // pays ~1.3 s just ANALYZING the 5-iteration tree (measured r8) —
+    // planning cost growing with iteration count is its own scale bug.
+    // Pregel systems materialize the edge relation before iterating for
+    // the same reason.
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst")
-      .transform(CacheScope.cached)
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
       .transform(CacheScope.cached)
+    // degree attached to each edge ONCE — one join outside the loop
+    // instead of a ranks⋈deg join inside every iteration
+    val eDeg = edges.join(deg, edges("src") === deg("id"))
+      .select(col("src"), col("dst"), col("degree"))
+      .transform(CacheScope.cached)
     var ranks = deg.select(col("id"), lit(InitNano).as("rank"))
     for (_ <- 1 to Iterations) {
-      val inbound = edges
-        .join(ranks.join(deg, Seq("id")), edges("src") === col("id"))
+      // symmetrized graph ⇒ every node has in-edges; inner join is total
+      ranks = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank div degree").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("contrib")).as("mass"))
-      // symmetrized graph ⇒ every node has in-edges; inner join is total
-      ranks = inbound.select(col("id"),
-        (lit(150000000L) + expr("85 * mass div 100")).as("rank"))
+        .select(col("id"),
+          (lit(150000000L) + expr("85 * mass div 100")).as("rank"))
     }
     ranks.join(deg, Seq("id"))
       .select(col("id").as("doc_id"), col("degree"),
