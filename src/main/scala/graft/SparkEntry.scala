@@ -222,6 +222,7 @@ object SparkEntry {
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
     // per-source curation roll-up (gate pass rate + mean unigram NLL)
     "curation_report" -> ((s, d) => QualityLm.curationReport(s, d)),
+    "quality_ppl_buckets" -> ((s, d) => QualityLm.pplBuckets(s, d)),
     // per-(source,lang) training-mixture weights (sqrt-damped shares)
     "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
@@ -423,6 +424,7 @@ object SparkEntry {
     "pmi_collocations" -> Ngrams.pmiOracleSql(),
     "quality_gopher" -> TextOps.gopherQualityOracleSql,
     "curation_report" -> QualityLm.curationReportOracleSql,
+    "quality_ppl_buckets" -> QualityLm.pplBucketsOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "meta_filter_range" ->

@@ -83,6 +83,62 @@ object QualityLm {
       .orderBy(col("source").asc)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every page under an LM and split the corpus into head/middle/tail
+    * by perplexity terciles — the head trains, the tail is inspected):
+    * docs ranked by unigram NLL (low = fluent/common = head), split at
+    * exact tercile RANKS, rolled up per source × bucket.
+    *
+    * Scale shape: the global rank comes from the two-pass
+    * quantile-literal prefix sum (ScaleOps.prefixSummed with a
+    * constant-1 value column ⇒ cum_before IS the exact 0-based rank) —
+    * no corpus-wide window anywhere; the tiebreak key nll_micro·2³³ +
+    * doc_id is a total order, so both engines rank identically. The
+    * corpus count rides back as a broadcast single-row cross join. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = unigramNll(spark, dir)
+      .withColumn("nll_micro", round(col("nll") * lit(1e6)).cast("long"))
+      .withColumn("key",
+        col("nll_micro") * lit(8589934592L) + col("doc_id"))
+      .withColumn("one", lit(1L))
+    val ranked = ScaleOps.prefixSummed(keyed, "key", "one", 32)
+      .withColumnRenamed("cum_before", "rank")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        when(col("rank") * 3 < col("n"), "head")
+          .when(col("rank") * 3 < col("n") * 2, "middle")
+          .otherwise("tail"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("sum(nll_micro) div count(1)").as("mean_nll_micro"))
+      .orderBy(col("source").asc, col("bucket").asc)
+  }
+
+  def pplBucketsOracleSql: String =
+    s"""WITH nq AS (${unigramNllOracleSql}), rk AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(round(nll * 1e6, 0) AS BIGINT) AS nll_micro,
+       |    row_number() OVER (ORDER BY
+       |      CAST(round(nll * 1e6, 0) AS BIGINT) * 8589934592 + doc_id
+       |      ASC) - 1 AS rank,
+       |    count(*) OVER () AS n
+       |  FROM nq
+       |)
+       |SELECT d.source,
+       |  CASE WHEN rk.rank * 3 < rk.n THEN 'head'
+       |       WHEN rk.rank * 3 < 2 * rk.n THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(rk.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(rk.nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+       |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+       |GROUP BY 1, 2 ORDER BY source ASC, bucket ASC""".stripMargin
+
   def curationReportOracleSql: String = {
     // reuse both operators' oracle chains as subqueries — the oracle
     // composes exactly what the engine composes

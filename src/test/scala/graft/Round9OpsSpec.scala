@@ -83,4 +83,32 @@ class Round9OpsSpec extends SparkSpec {
     // fixture premise: planted duplicates make coverage non-trivial
     assert(out.values.exists(_._5 > 0), "no duplicated spans found")
   }
+
+  test("quality_ppl_buckets: exact tercile split by NLL rank, " +
+      "bucket means ordered, no global window in the plan") {
+    val rows = operators.QualityLm.pplBuckets(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // buckets partition the scored docs into near-equal terciles
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val scored = operators.QualityLm.unigramNll(spark, Sf0001).count()
+    assert(byBucket.values.sum == scored)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.max - byBucket.values.min <= 1)
+    // rank semantics: corpus-wide mean NLL must not decrease head ->
+    // middle -> tail (weighted by docs; strict for the fixture)
+    def meanOf(b: String): Double = {
+      val bs = rows.filter(_._2 == b)
+      bs.map(r => r._5.toDouble * r._3).sum / bs.map(_._3).sum
+    }
+    assert(meanOf("head") < meanOf("middle"),
+      s"${meanOf("head")} !< ${meanOf("middle")}")
+    assert(meanOf("middle") < meanOf("tail"))
+    // scale shape: ranking must ride the bucketed prefix sum — no
+    // row-level window over a single global partition
+    val plan = operators.QualityLm.pplBuckets(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), "global row_number window found")
+  }
 }
