@@ -285,6 +285,7 @@ object SparkEntry {
     // approximation of exact-substring dedup)
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
+    "dedup_canonical" -> ((s, d) => Dedup.canonicalByQuality(s, d, 0.5)),
     // ingestion-time dedup: new batch probed against the corpus index
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
     // integer-exact PageRank over the minhash candidate graph:
@@ -460,6 +461,7 @@ object SparkEntry {
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_span_coverage" -> Dedup.spanCoverageOracleSql,
+    "dedup_canonical" -> Dedup.canonicalByQualityOracleSql(0.5),
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),

@@ -340,6 +340,56 @@ object Dedup {
        |  doc_id = cluster_id AS is_keeper
        |FROM comp ORDER BY cluster_id ASC, doc_id ASC""".stripMargin
 
+  /** Quality-aware canonical selection — the pluggable "which doc
+    * survives" policy on top of [[nearDupClusters]]: instead of the
+    * min-id keeper, each cluster keeps its HIGHEST-QUALITY member
+    * (Gopher rule count, lowest doc_id tiebreak) — what a production
+    * dedup pass actually does (the reference's delete path keeps
+    * whichever row is "current"; a curation pass keeps the best).
+    *
+    * Determinism: the argmax is one integer-packed max —
+    * q·2³³ + (2³³−1−doc_id) — decoded identically in both engines; no
+    * structs, no floats. Scale shape: quality is scan-local per doc;
+    * the cluster map is duplicate-graph-sized, so it broadcasts against
+    * the corpus-grain quality frame; one cluster-keyed partial agg. */
+  def canonicalByQuality(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val M = 8589934592L // 2^33 > any doc_id; q ∈ [0,5]
+    val clusters = nearDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.gopherRuleCount.as("q"))
+    quality.join(broadcast(clusters), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(col("q") * lit(M) + (lit(M - 1) - col("doc_id"))).as("k"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (lit(M - 1) - col("k") % lit(M)).as("keeper_doc"),
+        expr(s"k div $M").as("keeper_q"))
+      .orderBy(col("cluster_id").asc)
+  }
+
+  def canonicalByQualityOracleSql(threshold: Double): String =
+    s"""WITH sig AS (
+       |  ${TextOps.gopherSignalsSql}
+       |), qual AS (
+       |  SELECT doc_id,
+       |    ${TextOps.gopherRuleCountSql} AS q
+       |  FROM sig
+       |), cl AS (
+       |  SELECT doc_id, cluster_id
+       |  FROM (${nearDupClustersOracleSql(threshold)}) z
+       |), mx AS (
+       |  SELECT cl.cluster_id, count(*) AS cluster_size,
+       |    max(qual.q * 8589934592 + (8589934591 - cl.doc_id)) AS k
+       |  FROM cl JOIN qual USING (doc_id) GROUP BY 1
+       |)
+       |SELECT cluster_id, cluster_size,
+       |  CAST(8589934591 - k % 8589934592 AS BIGINT) AS keeper_doc,
+       |  CAST(k // 8589934592 AS BIGINT) AS keeper_q
+       |FROM mx ORDER BY cluster_id ASC""".stripMargin
+
   /** Corpus-reduction report — the number a dedup pass is actually run
     * to produce: per source, how many documents (and characters) survive
     * near-dup removal. Composes [[nearDupClusters]] (keeper flags) with

@@ -111,4 +111,29 @@ class Round9OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("row_number"), "global row_number window found")
   }
+
+  test("dedup_canonical: keeper is each cluster's highest-quality " +
+      "member with lowest-id tiebreak") {
+    val out = operators.Dedup.canonicalByQuality(spark, Sf0001, 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val clusters = operators.Dedup.nearDupClusters(spark, Sf0001, 0.5)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val q = Tables.documents(spark, Sf0001)
+      .select($"doc_id", operators.TextOps.gopherRuleCount.as("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == clusters.keySet)
+    out.foreach { case (cid, (size, keeper, kq)) =>
+      val members = clusters(cid)
+      assert(size == members.size)
+      assert(members.contains(keeper))
+      val best = members.map(q).max
+      assert(kq == best, s"cluster $cid keeper q $kq != best $best")
+      assert(keeper == members.filter(q(_) == best).min,
+        s"cluster $cid tiebreak violated")
+    }
+  }
 }
