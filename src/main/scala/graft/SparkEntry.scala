@@ -286,6 +286,7 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalByQuality(s, d, 0.5)),
+    "source_leakage" -> ((s, d) => Dedup.sourceLeakage(s, d)),
     // ingestion-time dedup: new batch probed against the corpus index
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
     // integer-exact PageRank over the minhash candidate graph:
@@ -462,6 +463,7 @@ object SparkEntry {
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_span_coverage" -> Dedup.spanCoverageOracleSql,
     "dedup_canonical" -> Dedup.canonicalByQualityOracleSql(0.5),
+    "source_leakage" -> Dedup.sourceLeakageOracleSql,
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),

@@ -896,6 +896,67 @@ object Dedup {
        |FROM grain GROUP BY source ORDER BY source ASC""".stripMargin
   }
 
+  /** Cross-source leakage matrix — which SOURCES share verbatim
+    * `SpanGramSize`-token runs, and how much: for every unordered
+    * source pair, the number of distinct shared grams. The curation
+    * read behind "is slice A contaminated with slice B" (the
+    * cross-split flavor of the benchmark-contamination screen —
+    * sources standing in for train/eval splits).
+    *
+    * Scale shape: one gram-keyed partial-agg shuffle collecting each
+    * gram's distinct SOURCE set (bounded by nSources, not corpus);
+    * pair expansion is per-gram combinatorics over that bounded set;
+    * the final agg is nSources² rows. The corpus never self-joins. */
+  def sourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalyzer.tokens(col("text")).as("toks"))
+    val idx = when(size(col("toks")) >= SpanGramSize,
+      sequence(lit(0), size(col("toks")) - SpanGramSize))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx,
+      i => md5(concat_ws(" ",
+        (0 until SpanGramSize).map(j =>
+          element_at(col("toks"), i + j + 1)): _*)))
+    val srcSets = docs
+      .select(col("source"), explode(grams).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    // unordered pairs from each gram's (bounded) source set
+    srcSets
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
+  def sourceLeakageOracleSql: String = {
+    val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH toklists AS (
+       |  SELECT source, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), grams AS (
+       |  SELECT source, unnest(list_transform(
+       |    range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
+       |    i -> md5($gramExpr))) AS g
+       |  FROM toklists
+       |), pairs AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.g
+       |  FROM (SELECT DISTINCT source, g FROM grams) x
+       |  JOIN (SELECT DISTINCT source, g FROM grams) y
+       |    ON y.g = x.g AND x.source < y.source
+       |)
+       |SELECT src_a, src_b, count(*) AS shared_grams
+       |FROM pairs GROUP BY 1, 2 ORDER BY src_a ASC, src_b ASC""".stripMargin
+  }
+
   /** (doc_id, shingle) distinct word 3-gram shingles via sliding window
     * over the analyzed token stream (transform over index sequence —
     * pure built-ins, no UDF).

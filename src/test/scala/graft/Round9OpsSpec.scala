@@ -112,6 +112,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(!plan.contains("row_number"), "global row_number window found")
   }
 
+  test("source_leakage: symmetric distinct-gram counts match a " +
+      "driver-side recompute") {
+    val n = operators.Dedup.SpanGramSize
+    val out = operators.Dedup.sourceLeakage(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySource = Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(r =>
+        graft.functions.TextAnalyzer.analyze(r.getString(1))
+          .sliding(n).filter(_.length == n).map(_.mkString(" ")))
+        .toSet).toMap
+    val ref = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    assert(out == ref)
+    assert(out.nonEmpty, "fixture premise: cross-source duplicates exist")
+  }
+
   test("dedup_canonical: keeper is each cluster's highest-quality " +
       "member with lowest-id tiebreak") {
     val out = operators.Dedup.canonicalByQuality(spark, Sf0001, 0.5)
