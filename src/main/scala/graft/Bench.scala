@@ -87,7 +87,16 @@ object Bench {
     // really be execution time — report plan = -1 (not separable)
     // instead of a lie, and skip the redundant extra executions.
     val driverActionBuilders = Set("ivf_ann", "emb_tfidf_ann",
-      "dedup_clusters", "pq_scan", "join_bloom_prune")
+      "dedup_clusters", "pq_scan", "join_bloom_prune",
+      // round-9 additions: iterative loops (pagerank checkpoint, the
+      // cluster superstep composed into reduction/canonical), BPE fit
+      // passes, bounded-collect literals (zorder tmin, semdedup k), and
+      // every approxQuantile-backed prefix-sum builder
+      "pagerank_dups", "dedup_reduction", "dedup_canonical",
+      "bpe_merges", "bpe_vocab", "bpe_compression",
+      "zorder_key", "semdedup_report",
+      "select_budget", "quality_ppl_buckets", "pack_sequences",
+      "win_ntile_scale")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>

@@ -339,6 +339,44 @@ object EventStreams {
         col("purchase_value"))
   }
 
+  /** Quality-gated continuous ingest — the streaming face of the batch
+    * curation gate: each arriving micro-batch of documents is scored
+    * with the Gopher rule set (graft.operators.TextOps.gopherRuleCount,
+    * the same Column the oracled quality_gopher/select_budget queries
+    * use) and split — full-pass docs land in accepted/, the rest in
+    * rejected/ with their grade attached for inspection. Batches write
+    * into batch_id partitions with overwrite, so an at-least-once
+    * replay is a no-op (same idempotence contract as
+    * [[indexMaintenance]]). Returns the DataStreamWriter (caller sets
+    * the trigger and starts).
+    */
+  def qualityGatedIngest(spark: SparkSession, docsDir: String,
+      outDir: String, checkpointDir: String) = {
+    val docSchema = spark.read
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(docsDir)
+      .schema
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(docsDir)
+      .withColumn("q", graft.operators.TextOps.gopherRuleCount)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = batch.persist()
+        scored.filter(col("q") === lit(5)).drop("q")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/accepted/batch_id=$batchId")
+        scored.filter(col("q") < lit(5))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/rejected/batch_id=$batchId")
+        scored.unpersist()
+        ()
+      }
+  }
+
   /** Continuous inverted-index maintenance: each micro-batch of documents
     * is analyzed and appended to the index directory — the Spark analog
     * of the reference's tsvector-populating DB trigger. Returns the

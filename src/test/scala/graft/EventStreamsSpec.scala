@@ -488,6 +488,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("quality-gated streaming ingest splits exactly as the batch gate") {
+    val out = Files.createTempDirectory("gate_out").toString
+    val ckpt = Files.createTempDirectory("gate_ckpt").toString
+    val q = EventStreams.qualityGatedIngest(spark, Sf0001, out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val accepted = spark.read.parquet(s"$out/accepted")
+      .select($"doc_id").as[Long].collect().toSet
+    val rejected = spark.read.parquet(s"$out/rejected")
+      .select($"doc_id").as[Long].collect().toSet
+    val batchPass = graft.operators.TextOps.gopherQuality(spark, Sf0001)
+      .filter($"pass").select($"doc_id").as[Long].collect().toSet
+    val all = Tables.documents(spark, Sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(accepted == batchPass)
+    assert(accepted ++ rejected == all)
+    assert(accepted.intersect(rejected).isEmpty)
+    // rejected rows carry their grade for inspection
+    val grades = spark.read.parquet(s"$out/rejected")
+      .select($"q").as[Long].collect()
+    assert(grades.nonEmpty && grades.forall(g => g >= 0 && g < 5))
+  }
+
   test("foreachBatch index maintenance builds the same index as batch") {
     val out = Files.createTempDirectory("idx_out").toString + "/idx"
     val ckpt = Files.createTempDirectory("idx_ckpt").toString
