@@ -67,6 +67,28 @@ object Fts {
     name
   }
 
+  /** Compaction for the STREAMED index
+    * (graft.streaming.EventStreams.indexMaintenance writes one
+    * `batch_id=N` partition per micro-batch): fold the batch partitions
+    * into the same term-bucketed table shape [[ensureIndex]] builds, so
+    * probe-side consumers see one bucketed relation instead of N small
+    * files. A document re-ingested in a later batch REPLACES its older
+    * postings (latest batch_id wins per doc) — the merge-on-read
+    * semantics of the CDC family applied to the index itself. One
+    * doc-keyed aggregate + co-keyed join, then the bucketed write; at
+    * 100 TB this is the standard small-file compaction job scheduled
+    * off the ingest path. */
+  def compactStreamedIndex(spark: SparkSession, indexDir: String,
+      table: String): String = {
+    val idx = spark.read.parquet(indexDir)
+    val latest = idx.groupBy("doc_id")
+      .agg(max(col("batch_id")).as("batch_id"))
+    val winning = idx.join(latest, Seq("doc_id", "batch_id"))
+      .select("doc_id", "lang", "term", "tf", "positions")
+    ScaleOps.writeBucketed(winning, table, "term", 32)
+    table
+  }
+
   /** F2–F7: AND-match + rank + top-k, scoped to one language.
     *
     * Shuffle-free formulation: with the query terms known up front, each

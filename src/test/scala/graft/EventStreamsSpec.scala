@@ -525,5 +525,26 @@ class EventStreamsSpec extends SparkSpec {
       .join(batch.select($"doc_id", $"term", $"tf".as("tf_b")),
         Seq("doc_id", "term"))
     assert(joined.filter($"tf_s" =!= $"tf_b").count() == 0)
+
+    // compaction: batch partitions fold into the bucketed table shape,
+    // and a later batch's postings REPLACE the doc's older ones
+    val someDoc = streamed.select($"doc_id").as[Long].first()
+    spark.createDataset(Seq(
+        (someDoc, "en", "replacementterm", 7L, Seq(0))))
+      .toDF("doc_id", "lang", "term", "tf", "positions")
+      .write.mode("overwrite").parquet(s"$out/batch_id=999")
+    graft.operators.Fts.compactStreamedIndex(spark, out, "graft_fts_compact_t")
+    val compacted = spark.table("graft_fts_compact_t")
+    // replaced doc has ONLY the new posting; all other docs unchanged
+    assert(compacted.filter($"doc_id" === someDoc).count() == 1)
+    assert(compacted.filter($"doc_id" === someDoc)
+      .select($"term").as[String].first() == "replacementterm")
+    assert(compacted.filter($"doc_id" =!= someDoc).count() ==
+      streamed.filter($"doc_id" =!= someDoc).count())
+    // the compacted relation is genuinely bucketed (probe-ready)
+    val scanStr = compacted.queryExecution.executedPlan.toString
+    assert(scanStr.contains("Bucketed: true") ||
+      scanStr.contains("SelectedBucketsCount"),
+      s"compacted table not bucketed:\n$scanStr")
   }
 }
