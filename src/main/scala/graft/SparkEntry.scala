@@ -75,6 +75,8 @@ object SparkEntry {
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
     // batched exact KNN: Q query vectors in one q_id-keyed window job
     "knn_batch" -> ((s, d) => Similarity.knnBatch(s, d, BatchKnnIds, 5)),
+    "ann_recall" -> ((s, d) =>
+      Similarity.annRecall(s, d, BatchKnnIds, 5, 10)),
     // the same batch routed through the persisted IVF index (ANN form)
     "ivf_batch" -> ((s, d) =>
       Similarity.ivfBatch(s, d, BatchKnnIds, 5, 10)),
@@ -343,6 +345,7 @@ object SparkEntry {
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
+    "ann_recall" -> Similarity.annRecallOracleSql(BatchKnnIds, 5, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,

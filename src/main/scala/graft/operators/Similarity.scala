@@ -304,6 +304,45 @@ object Similarity {
       .orderBy(col("q_id").asc, col("dist").asc, col("vec_id").asc)
   }
 
+  /** ANN self-evaluation: recall@k of the IVF probe against the exact
+    * batched KNN on the same queries — the number an ANN deployment
+    * monitors when tuning nProbe (probe more cells → higher recall,
+    * touch more of the corpus). Both sides are the ALREADY-ORACLED
+    * operators ([[knnBatch]], [[ivfBatch]]), composed with one
+    * (q_id, vec_id)-keyed join; per-query recall in integral
+    * micro-units. With nProbe = nCentroids the probe is exhaustive and
+    * recall is provably 10⁶ everywhere (spec-gated). */
+  def annRecall(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int, nCentroids: Int, nProbe: Int = 2): DataFrame = {
+    val ex = knnBatch(spark, dir, qids, k).select(col("q_id"), col("vec_id"))
+    val ap = ivfBatch(spark, dir, qids, k, nCentroids, nProbe)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    ex.join(ap, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      .select(col("q_id"), col("n_exact"), col("n_common"),
+        expr(s"n_common * 1000000 div $k").as("recall_micro"))
+      .orderBy(col("q_id").asc)
+  }
+
+  def annRecallOracleSql(qids: Seq[Long], k: Int, nCentroids: Int,
+      nProbe: Int = 2): String =
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id FROM (${knnBatchOracleSql(qids, k)}) x
+       |), ap AS (
+       |  SELECT q_id, vec_id
+       |  FROM (${ivfBatchOracleSql(qids, k, nCentroids, nProbe)}) y
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS recall_micro
+       |FROM ex LEFT JOIN ap
+       |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
+
   def ivfBatchOracleSql(qids: Seq[Long], k: Int, nCentroids: Int,
       nProbe: Int = 2): String = {
     val inList = qids.mkString(", ")

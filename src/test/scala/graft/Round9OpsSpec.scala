@@ -132,6 +132,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture premise: cross-source duplicates exist")
   }
 
+  test("ann_recall: bounded in [0, 1e6]; exhaustive probe recalls " +
+      "everything") {
+    val qids = SparkEntry.BatchKnnIds
+    val partial = operators.Similarity
+      .annRecall(spark, Sf0001, qids, 5, 10, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(partial.keySet == qids.toSet)
+    assert(partial.values.forall(v => v >= 0L && v <= 1000000L))
+    // nProbe = nCentroids makes the probe exhaustive: the IVF top-k IS
+    // the exact top-k (same distance rounding, same tiebreak), so
+    // recall must be exactly 1.0 for every query
+    val full = operators.Similarity
+      .annRecall(spark, Sf0001, qids, 5, 10, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full.values.forall(_ == 1000000L), s"full-probe recall: $full")
+  }
+
   test("dedup_canonical: keeper is each cluster's highest-quality " +
       "member with lowest-id tiebreak") {
     val out = operators.Dedup.canonicalByQuality(spark, Sf0001, 0.5)
