@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "pmi_collocations", "win_ntile_scale", "q22_prospects",
     // query-vector / probe / codebook rides (k- or Q-row frames)
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
+    "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
     // broadcast model frames (class stats, vocab scalar)
     "nb_model", "nb_confusion")
