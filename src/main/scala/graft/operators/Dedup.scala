@@ -913,10 +913,15 @@ object Dedup {
     val idx = when(size(col("toks")) >= SpanGramSize,
       sequence(lit(0), size(col("toks")) - SpanGramSize))
       .otherwise(array().cast("array<int>"))
+    // grams travel as 52-bit BIGINT digests (13 md5 hex chars — the
+    // sample_hashed precedent), quartering shuffle bytes vs the full
+    // 32-char digest; collision odds at corpus gram cardinality are
+    // ~(n²/2)/2⁵² — negligible, and identical in both engines
     val grams = transform(idx,
-      i => md5(concat_ws(" ",
+      i => conv(substring(md5(concat_ws(" ",
         (0 until SpanGramSize).map(j =>
-          element_at(col("toks"), i + j + 1)): _*)))
+          element_at(col("toks"), i + j + 1)): _*)), 1, 13), 16, 10)
+        .cast("long"))
     val srcSets = docs
       .select(col("source"), explode(grams).as("g"))
       .groupBy("g")
@@ -945,7 +950,8 @@ object Dedup {
        |), grams AS (
        |  SELECT source, unnest(list_transform(
        |    range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
-       |    i -> md5($gramExpr))) AS g
+       |    i -> CAST('0x' || substr(md5($gramExpr), 1, 13) AS BIGINT)))
+       |    AS g
        |  FROM toklists
        |), pairs AS (
        |  SELECT x.source AS src_a, y.source AS src_b, x.g

@@ -96,11 +96,15 @@ object QualityLm {
     * doc_id is a total order, so both engines rank identically. The
     * corpus count rides back as a broadcast single-row cross join. */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the NLL frame feeds the quantile probe, both prefix-sum
+    // passes, the corpus count, and the final roll-up — five consumers
+    // of one index-probing aggregation
     val keyed = unigramNll(spark, dir)
       .withColumn("nll_micro", round(col("nll") * lit(1e6)).cast("long"))
       .withColumn("key",
         col("nll_micro") * lit(8589934592L) + col("doc_id"))
       .withColumn("one", lit(1L))
+      .transform(CacheScope.cached)
     val ranked = ScaleOps.prefixSummed(keyed, "key", "one", 32)
       .withColumnRenamed("cum_before", "rank")
     val tot = ranked.agg(count(lit(1)).as("n"))
