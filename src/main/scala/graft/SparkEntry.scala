@@ -202,6 +202,8 @@ object SparkEntry {
     // CDC merge-on-read: latest version wins, deletes apply last
     "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
     "cdc_timestamps" -> ((s, d) => Cdc.mergeTimestamps(s, d)),
+    "events_changepoints" -> ((s, d) =>
+      Changepoints.eventsChangepoints(s, d, 6, 50)),
     // mixture-weighted reproducible sampler (weights drive the rates)
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d, 0.2)),
     // z-order layout key (Morton interleave) over (user_id, time bucket)
@@ -418,6 +420,8 @@ object SparkEntry {
     "select_budget" -> Sampling.selectBudgetOracleSql(10000L),
     "merge_upsert" -> Cdc.mergeUpsertOracleSql,
     "cdc_timestamps" -> Cdc.mergeTimestampsOracleSql,
+    "events_changepoints" ->
+      Changepoints.eventsChangepointsOracleSql(6, 50),
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,

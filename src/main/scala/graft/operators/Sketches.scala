@@ -427,3 +427,74 @@ object Sketches {
        |  AND round((value - s.m) / s.sd, 6) > $z
        |ORDER BY zscore DESC, event_id ASC""".stripMargin
 }
+
+/** Changepoint detection over the event stream — the monitoring read a
+  * pipeline runs on its own throughput: for every event type and
+  * 10-minute bucket, the sliding two-sample statistic
+  * |Σ counts of the next W observed buckets − Σ counts of the previous
+  * W observed buckets| (windows of equal length ⇒ the mean-shift score
+  * is an exact integer — no division, no doubles). Top-k scored
+  * boundaries are the candidate regime changes. "Observed buckets":
+  * rows-based windows over buckets that HAVE events — empty buckets
+  * don't exist in either engine's frame, identically.
+  *
+  * Scale shape: one partial-aggregable shuffle to (type, bucket) grain
+  * — a date-range-bounded dimension, NOT corpus-sized — then per-type
+  * rows-windows over that grain and a global TakeOrderedAndProject.
+  */
+object Changepoints {
+  import org.apache.spark.sql.expressions.Window
+
+  def eventsChangepoints(spark: SparkSession, dir: String, w: Int,
+      k: Int): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val counts = ev
+      .select(col("event_type"),
+        (graft.Tables.tsSeconds(ev).cast("long") / 600).cast("long")
+          .as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy("event_type").orderBy(col("bucket").asc)
+    val left = ord.rowsBetween(-w, -1)
+    val right = ord.rowsBetween(0, w - 1)
+    counts
+      .withColumn("sum_left", sum(col("n")).over(left))
+      .withColumn("cnt_left", count(lit(1)).over(left))
+      .withColumn("sum_right", sum(col("n")).over(right))
+      .withColumn("cnt_right", count(lit(1)).over(right))
+      .filter(col("cnt_left") === w && col("cnt_right") === w)
+      .select(col("event_type"), col("bucket"),
+        col("sum_left"), col("sum_right"),
+        abs(col("sum_right") - col("sum_left")).as("shift"))
+      .orderBy(col("shift").desc, col("event_type").asc,
+        col("bucket").asc)
+      .limit(k)
+  }
+
+  def eventsChangepointsOracleSql(w: Int, k: Int): String =
+    s"""WITH counts AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT event_type, bucket,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN $w PRECEDING AND 1 PRECEDING) AS sum_left,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN $w PRECEDING AND 1 PRECEDING) AS cnt_left,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |      AS sum_right,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |      AS cnt_right
+       |  FROM counts
+       |)
+       |SELECT event_type, bucket,
+       |  CAST(sum_left AS BIGINT) AS sum_left,
+       |  CAST(sum_right AS BIGINT) AS sum_right,
+       |  CAST(abs(sum_right - sum_left) AS BIGINT) AS shift
+       |FROM scored WHERE cnt_left = $w AND cnt_right = $w
+       |ORDER BY shift DESC, event_type ASC, bucket ASC LIMIT $k""".stripMargin
+}

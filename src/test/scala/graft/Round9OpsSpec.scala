@@ -132,6 +132,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture premise: cross-source duplicates exist")
   }
 
+  test("events_changepoints: shift equals a driver-side two-sample " +
+      "recompute over observed buckets") {
+    val w = 6
+    val out = operators.Changepoints
+      .eventsChangepoints(spark, Sf0001, w, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val evTbl = Tables.events(spark, Sf0001)
+    val counts = evTbl
+      .select($"event_type", (Tables.tsSeconds(evTbl) / 600)
+        .cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).sortBy(_._1)).toMap
+    out.foreach { case ((et, bucket), (sl, sr, shift)) =>
+      val series = counts(et)
+      val i = series.indexWhere(_._1 == bucket)
+      val left = series.slice(i - w, i).map(_._2).sum
+      val right = series.slice(i, i + w).map(_._2).sum
+      assert(sl == left && sr == right && shift == math.abs(right - left),
+        s"$et/$bucket: got ($sl,$sr,$shift), want ($left,$right)")
+    }
+  }
+
   test("ann_recall: bounded in [0, 1e6]; exhaustive probe recalls " +
       "everything") {
     val qids = SparkEntry.BatchKnnIds
