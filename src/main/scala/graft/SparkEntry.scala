@@ -242,6 +242,7 @@ object SparkEntry {
     "p3_preprocess" -> ((s, d) => DocumentPipeline.preprocessDigest(s, d)),
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "diversity_report" -> ((s, d) => TextOps.diversityReport(s, d)),
     // deflate-ratio quality signal (no SQL-expressible oracle: DuckDB
     // has no deflate → rows-only; TextOpsSpec carries semantics)
     "quality_compress" -> ((s, d) => TextOps.compressionQuality(s, d)),
@@ -444,6 +445,7 @@ object SparkEntry {
     "p3_preprocess" -> DocumentPipeline.preprocessDigestOracleSql,
     "p4_metadata" -> DocumentPipeline.extractMetadataOracleSql,
     "text_stats" -> TextOps.textStatsOracleSql,
+    "diversity_report" -> TextOps.diversityReportOracleSql,
     "redact_pii" -> TextOps.redactPiiOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
     "pack_sequences" -> TextOps.packSequencesOracleSql(2048L),

@@ -61,6 +61,75 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Corpus-diversity report per source — the mode-collapse signal a
+    * synthetic-data pipeline monitors (low distinct-ngram ratios =
+    * templated/repetitive generations; Self-BLEU's cheap cousin):
+    * corpus-level type/token ratio and distinct-trigram ratio, in
+    * integral micro-units. Distinct counting is exact (gram-keyed
+    * partial-aggregable groupBys at source grain — at 100 TB swap for
+    * approx_count_distinct per the sketch family); totals are
+    * scan-local sums. */
+  def diversityReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalyzer.tokens(col("text"))
+    val idx3 = when(size(col("tk")) >= 3,
+      sequence(lit(0), size(col("tk")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), toks.as("tk"))
+    val totals = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("n_tokens"),
+        sum(greatest(size(col("tk")).cast("long") - 2L, lit(0L)))
+          .as("n_trigrams"))
+    val dTok = base.select(col("source"), explode(col("tk")).as("t"))
+      .groupBy("source").agg(countDistinct(col("t")).as("d_tokens"))
+    val dTri = base
+      .select(col("source"), explode(transform(idx3,
+        i => concat_ws(" ", element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2), element_at(col("tk"), i + 3))))
+        .as("g"))
+      .groupBy("source").agg(countDistinct(col("g")).as("d_trigrams"))
+    totals.join(dTok, Seq("source")).join(dTri, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("d_tokens"),
+        coalesce(col("d_trigrams"), lit(0L)).as("d_trigrams"),
+        expr("d_tokens * 1000000 div n_tokens").as("ttr_micro"),
+        expr("coalesce(d_trigrams, 0) * 1000000 div n_trigrams")
+          .as("trigram_diversity_micro"))
+      .orderBy(col("source").asc)
+  }
+
+  def diversityReportOracleSql: String =
+    s"""WITH toklists AS (
+       |  SELECT source, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")}) AS tk
+       |  FROM documents
+       |), totals AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(greatest(len(tk) - 2, 0)) AS BIGINT) AS n_trigrams
+       |  FROM toklists GROUP BY 1
+       |), dtok AS (
+       |  SELECT source, count(DISTINCT t) AS d_tokens
+       |  FROM (SELECT source, unnest(tk) AS t FROM toklists) GROUP BY 1
+       |), dtri AS (
+       |  SELECT source, count(DISTINCT g) AS d_trigrams FROM (
+       |    SELECT source, unnest(list_transform(
+       |      range(1, greatest(len(tk) - 2, 0) + 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+       |    FROM toklists) GROUP BY 1
+       |)
+       |SELECT t.source, t.n_docs, t.n_tokens,
+       |  CAST(k.d_tokens AS BIGINT) AS d_tokens,
+       |  CAST(coalesce(r.d_trigrams, 0) AS BIGINT) AS d_trigrams,
+       |  CAST(k.d_tokens * 1000000 // t.n_tokens AS BIGINT) AS ttr_micro,
+       |  CAST(coalesce(r.d_trigrams, 0) * 1000000 // t.n_trigrams
+       |    AS BIGINT) AS trigram_diversity_micro
+       |FROM totals t JOIN dtok k USING (source)
+       |LEFT JOIN dtri r USING (source)
+       |ORDER BY t.source ASC""".stripMargin
+
   def textStatsOracleSql: String = {
     s"""WITH base AS (
        |  SELECT doc_id, lang,

@@ -132,6 +132,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture premise: cross-source duplicates exist")
   }
 
+  test("diversity_report matches a driver-side type/token and " +
+      "distinct-trigram recompute") {
+    val out = operators.TextOps.diversityReport(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        graft.functions.TextAnalyzer.analyze(r.getString(1)).toVector))
+    val ref = docs.groupBy(_._1).map { case (src, ds) =>
+      val nTokens = ds.map(_._2.length.toLong).sum
+      val nTri = ds.map(d => math.max(d._2.length - 2, 0).toLong).sum
+      val dTok = ds.flatMap(_._2).toSet.size.toLong
+      val dTri = ds.flatMap(_._2.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" "))).toSet.size.toLong
+      src -> (ds.length.toLong, nTokens, dTok, dTri,
+        dTok * 1000000L / nTokens, dTri * 1000000L / nTri)
+    }
+    assert(out == ref)
+    // sanity: diversity ratios live in (0, 1e6]
+    assert(out.values.forall(v => v._5 > 0 && v._5 <= 1000000L))
+  }
+
   test("events_changepoints: shift equals a driver-side two-sample " +
       "recompute over observed buckets") {
     val w = 6
