@@ -324,6 +324,9 @@ object SparkEntry {
     // MLlib TF-IDF embedding generation + LSH ANN (not SQL-expressible
     // → rows-only check; EmbeddingsSpec carries semantics)
     "emb_tfidf_ann" -> ((s, d) => Embeddings.annSearch(s, d, 0L, 10)),
+    // rows-only by design: batch-grain remote→local fallback semantics
+    // are spec-gated (Round9OpsSpec); no SQL analog for a client stub
+    "emb_client" -> ((s, d) => EmbeddingClient.embedSummary(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
