@@ -15,10 +15,11 @@ class Round7OpsSpec extends SparkSpec {
   test("every oracle key names a registered query (stray oracles never gate)") {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"oracles without queries: $stray")
-    // and the rows-only set stays the documented three
+    // and the rows-only set stays the documented four
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("emb_tfidf_ann", "quality_compress",
-      "s9_relation_size"), s"unexpected rows-only queries: $rowsOnly")
+      "s9_relation_size", "emb_client"),
+      s"unexpected rows-only queries: $rowsOnly")
   }
 
   // ---- TPC-H shapes -----------------------------------------------------
