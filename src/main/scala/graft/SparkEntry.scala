@@ -190,6 +190,8 @@ object SparkEntry {
     "events_outliers" -> ((s, d) => Sketches.valueOutliers(s, d, 3.0)),
     // deterministic hash-threshold sampling (reproducible, shard-stable)
     "sample_hashed" -> ((s, d) => Sampling.sampleSummary(s, d, 0.1)),
+    "split_assign" -> ((s, d) => Sampling.splitAssign(s, d)),
+    "split_leakage" -> ((s, d) => Sampling.splitLeakage(s, d, 0.5)),
     // stratified quota sampling: exactly N rows per language stratum
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
     // the same quota draw via BoundedTopK: map-side partial top-k
@@ -419,6 +421,8 @@ object SparkEntry {
     "events_histogram" -> Sketches.valueHistogramOracleSql(0.0, 50.0, 10),
     "events_outliers" -> Sketches.valueOutliersOracleSql(3.0),
     "sample_hashed" -> Sampling.sampleSummaryOracleSql(0.1),
+    "split_assign" -> Sampling.splitAssignOracleSql(0.8, 0.1),
+    "split_leakage" -> Sampling.splitLeakageOracleSql(0.5, 0.8, 0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
     "sample_quota_scale" -> Sampling.stratifiedQuotaScaleOracleSql(20),
     "select_budget" -> Sampling.selectBudgetOracleSql(10000L),

@@ -388,4 +388,90 @@ object Sampling {
        |    AS mix_weight
        |FROM g, tot
        |ORDER BY g.source ASC, g.lang ASC""".stripMargin
+
+  // ---- train/val/test splits -------------------------------------------
+
+  /** Deterministic split bucket for a key: 4 md5 hex digits in
+    * [0, HashSpace) — the same keyspace as [[hashKeep]], so splits and
+    * samples draw from one hash family. */
+  private def splitCol(key: org.apache.spark.sql.Column,
+      trainFrac: Double, valFrac: Double) = {
+    val b = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    when(b < (trainFrac * HashSpace).toInt, "train")
+      .when(b < ((trainFrac + valFrac) * HashSpace).toInt, "val")
+      .otherwise("test")
+  }
+
+  /** The identical bucket logic in DuckDB SQL. */
+  def splitSql(colName: String, trainFrac: Double,
+      valFrac: Double): String = {
+    val t = (trainFrac * HashSpace).toInt
+    val v = ((trainFrac + valFrac) * HashSpace).toInt
+    s"""CASE WHEN CAST('0x' || substr(md5(CAST($colName AS VARCHAR)),
+       |    1, 4) AS INT) < $t THEN 'train'
+       |  WHEN CAST('0x' || substr(md5(CAST($colName AS VARCHAR)),
+       |    1, 4) AS INT) < $v THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+  }
+
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs, as a pure scan-local hash of the document
+    * id (reproducible on any engine, stable under re-ingestion,
+    * uncorrelated with ingestion order — the same rationale as
+    * [[hashKeep]]). Per (source, split) roll-up; expected shares are
+    * trainFrac/valFrac/rest with binomial variance per source. */
+  def splitAssign(spark: SparkSession, dir: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        splitCol(col("doc_id"), trainFrac, valFrac).as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source").asc, col("split").asc)
+
+  def splitAssignOracleSql(trainFrac: Double, valFrac: Double): String =
+    s"""SELECT source, ${splitSql("doc_id", trainFrac, valFrac)} AS split,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM documents GROUP BY 1, 2
+       |ORDER BY source ASC, split ASC""".stripMargin
+
+  /** Train/test NEAR-DUP LEAKAGE — the eval-hygiene check the split
+    * step must be followed by: near-duplicate pairs (the MinHash
+    * verified set) whose members land in DIFFERENT splits are exactly
+    * the eval contamination a random doc-level split produces (the
+    * reason Lee et al. 2022 and every benchmark-decontamination paper
+    * dedup BEFORE splitting). Reports pair counts per unordered split
+    * pair with the cross-split flag. Scan-local split hashing on top of
+    * the banded pair set — no new joins at corpus grain. */
+  def splitLeakage(spark: SparkSession, dir: String, threshold: Double,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir, threshold)
+      .select(col("a"), col("b"))
+      .withColumn("sa", splitCol(col("a"), trainFrac, valFrac))
+      .withColumn("sb", splitCol(col("b"), trainFrac, valFrac))
+    pairs
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo").asc, col("split_hi").asc)
+  }
+
+  def splitLeakageOracleSql(threshold: Double, trainFrac: Double,
+      valFrac: Double): String =
+    s"""WITH pairs AS (
+       |  SELECT a, b FROM (${Dedup.minhashPairsOracleSql(threshold)}) mh
+       |), tagged AS (
+       |  SELECT ${splitSql("a", trainFrac, valFrac)} AS sa,
+       |    ${splitSql("b", trainFrac, valFrac)} AS sb
+       |  FROM pairs
+       |)
+       |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       |  count(*) AS n_pairs,
+       |  least(sa, sb) != greatest(sa, sb) AS is_cross
+       |FROM tagged GROUP BY 1, 2
+       |ORDER BY split_lo ASC, split_hi ASC""".stripMargin
 }

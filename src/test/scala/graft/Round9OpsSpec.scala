@@ -132,6 +132,41 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture premise: cross-source duplicates exist")
   }
 
+  test("split_assign partitions the corpus deterministically; " +
+      "split_leakage counts exactly the cross-split near-dup pairs") {
+    val splits = operators.Sampling.splitAssign(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val totalDocs = Tables.documents(spark, Sf0001).count()
+    assert(splits.values.map(_._1).sum == totalDocs) // partition, no loss
+    assert(splits.keys.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // train dominates at 80/10/10
+    val bySplit = splits.groupBy(_._1._2).view
+      .mapValues(_.values.map(_._1).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+    // leakage: recompute from the green pair set + the same hash rule
+    val pairs = operators.Dedup.minhashPairs(spark, Sf0001, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.substring(0, 4), 16)
+      if (b < (0.8 * 65536).toInt) "train"
+      else if (b < (0.9 * 65536).toInt) "val" else "test"
+    }
+    val ref = pairs.map { case (a, b) =>
+      val (x, y) = (splitOf(a), splitOf(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = operators.Sampling.splitLeakage(spark, Sf0001, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got == ref)
+    assert(got.values.sum == pairs.length.toLong)
+  }
+
   test("embedding client: batch-grain remote->local fallback matches " +
       "the reference contract; vectors deterministic per path") {
     val bs = 32
