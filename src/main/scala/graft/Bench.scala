@@ -96,7 +96,14 @@ object Bench {
       "bpe_merges", "bpe_vocab", "bpe_compression",
       "zorder_key", "semdedup_report",
       "select_budget", "quality_ppl_buckets", "pack_sequences",
-      "win_ntile_scale")
+      "win_ntile_scale",
+      // round-10: streaming bridges run the micro-batch engine inside
+      // the builder (awaitTermination before returning the frame);
+      // kmeans now collects its k hash-spread seed ids driver-side
+      "events_tumbling_stream", "stream_index_termstats",
+      "kmeans_clusters", "pq_recall",
+      // hybrid_rrf ranks its two bounded top-k lists driver-side
+      "hybrid_rrf")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>

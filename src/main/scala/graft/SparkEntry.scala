@@ -95,9 +95,17 @@ object SparkEntry {
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 0L, 20, 8, 0.7)),
     // product quantization: persisted 8-byte codes, ADC scan + refine
     "pq_scan" -> ((s, d) => ProductQuant.pqScan(s, d, 7L, 50, 10)),
+    // codebook-quality gate: pure-ADC recall@10 vs exact L2 top-10
+    "pq_recall" -> ((s, d) =>
+      ProductQuant.pqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
+    // the reference README's alternate table shapes as thin views
+    "alt_schema_embeddings" -> ((s, d) =>
+      LegacySchema.embeddingsView(s, d)),
+    "alt_schema_documentation" -> ((s, d) =>
+      LegacySchema.documentationView(s, d)),
     "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
     "s3_pagination_ids" -> ((s, d) =>
       Relational.paginateDocumentsByIds(s, d, PaginationIds, 25, 5)),
@@ -159,6 +167,13 @@ object SparkEntry {
     "jobs_tally" -> ((s, d) => graft.jobs.JobLedger.jobTally(s, d)),
     "jobs_recent" -> ((s, d) => graft.jobs.JobLedger.jobsRecent(s, d, 10)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    // §2.8 under the ORACLE: real micro-batch executions (file-stream
+    // source → stateful operator → sink) whose terminal frames equal
+    // the oracled batch twins — see graft.streaming.StreamBridge
+    "events_tumbling_stream" -> ((s, d) =>
+      graft.streaming.StreamBridge.eventsTumblingStream(s, d)),
+    "stream_index_termstats" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamIndexTermStats(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
@@ -329,6 +344,9 @@ object SparkEntry {
     // rows-only by design: batch-grain remote→local fallback semantics
     // are spec-gated (Round9OpsSpec); no SQL analog for a client stub
     "emb_client" -> ((s, d) => EmbeddingClient.embedSummary(s, d)),
+    // retry/backoff envelope: timeout-vs-error split, attempt counts
+    "emb_client_retry" -> ((s, d) =>
+      EmbeddingClient.retrySummary(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,8 +382,14 @@ object SparkEntry {
     "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 16, 50, 10),
     "mmr_rerank" -> Similarity.mmrRerankOracleSql(0L, 20, 8, 0.7),
     "pq_scan" -> ProductQuant.pqScanOracleSql(7L, 50, 10),
+    "pq_recall" ->
+      ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
+    "alt_schema_embeddings" -> LegacySchema.embeddingsViewOracleSql,
+    "alt_schema_documentation" ->
+      LegacySchema.documentationViewOracleSql,
+    "emb_client_retry" -> EmbeddingClient.retrySummaryOracleSql(),
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
     "s3_pagination_ids" ->
       Relational.paginateByIdsOracleSql(PaginationIds, 25, 5),
@@ -406,6 +430,8 @@ object SparkEntry {
     "jobs_tally" -> graft.jobs.JobLedger.jobTallyOracleSql,
     "jobs_recent" -> graft.jobs.JobLedger.jobsRecentOracleSql(10),
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
+    "events_tumbling_stream" -> Relational.eventsTumblingOracleSql,
+    "stream_index_termstats" -> Fts.termStatsOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
     "events_funnel" -> Relational.eventsFunnelOracleSql,

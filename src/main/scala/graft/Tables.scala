@@ -25,10 +25,39 @@ object Tables {
     * cached — execution still scans files; clearCache is unaffected). */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict this session's memoized relations when its context stops —
+    // without this, the strong (session, path) keys pin stopped sessions
+    // (and their analyzed plans) for the JVM lifetime
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            relCache.keySet.removeIf(_._1 eq spark)
+            hooked.remove(spark)
+          }
+        })
+    }
     relCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
+
+  /** Drop the memoized relation for one parquet path (every session) —
+    * the hook for the rare case of a fixture file being REPLACED within
+    * a session, where the memoized file listing would otherwise serve
+    * stale splits. Immutability is the documented norm; this makes it
+    * recoverable rather than assumed. */
+  def invalidate(path: String): Unit =
+    relCache.keySet.removeIf(_._2 == path)
+
+  /** Drop every memoized relation under a fixture directory. */
+  def invalidateDir(dir: String): Unit =
+    relCache.keySet.removeIf(_._2.startsWith(dir + "/"))
 
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

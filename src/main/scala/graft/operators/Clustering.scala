@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -24,8 +23,9 @@ import graft.Tables
   *
   * Scale shape (100 TB): the per-iteration join is ivec ⋈ centroids —
   * centroids are k·dim rows, broadcast; assignment and the centroid
-  * update are partial-aggregable groupBys. The only window is the seed
-  * labeling over exactly k rows. The within-cluster pair scan is the
+  * update are partial-aggregable groupBys. Seed selection is a k-row
+  * driver collect (bounded by the same broadcastability assumption the
+  * centroid join makes). The within-cluster pair scan is the
   * SemDeDup contract: clusters bound the quadratic term (k chosen so
   * n/k vectors fit a partition; skewed clusters would re-shard by a
   * salted sub-cluster pass).
@@ -44,17 +44,28 @@ object Clustering {
       .toDF("vec_id", "dim", "q")
 
   /** Final (vec_id, cluster) assignment plus the final centroid rows
-    * (cluster, dim, c), after `Iterations` Lloyd rounds from the k
-    * lowest vec_ids as seeds. */
+    * (cluster, dim, c), after `Iterations` Lloyd rounds from k
+    * hash-spread (min-md5) seed vectors. */
   private def fit(spark: SparkSession, dir: String,
       k: Int): (DataFrame, DataFrame) = {
     val vecs = ivec(spark, dir).transform(CacheScope.cached)
-    // seeds: the k lowest vec_ids, cluster = rank − 1. The window runs
-    // over exactly k rows (post-limit) — bounded by construction.
-    val seedW = Window.orderBy(col("vec_id").asc)
-    val seeds = Tables.embeddings(spark, dir)
-      .select(col("vec_id")).orderBy(col("vec_id").asc).limit(k)
-      .withColumn("cluster", row_number().over(seedW).cast("long") - 1)
+    // seeds: the k vec_ids with the SMALLEST md5(vec_id) — a hash-spread
+    // pick, i.e. a deterministic uniform sample of the corpus, instead of
+    // the k lowest ids (which reflect insertion order, the seeding
+    // anti-pattern). Bit-reproducible: both engines order by the same
+    // lowercase-hex md5 of the id's decimal string. Collected driver-side
+    // (k rows — bounded by the same k·dim broadcastability assumption the
+    // centroid join already makes), which also removes the unpartitioned
+    // row_number window this seed labeling used to need.
+    val seedIds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(k)
+      .collect().map(_.getLong(0))
+    val seeds = spark.createDataFrame(
+        seedIds.toSeq.zipWithIndex.map { case (v, i) => (v, i.toLong) })
+      .toDF("vec_id", "cluster")
     var cent = vecs.join(broadcast(seeds), Seq("vec_id"))
       .select(col("cluster"), col("dim"), col("q").as("c"))
     var assign: DataFrame = null
@@ -183,8 +194,10 @@ object Clustering {
        |  $IvecSql
        |), seeds AS (
        |  SELECT vec_id,
-       |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
-       |  FROM embeddings ORDER BY vec_id ASC LIMIT ($k)
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+       |                       vec_id ASC) - 1 AS cluster
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT ($k)
        |), cent0 AS (
        |  SELECT s.cluster, v.dim, v.q AS c
        |  FROM ivec v JOIN seeds s ON s.vec_id = v.vec_id

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,18 +19,23 @@ object Collections {
   /** The derived collections dim: (collection_id, name, n_docs,
     * total_chars) — A2 done right (groupBy, not ORM len()). */
   def collections(spark: SparkSession, dir: String): DataFrame = {
-    // Unpartitioned window is deliberate and safe ONLY because its input
-    // is the already-aggregated collections dim (one row per collection,
-    // single digits here, maybe thousands at 100 TB) — never the raw
-    // documents table. Do not copy this pattern onto un-aggregated data;
-    // see Relational.paginateDocuments for the scale-safe top-k shape.
-    val w = Window.orderBy(col("name"))
-    Tables.documents(spark, dir)
+    val dims = Tables.documents(spark, dir)
       .groupBy(col("lang").as("name"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
-      .withColumn("collection_id", row_number().over(w).cast("long"))
+    // name-rank via a broadcast self-join over the (already aggregated,
+    // tiny) dim — collection_id = count of names <= this name; names are
+    // distinct post-agg, so the rank is dense and unique. This replaces
+    // the unpartitioned row_number window (single-partition WindowExec),
+    // so nothing in the plan funnels through one task even if the dim
+    // grows to thousands of collections at 100 TB.
+    val names = dims.select(col("name").as("other"))
+    val ranks = dims.select(col("name"))
+      .join(broadcast(names), col("other") <= col("name"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("collection_id"))
+    dims.join(broadcast(ranks), Seq("name"))
       .select("collection_id", "name", "n_docs", "total_chars")
   }
 

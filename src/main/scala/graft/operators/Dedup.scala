@@ -308,6 +308,15 @@ object Dedup {
     }
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
+    // truncate lineage off the loop's final persisted frame, then free
+    // it — otherwise every invocation (including the nested ones inside
+    // canonicalByQuality and the reduction report) leaks one cached
+    // superstep frame until someone clears the whole cache
+    if (prevCached != null) {
+      labels = labels.localCheckpoint(true)
+      prevCached.unpersist(false)
+      prevCached = null
+    }
     val w = Window.partitionBy("cluster_id")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

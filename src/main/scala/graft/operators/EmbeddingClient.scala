@@ -36,6 +36,12 @@ object EmbeddingClient {
   // sparse enough that dense doc_id fixtures produce BOTH clean and
   // poisoned batches at every SF (mod 13 poisoned every 32-batch)
   val RemoteFailMod = 97L
+  // transient-timeout class (disjoint prime): these docs time out on
+  // the FIRST attempt only — the retryable failure, vs RemoteFailMod's
+  // hard error. Mirrors the reference client's timeout-vs-error split
+  // (/root/reference/src/core/embedding_client.py:59-124).
+  val RemoteTimeoutMod = 89L
+  val MaxRetries = 3
 
   /** Deterministic signed-int32 feature: big-endian first 4 bytes of
     * md5("seed:dim:text") — the integer the float embedding divides
@@ -79,6 +85,104 @@ object EmbeddingClient {
         }
       }
   }
+
+  /** Readiness gate — the reference DB's connect-retry loop
+    * (/root/reference/src/db/connection.py:40-59: up to 30 attempts,
+    * 5 s apart) with the probe injected and the waits RECORDED instead
+    * of slept (deterministic; a deployment passes a real prober and
+    * sleeps the schedule). Returns (ready, attemptsUsed, backoffMs). */
+  def awaitReady(probe: Int => Boolean, maxAttempts: Int = 30,
+      delayMs: Long = 5000L): (Boolean, Int, Seq[Long]) = {
+    val waits = Seq.newBuilder[Long]
+    var attempt = 1
+    while (attempt <= maxAttempts) {
+      if (probe(attempt)) return (true, attempt, waits.result())
+      if (attempt < maxAttempts) waits += delayMs
+      attempt += 1
+    }
+    (false, maxAttempts, waits.result())
+  }
+
+  case class EmbeddedR(doc_id: Long, origin: String, attempts: Int,
+      embedding: Array[Float])
+
+  /** The retry envelope around the batch fallback: per batch, up to
+    * MaxRetries attempts against the stub remote. A TIMEOUT (transient:
+    * RemoteTimeoutMod docs fail attempt 1 only) is retried; a hard
+    * ERROR (RemoteFailMod docs, any attempt) falls the whole batch back
+    * to local immediately — the reference client's timeout-vs-error
+    * distinction, with the attempt count carried on every row. */
+  def embedCorpusRetrying(spark: SparkSession, dir: String,
+      batchSize: Int = 32): Dataset[EmbeddedR] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          var attempt = 1
+          var out: Option[Seq[EmbeddedR]] = None
+          var fellBack = false
+          while (out.isEmpty && !fellBack) {
+            try {
+              if (batch.exists(_._1 % RemoteFailMod == 0))
+                throw new IllegalStateException("hard error")
+              if (attempt == 1 &&
+                  batch.exists(_._1 % RemoteTimeoutMod == 0))
+                throw new java.util.concurrent.TimeoutException("slow")
+              out = Some(batch.map { case (id, text) =>
+                EmbeddedR(id, "remote", attempt,
+                  hashEmbed("remote-v1", text))
+              })
+            } catch {
+              case _: java.util.concurrent.TimeoutException
+                  if attempt < MaxRetries =>
+                attempt += 1 // retryable: timeout → try again
+              case _: Exception =>
+                fellBack = true // hard error (or retries exhausted)
+            }
+          }
+          out.getOrElse(batch.map { case (id, text) =>
+            EmbeddedR(id, "local", attempt, hashEmbed("local-v1", text))
+          })
+        }
+      }
+  }
+
+  /** Registered retry-envelope summary — (origin, attempts, n_docs)
+    * over the deterministic doc_id-ordered batching. Fully
+    * oracle-expressible: batch membership is ordered position div
+    * batchSize, and the origin/attempts outcome is a pure function of
+    * which fail-mod classes the batch contains. */
+  def retrySummary(spark: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame =
+    embedCorpusRetrying(spark, dir, batchSize).toDF()
+      .groupBy("origin", "attempts")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("origin").asc, col("attempts").asc)
+
+  def retrySummaryOracleSql(batchSize: Int = 32): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (row_number() OVER (ORDER BY doc_id ASC) - 1) // $batchSize
+       |      AS b
+       |  FROM documents
+       |), bat AS (
+       |  SELECT b,
+       |    max(CASE WHEN doc_id % $RemoteFailMod = 0 THEN 1 ELSE 0 END)
+       |      AS err,
+       |    max(CASE WHEN doc_id % $RemoteTimeoutMod = 0 THEN 1 ELSE 0
+       |      END) AS tmo,
+       |    count(*) AS n
+       |  FROM d GROUP BY b
+       |)
+       |SELECT CASE WHEN err = 1 THEN 'local' ELSE 'remote' END
+       |    AS origin,
+       |  CAST(CASE WHEN err = 1 THEN 1 WHEN tmo = 1 THEN 2 ELSE 1 END
+       |    AS INT) AS attempts,
+       |  CAST(sum(n) AS BIGINT) AS n_docs
+       |FROM bat GROUP BY 1, 2 ORDER BY origin ASC, attempts ASC""".stripMargin
 
   /** Registered demo: deterministic single-partition doc_id-ordered
     * split, summarized per origin (rows-only gate; semantics are

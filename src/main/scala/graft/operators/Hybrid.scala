@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalyzer
@@ -38,20 +37,26 @@ object Hybrid {
   def rrfSearch(
       spark: SparkSession, dir: String, query: String, lang: String,
       qid: Long, kEach: Int, kRrf: Int, k: Int): DataFrame = {
-    // each ranked list is ≤ kEach rows, so the unpartitioned windows and
-    // the join below are constant-size regardless of corpus scale
+    import spark.implicits._
+    // each retrieval is a TakeOrderedAndProject emitting ≤ kEach rows;
+    // ranking them is driver-scale by construction, so the lists are
+    // collected and ranked locally (one bounded collect per list)
+    // instead of through an unpartitioned row_number window — the plan
+    // keeps zero single-partition operators regardless of corpus size
     val fts = Fts.search(spark, dir, query, lang, kEach)
-      .withColumn("fts_rank",
-        row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc))
-          .cast("long"))
-      .select(col("doc_id"), col("fts_rank"))
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }
+      .toSeq.toDF("doc_id", "fts_rank")
     val knn = Similarity.knnCosine(spark, dir, qid, kEach, 2.0)
-      .withColumn("knn_rank",
-        row_number().over(
-          Window.orderBy(col("dist").asc, col("vec_id").asc))
-          .cast("long"))
-      .select(col("vec_id"), col("knn_rank"))
+      .select(col("vec_id"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, dist) => (dist, id) }
+      .zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }
+      .toSeq.toDF("vec_id", "knn_rank")
     fts.join(knn, col("doc_id") === col("vec_id"), "full_outer")
       .select(
         coalesce(col("doc_id"), col("vec_id")).as("id"),

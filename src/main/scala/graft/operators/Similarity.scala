@@ -568,7 +568,10 @@ object Similarity {
     * keeps its KNN plan; the greedy loop is inherently sequential and
     * runs driver-side over the nCand collected rows — bounded by the
     * CONSTANT nCand (like the point-query head() lookups), independent
-    * of corpus size. Output: (step, vec_id, rel).
+    * of corpus size. The driver materializes an O(nCand²) similarity
+    * matrix: validated at nCand=20 (the registered query's setting);
+    * fine to ~1k (≈8 MB of doubles), past that move the pairwise sims
+    * into a distributed pre-pass. Output: (step, vec_id, rel).
     */
   def mmrRerank(spark: SparkSession, dir: String, qid: Long, nCand: Int,
       k: Int, lambda: Double): DataFrame = {

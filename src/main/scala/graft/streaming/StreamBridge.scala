@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.{Fts, ScaleOps}
+
+/** Run-to-completion bridges that put the §2.8 streaming surface into
+  * the driver's DuckDB-oracled correctness artifact (round-10 verdict
+  * item: the whole streaming family was spec-gated only, so a dtype
+  * regression like round 8's was invisible to CORRECTNESS_r*.json).
+  *
+  * Each bridge drives a REAL micro-batch execution (file-stream source →
+  * stateful operator → sink) with Trigger.AvailableNow, then returns the
+  * terminal result as a batch DataFrame whose rows equal an oracle-
+  * expressible batch query. The streaming machinery is exactly what a
+  * long-lived deployment runs; AvailableNow just bounds it to the
+  * fixture files — at 100 TB the same code tails a growing directory.
+  */
+object StreamBridge {
+
+  private def freshView(spark: SparkSession, name: String): Unit =
+    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+
+  /** Streaming face of the oracled `events_tumbling`: file-stream source
+    * → watermark → 10-minute tumbling window aggregate, run through the
+    * micro-batch engine into a memory sink (Complete mode, so the
+    * terminal table carries every window — equal to the batch result by
+    * construction). Emitted with the batch query's column shape
+    * (bucket = window_start's epoch seconds div 600; windows align on
+    * 600 s boundaries, so the division is exact).
+    */
+  def eventsTumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_stream_tumbling"
+    freshView(spark, sink)
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    spark.table(sink)
+      .select(
+        (unix_timestamp(col("window_start")) / lit(600L)).cast("long")
+          .as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+  }
+
+  /** Streaming index maintenance under the oracle: run
+    * [[EventStreams.indexMaintenance]] (foreachBatch appending per-batch
+    * inverted-index partitions — the GIN-trigger analog) to completion,
+    * compact the batch partitions with [[Fts.compactStreamedIndex]]
+    * (merge-on-read, latest batch wins per doc), and emit the same
+    * term-statistics frame the oracled `fts_termstats` computes over the
+    * batch-built index. Hash-equality against that oracle proves the
+    * streamed+compacted index IS the batch index.
+    */
+  def streamIndexTermStats(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_").toFile.getAbsolutePath
+    val q = EventStreams.indexMaintenance(
+        spark, dir, s"$tmp/index", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    val table = s"graft_fts_stream_${ScaleOps.dirHash(dir)}"
+    Fts.compactStreamedIndex(spark, s"$tmp/index", table)
+    // the compacted TABLE is the surviving artifact; the per-batch
+    // partitions and checkpoint are scratch
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(table)
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(100)
+  }
+}

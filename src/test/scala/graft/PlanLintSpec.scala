@@ -20,13 +20,14 @@ class PlanLintSpec extends SparkSpec {
   private val boundedGlobalWindow = Set(
     // exact small-N forms with shipped scale twins
     "win_ntile", "win_running", "sample_quota",
-    // window over the k-row seed / centroid / collections dimension
-    "kmeans_clusters", "semdedup_report", "s2_collection_list",
-    "s1_collection_lookup", "s6_cascade_delete",
     // window over an already-top-k'd list
-    "mmr_rerank", "hybrid_rrf", "fts_headline",
+    "mmr_rerank", "fts_headline",
     // window over per-group bounded frames (band, source, stratum)
     "dedup_simhash_pairs", "sample_stratified", "events_retention")
+  // round-10 removals: kmeans/semdedup seed labeling is now a k-row
+  // driver collect, the collections dim ranks via broadcast self-join,
+  // and hybrid_rrf ranks its two top-k lists driver-side — none of
+  // them plans a WindowExec at all any more.
 
   /** Queries allowed a BroadcastNestedLoopJoin because the build side
     * is BOUNDED by construction: a one-row aggregate (a corpus scalar
@@ -45,7 +46,11 @@ class PlanLintSpec extends SparkSpec {
     // query-vector / probe / codebook rides (k- or Q-row frames)
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
+    "pq_recall",  // Q-row query frame riding the codes/embeddings scans
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
+    // collections dim rank = non-equi self-join over the aggregated
+    // (tiny) dim — bounded build side by construction
+    "s1_collection_lookup", "s2_collection_list",
     // broadcast model frames (class stats, vocab scalar)
     "nb_model", "nb_confusion")
 

@@ -16,18 +16,70 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
-  test("seed vectors encode to their own codewords (zero subspace distance)") {
-    val enc = ProductQuant.encode(spark, Sf0001)
-      .filter(col("vec_id") < ProductQuant.NCode)
+  /** Integer micro-unit quantization of every embedding, via the same
+    * column expression the operator uses (no driver-side rounding). */
+  private def microVectors(): Map[Long, Array[Long]] =
+    Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qi"))
       .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  private def subDist(v: Array[Long], cw: Array[Long], s: Int): Long =
+    (0 until ProductQuant.Dsub).map { sd =>
+      val d = v(s * ProductQuant.Dsub + sd) - cw(sd); d * d
+    }.sum
+
+  test("trained codebook: full shape; encode picks the argmin codeword " +
+      "with lower-id tiebreak") {
+    val cb = ProductQuant.loadCodebook(spark, Sf0001)
+    assert(cb.length == ProductQuant.M &&
+      cb.forall(_.length == ProductQuant.NCode) &&
+      cb.flatten.forall(_.length == ProductQuant.Dsub))
+    val vecs = microVectors()
+    val enc = ProductQuant.encode(spark, Sf0001).collect()
     enc.foreach { r =>
-      val id = r.getAs[Long]("vec_id").toInt
+      val v = vecs(r.getAs[Long]("vec_id"))
       val codes = r.getSeq[Int](r.fieldIndex("codes"))
-      // each subspace's nearest codeword to seed id's own slice is
-      // itself (distance 0; ties broken to the lower id can only fire
-      // on exact duplicate slices, absent in this corpus)
-      assert(codes.forall(_ == id), s"seed $id -> $codes")
+      (0 until ProductQuant.M).foreach { s =>
+        val dists = (0 until ProductQuant.NCode)
+          .map(c => subDist(v, cb(s)(c), s))
+        val best = dists.indexOf(dists.min) // indexOf = lowest id wins
+        assert(codes(s) == best,
+          s"vec ${r.getAs[Long]("vec_id")} s=$s: ${codes(s)} != $best")
+      }
     }
+  }
+
+  test("Lloyd training does not increase total quantization error vs " +
+      "the untrained seed-slice codebook") {
+    val vecs = microVectors()
+    val cb = ProductQuant.loadCodebook(spark, Sf0001)
+    // untrained baseline: codewords = subspace slices of the same NCode
+    // hash-spread seed vectors the training starts from
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seedIds = vecs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id))
+      .take(ProductQuant.NCode)
+    val cb0 = Array.tabulate(ProductQuant.M, ProductQuant.NCode) {
+      (s, c) =>
+        vecs(seedIds(c)).slice(s * ProductQuant.Dsub,
+          (s + 1) * ProductQuant.Dsub)
+    }
+    def totalErr(book: Array[Array[Array[Long]]]): BigInt =
+      vecs.values.map { v =>
+        (0 until ProductQuant.M).map { s =>
+          BigInt((0 until ProductQuant.NCode)
+            .map(c => subDist(v, book(s)(c), s)).min)
+        }.sum
+      }.sum
+    val trained = totalErr(cb)
+    val untrained = totalErr(cb0)
+    assert(trained <= untrained,
+      s"trained err $trained > untrained $untrained")
   }
 
   test("pq table persists once and is reused") {

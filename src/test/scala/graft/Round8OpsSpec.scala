@@ -376,7 +376,15 @@ class Round8OpsSpec extends SparkSpec {
           math.rint(x.toDouble * 1e6).toLong).toArray)
       .sortBy(_._1)
     val dim = vecs.head._2.length
-    var cent = vecs.take(k).map(_._2.clone)
+    // round-10 seeding: the k vec_ids with the smallest md5(id) —
+    // hash-spread, mirrored here exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byId = vecs.toMap
+    val seedIds = vecs.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cent = seedIds.map(id => byId(id).clone).toArray
     var assign = Map.empty[Long, Int]
     for (_ <- 1 to operators.Clustering.Iterations) {
       assign = vecs.map { case (id, v) =>

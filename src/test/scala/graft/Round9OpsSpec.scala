@@ -174,7 +174,8 @@ class Round9OpsSpec extends SparkSpec {
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)
     // driver-side expectation: batches of 32 in doc_id order; a batch
-    // containing any doc_id % 13 == 0 falls back WHOLE to local
+    // containing any doc_id % RemoteFailMod (97 — chosen > batch size
+    // so not every batch is poisoned) == 0 falls back WHOLE to local
     val expected = docs.grouped(bs).flatMap { batch =>
       val origin =
         if (batch.exists(_._1 % operators.EmbeddingClient.RemoteFailMod == 0))
