@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-ladder proof run: time a set of queries at two fixture scales
+  * (default sf0.1 and the ScaleUp-generated 10× sf1) and report the
+  * per-query growth ratio. The pass criterion for 10× data is
+  * near-linear growth (≤ ~12×); anything over ~20× indicates a
+  * super-linear plan (candidate-pair blowup, unbounded window, driver
+  * collect) that must be fixed before it would survive 100 TB.
+  *
+  *   runMain graft.ScaleLadder <smallDir> <bigDir> [reps] [names…]
+  */
+object ScaleLadder {
+  val DefaultQueries: Seq[String] = Seq(
+    // heaviest per bench_detail.json, spanning every operator family
+    "fingerprint_winnow", "source_leakage", "kmeans_clusters",
+    "semdedup_report", "select_budget", "dedup_spans",
+    "dedup_canonical", "dedup_clusters", "dedup_reduction",
+    "dedup_minhash", "nb_confusion", "bpe_compression",
+    "pagerank_dups", "dsir_weights", "knn_quantized",
+    "contamination_ngram", "langid_counts", "q5_nation_revenue",
+    "fts_topk", "ivf_ann", "pq_scan", "dedup_simhash_pairs",
+    "token_accounting", "events_tumbling", "split_leakage")
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "target/testdata/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val names = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.NativeFunctions.registerAll(spark)
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      var best = Double.MaxValue; var rows = 0L
+      // rep 0 is the untimed warm-up (JIT + codegen); min of the rest
+      (0 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        rows = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (i > 0 && dt < best) best = dt
+        operators.CacheScope.release(spark)
+      }
+      (best, rows)
+    }
+
+    println(f"${"query"}%-24s ${"t_small"}%8s ${"t_big"}%8s ${"ratio"}%7s  rows_small->rows_big")
+    val results = names.map { n =>
+      val (ts, rs) = time(n, small)
+      val (tb, rb) = time(n, big)
+      val ratio = tb / ts
+      println(f"$n%-24s $ts%8.2f $tb%8.2f $ratio%7.1fx  $rs->$rb")
+      (n, ts, tb, ratio)
+    }
+    val bad = results.filter(_._4 > 20.0)
+    println(s"LADDER_SUMMARY worst=${results.maxBy(_._4)._1} " +
+      f"worst_ratio=${results.map(_._4).max}%.1f over20=${bad.map(_._1).mkString(",")}")
+    spark.stop()
+  }
+}

@@ -267,12 +267,18 @@ object SparkEntry {
     // hash-gated
     "redact_pii" -> ((s, d) => TextOps.redactPii(s, d)),
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
+    // per-(source, lang) corpus datacard: docs, exact dups, tokens, p50
+    "corpus_datacard" -> ((s, d) => Datacard.corpusDatacard(s, d)),
+    // retrieval-quality eval: nDCG@10 + MRR@10 of the BM25 ranking vs
+    // term-overlap graded relevance (micro-integer DCG for determinism)
+    "retrieval_ndcg" -> ((s, d) =>
+      RetrievalEval.ndcg(s, d, "hash join merge", "en", 10)),
     // concat-and-chunk sequence packing into fixed token budgets
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048L)),
     "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "langid_counts" -> ((s, d) =>
       graft.functions.LangId
-        .withDetected(graft.Tables.documents(s, d), "text")
+        .withDetected(graft.Tables.documentsDense(s, d), "text")
         .groupBy("detected").count()
         .orderBy(org.apache.spark.sql.functions.col("detected").asc)),
     "chunks_fixed" -> ((s, d) => TextOps.chunksFixed(s, d, 120, 30)),
@@ -481,6 +487,9 @@ object SparkEntry {
     "diversity_report" -> TextOps.diversityReportOracleSql,
     "redact_pii" -> TextOps.redactPiiOracleSql,
     "token_accounting" -> TextOps.tokenAccountingOracleSql,
+    "corpus_datacard" -> Datacard.corpusDatacardOracleSql,
+    "retrieval_ndcg" ->
+      RetrievalEval.ndcgOracleSql("hash join merge", "en", 10),
     "pack_sequences" -> TextOps.packSequencesOracleSql(2048L),
     "fingerprint_winnow" -> TextOps.winnowOracleSql,
     "langid_counts" ->

@@ -61,6 +61,40 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Memoized input-split count of a fixture scan (a planning-time
+    * probe — no data is read). */
+  private val splitCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+
+  /** Parallelism floor for COMPUTE-DENSE pipelines (per-char hashing,
+    * per-token LMs, k·dim distance loops …): when the scan yields far
+    * fewer input splits than the session has cores, round-robin the
+    * rows across the cores first. Rationale: Spark sizes splits by
+    * BYTES (maxPartitionBytes), which under-parallelizes operators
+    * whose cost per byte is orders of magnitude above a scan's — the
+    * fixture tables are single-row-group parquet, so every dense
+    * operator otherwise runs its whole scan stage on ONE core (the
+    * sf-ladder run measured fingerprint_winnow serializing 43 s of
+    * hashing on one task at sf1). At warehouse scale a 100 TB table
+    * yields thousands of splits, the guard fails, and this is a no-op —
+    * the exchange exists exactly when the data is too small for the
+    * split planner to spread, i.e. when it costs the least.
+    * (The tiny-frame exchange is ~10 ms at fixture scale; explicit
+    * numPartitions keeps AQE from re-coalescing it.) */
+  private def dense(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = splitCounts.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"), _ => df.rdd.getNumPartitions)
+    if (parts * 4 <= cores) df.repartition(cores) else df
+  }
+
+  def documentsDense(spark: SparkSession, dir: String): DataFrame =
+    dense(spark, dir, "documents")
+  def embeddingsDense(spark: SparkSession, dir: String): DataFrame =
+    dense(spark, dir, "embeddings")
   def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -75,7 +75,7 @@ object Bpe {
     * after `Passes` batched passes) and the merge log. */
   private def fit(spark: SparkSession,
       dir: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
-    var wf = Tables.documents(spark, dir)
+    var wf = Tables.documentsDense(spark, dir)
       .select(explode(TextAnalyzer.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), ""))
@@ -156,7 +156,7 @@ object Bpe {
     val (wf, _) = fit(spark, dir)
     val vocab = wf.select(col("word"), size(col("syms")).cast("long")
       .as("n_toks"))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("source"),
         explode(TextAnalyzer.tokens(col("text"))).as("word"))
       .join(broadcast(vocab), Seq("word"))

@@ -40,10 +40,10 @@ object Classifier {
   val Split = 5L
 
   private def trainDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).filter(col("doc_id") % Split =!= 0)
+    Tables.documentsDense(spark, dir).filter(col("doc_id") % Split =!= 0)
 
   private def testDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).filter(col("doc_id") % Split === 0)
+    Tables.documentsDense(spark, dir).filter(col("doc_id") % Split === 0)
 
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),

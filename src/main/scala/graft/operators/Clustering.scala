@@ -21,14 +21,15 @@ import graft.Tables
   * division. k-means on doubles would diverge across engines in one
   * iteration; k-means on integers is bit-reproducible anywhere.
   *
-  * Scale shape (100 TB): the per-iteration join is ivec ⋈ centroids —
-  * centroids are k·dim rows, broadcast; assignment and the centroid
-  * update are partial-aggregable groupBys. Seed selection is a k-row
-  * driver collect (bounded by the same broadcastability assumption the
-  * centroid join makes). The within-cluster pair scan is the
-  * SemDeDup contract: clusters bound the quadratic term (k chosen so
-  * n/k vectors fit a partition; skewed clusters would re-shard by a
-  * salted sub-cluster pass).
+  * Scale shape (100 TB): per Lloyd round, assignment is SCAN-LOCAL —
+  * the k·dim centroid matrix rides into the scan as a literal (bounded
+  * by the broadcastability policy) and each vector computes its argmin
+  * in one projection; the only exchange is the (cluster, dim)
+  * centroid-update groupBy, partial-aggregable. Seed selection is a
+  * k-row driver collect (same boundedness). The within-cluster pair
+  * scan is the SemDeDup contract: clusters bound the quadratic term
+  * (k chosen so n/k vectors fit a partition; skewed clusters would
+  * re-shard by a salted sub-cluster pass).
   */
 object Clustering {
 
@@ -37,7 +38,7 @@ object Clustering {
   /** (vec_id, dim, q): embeddings exploded to quantized micro-unit
     * components. */
   private def ivec(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsDense(spark, dir)
       .select(col("vec_id"), posexplode(
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long"))))
@@ -45,51 +46,98 @@ object Clustering {
 
   /** Final (vec_id, cluster) assignment plus the final centroid rows
     * (cluster, dim, c), after `Iterations` Lloyd rounds from k
-    * hash-spread (min-md5) seed vectors. */
+    * hash-spread (min-md5) seed vectors.
+    *
+    * Physical strategy (round 10): the assignment step is SCAN-LOCAL.
+    * The centroid matrix (k·dim longs — bounded by the same
+    * broadcastability policy the seed collect already assumes; ~10⁴
+    * values at the fixture's k) rides into the scan as an
+    * array-of-arrays literal, and each vector computes its k distances
+    * + integer argmin key inside one projection — no vecs⋈centroids
+    * join, which materialized n·dim·k rows through two shuffles per
+    * Lloyd round (the sf-ladder run measured semdedup_report at 30× for
+    * 10× data on that plan; assignment was the quadratic term since
+    * k ∝ n). Per round there is now exactly ONE exchange (the
+    * (cluster, dim) centroid-update groupBy over n·dim rows), and the
+    * update is collected (k·dim rows) to seed the next round's literal.
+    * Arithmetic is unchanged — same integer Σ(q−c)², same
+    * dist·k+cluster argmin composite, same sum-div-count update — so
+    * the DuckDB oracle (fitSql) is untouched and results stay
+    * bit-identical. */
   private def fit(spark: SparkSession, dir: String,
       k: Int): (DataFrame, DataFrame) = {
-    val vecs = ivec(spark, dir).transform(CacheScope.cached)
-    // seeds: the k vec_ids with the SMALLEST md5(vec_id) — a hash-spread
-    // pick, i.e. a deterministic uniform sample of the corpus, instead of
-    // the k lowest ids (which reflect insertion order, the seeding
-    // anti-pattern). Bit-reproducible: both engines order by the same
-    // lowercase-hex md5 of the id's decimal string. Collected driver-side
-    // (k rows — bounded by the same k·dim broadcastability assumption the
-    // centroid join already makes), which also removes the unpartitioned
-    // row_number window this seed labeling used to need.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // (vec_id, qa): quantized embedding as one array column, cached for
+    // the Iterations+1 passes (assignment rounds + final consumers)
+    val qarr = Tables.embeddingsDense(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
+      .transform(CacheScope.cached)
     val seedIds = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h").asc, col("vec_id").asc)
       .limit(k)
       .collect().map(_.getLong(0))
-    val seeds = spark.createDataFrame(
+    val seedFrame = spark.createDataFrame(
         seedIds.toSeq.zipWithIndex.map { case (v, i) => (v, i.toLong) })
       .toDF("vec_id", "cluster")
-    var cent = vecs.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("cluster"), col("dim"), col("q").as("c"))
+    // centroid matrix, cluster-indexed (k rows × dim) — driver-side
+    var centM: Array[Array[Long]] =
+      qarr.join(broadcast(seedFrame), Seq("vec_id"))
+        .select(col("cluster"), col("qa"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getAs[scala.collection.Seq[Long]]("qa").toArray)
+
+    def assignFor(cm: Array[Array[Long]]): DataFrame = {
+      val centLit = typedLit(cm.map(_.toSeq).toSeq)
+      // dists[c] = Σ_j (qa[j] − cent[c][j])²  — scan-local
+      val dists = transform(sequence(lit(0), lit(k - 1)),
+        c => aggregate(
+          zip_with(col("qa"), element_at(centLit, c + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x))
+      // argmin via the same exact composite key: min(dist·k + cluster)
+      val key = aggregate(
+        zip_with(dists, sequence(lit(0L), lit((k - 1).toLong)),
+          (dd, cc) => dd * k + cc),
+        lit(Long.MaxValue), (m, v) => least(m, v))
+      qarr.select(col("vec_id"), (key % k).as("cluster"), col("qa"))
+    }
+
     var assign: DataFrame = null
     for (_ <- 1 to Iterations) {
-      val keyed = vecs
-        .join(broadcast(cent), Seq("dim"))
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
-          .as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dist") * k + col("cluster")).as("key"))
-      assign = keyed.select(col("vec_id"),
-        (col("key") % k).as("cluster"))
-      // integral-mean update; a cluster that lost every vector keeps
-      // its previous centroid (left join from the old centroid spine)
-      val sums = vecs.join(assign, Seq("vec_id"))
-        .groupBy(col("cluster").as("s_cluster"), col("dim").as("s_dim"))
+      val a = assignFor(centM)
+      assign = a.select(col("vec_id"), col("cluster"))
+      // integral-mean update; clusters that lost every vector keep
+      // their previous centroid (fold over the collected k·dim sums).
+      // The last round's update feeds the returned centroid frame.
+      val sums = a
+        .select(col("cluster"), posexplode(col("qa")).as(Seq("dim", "q")))
+        .groupBy(col("cluster"), col("dim"))
         .agg(expr("sum(q) div count(1)").as("c_new"))
-      cent = cent.join(sums,
-          col("cluster") === col("s_cluster") && col("dim") === col("s_dim"),
-          "left")
-        .select(col("cluster"), col("dim"),
-          coalesce(col("c_new"), col("c")).as("c"))
+        .collect()
+      val next = centM.map(_.clone)
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+      }
+      centM = next
     }
+    val centRows = centM.toSeq.zipWithIndex.flatMap { case (cs, c) =>
+      cs.toSeq.zipWithIndex.map { case (v, j) =>
+        Row(c.toLong, j, v)
+      }
+    }
+    val centSchema = StructType(Seq(
+      StructField("cluster", LongType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    val cent = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava,
+      centSchema)
     (assign, cent)
   }
 

@@ -53,7 +53,7 @@ object Contamination {
     * Output (doc_id, n_grams, shared_grams, contamination), worst
     * first. */
   def screen(spark: SparkSession, dir: String, mod: Long): DataFrame = {
-    val grams = docGrams(Tables.documents(spark, dir))
+    val grams = docGrams(Tables.documentsDense(spark, dir))
     val bench = grams.filter(col("doc_id") % mod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     val train = grams.filter(col("doc_id") % mod =!= 0)

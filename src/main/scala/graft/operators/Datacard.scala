@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus datacard: the per-(source, lang) statistics block a training
+  * run publishes alongside a dataset release (the "data card" of
+  * Gebru et al. 2021, Datasheets for Datasets) — document counts,
+  * exact-duplicate counts, token totals, and length distribution, all
+  * in one aggregation pass.
+  *
+  * Scale shape: one scan + one hash-groupBy on (source, lang) — the
+  * group count is tiny (sources × langs), so partial (map-side)
+  * aggregation collapses nearly everything before the exchange.
+  * count(DISTINCT text) rewrites to a two-phase expand-aggregate
+  * keyed by (source, lang, text) — at 100 TB replace the raw text key
+  * with its 128-bit hash; here the exact column keeps the oracle
+  * trivially expressible. percentile() is the exact single-pass
+  * implementation (sorted per-group state); groups are few so state is
+  * bounded by the largest group, which is exactly what the p50 needs.
+  */
+object Datacard {
+
+  private val PieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsDense(spark, dir)
+      .select(col("source"), col("lang"), col("text"),
+        regexp_count(col("text"), lit(PieceRegex)).as("n_pieces"),
+        col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        sum(col("n_pieces")).as("total_tokens"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("source").asc, col("lang").asc)
+
+  val corpusDatacardOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, lang, text,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |      AS n_pieces,
+      |    n_chars
+      |  FROM documents
+      |)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  count(*) - count(DISTINCT text) AS n_dup_docs,
+      |  CAST(sum(n_pieces) AS BIGINT) AS total_tokens,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM t GROUP BY source, lang
+      |ORDER BY source ASC, lang ASC""".stripMargin
+}

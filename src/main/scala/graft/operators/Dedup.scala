@@ -34,7 +34,7 @@ object Dedup {
     * id, the group size, and the member list.
     */
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(
           TextAnalyzer.tokens(col("text")))), " ")).as("sig"))
@@ -117,7 +117,7 @@ object Dedup {
     // persist: the shingle-set frame feeds the signature computation AND
     // both verification sides — without it the tokenize+shingle pass
     // runs three times per query
-    val docs = docShingleSets(Tables.documents(spark, dir))
+    val docs = docShingleSets(Tables.documentsDense(spark, dir))
       .filter(size(col("sh_set")) > 0)
       .transform(CacheScope.cached)
     val bands = lshBands(docs)
@@ -159,7 +159,7 @@ object Dedup {
   def minhashIncremental(spark: SparkSession, dir: String,
       threshold: Double, mod: Long = 10L,
       newRem: Long = 7L): DataFrame = {
-    val docs = docShingleSets(Tables.documents(spark, dir))
+    val docs = docShingleSets(Tables.documentsDense(spark, dir))
       .filter(size(col("sh_set")) > 0)
       .transform(CacheScope.cached)
     val bands = lshBands(docs).transform(CacheScope.cached)
@@ -366,7 +366,7 @@ object Dedup {
     val M = 8589934592L // 2^33 > any doc_id; q ∈ [0,5]
     val clusters = nearDupClusters(spark, dir, threshold)
       .select(col("doc_id"), col("cluster_id"))
-    val quality = Tables.documents(spark, dir)
+    val quality = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), TextOps.gopherRuleCount.as("q"))
     quality.join(broadcast(clusters), "doc_id")
       .groupBy("cluster_id")
@@ -417,7 +417,7 @@ object Dedup {
     val flags = nearDupClusters(spark, dir, threshold)
       .select(col("doc_id"), col("is_keeper"))
     val keep = coalesce(col("is_keeper"), lit(true))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select("doc_id", "source", "n_chars")
       .join(broadcast(flags), Seq("doc_id"), "left")
       .groupBy("source")
@@ -549,7 +549,7 @@ object Dedup {
     * formulation) — a shape that holds at any corpus size.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Tables.documents(spark, dir)
+    val hashes = Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         explode(array(transform(TextAnalyzer.tokens(col("text")),
           t => md5(t)))).as("hashes"))
@@ -682,7 +682,7 @@ object Dedup {
   def editDistancePairs(spark: SparkSession, dir: String,
       jaccThreshold: Double, prefixLen: Int, maxDist: Int): DataFrame = {
     val pairs = minhashPairs(spark, dir, jaccThreshold)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("t"))
     // long to match DuckDB levenshtein's BIGINT in the driver hash;
     // the length guard makes the DP conditional (when() evaluates
@@ -745,7 +745,7 @@ object Dedup {
     * into the partial aggregate. */
   def duplicatedSpans(spark: SparkSession, dir: String,
       topK: Int): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
     val idx = when(size(col("toks")) >= SpanGramSize,
@@ -807,7 +807,7 @@ object Dedup {
     * integral micro-units.
     */
   def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("source"),
         TextAnalyzer.tokens(col("text")).as("toks"))
       .transform(CacheScope.cached)
@@ -917,7 +917,7 @@ object Dedup {
     * pair expansion is per-gram combinatorics over that bounded set;
     * the final agg is nSources² rows. The corpus never self-joins. */
   def sourceLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsDense(spark, dir)
       .select(col("source"), TextAnalyzer.tokens(col("text")).as("toks"))
     val idx = when(size(col("toks")) >= SpanGramSize,
       sequence(lit(0), size(col("toks")) - SpanGramSize))
@@ -994,7 +994,7 @@ object Dedup {
     */
   def shingleJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShinglesSized(Tables.documents(spark, dir)).transform(CacheScope.cached)
+    val sh = docShinglesSized(Tables.documentsDense(spark, dir)).transform(CacheScope.cached)
     // SHUFFLE_HASH: both sides are the same co-partitioned frame; a hash
     // build skips SortMergeJoin's two 242k-row sorts (measured ~1.4x on
     // the whole query). The build side is one partition's posting lists

@@ -518,7 +518,19 @@ object Fts {
     * a 1-row broadcast, no per-term shuffle, and the TakeOrdered top-k
     * never materializes the ranking. */
   def searchBm25(spark: SparkSession, dir: String, query: String,
-      lang: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      lang: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(spark, dir, query, lang, k1, b)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The full BM25-scored match frame (no top-k), with `grade` = number
+    * of distinct query terms present in the doc — the graded-relevance
+    * label the retrieval-eval operator (RetrievalEval.ndcg) uses. Same
+    * plan shape as searchBm25: one scan-local pass for (dl, tf_i), a
+    * 1-row broadcast stats frame, no per-term shuffle. */
+  def bm25Scored(spark: SparkSession, dir: String, query: String,
+      lang: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
     val withToks = Tables.documents(spark, dir)
@@ -543,12 +555,62 @@ object Fts {
             (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
         .otherwise(lit(0.0))
     }
+    val grade = terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
       .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col("doc_id"),
-        round(contrib.reduce(_ + _), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+        round(contrib.reduce(_ + _), 6).as("score"),
+        grade.as("grade"))
+  }
+
+  /** Oracle for the full bm25Scored frame (doc_id, score, grade) — the
+    * CTE body RetrievalEval.ndcgOracleSql composes over. */
+  def bm25ScoredOracleSql(query: String, lang: String,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tl, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val contrib = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
+         |      * (tf$i * ${k1 + 1.0})
+         |      / (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString(" + ")
+    val gradeExpr = terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""  SELECT doc_id, round($contrib, 6) AS score,
+       |    $gradeExpr AS grade
+       |  FROM (
+       |    SELECT doc_id, len(tl) AS dl,
+       |      $tfCols
+       |    FROM (
+       |      SELECT doc_id, list_filter(
+       |        string_split_regex(lower(text), '\\W+'),
+       |        t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |      FROM documents WHERE lang = '$lang'
+       |    ) tokl
+       |  ) perdoc, (
+       |    SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |      $dfCols
+       |    FROM (
+       |      SELECT len(tl) AS dl,
+       |        $tfCols
+       |      FROM (
+       |        SELECT list_filter(
+       |          string_split_regex(lower(text), '\\W+'),
+       |          t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |        FROM documents WHERE lang = '$lang'
+       |      ) tokl2
+       |    ) perdoc2
+       |  ) stats
+       |  WHERE $anyMatch""".stripMargin
   }
 
   def searchBm25OracleSql(query: String, lang: String, k: Int,

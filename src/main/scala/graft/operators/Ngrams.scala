@@ -70,7 +70,7 @@ object Ngrams {
     */
   def bigramNll(spark: SparkSession, dir: String, mod: Long = 10L,
       evalRem: Long = 7L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsDense(spark, dir)
     val train = docs.filter(col("doc_id") % mod =!= evalRem)
     val eval = docs.filter(col("doc_id") % mod === evalRem)
 
@@ -165,7 +165,7 @@ object Ngrams {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Long = 5L, k: Int = 50): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsDense(spark, dir)
     val cb = docBigrams(docs).groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

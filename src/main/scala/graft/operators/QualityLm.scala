@@ -68,7 +68,7 @@ object QualityLm {
   def curationReport(spark: SparkSession, dir: String): DataFrame = {
     val gq = TextOps.gopherQuality(spark, dir).select("doc_id", "pass")
     val nll = unigramNll(spark, dir).select("doc_id", "nll")
-    Tables.documents(spark, dir).select("doc_id", "source")
+    Tables.documentsDense(spark, dir).select("doc_id", "source")
       .join(gq, "doc_id")
       .join(nll, "doc_id")
       .groupBy("source")
@@ -113,7 +113,7 @@ object QualityLm {
         when(col("rank") * 3 < col("n"), "head")
           .when(col("rank") * 3 < col("n") * 2, "middle")
           .otherwise("tail"))
-      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+      .join(Tables.documentsDense(spark, dir).select("doc_id", "source"),
         "doc_id")
       .groupBy("source", "bucket")
       .agg(

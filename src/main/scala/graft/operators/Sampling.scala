@@ -47,7 +47,7 @@ object Sampling {
   def dsirWeights(spark: SparkSession, dir: String, targetSource: String,
       k: Int): DataFrame = {
     import graft.functions.TextAnalyzer
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(TextAnalyzer.tokens(col("text"))).as("term"))
     val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("n_c"))
@@ -117,7 +117,7 @@ object Sampling {
     * query's output small; the underlying sample is row-level). */
   def sampleSummary(spark: SparkSession, dir: String,
       rate: Double): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .filter(hashKeep(col("doc_id"), rate))
       .groupBy("lang")
       .agg(
@@ -156,7 +156,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("lang"), col("doc_id"), col("n_chars"),
         row_number().over(w).cast("long").as("pick"))
       .filter(col("pick") <= quota)
@@ -198,7 +198,7 @@ object Sampling {
     // Negated: BoundedTopK keeps score DESC, the draw wants hash ASC.
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
       16, 10).cast("double")
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .groupBy("lang")
       .agg(topk(col("doc_id"), -h).as("picks"))
       .select(col("lang"), posexplode(col("picks")))
@@ -226,7 +226,7 @@ object Sampling {
     * order, no doubles anywhere in the ordering or the sums. */
   def selectBudget(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
-    val graded = Tables.documents(spark, dir)
+    val graded = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.functions.TextAnalyzer.tokens(col("text")))
           .cast("long").as("toks"),
@@ -293,7 +293,7 @@ object Sampling {
     // persist: the nSources·nLangs-row aggregate feeds both the final
     // projection AND the corpus-scalar aggregate — without it the
     // tokenize+count corpus scan runs twice per call
-    val grouped = Tables.documents(spark, dir)
+    val grouped = Tables.documentsDense(spark, dir)
       .select(col("source"), col("lang"),
         size(graft.functions.TextAnalyzer.tokens(col("text")))
           .cast("long").as("toks"))
@@ -330,7 +330,7 @@ object Sampling {
       .select(col("source").as("w_source"), col("lang").as("w_lang"),
         least(lit(1.0), lit(base) * col("mix_weight") / col("token_share"))
           .as("rate"))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .join(broadcast(rates),
         col("source") === col("w_source") && col("lang") === col("w_lang"))
       .filter(hashKeepCol(col("doc_id"), col("rate")))
@@ -423,7 +423,7 @@ object Sampling {
     * trainFrac/valFrac/rest with binomial variance per source. */
   def splitAssign(spark: SparkSession, dir: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("source"), col("n_chars"),
         splitCol(col("doc_id"), trainFrac, valFrac).as("split"))
       .groupBy("source", "split")

@@ -20,7 +20,7 @@ object TextOps {
     * that role, mirrored exactly in the oracle).
     */
   def deterministicIds(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         substring(sha2(concat(col("text"), lit("_source:"), col("source")),
           256), 1, 16).as("det_id"))
@@ -43,7 +43,7 @@ object TextOps {
     val words = split(clean, " ")
     val toks = TextAnalyzer.tokens(col("text"))
     val punct = length(clean) - length(regexp_replace(clean, "[^A-Za-z0-9 ]", ""))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(
         col("doc_id"), col("lang"),
         // casts: Spark length/size are INT, DuckDB's are BIGINT — keep
@@ -74,7 +74,7 @@ object TextOps {
     val idx3 = when(size(col("tk")) >= 3,
       sequence(lit(0), size(col("tk")) - 3))
       .otherwise(array().cast("array<int>"))
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsDense(spark, dir)
       .select(col("source"), toks.as("tk"))
     val totals = base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -158,7 +158,7 @@ object TextOps {
     * Aggregated per language (corpus token accounting).
     */
   def tokenAccounting(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("lang"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
           .as("n_pieces"),
@@ -205,31 +205,46 @@ object TextOps {
     * consecutive gram-hashes, keep each window's minimum; the distinct
     * minima are the fingerprint set — guaranteed to share fingerprints
     * with any document that shares a run of >= k+w-1 characters.
-    * Entirely scan-local (two staged array transforms); md5-hex stands
-    * in for the rolling polynomial hash (same selection semantics,
-    * identical across engines).
+    * Entirely scan-local (staged array transforms).
+    *
+    * Gram hash (round 10): the Karp–Rabin polynomial
+    * Σ_j code[i+j]·B^j mod M over character codes, with precomputed
+    * B^j mod M powers — 8 integer multiply-adds per gram, replacing the
+    * per-position md5-of-substring (a full digest + string alloc per
+    * gram, the dominant cost of the old plan at every scale; same
+    * selection semantics, still bit-identical across engines since both
+    * compute the identical integer recurrence).
     */
   val WinnowK = 8
   val WinnowW = 4
+  /** Karp–Rabin base/modulus; B^j·255 sums stay far under 2^63. */
+  val WinnowB = 257L
+  val WinnowM = 1000000007L
+  /** B^j mod M for j = 0 until WinnowK. */
+  val WinnowPows: Seq[Long] =
+    Iterator.iterate(1L)(p => p * WinnowB % WinnowM).take(WinnowK).toSeq
 
   /** (doc_id, n_grams, fps) — the sorted distinct fingerprint set per
     * document (exposed for the guarantee property test). */
   def winnowSets(documents: DataFrame): DataFrame = {
     val clean = trim(regexp_replace(col("text"), "\\s+", " "))
-    // stage 1: materialize clean text once
+    // stage 1: materialize the char-code array once (empty-string guard:
+    // engines disagree on whether a zero-width split emits edge empties)
+    val codes = transform(
+      filter(split(clean, ""), ch => ch =!= lit("")),
+      ch => ascii(ch).cast("long"))
     val staged = documents
-      .select(col("doc_id"), explode(array(clean)).as("clean"))
-    val n = length(col("clean"))
+      .select(col("doc_id"), explode(array(codes)).as("codes"))
+    val n = size(col("codes"))
     val gramIdx = when(n >= WinnowK, sequence(lit(0), n - WinnowK))
       .otherwise(array().cast("array<int>"))
-    // stage 2: materialize the gram-hash array once (8-hex-char prefix:
-    // the window-min comparisons dominate, and a 8-char key keeps the
-    // selection deterministic at a quarter of the compare cost)
+    // stage 2: materialize the gram-hash array once
+    val gramHash = (i: Column) =>
+      WinnowPows.zipWithIndex.map { case (p, j) =>
+        element_at(col("codes"), i + (j + 1)) * lit(p)
+      }.reduce(_ + _) % WinnowM
     val hashed = staged.select(col("doc_id"),
-      explode(array(transform(gramIdx,
-        i => substring(
-          md5(substring(col("clean"), i + 1, lit(WinnowK))), 1, 8))))
-        .as("ghashes"))
+      explode(array(transform(gramIdx, gramHash))).as("ghashes"))
     val m = size(col("ghashes"))
     val winIdx = when(m >= WinnowW, sequence(lit(0), m - WinnowW))
       .otherwise(array().cast("array<int>"))
@@ -242,23 +257,30 @@ object TextOps {
   }
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
-    winnowSets(Tables.documents(spark, dir))
+    winnowSets(Tables.documentsDense(spark, dir))
       .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fps"),
-        md5(array_join(col("fps"), ",")).as("fp_digest"))
+        md5(array_join(transform(col("fps"), _.cast("string")), ","))
+          .as("fp_digest"))
       .orderBy(col("doc_id").asc)
 
-  val winnowOracleSql: String =
+  val winnowOracleSql: String = {
+    val powList = WinnowPows.mkString("[", ", ", "]")
+    val gramExpr = WinnowPows.indices
+      .map(j => s"codes[i + ${j + 1}] * $powList[${j + 1}]")
+      .mkString("(", " + ", s") % $WinnowM")
     s"""WITH staged AS (
        |  SELECT doc_id,
-       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+       |    list_transform(list_filter(
+       |      string_split_regex(
+       |        trim(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+       |      x -> x <> ''), x -> CAST(ascii(x) AS BIGINT)) AS codes
        |  FROM documents
        |), hashed AS (
        |  SELECT doc_id,
        |    list_transform(
-       |      range(0, greatest(length(clean) - $WinnowK, -1) + 1),
-       |      i -> substr(md5(substr(clean, i + 1, $WinnowK)), 1, 8))
-       |      AS ghashes
+       |      range(0, greatest(len(codes) - $WinnowK, -1) + 1),
+       |      i -> $gramExpr) AS ghashes
        |  FROM staged
        |), winnowed AS (
        |  SELECT doc_id, len(ghashes) AS n_grams,
@@ -270,6 +292,7 @@ object TextOps {
        |SELECT doc_id, n_grams, len(fps) AS n_fps,
        |  md5(array_to_string(fps, ',')) AS fp_digest
        |FROM winnowed ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** Fixed-stride chunking (the oracle-expressible projection of P5 —
     * the full boundary-snapping chunker lives in Chunker.scala with
@@ -283,7 +306,7 @@ object TextOps {
     val starts = sequence(lit(0),
       greatest(ceil((n - lit(size)).cast("double") / stride).cast("int"),
         lit(0)))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("text"),
         explode(starts).as("chunk_index"))
       .filter(col("chunk_index") * stride < n)
@@ -366,7 +389,7 @@ object TextOps {
       concat(col("text"), lit(" contact: user"),
         col("doc_id").cast("string"), lit("@example.com")))
       .otherwise(col("text"))
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("doc_id"), explode(array(planted)).as("t2"))
       .select(col("doc_id"),
         regexp_count(col("t2"), lit(EmailRe)).cast("long").as("n_emails"),
@@ -405,7 +428,7 @@ object TextOps {
     */
   def compressionQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
+    val scored = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -468,7 +491,7 @@ object TextOps {
         when(c > acc("cnt") || (c === acc("cnt") && d < acc("bg")),
           struct(c.as("cnt"), d.as("bg"))).otherwise(acc)
       })
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .filter(n >= 2)
       .select(col("doc_id"),
         n.cast("long").as("n_words"),
@@ -552,7 +575,7 @@ object TextOps {
     * counts — exact. */
   def packSequences(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         size(TextAnalyzer.tokens(col("text"))).cast("long").as("toks"))
     ScaleOps.prefixSummed(toks, "doc_id", "toks", 32)
@@ -669,7 +692,7 @@ object TextOps {
     val nStop = gStopwordHits
     val distinctFrac = gDistinctFrac
     val Seq(rLength, rMeanLen, rSymbol, rStop, rRepeat) = gopherRules
-    Tables.documents(spark, dir)
+    Tables.documentsDense(spark, dir)
       .select(col("doc_id"), wc.as("word_count"),
         round(meanWl, 4).as("mean_word_len"),
         round(symRatio, 6).as("symbol_ratio"),

@@ -73,6 +73,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(!ok2 && n2 == 5 && waits2.length == 4)
   }
 
+  test("corpus_datacard: per-(source, lang) counts agree with a " +
+      "driver-side recount of the fixture") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val card = graft.operators.Datacard.corpusDatacard(spark, Sf0001)
+      .collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    card.foreach { r =>
+      val grp = docs.filter(d =>
+        d._1 == r.getString(0) && d._2 == r.getString(1))
+      assert(r.getAs[Long]("n_docs") == grp.length)
+      assert(r.getAs[Long]("n_dup_docs") ==
+        grp.length - grp.map(_._3).distinct.length)
+      val chars = grp.map(_._4).sorted
+      assert(r.getAs[Double]("avg_chars") ==
+        math.round(chars.sum.toDouble / chars.length * 1e4) / 1e4)
+    }
+    // groups are sorted (source asc, lang asc)
+    val keys = card.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("retrieval_ndcg: micro-DCG matches a hand fold over the BM25 " +
+      "top-k; idcg bounds dcg; mrr names the first full match") {
+    val query = "hash join merge"; val k = 10
+    val terms = graft.functions.TextAnalyzer.analyze(query).distinct
+    val top = graft.operators.Fts.searchBm25(spark, Sf0001, query, "en", k)
+      .collect().map(_.getLong(0))
+    // independent grade: fixture words are space-separated plain tokens
+    val text = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val grades = top.map(id => terms.count(text(id).contains))
+    def fold(gs: Seq[Int]): Long = gs.zipWithIndex.map { case (g, i) =>
+      math.round((math.pow(2.0, g) - 1.0) /
+        (math.log(i + 2.0) / math.log(2.0)) * 1e6)
+    }.sum
+    val out = graft.operators.RetrievalEval
+      .ndcg(spark, Sf0001, query, "en", k).collect()(0)
+    assert(out.getAs[Long]("dcg_micro") == fold(grades.toSeq))
+    assert(out.getAs[Long]("idcg_micro") >= out.getAs[Long]("dcg_micro"))
+    assert(out.getAs[Long]("ndcg_micro") <= 1000000L)
+    val firstFull = grades.indexWhere(_ == terms.length)
+    val expectMrr =
+      if (firstFull < 0) 0L else math.round(1e6 / (firstFull + 1))
+    assert(out.getAs[Long]("mrr_micro") == expectMrr)
+  }
+
   test("Tables.invalidate drops the memoized relation; reload re-reads") {
     val a = Tables.documents(spark, Sf0001)
     val b = Tables.documents(spark, Sf0001)

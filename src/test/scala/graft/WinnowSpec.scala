@@ -5,12 +5,12 @@ import graft.operators.TextOps
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fpsOf(texts: Seq[String]): Map[Long, Set[String]] = {
+  private def fpsOf(texts: Seq[String]): Map[Long, Set[Long]] = {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     TextOps.winnowSets(df).collect()
       .map(r => r.getLong(0) ->
-        r.getAs[scala.collection.Seq[String]]("fps").toSet).toMap
+        r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
   }
 
   test("winnowing guarantee: docs sharing a long run share a fingerprint") {
