@@ -98,6 +98,11 @@ object SparkEntry {
     // codebook-quality gate: pure-ADC recall@10 vs exact L2 top-10
     "pq_recall" -> ((s, d) =>
       ProductQuant.pqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
+    // IVF-PQ: cell-pruned scan of bucketed residual codes + refine
+    "ivfpq_ann" -> ((s, d) => IvfPq.ivfPqScan(s, d, 13L, 50, 10)),
+    // joint pruning+quantization recall gate for the IVF-PQ index
+    "ivfpq_recall" -> ((s, d) =>
+      IvfPq.ivfPqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -227,6 +232,8 @@ object SparkEntry {
     "zorder_key" -> ((s, d) => ScaleOps.zorderEventKeys(s, d, 50)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
+    // zero-exchange fact-fact join+agg over pre-bucketed tables
+    "bucketed_revenue" -> ((s, d) => ScaleOps.bucketedRevenue(s, d, 10)),
     // order-independent multiset digests (dataset-versioning primitive)
     "table_digest" -> ((s, d) => ScaleOps.tableDigests(s, d)),
     // join-key skew diagnostic (the salting decision input)
@@ -390,6 +397,9 @@ object SparkEntry {
     "pq_scan" -> ProductQuant.pqScanOracleSql(7L, 50, 10),
     "pq_recall" ->
       ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
+    "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 50, 10),
+    "ivfpq_recall" ->
+      IvfPq.ivfPqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "alt_schema_embeddings" -> LegacySchema.embeddingsViewOracleSql,
@@ -465,6 +475,7 @@ object SparkEntry {
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
+    "bucketed_revenue" -> ScaleOps.bucketedRevenueOracleSql(10),
     "table_digest" -> ScaleOps.tableDigestsOracleSql,
     "skew_stats" -> ScaleOps.joinKeySkewOracleSql(10),
     "quality_repetition" -> TextOps.repetitionStatsOracleSql,

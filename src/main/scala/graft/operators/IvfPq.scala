@@ -1,0 +1,479 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import ProductQuant.{M, Dsub, NCode, Iterations}
+
+/** IVF-PQ — the composed coarse-quantizer + product-quantizer index
+  * (Jégou, Douze & Schmid 2011 §IV; the FAISS `IndexIVFPQ` shape) and
+  * the actual 100 TB ANN serving path: IVF cell pruning bounds WHICH
+  * rows a probe touches (nProbe/nCentroids of the corpus) while PQ
+  * residual codes bound how many BYTES per row it reads (8 small ints
+  * instead of 64 floats). The reference serves vectors from a flat
+  * pgvector column (/root/reference/src/db/vector_store.py:178 runs a
+  * full `<=>` scan per query); this module is the beyond-reference
+  * scale path the same corpus would need at three more orders of
+  * magnitude.
+  *
+  * Composition contract: cells and their centroids are EXACTLY the IVF
+  * family's ([[Similarity.ensureIvfIndex]] — seed centroids
+  * vec_id < nCentroids, round-6 cosine assignment, centroid-id
+  * tiebreak), and the codebook is trained by EXACTLY the PQ family's
+  * integer Lloyd ([[ProductQuant.lloydOn]] — micro-unit BIGINT
+  * arithmetic, md5-spread seeds, keyed argmin) — but over RESIDUALS
+  * r = q(vec) − q(centroid) in micro units. Residual subtraction is
+  * integer, so the whole train/encode/ADC pipeline stays
+  * bit-reproducible against the DuckDB oracle; only the final full-dim
+  * refine is (rounded) double math.
+  *
+  * Scale shape: the cell assignment (the one full-corpus shuffle) is
+  * the ALREADY-persisted IVF index — building the PQ layer on top
+  * reads it scan-locally (centroid micro matrix and codebook ride
+  * along as literals; zero joins). The codes table is bucketed by
+  * centroid_id like the IVF index, so a probe statically prunes to
+  * nProbe buckets of a 32x-smaller table; the exact refine touches
+  * only nCand full vectors.
+  */
+object IvfPq {
+
+  /** Default cell count — matches the registered `ivf_ann` family. */
+  val NCentroids = 10
+
+  /** Default probe width. */
+  val NProbe = 3
+
+  /** The centroid micro matrix [centroid_id][dim] driver-side —
+    * nCentroids·64 BIGINTs, bounded. Quantized by the same column
+    * expression as every other micro path (no driver-side rounding
+    * that could drift). */
+  private def centroidMicro(spark: SparkSession, dir: String,
+      nCentroids: Int): Array[Array[Long]] = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < lit(nCentroids.toLong))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("qm"))
+      .collect()
+    val cm = Array.ofDim[Array[Long]](nCentroids)
+    rows.foreach(r => cm(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+    cm
+  }
+
+  /** Residual micro-unit subspace points (vec_id, s, sd, q) with
+    * q = micro(vec) − micro(assigned centroid): sourced from the
+    * persisted IVF index (embedding + centroid_id in-row), the
+    * centroid matrix riding along as a literal — a pure scan-local
+    * projection, no joins, no assignment recompute. */
+  private def respts(spark: SparkSession, dir: String,
+      nCentroids: Int): DataFrame = {
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cmLit = typedLit(centroidMicro(spark, dir, nCentroids)
+      .map(_.toSeq).toSeq)
+    spark.table(idx)
+      .select(col("vec_id"), posexplode(
+        zip_with(
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")),
+          element_at(cmLit, col("centroid_id").cast("int") + 1),
+          (x, c) => x - c)))
+      .toDF("vec_id", "dim", "q")
+      .select(col("vec_id"), expr(s"dim div $Dsub").cast("int").as("s"),
+        expr(s"dim % $Dsub").cast("int").as("sd"), col("q"))
+  }
+
+  /** Train the residual codebook — [[ProductQuant.lloydOn]] over the
+    * residual points with the same md5-spread seeds. One codebook
+    * shared across cells (the standard IVFPQ arrangement: residuals
+    * from different cells live in a comparable, centered space). */
+  def trainCodebook(spark: SparkSession, dir: String,
+      nCentroids: Int): DataFrame =
+    ProductQuant.lloydOn(respts(spark, dir, nCentroids),
+      ProductQuant.seedFrame(spark, dir))
+
+  private def codebookName(dir: String, nCentroids: Int): String =
+    s"graft_ivfpqcb_${ScaleOps.dirHash(dir)}_c$nCentroids"
+
+  private def codesName(dir: String, nCentroids: Int): String =
+    s"graft_ivfpq_${ScaleOps.dirHash(dir)}_c$nCentroids"
+
+  private def ensureTable(spark: SparkSession, name: String)(
+      build: => Unit): String = {
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(warehouse, name.toLowerCase))
+      build
+    }
+    name
+  }
+
+  /** Build-once: the trained residual codebook as a catalog table. */
+  def ensureCodebook(spark: SparkSession, dir: String,
+      nCentroids: Int): String =
+    ensureTable(spark, codebookName(dir, nCentroids)) {
+      trainCodebook(spark, dir, nCentroids)
+        .write.mode("overwrite").saveAsTable(codebookName(dir, nCentroids))
+    }
+
+  /** The trained residual codebook as a driver-side literal
+    * [s][c][sd] (1024 BIGINTs — bounded). */
+  def loadCodebook(spark: SparkSession, dir: String,
+      nCentroids: Int): Array[Array[Array[Long]]] = {
+    val cb = Array.ofDim[Long](M, NCode, Dsub)
+    spark.table(ensureCodebook(spark, dir, nCentroids))
+      .collect().foreach { r =>
+        cb(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("sd")) =
+          r.getAs[Long]("cq")
+      }
+    cb
+  }
+
+  /** Scan-local residual encoding of the whole corpus against the
+    * literal codebook: (vec_id, label, centroid_id, codes[M]). Reads
+    * the persisted IVF index once; zero joins, zero shuffles. */
+  def encode(spark: SparkSession, dir: String,
+      nCentroids: Int): DataFrame = {
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cmLit = typedLit(centroidMicro(spark, dir, nCentroids)
+      .map(_.toSeq).toSeq)
+    val rarr = zip_with(
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")),
+      element_at(cmLit, col("centroid_id").cast("int") + 1),
+      (x, c) => x - c)
+    spark.table(idx)
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        array(ProductQuant.codeColumns(cb, rarr): _*).as("codes"))
+  }
+
+  /** Build-once: the residual codes persisted bucketed by centroid_id
+    * (the same layout as the IVF index) — every probe statically
+    * prunes to its nProbe buckets of the 32x-smaller table. */
+  def ensureCodesTable(spark: SparkSession, dir: String,
+      nCentroids: Int): String =
+    ensureTable(spark, codesName(dir, nCentroids)) {
+      ScaleOps.writeBucketed(encode(spark, dir, nCentroids),
+        codesName(dir, nCentroids), "centroid_id", nCentroids)
+    }
+
+  /** Incremental index maintenance — the IVFPQ analog of
+    * [[Similarity.appendToIvfIndex]]: assign the delta rows against the
+    * STORED centroids, residual-encode them against the STORED codebook
+    * (both ride along as literals — scan-local, cost ∝ |delta|), and
+    * insert into the bucketed codes table. Codebook drift is a rebuild
+    * decision, not an append concern — the probe path is oblivious to
+    * how rows arrived. */
+  def appendToCodes(spark: SparkSession, dir: String, nCentroids: Int,
+      delta: DataFrame): Unit = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cmLit = typedLit(centroidMicro(spark, dir, nCentroids)
+      .map(_.toSeq).toSeq)
+    val rarr = zip_with(
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")),
+      element_at(cmLit, col("centroid_id").cast("int") + 1),
+      (x, c) => x - c)
+    Similarity.ivfAssignTo(delta, spark.table(s"${idx}_cents"))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        array(ProductQuant.codeColumns(cb, rarr): _*).as("codes"))
+      .write.insertInto(codes) // positional; respects the bucket spec
+  }
+
+  /** The query's nProbe nearest cells by round-6 cosine against the
+    * stored centroids — the [[Similarity.ivfTopK]] probe rule. */
+  private def probeCells(spark: SparkSession, idx: String,
+      qv: Seq[Double], nProbe: Int): Seq[Long] = {
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    spark.table(s"${idx}_cents")
+      .select(col("centroid_id"),
+        round(lit(1.0) - Similarity.dot(col("cv"), qvCol)
+          / (col("cn") * lit(qn)), 6).as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Per-probed-cell ADC LUTs: lut(cellpos)(s)(c) = integer
+    * |(q − centroid)_s − cw_sc|² — the query's residual is taken
+    * against EACH probed cell's centroid, so a code row compares in
+    * its own cell's residual space. */
+  private def cellLuts(qq: Array[Long], cm: Array[Array[Long]],
+      cells: Seq[Long], cb: Array[Array[Array[Long]]])
+      : Seq[Array[Array[Long]]] =
+    cells.map { cell =>
+      val rq = Array.tabulate(qq.length)(i => qq(i) - cm(cell.toInt)(i))
+      ProductQuant.buildLut(rq, cb)
+    }
+
+  /** The ADC distance column under a [cellpos][s][c] LUT literal and a
+    * cellpos column — 8 lookups + 7 integer adds per row. */
+  private def adcDist(lutLit: Column, cellpos: Column): Column =
+    (0 until M)
+      .map(s => element_at(element_at(element_at(lutLit, cellpos + 1),
+        s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+
+  /** IVF-PQ search: statically prune the bucketed codes table to the
+    * query's nProbe cells, ADC-rank the survivors (integer, exact vs
+    * the oracle), keep nCand, exact-refine them by full-dim (rounded
+    * double) L2² against the original vectors. Output (vec_id, label,
+    * centroid_id, adist, dist). The cellpos mapping is a when-chain
+    * (nProbe literals), keeping the probe a pure scan+filter+project —
+    * no join until the bounded refine. */
+  def ivfPqScan(spark: SparkSession, dir: String, qid: Long, nCand: Int,
+      k: Int, nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): DataFrame = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cm = centroidMicro(spark, dir, nCentroids)
+    val (qq, qv) = ProductQuant.fetchQuery(spark, dir, qid)
+    val cells = probeCells(spark, idx, qv.toSeq, nProbe)
+    val luts = cellLuts(qq, cm, cells, cb)
+    val lutLit = typedLit(luts.map(_.toSeq.map(_.toSeq)))
+    val cellpos = cells.zipWithIndex.tail
+      .foldLeft(when(col("centroid_id") === lit(cells.head), lit(0))) {
+        case (acc, (cell, i)) =>
+          acc.when(col("centroid_id") === lit(cell), lit(i))
+      }
+    val cand = spark.table(codes)
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        adcDist(lutLit, cellpos).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(nCand)
+    // refine against the IVF index table, NOT the source embeddings:
+    // the index stores vectors in-row and receives incremental appends
+    // (appendToCodes), so the whole probe path touches only index
+    // structures — on the un-appended corpus the rows are identical,
+    // which is what the DuckDB oracle checks
+    val qvLit = typedLit(qv.toSeq)
+    broadcast(cand)
+      .join(spark.table(idx)
+        .select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        col("adist"),
+        round(ProductQuant.l2sq(col("embedding"), qvLit), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Index-quality self-evaluation (mirrors [[ProductQuant.pqRecall]]):
+    * recall@k of the PURE pruned-ADC ranking — no refine, so the
+    * number reflects cell pruning + residual quantization jointly —
+    * against the exact full-corpus L2 top-k, per query. One job ranks
+    * all Q queries: the (q_id, centroid_id, ppos) probe-pair frame
+    * broadcasts against the bucketed codes scan; both rankings use
+    * q_id-partitioned windows. */
+  def ivfPqRecall(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int, nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): DataFrame = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cm = centroidMicro(spark, dir, nCentroids)
+    val fetched = qids.map(q =>
+      q -> ProductQuant.fetchQuery(spark, dir, q)).toMap
+    // exact side: full-corpus top-k by rounded double L2²
+    val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
+    val qdf = broadcast(spark.createDataFrame(
+        qids.zipWithIndex.map { case (q, i) => (q, i) })
+      .toDF("q_id", "qx"))
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("q_id"))
+    val exact = emb.join(qdf, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(ProductQuant.l2sq(col("embedding").cast("array<double>"),
+          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    // approximate side: ADC within each query's nProbe cells only.
+    // Flatten (query, probed cell) into one pair list; ppos indexes
+    // the 3-level LUT literal.
+    val pairs = qids.flatMap { q =>
+      probeCells(spark, idx, fetched(q)._2.toSeq, nProbe)
+        .map(cell => (q, cell))
+    }
+    val pairsDf = broadcast(spark.createDataFrame(
+        pairs.zipWithIndex.map { case ((q, cell), i) => (q, cell, i) })
+      .toDF("q_id", "centroid_id", "ppos"))
+    val lutLit = typedLit(pairs.map { case (q, cell) =>
+      val qq = fetched(q)._1
+      val rq = Array.tabulate(qq.length)(i => qq(i) - cm(cell.toInt)(i))
+      ProductQuant.buildLut(rq, cb).toSeq.map(_.toSeq)
+    })
+    val approx = spark.table(codes)
+      .join(pairsDf, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        adcDist(lutLit, col("ppos")).as("adist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      .select(col("q_id"), col("n_exact"), col("n_common"),
+        expr(s"n_common * 1000000 div $k").as("recall_micro"))
+      .orderBy(col("q_id").asc)
+  }
+
+  // ---- oracle SQL ----
+
+  /** Shared CTE block for the IVF-PQ oracles: `e` (double vectors),
+    * `cents`/`cells` (the IVF family's round-6 cosine assignment —
+    * textually the [[Similarity.ivfTopKOracleSql]] CTEs), `mic`/`cmic`
+    * (micro points / centroid micro points), `respts` (residuals), and
+    * the shared Lloyd chain over them under the `rq` prefix
+    * ([[ProductQuant.lloydCtes]] → `rqcb$Iterations`, `rqenc`). */
+  private def ivfPqCtes(nCentroids: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM e
+       |  WHERE vec_id < $nCentroids
+       |), asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), mic AS (
+       |  SELECT vec_id,
+       |    generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |      AS BIGINT) AS q
+       |  FROM embeddings
+       |), cmic AS (
+       |  SELECT vec_id AS centroid_id, dim, q AS cq FROM mic
+       |  WHERE vec_id < $nCentroids
+       |), respts AS (
+       |  SELECT p.vec_id, p.dim // $Dsub AS s, p.dim % $Dsub AS sd,
+       |    p.q - cm.cq AS q
+       |  FROM mic p
+       |  JOIN cells cl ON cl.vec_id = p.vec_id
+       |  JOIN cmic cm ON cm.centroid_id = cl.centroid_id
+       |    AND cm.dim = p.dim
+       |), ${ProductQuant.lloydCtes("respts", "rq")}""".stripMargin
+
+  def ivfPqScanOracleSql(qid: Long, nCand: Int, k: Int,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): String =
+    s"""WITH ${ivfPqCtes(nCentroids)}, q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcells AS (
+       |  SELECT centroid_id FROM cents, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe
+       |), qres AS (
+       |  SELECT cm.centroid_id, cm.dim // $Dsub AS s,
+       |    cm.dim % $Dsub AS sd, p.q - cm.cq AS q
+       |  FROM mic p
+       |  JOIN cmic cm ON cm.dim = p.dim
+       |  JOIN qcells qc ON qc.centroid_id = cm.centroid_id
+       |  WHERE p.vec_id = $qid
+       |), lut AS (
+       |  SELECT r.centroid_id, c.s, c.c,
+       |    sum((r.q - c.cq) * (r.q - c.cq)) AS d
+       |  FROM rqcb$Iterations c JOIN qres r
+       |    ON r.s = c.s AND r.sd = c.sd
+       |  GROUP BY 1, 2, 3
+       |), ad AS (
+       |  SELECT cl.vec_id, cl.label, cl.centroid_id,
+       |    CAST(sum(l.d) AS BIGINT) AS adist
+       |  FROM rqenc enc
+       |  JOIN cells cl ON cl.vec_id = enc.vec_id
+       |  JOIN lut l ON l.centroid_id = cl.centroid_id
+       |    AND l.s = enc.s AND l.c = enc.c
+       |  WHERE enc.vec_id <> $qid
+       |  GROUP BY 1, 2, 3
+       |), cand AS (
+       |  SELECT vec_id, label, centroid_id, adist FROM ad
+       |  ORDER BY adist ASC, vec_id ASC LIMIT $nCand
+       |)
+       |SELECT c.vec_id, c.label, c.centroid_id, c.adist,
+       |  round(list_dot_product(e.v, e.v)
+       |    - 2 * list_dot_product(e.v, qv)
+       |    + list_dot_product(qv, qv), 6) AS dist
+       |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+       |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  def ivfPqRecallOracleSql(qids: Seq[Long], k: Int,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH ${ivfPqCtes(nCentroids)}, qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($inList)
+       |), qcells AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(1.0 - list_dot_product(cents.cv, q.qv)
+       |          / (sqrt(list_dot_product(cents.cv, cents.cv))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) ASC,
+       |        cents.centroid_id ASC) AS rn
+       |    FROM cents, qs q) WHERE rn <= $nProbe
+       |), exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_dot_product(e.v, e.v)
+       |          - 2 * list_dot_product(e.v, q.qv)
+       |          + list_dot_product(q.qv, q.qv), 6) ASC,
+       |        e.vec_id ASC) AS rn
+       |    FROM e, qs q WHERE e.vec_id <> q.q_id) x
+       |  WHERE rn <= $k
+       |), qres AS (
+       |  SELECT qc.q_id, qc.centroid_id, cm.dim // $Dsub AS s,
+       |    cm.dim % $Dsub AS sd, p.q - cm.cq AS q
+       |  FROM qcells qc
+       |  JOIN cmic cm ON cm.centroid_id = qc.centroid_id
+       |  JOIN mic p ON p.vec_id = qc.q_id AND p.dim = cm.dim
+       |), lutq AS (
+       |  SELECT r.q_id, r.centroid_id, c.s, c.c,
+       |    sum((r.q - c.cq) * (r.q - c.cq)) AS d
+       |  FROM rqcb$Iterations c JOIN qres r
+       |    ON r.s = c.s AND r.sd = c.sd
+       |  GROUP BY 1, 2, 3, 4
+       |), ap AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT l.q_id, enc.vec_id,
+       |      row_number() OVER (PARTITION BY l.q_id ORDER BY
+       |        sum(l.d) ASC, enc.vec_id ASC) AS rn
+       |    FROM rqenc enc
+       |    JOIN cells cl ON cl.vec_id = enc.vec_id
+       |    JOIN lutq l ON l.centroid_id = cl.centroid_id
+       |      AND l.s = enc.s AND l.c = enc.c
+       |    WHERE enc.vec_id <> l.q_id
+       |    GROUP BY 1, 2) y
+       |  WHERE rn <= $k
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS recall_micro
+       |FROM exact ex LEFT JOIN ap
+       |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
+  }
+}

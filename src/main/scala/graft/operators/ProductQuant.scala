@@ -45,13 +45,13 @@ object ProductQuant {
 
   /** |a-b|² via the dot identity — both engines compute the same three
     * left-to-right dots, so the value is bit-identical. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
       Similarity.dot(b, b)
 
   /** Integer squared distance between two BIGINT arrays — exact, no
     * rounding discipline needed. */
-  private def il2(a: Column, b: Column): Column =
+  private[operators] def il2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
@@ -67,22 +67,39 @@ object ProductQuant {
       .select(col("vec_id"), expr(s"dim div $Dsub").cast("int").as("s"),
         expr(s"dim % $Dsub").cast("int").as("sd"), col("q"))
 
-  /** Train the codebook: Iterations rounds of integer Lloyd in every
-    * subspace at once (points keyed by (vec_id, s), centroids by
-    * (s, c)). Seeds are the NCode vec_ids with the smallest
-    * md5(vec_id) — a deterministic uniform sample, collected
-    * driver-side (NCode rows — bounded). Returns (s, c, sd, cq). */
-  def trainCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val p = pts(spark, dir).transform(CacheScope.cached)
+  /** The NCode seed picks as a (vec_id, c) frame: the vec_ids with the
+    * smallest md5(vec_id) — a deterministic uniform sample, collected
+    * driver-side (NCode rows — bounded). Shared by the raw-vector
+    * codebook here and the residual codebook in [[IvfPq]]. */
+  private[operators] def seedFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val seedIds = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h").asc, col("vec_id").asc)
       .limit(NCode)
       .collect().map(_.getLong(0))
-    val seeds = spark.createDataFrame(
+    spark.createDataFrame(
         seedIds.toSeq.zipWithIndex.map { case (v, i) => (v, i) })
       .toDF("vec_id", "c")
+  }
+
+  /** Train the codebook: Iterations rounds of integer Lloyd in every
+    * subspace at once (points keyed by (vec_id, s), centroids by
+    * (s, c)). Seeds are the NCode vec_ids with the smallest
+    * md5(vec_id) — a deterministic uniform sample, collected
+    * driver-side (NCode rows — bounded). Returns (s, c, sd, cq). */
+  def trainCodebook(spark: SparkSession, dir: String): DataFrame =
+    lloydOn(pts(spark, dir), seedFrame(spark, dir))
+
+  /** The Lloyd loop over an arbitrary micro-unit subspace point frame
+    * `p0` (vec_id, s, sd, q) — the ONE definition of the integer
+    * k-means this codebook family uses, shared between the raw-vector
+    * PQ here and the IVF-residual PQ ([[IvfPq]]) so their training
+    * semantics cannot drift. */
+  private[operators] def lloydOn(p0: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val p = p0.transform(CacheScope.cached)
     var cent = p.join(broadcast(seeds), Seq("vec_id"))
       .select(col("s"), col("c"), col("sd"), col("q").as("cq"))
     for (_ <- 1 to Iterations) {
@@ -146,7 +163,18 @@ object ProductQuant {
     val cb = loadCodebook(spark, dir)
     val qarr = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
-    val codeCols = (0 until M).map { s =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        array(codeColumns(cb, qarr): _*).as("codes"))
+  }
+
+  /** The per-subspace integer argmin columns (c0..c{M-1}) encoding an
+    * arbitrary micro-unit BIGINT-array column against a codebook
+    * literal — scan-local, shared with the residual encoder in
+    * [[IvfPq]]. Tiebreak: lower code id (strict `<`). */
+  private[operators] def codeColumns(cb: Array[Array[Array[Long]]],
+      qarr: Column): Seq[Column] =
+    (0 until M).map { s =>
       val subS = slice(qarr, s * Dsub + 1, Dsub)
       val cwLit = typedLit(cb(s).toSeq.map(_.toSeq))
       val best = aggregate(
@@ -159,10 +187,6 @@ object ProductQuant {
         })
       best("c").as(s"c$s")
     }
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        array(codeCols: _*).as("codes"))
-  }
 
   /** Build-once: persist the PQ codes as a catalog table (the 32x-
     * smaller scan target every subsequent probe reads). Idempotent per
@@ -188,7 +212,7 @@ object ProductQuant {
   /** The query's (micro-unit subspace components, double vector) in ONE
     * point lookup, quantized by the same column expression the corpus
     * side uses — no driver-side rounding that could drift. */
-  private def fetchQuery(spark: SparkSession, dir: String,
+  private[operators] def fetchQuery(spark: SparkSession, dir: String,
       qid: Long): (Array[Long], Array[Double]) = {
     val r = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === lit(qid))
@@ -201,7 +225,7 @@ object ProductQuant {
   }
 
   /** ADC lookup table lut[s][c] = integer |q_s − cw_sc|². */
-  private def buildLut(qq: Array[Long],
+  private[operators] def buildLut(qq: Array[Long],
       cb: Array[Array[Array[Long]]]): Array[Array[Long]] =
     Array.tabulate(M, NCode) { (s, c) =>
       (0 until Dsub).map { sd =>
@@ -297,33 +321,64 @@ object ProductQuant {
 
   // ---- oracle SQL ----
 
-  /** Shared CTE block: micro-unit subspace points, md5-spread seeds,
-    * `Iterations` unrolled Lloyd rounds, the final-codebook encoding
-    * `enc` (vec_id, s, c), and `e` (full double vectors). Mirrors the
-    * Spark pipeline step for step in BIGINT arithmetic. */
-  private def pqCtes: String = {
+  /** The Lloyd-training + final-encoding CTE chain over an arbitrary
+    * micro-unit subspace point CTE `src` (vec_id, s, sd, q) under a
+    * name prefix: `${pre}seeds` (md5-spread picks), `${pre}cb0` ..
+    * `${pre}cb$Iterations` (the trained codebook), `${pre}enc`
+    * (vec_id, s, c). The SQL mirror of [[lloydOn]] + the final argmin —
+    * shared with the IVF-residual oracle in [[IvfPq]]. */
+  private[operators] def lloydCtes(src: String, pre: String): String = {
     val iters = (1 to Iterations).map { i =>
-      s"""pqd$i AS (
+      s"""${pre}d$i AS (
          |  SELECT p.vec_id, p.s, c.c,
          |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
-         |  FROM pqpts p JOIN pqcb${i - 1} c ON c.s = p.s AND c.sd = p.sd
+         |  FROM $src p JOIN ${pre}cb${i - 1} c
+         |    ON c.s = p.s AND c.sd = p.sd
          |  GROUP BY 1, 2, 3
-         |), pqa$i AS (
+         |), ${pre}a$i AS (
          |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
          |    AS c
-         |  FROM pqd$i GROUP BY 1, 2
-         |), pqs$i AS (
+         |  FROM ${pre}d$i GROUP BY 1, 2
+         |), ${pre}s$i AS (
          |  SELECT a.s, a.c, p.sd, sum(p.q) // count(*) AS cq_new
-         |  FROM pqpts p JOIN pqa$i a
+         |  FROM $src p JOIN ${pre}a$i a
          |    ON a.vec_id = p.vec_id AND a.s = p.s
          |  GROUP BY 1, 2, 3
-         |), pqcb$i AS (
+         |), ${pre}cb$i AS (
          |  SELECT pr.s, pr.c, pr.sd,
          |    CAST(coalesce(su.cq_new, pr.cq) AS BIGINT) AS cq
-         |  FROM pqcb${i - 1} pr LEFT JOIN pqs$i su
+         |  FROM ${pre}cb${i - 1} pr LEFT JOIN ${pre}s$i su
          |    ON su.s = pr.s AND su.c = pr.c AND su.sd = pr.sd
          |)""".stripMargin
     }.mkString(", ")
+    s"""${pre}seeds AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+       |                       vec_id ASC) - 1 AS c
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |  LIMIT $NCode
+       |), ${pre}cb0 AS (
+       |  SELECT p.s, se.c, p.sd, p.q AS cq
+       |  FROM $src p JOIN ${pre}seeds se ON se.vec_id = p.vec_id
+       |), $iters, ${pre}encd AS (
+       |  SELECT p.vec_id, p.s, c.c,
+       |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
+       |  FROM $src p JOIN ${pre}cb$Iterations c
+       |    ON c.s = p.s AND c.sd = p.sd
+       |  GROUP BY 1, 2, 3
+       |), ${pre}enc AS (
+       |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
+       |    AS c
+       |  FROM ${pre}encd GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Shared CTE block: micro-unit subspace points, md5-spread seeds,
+    * `Iterations` unrolled Lloyd rounds, the final-codebook encoding
+    * `pqenc` (vec_id, s, c), and `e` (full double vectors). Mirrors
+    * the Spark pipeline step for step in BIGINT arithmetic. */
+  private def pqCtes: String =
     s"""e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
@@ -334,28 +389,7 @@ object ProductQuant {
        |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
        |        AS BIGINT) AS q
        |    FROM embeddings)
-       |), pqseeds AS (
-       |  SELECT vec_id,
-       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
-       |                       vec_id ASC) - 1 AS c
-       |  FROM embeddings
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-       |  LIMIT $NCode
-       |), pqcb0 AS (
-       |  SELECT p.s, se.c, p.sd, p.q AS cq
-       |  FROM pqpts p JOIN pqseeds se ON se.vec_id = p.vec_id
-       |), $iters, encd AS (
-       |  SELECT p.vec_id, p.s, c.c,
-       |    sum((p.q - c.cq) * (p.q - c.cq)) AS d
-       |  FROM pqpts p JOIN pqcb$Iterations c
-       |    ON c.s = p.s AND c.sd = p.sd
-       |  GROUP BY 1, 2, 3
-       |), enc AS (
-       |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
-       |    AS c
-       |  FROM encd GROUP BY 1, 2
-       |)""".stripMargin
-  }
+       |), ${lloydCtes("pqpts", "pq")}""".stripMargin
 
   def pqScanOracleSql(qid: Long, nCand: Int, k: Int): String =
     s"""WITH $pqCtes, qp AS (
@@ -366,7 +400,7 @@ object ProductQuant {
        |  GROUP BY 1, 2
        |), ad AS (
        |  SELECT enc.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
-       |  FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
+       |  FROM pqenc enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
        |  WHERE enc.vec_id <> $qid
        |  GROUP BY 1
        |), cand AS (
@@ -409,7 +443,7 @@ object ProductQuant {
        |    SELECT l.q_id, enc.vec_id,
        |      row_number() OVER (PARTITION BY l.q_id ORDER BY
        |        sum(l.d) ASC, enc.vec_id ASC) AS rn
-       |    FROM enc JOIN lutq l ON l.s = enc.s AND l.c = enc.c
+       |    FROM pqenc enc JOIN lutq l ON l.s = enc.s AND l.c = enc.c
        |    WHERE enc.vec_id <> l.q_id
        |    GROUP BY 1, 2) y
        |  WHERE rn <= $k

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfPq, ProductQuant, Similarity}
+
+class IvfPqSpec extends SparkSpec {
+
+  private val N = 10 // cells — matches the registered family
+
+  test("codes table: M codes per row, each in [0, NCode); centroid_id " +
+      "matches the IVF index assignment") {
+    IvfPq.ensureCodesTable(spark, Sf0001, N)
+    val idx = Similarity.ensureIvfIndex(spark, Sf0001, N)
+    val asg = spark.table(idx).select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = IvfPq.encode(spark, Sf0001, N).collect()
+    assert(rows.length == asg.size)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.length == ProductQuant.M)
+      assert(codes.forall(c => c >= 0 && c < ProductQuant.NCode))
+      assert(r.getAs[Long]("centroid_id") == asg(r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("encode picks the argmin codeword of the RESIDUAL (lower-id " +
+      "tiebreak), not of the raw vector") {
+    val cb = IvfPq.loadCodebook(spark, Sf0001, N)
+    val idx = Similarity.ensureIvfIndex(spark, Sf0001, N)
+    // micro vectors + assignment via the operator's own column expr
+    val micro = spark.table(idx)
+      .select(col("vec_id"), col("centroid_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val cm = micro.filter(_._1 < N).map(t => t._1 -> t._3).toMap
+    val enc = IvfPq.encode(spark, Sf0001, N).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    micro.foreach { case (vid, cell, v) =>
+      val res = Array.tabulate(v.length)(i => v(i) - cm(cell)(i))
+      (0 until ProductQuant.M).foreach { s =>
+        val dists = (0 until ProductQuant.NCode).map { c =>
+          (0 until ProductQuant.Dsub).map { sd =>
+            val d = res(s * ProductQuant.Dsub + sd) - cb(s)(c)(sd); d * d
+          }.sum
+        }
+        assert(enc(vid)(s) == dists.indexOf(dists.min),
+          s"vec $vid s=$s")
+      }
+    }
+  }
+
+  test("scan returns k rows from probed cells only, refine-ordered") {
+    val k = 5
+    val out = IvfPq.ivfPqScan(spark, Sf0001, 13L, 20, k, N, 2).collect()
+    assert(out.length == k)
+    val cells = out.map(_.getAs[Long]("centroid_id")).toSet
+    assert(cells.size <= 2, s"rows from ${cells.size} cells > nProbe=2")
+    val dists = out.map(_.getAs[Double]("dist")).toSeq
+    assert(dists == dists.sorted)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 13L))
+  }
+
+  test("probe statically bucket-prunes the codes table") {
+    IvfPq.ensureCodesTable(spark, Sf0001, N)
+    val df = IvfPq.ivfPqScan(spark, Sf0001, 13L, 20, 5, N, 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
+  test("incremental append: delta row is residual-encoded into the " +
+      "right bucket and found by the probe at distance 0") {
+    import spark.implicits._
+    val codes = IvfPq.ensureCodesTable(spark, Sf0001, N)
+    val idx = Similarity.ensureIvfIndex(spark, Sf0001, N)
+    val before = spark.table(codes).count()
+    // a vector equal to centroid 3's assigns to cell 3 with an
+    // all-zero residual; ADC then ranks it by the codebook's distance
+    // to the zero vector, and the exact refine puts it at dist 0
+    val c3 = Tables.embeddings(spark, Sf0001)
+      .filter($"vec_id" === 3L).select($"embedding").head()
+      .getSeq[Float](0)
+    val delta = Seq((900001L, 99)).toDF("vec_id", "label")
+      .withColumn("embedding", typedLit(c3))
+      .select($"vec_id", $"label", $"embedding")
+    try {
+      // a production append maintains BOTH index structures: the IVF
+      // table (full vectors — the refine source) and the codes table
+      Similarity.appendToIvfIndex(spark, Sf0001, N, delta)
+      IvfPq.appendToCodes(spark, Sf0001, N, delta)
+      assert(spark.table(codes).count() == before + 1)
+      val row = spark.table(codes)
+        .filter($"vec_id" === 900001L).head()
+      assert(row.getAs[Long]("centroid_id") == 3L)
+      val hits = IvfPq.ivfPqScan(spark, Sf0001, 3L, 20, 5, N, 1)
+        .collect()
+      assert(hits.head.getAs[Long]("vec_id") == 900001L)
+      assert(hits.head.getAs[Double]("dist") == 0.0)
+    } finally {
+      // ALWAYS drop: a failure must not leave the fake row in the
+      // shared tables that later tests would reuse
+      spark.sql(s"DROP TABLE IF EXISTS $codes")
+      spark.sql(s"DROP TABLE IF EXISTS $idx")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}_cents")
+    }
+  }
+
+  test("recall frame: n_exact = k, recall_micro in [0, 1e6], and the " +
+      "ADC top-k agrees with a driver-side recompute") {
+    val qids = Seq(3L, 7L)
+    val k = 5
+    val out = IvfPq.ivfPqRecall(spark, Sf0001, qids, k, N, 2).collect()
+    assert(out.map(_.getAs[Long]("q_id")).toSeq == qids.sorted)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == k)
+      val rm = r.getAs[Long]("recall_micro")
+      assert(rm >= 0L && rm <= 1000000L)
+      assert(rm == r.getAs[Long]("n_common") * 1000000L / k)
+    }
+  }
+}

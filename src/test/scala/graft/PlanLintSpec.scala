@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans
+    "ivfpq_recall", // Q·nProbe probe-pair frame riding the same scans
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction

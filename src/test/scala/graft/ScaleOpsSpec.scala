@@ -25,6 +25,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("bucketed_revenue: whole join+agg plan has NO shuffle exchange " +
+      "and matches the plain-join computation") {
+    val df = ScaleOps.bucketedRevenue(spark, Sf0001, 10)
+    assert(!ScaleOps.hasShuffleExchange(df),
+      "bucketed revenue must not shuffle:\n" +
+        df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("o_orderkey"), r.getAs[Double]("revenue"))).toSeq
+    val expected = Tables.orders(spark, Sf0001)
+      .join(Tables.lineitem(spark, Sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum((col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .collect().map(r =>
+        (r.getAs[Long]("o_orderkey"), r.getAs[Double]("revenue"))).toSeq
+    assert(got == expected)
+  }
+
   test("unbucketed version of the same join DOES shuffle (control)") {
     val orders = Tables.orders(spark, Sf0001)
       .select("o_orderkey", "o_totalprice")
