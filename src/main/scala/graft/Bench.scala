@@ -101,7 +101,11 @@ object Bench {
       // the builder (awaitTermination before returning the frame);
       // kmeans now collects its k hash-spread seed ids driver-side
       "events_tumbling_stream", "stream_index_termstats",
+      "stream_ivfpq_append",
       "kmeans_clusters", "pq_recall",
+      // round-10 additions: index builds / point lookups / probe-cell
+      // collects in the builder (IVFPQ family), bucketed-table build
+      "ivfpq_ann", "ivfpq_recall", "bucketed_revenue",
       // hybrid_rrf ranks its two bounded top-k lists driver-side
       "hybrid_rrf")
     // timed pass: min of N successful runs per query (construction +

@@ -179,6 +179,9 @@ object SparkEntry {
       graft.streaming.StreamBridge.eventsTumblingStream(s, d)),
     "stream_index_termstats" -> ((s, d) =>
       graft.streaming.StreamBridge.streamIndexTermStats(s, d)),
+    // streamed IVFPQ ingest: per-cell digest equals the batch encoding
+    "stream_ivfpq_append" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamIvfPqCells(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
@@ -448,6 +451,7 @@ object SparkEntry {
     "events_tumbling" -> Relational.eventsTumblingOracleSql,
     "events_tumbling_stream" -> Relational.eventsTumblingOracleSql,
     "stream_index_termstats" -> Fts.termStatsOracleSql,
+    "stream_ivfpq_append" -> IvfPq.streamedCellsOracleSql(),
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
     "events_funnel" -> Relational.eventsFunnelOracleSql,

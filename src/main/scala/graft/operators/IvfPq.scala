@@ -161,16 +161,13 @@ object IvfPq {
         codesName(dir, nCentroids), "centroid_id", nCentroids)
     }
 
-  /** Incremental index maintenance — the IVFPQ analog of
-    * [[Similarity.appendToIvfIndex]]: assign the delta rows against the
-    * STORED centroids, residual-encode them against the STORED codebook
-    * (both ride along as literals — scan-local, cost ∝ |delta|), and
-    * insert into the bucketed codes table. Codebook drift is a rebuild
-    * decision, not an append concern — the probe path is oblivious to
-    * how rows arrived. */
-  def appendToCodes(spark: SparkSession, dir: String, nCentroids: Int,
-      delta: DataFrame): Unit = {
-    val codes = ensureCodesTable(spark, dir, nCentroids)
+  /** Assign + residual-encode an arbitrary (vec_id, label, embedding)
+    * delta frame against the STORED centroids and codebook (both ride
+    * along as literals — scan-local, cost ∝ |delta|). The shared delta
+    * path behind [[appendToCodes]] and the streaming ingest bridge
+    * (graft.streaming.StreamBridge). */
+  def encodeDelta(spark: SparkSession, dir: String, nCentroids: Int,
+      delta: DataFrame): DataFrame = {
     val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
     val cb = loadCodebook(spark, dir, nCentroids)
     val cmLit = typedLit(centroidMicro(spark, dir, nCentroids)
@@ -183,7 +180,36 @@ object IvfPq {
     Similarity.ivfAssignTo(delta, spark.table(s"${idx}_cents"))
       .select(col("vec_id"), col("label"), col("centroid_id"),
         array(ProductQuant.codeColumns(cb, rarr): _*).as("codes"))
+  }
+
+  /** Incremental index maintenance — the IVFPQ analog of
+    * [[Similarity.appendToIvfIndex]]: [[encodeDelta]] the delta rows
+    * and insert into the bucketed codes table. Codebook drift is a
+    * rebuild decision, not an append concern — the probe path is
+    * oblivious to how rows arrived. */
+  def appendToCodes(spark: SparkSession, dir: String, nCentroids: Int,
+      delta: DataFrame): Unit = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    encodeDelta(spark, dir, nCentroids, delta)
       .write.insertInto(codes) // positional; respects the bucket spec
+  }
+
+  /** Order-independent per-cell digest of a codes frame: row count,
+    * sum of the packed 32-bit-free code integers (Σ_s codes[s]·16^s —
+    * binds the exact encode output, not just membership), and the
+    * vec_id span. Equal digests ⇒ the streamed index IS the batch
+    * index, whatever order rows arrived in. */
+  def cellDigest(codes: DataFrame): DataFrame = {
+    val codeInt = (0 until M)
+      .map(s => element_at(col("codes"), s + 1).cast("long")
+        * lit(1L << (4 * s)))
+      .reduce(_ + _)
+    codes.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(codeInt).as("codes_sum"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy(col("centroid_id").asc)
   }
 
   /** The query's nProbe nearest cells by round-6 cosine against the
@@ -476,4 +502,22 @@ object IvfPq {
        |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
        |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
   }
+
+  /** Oracle for the streamed-ingest cell digest
+    * (graft.streaming.StreamBridge.streamIvfPqCells): the same
+    * count / packed-code-sum / vec-span per cell, computed from the
+    * batch assignment + residual encoding CTEs — hash-equality proves
+    * the foreachBatch-built index equals the batch-built one. */
+  def streamedCellsOracleSql(nCentroids: Int = NCentroids): String =
+    s"""WITH ${ivfPqCtes(nCentroids)}, ci AS (
+       |  SELECT vec_id,
+       |    CAST(sum(c * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT)
+       |      AS code_int
+       |  FROM rqenc GROUP BY 1
+       |)
+       |SELECT cl.centroid_id, count(*) AS n_vecs,
+       |  CAST(sum(ci.code_int) AS BIGINT) AS codes_sum,
+       |  min(cl.vec_id) AS min_vec, max(cl.vec_id) AS max_vec
+       |FROM cells cl JOIN ci ON ci.vec_id = cl.vec_id
+       |GROUP BY 1 ORDER BY 1 ASC""".stripMargin
 }

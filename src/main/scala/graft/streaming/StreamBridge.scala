@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
-import graft.operators.{Fts, ScaleOps}
+import graft.operators.{Fts, IvfPq, ScaleOps}
 
 /** Run-to-completion bridges that put the §2.8 streaming surface into
   * the driver's DuckDB-oracled correctness artifact (round-10 verdict
@@ -80,5 +80,55 @@ object StreamBridge {
         sum(col("tf")).as("total_tf"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(100)
+  }
+
+  /** Streaming ANN-index maintenance under the oracle: replay the
+    * embeddings table through a file-stream source, each micro-batch
+    * assigned + residual-encoded against the STORED centroids and
+    * codebook ([[IvfPq.encodeDelta]] — the production append path,
+    * cost ∝ batch) and appended as codes partitions; then emit the
+    * order-independent per-cell digest of the streamed index.
+    * Hash-equality against [[IvfPq.streamedCellsOracleSql]] (the batch
+    * assignment + encoding) proves the streamed index IS the batch
+    * index. At 100 TB this is how new embeddings reach the IVFPQ index
+    * between rebuilds: a stream tails the ingest directory and appends
+    * encoded buckets; probes never stop. */
+  def streamIvfPqCells(spark: SparkSession, dir: String): DataFrame = {
+    val n = IvfPq.NCentroids
+    // offline-trained artifacts (centroids + codebook): build-once,
+    // exactly what a deployment would train before streaming begins
+    IvfPq.ensureCodesTable(spark, dir, n)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivfpq_").toFile.getAbsolutePath
+    val emb = graft.Tables.embeddings(spark, dir)
+    val src = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val doBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      IvfPq.encodeDelta(spark, dir, n, batch)
+        .write.mode("append").parquet(s"$tmp/codes")
+      ()
+    }
+    val q = src.writeStream
+      .foreachBatch(doBatch)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    // persist the digest as the surviving artifact (the per-batch
+    // partitions and checkpoint are scratch), same convention as the
+    // FTS bridge above
+    val table = s"graft_ivfpq_stream_${ScaleOps.dirHash(dir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(warehouse, table.toLowerCase))
+    IvfPq.cellDigest(spark.read.parquet(s"$tmp/codes"))
+      .write.mode("overwrite").saveAsTable(table)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(table).orderBy(col("centroid_id").asc)
   }
 }

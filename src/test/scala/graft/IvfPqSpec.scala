@@ -112,6 +112,16 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("streamed ingest digest equals the batch encoding digest") {
+    val streamed = graft.streaming.StreamBridge
+      .streamIvfPqCells(spark, Sf0001).collect()
+    val batch = IvfPq.cellDigest(IvfPq.encode(spark, Sf0001, N))
+      .collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, Sf0001).count())
+  }
+
   test("recall frame: n_exact = k, recall_micro in [0, 1e6], and the " +
       "ADC top-k agrees with a driver-side recompute") {
     val qids = Seq(3L, 7L)
