@@ -101,7 +101,7 @@ object Bench {
       // the builder (awaitTermination before returning the frame);
       // kmeans now collects its k hash-spread seed ids driver-side
       "events_tumbling_stream", "stream_index_termstats",
-      "stream_ivfpq_append",
+      "stream_ivfpq_append", "events_late_drop_stream",
       "kmeans_clusters", "pq_recall",
       // round-10 additions: index builds / point lookups / probe-cell
       // collects in the builder (IVFPQ family), bucketed-table build

@@ -182,6 +182,11 @@ object SparkEntry {
     // streamed IVFPQ ingest: per-cell digest equals the batch encoding
     "stream_ivfpq_append" -> ((s, d) =>
       graft.streaming.StreamBridge.streamIvfPqCells(s, d)),
+    // watermark late-data contract: deterministic 6-batch replay with
+    // displaced-late rows; the oracle replays Spark's watermark
+    // trajectory + drop/emission predicates in SQL
+    "events_late_drop_stream" -> ((s, d) =>
+      graft.streaming.StreamBridge.eventsLateDropStream(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
@@ -452,6 +457,8 @@ object SparkEntry {
     "events_tumbling_stream" -> Relational.eventsTumblingOracleSql,
     "stream_index_termstats" -> Fts.termStatsOracleSql,
     "stream_ivfpq_append" -> IvfPq.streamedCellsOracleSql(),
+    "events_late_drop_stream" ->
+      graft.streaming.StreamBridge.eventsLateDropOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
     "events_funnel" -> Relational.eventsFunnelOracleSql,

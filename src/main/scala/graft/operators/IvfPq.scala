@@ -194,6 +194,27 @@ object IvfPq {
       .write.insertInto(codes) // positional; respects the bucket spec
   }
 
+  /** Compaction for STREAMED code appends (the IVFPQ analog of
+    * [[Fts.compactStreamedIndex]]): the streaming bridge writes one
+    * small parquet batch per micro-batch with a `batch_id` column; this
+    * folds them into the bucketed codes-table shape with merge-on-read
+    * semantics — a vector re-encoded in a later batch REPLACES its
+    * older codes (latest batch_id wins per vec_id). One vec-keyed
+    * aggregate + co-keyed join, then the bucketed write; at 100 TB this
+    * is the standard small-file compaction job scheduled off the ingest
+    * path, and probes see one bucket-pruned relation instead of N
+    * micro-batch files. */
+  def compactStreamedCodes(spark: SparkSession, codesDir: String,
+      table: String, nCentroids: Int = NCentroids): String = {
+    val raw = spark.read.parquet(codesDir)
+    val latest = raw.groupBy("vec_id")
+      .agg(max(col("batch_id")).as("batch_id"))
+    val winning = raw.join(latest, Seq("vec_id", "batch_id"))
+      .select("vec_id", "label", "centroid_id", "codes")
+    ScaleOps.writeBucketed(winning, table, "centroid_id", nCentroids)
+    table
+  }
+
   /** Order-independent per-cell digest of a codes frame: row count,
     * sum of the packed 32-bit-free code integers (Σ_s codes[s]·16^s —
     * binds the exact encode output, not just membership), and the

@@ -104,8 +104,9 @@ object StreamBridge {
     val src = spark.readStream.schema(emb.schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
-    val doBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    val doBatch: (DataFrame, Long) => Unit = (batch, bid) => {
       IvfPq.encodeDelta(spark, dir, n, batch)
+        .withColumn("batch_id", lit(bid))
         .write.mode("append").parquet(s"$tmp/codes")
       ()
     }
@@ -116,19 +117,162 @@ object StreamBridge {
       .start()
     q.awaitTermination(180000)
     q.stop()
-    // persist the digest as the surviving artifact (the per-batch
-    // partitions and checkpoint are scratch), same convention as the
-    // FTS bridge above
+    // compact the micro-batch appends into the bucketed codes-table
+    // shape (merge-on-read, latest batch wins per vec_id) and digest
+    // THAT relation — the surviving artifacts are the compacted table
+    // and its digest; the per-batch files and checkpoint are scratch
+    val compactTable = s"graft_ivfpq_streamc_${ScaleOps.dirHash(dir)}"
+    IvfPq.compactStreamedCodes(spark, s"$tmp/codes", compactTable,
+      IvfPq.NCentroids)
     val table = s"graft_ivfpq_stream_${ScaleOps.dirHash(dir)}"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     graft.sources.ParquetStore.deleteRecursively(
       java.nio.file.Paths.get(warehouse, table.toLowerCase))
-    IvfPq.cellDigest(spark.read.parquet(s"$tmp/codes"))
+    IvfPq.cellDigest(spark.table(compactTable))
       .write.mode("overwrite").saveAsTable(table)
     graft.sources.ParquetStore.deleteRecursively(
       java.nio.file.Paths.get(tmp))
     spark.table(table).orderBy(col("centroid_id").asc)
+  }
+
+  /** Watermark late-data semantics under the oracle — the one streaming
+    * behavior with NO batch equivalent: rows arriving after the
+    * watermark passed their window's end are DROPPED, and in Append
+    * mode a window only emits once the watermark passes its end.
+    *
+    * Deterministic replay: events split into [[LateB]] files by equal
+    * EVENT-TIME bins (integer arithmetic — no global ordering pass),
+    * except rows with event_id % [[LateMod]] == 0, which are displaced
+    * [[LateJump]] bins later — they arrive days late against a
+    * 30-minute watermark. maxFilesPerTrigger=1 + strictly increasing
+    * file mtimes force one file per micro-batch in bin order, so
+    * Spark's watermark trajectory is a pure function of the fixture.
+    * Two DIFFERENT watermarks act inside a batch (empirically pinned
+    * here, the post-3.4 two-watermark contract): state EVICTION in
+    * batch b uses the watermark from data through batch b-1, while the
+    * LATE-DATA filter uses the one in force during batch b-1 (data
+    * through b-2) — so a row can be older than the current watermark
+    * and still be accepted if its window survived the previous one.
+    * Both are ms-floored max-event-time minus the delay (Spark's
+    * EventTimeStats precision).
+    *
+    * The DuckDB oracle replays the same rule in SQL — per-batch running
+    * max, the drop predicate (window_end > wm at arrival), and the
+    * final-emission predicate (window_end <= final wm) — so the hash
+    * gate pins Spark's documented late-data contract, not just a row
+    * count. At 100 TB this IS the ingest correctness question: which
+    * late events made it into the aggregate, and which windows are
+    * final. */
+  def eventsLateDropStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_late_").toFile.getAbsolutePath
+    val arrivalsDir = s"$tmp/arrivals"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(arrivalsDir))
+    val ev = graft.Tables.events(spark, dir)
+    // µs since epoch; the NTZ→LTZ cast is exact because every session
+    // in this repo pins spark.sql.session.timeZone=UTC
+    val us: org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+    val b = ev.agg(min(us).as("lo"), max(us).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1L
+    // equal event-time bins via integer division (matches the oracle's
+    // `//` exactly); the +LateJump arm clamps to the last bin
+    val chunk = expr(s"((_late_us - ${lo}L) * $LateB) div ${span}L")
+    val arrival = when(col("event_id") % LateMod === 0,
+      least(chunk + LateJump, lit(LateB - 1))).otherwise(chunk)
+    val tagged = ev.withColumn("_late_us", us.cast("long"))
+      .withColumn("_arrival", arrival)
+    (0 until LateB).foreach { i =>
+      val stage = s"$tmp/stage$i"
+      tagged.filter(col("_arrival") === i).drop("_arrival", "_late_us")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(arrivalsDir, f"evt-$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the FileStreamSource batch order
+      dst.setLastModified(1700000000000L + i * 60000L)
+      ()
+    }
+    val sink = s"graft_stream_latedrop_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivalsDir)
+    val q = src.withColumn("event_time", graft.Tables.tsTimestamp(src))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    // the memory sink holds the emitted rows; the staged files and
+    // checkpoint are scratch
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(sink)
+      .select((unix_timestamp(col("ws")) / lit(600L)).cast("long")
+        .as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+  }
+
+  /** Late-replay constants, shared verbatim by the oracle SQL. */
+  val LateB = 6
+  val LateMod = 17
+  val LateJump = 2
+  private val LateDelayMs = 30L * 60L * 1000L
+
+  /** Oracle for [[eventsLateDropStream]]: the watermark trajectory and
+    * both predicates (arrival-time drop, final emission) in SQL over the
+    * same integer bin assignment. */
+  val eventsLateDropOracleSql: String = {
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events
+       |), bnd AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+       |a AS (
+       |  SELECT e.*,
+       |    CASE WHEN e.event_id % $LateMod = 0
+       |      THEN least((e.us - bnd.lo) * $LateB // (bnd.hi - bnd.lo + 1)
+       |             + $LateJump, ${LateB - 1})
+       |      ELSE (e.us - bnd.lo) * $LateB // (bnd.hi - bnd.lo + 1)
+       |    END AS arrival,
+       |    (us // 600000000 + 1) * 600000000 AS wend,
+       |    us // 600000000 AS bucket
+       |  FROM e, bnd
+       |),
+       |bm AS (SELECT arrival, max(us) AS bmax FROM a GROUP BY arrival),
+       |wm AS (
+       |  -- the LATE filter in batch b uses the watermark in force
+       |  -- during batch b-1, i.e. data through batch b-2: 2 PRECEDING
+       |  SELECT arrival,
+       |    (max(bmax) OVER (ORDER BY arrival
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) // 1000
+       |     - $LateDelayMs) * 1000 AS wm_us
+       |  FROM bm
+       |),
+       |fin AS (SELECT (max(us) // 1000 - $LateDelayMs) * 1000
+       |          AS wm_final FROM e),
+       |kept AS (
+       |  SELECT a.* FROM a JOIN wm USING (arrival)
+       |  WHERE wm.wm_us IS NULL OR a.wend > wm.wm_us
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, event_type,
+       |  count(*) AS n, round(sum(value), 4) AS sum_value
+       |FROM kept, fin WHERE wend <= wm_final
+       |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin
   }
 }

@@ -122,6 +122,43 @@ class IvfPqSpec extends SparkSpec {
       Tables.embeddings(spark, Sf0001).count())
   }
 
+  test("compactStreamedCodes: latest batch wins per vec_id " +
+      "(merge-on-read), output is the bucketed codes shape") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_codes_").toFile.getAbsolutePath
+    val table = "graft_test_compact_codes"
+    try {
+      val base = IvfPq.encode(spark, Sf0001, N)
+        .withColumn("batch_id", lit(0L))
+      base.write.mode("append").parquet(s"$tmp/codes")
+      // batch 1 re-encodes vec_ids < 5 with a sentinel label — the
+      // upsert case a re-ingested document produces
+      base.filter(col("vec_id") < 5)
+        // keep the label dtype identical to batch 0's — appended parquet
+        // files must agree on physical types
+        .withColumn("label",
+          lit(999L).cast(base.schema("label").dataType))
+        .withColumn("batch_id", lit(1L))
+        .write.mode("append").parquet(s"$tmp/codes")
+      IvfPq.compactStreamedCodes(spark, s"$tmp/codes", table, N)
+      val compacted = spark.table(table)
+      assert(compacted.count() ==
+        Tables.embeddings(spark, Sf0001).count())
+      val relabeled = compacted.filter(col("vec_id") < 5)
+        .select(col("label").cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+      assert(relabeled.nonEmpty && relabeled.forall(_ == 999L))
+      val untouched = compacted.filter(col("vec_id") >= 5)
+        .filter(col("label") === 999L).count()
+      assert(untouched == 0L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("recall frame: n_exact = k, recall_micro in [0, 1e6], and the " +
       "ADC top-k agrees with a driver-side recompute") {
     val qids = Seq(3L, 7L)

@@ -29,6 +29,63 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows(stream) == rows(batch))
   }
 
+  test("events_late_drop_stream: emitted windows match an independent " +
+      "driver-side replay of the watermark contract, and drops occur") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val evDf = Tables.events(spark, Sf0001)
+    val usCol = evDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val ev = evDf.select(col("event_id"), col("event_type"),
+        col("value"), usCol.cast("long").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val lo = ev.map(_._4).min; val hi = ev.map(_._4).max
+    val span = hi - lo + 1L
+    val B = StreamBridge.LateB
+    def arrival(id: Long, us: Long): Int = {
+      val chunk = ((us - lo) * B / span).toInt
+      if (id % StreamBridge.LateMod == 0)
+        math.min(chunk + StreamBridge.LateJump, B - 1)
+      else chunk
+    }
+    val tagged = ev.map { case (id, tp, v, us) => (arrival(id, us), tp, v, us) }
+    val bmax = tagged.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._4).max }
+    // the late filter in batch b uses the watermark IN FORCE DURING
+    // batch b-1, i.e. data through batch b-2 (the two-watermark
+    // contract the bridge documents): ms-floored max - 30 min
+    def wmBefore(b: Int): Long =
+      (0 until math.max(0, b - 1)).flatMap(bmax.get) match {
+        case s if s.isEmpty => Long.MinValue
+        case s => (s.max / 1000L - 30L * 60L * 1000L) * 1000L
+      }
+    val wmFinal = (hi / 1000L - 30L * 60L * 1000L) * 1000L
+    def wend(us: Long): Long = (us / 600000000L + 1L) * 600000000L
+    val kept = tagged.filter { case (b, _, _, us) => wend(us) > wmBefore(b) }
+    val expected = kept
+      .filter { case (_, _, _, us) => wend(us) <= wmFinal }
+      .groupBy { case (_, tp, _, us) => (us / 600000000L, tp) }
+      .map { case ((bucket, tp), rs) =>
+        (bucket, tp) -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = StreamBridge.eventsLateDropStream(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (n, sum)) =>
+      assert(got(k)._1 == n, s"count mismatch at $k")
+      assert(math.abs(got(k)._2 - sum) < 1e-3, s"sum mismatch at $k")
+    }
+    // the contract is only interesting if the replay actually exercised
+    // it: some rows dropped as late, some windows withheld past the
+    // final watermark
+    val total = ev.length.toLong
+    val emitted = got.values.map(_._1).sum
+    assert(kept.length < total, "no late rows were dropped")
+    assert(emitted < kept.length, "no windows were withheld at the tail")
+  }
+
   test("pq_recall: full exact list per query, recall within [0, 1e6]") {
     val out = ProductQuant.pqRecall(spark, Sf0001,
       Seq(3L, 7L, 11L), 10).collect()
