@@ -21,7 +21,11 @@ object ScaleLadder {
     "pagerank_dups", "dsir_weights", "knn_quantized",
     "contamination_ngram", "langid_counts", "q5_nation_revenue",
     "fts_topk", "ivf_ann", "pq_scan", "dedup_simhash_pairs",
-    "token_accounting", "events_tumbling", "split_leakage")
+    "token_accounting", "events_tumbling", "split_leakage",
+    // round-10 additions: residual-coded ANN probe + recall eval and
+    // the zero-exchange bucketed fact join (bucket build amortized in
+    // the untimed warm-up, like the other persisted indexes)
+    "ivfpq_ann", "ivfpq_recall", "bucketed_revenue")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
