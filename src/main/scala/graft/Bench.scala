@@ -102,6 +102,7 @@ object Bench {
       // kmeans now collects its k hash-spread seed ids driver-side
       "events_tumbling_stream", "stream_index_termstats",
       "stream_ivfpq_append", "events_late_drop_stream",
+      "stream_click_attrib", "events_sessions_stream",
       "kmeans_clusters", "pq_recall",
       // round-10 additions: index builds / point lookups / probe-cell
       // collects in the builder (IVFPQ family), bucketed-table build

@@ -187,6 +187,15 @@ object SparkEntry {
     // trajectory + drop/emission predicates in SQL
     "events_late_drop_stream" -> ((s, d) =>
       graft.streaming.StreamBridge.eventsLateDropStream(s, d)),
+    // stream-stream interval join (click->purchase attribution) run to
+    // completion; oracle = the same interval join at us precision
+    "stream_click_attrib" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamClickAttribution(s, d, 3600L)),
+    // session_window (merging state) in Append mode: emitted sessions
+    // = closed-by-watermark sessions; oracle replays the us-precision
+    // gap recurrence + the final-watermark cutoff
+    "events_sessions_stream" -> ((s, d) =>
+      graft.streaming.StreamBridge.eventsSessionsStream(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
@@ -459,6 +468,10 @@ object SparkEntry {
     "stream_ivfpq_append" -> IvfPq.streamedCellsOracleSql(),
     "events_late_drop_stream" ->
       graft.streaming.StreamBridge.eventsLateDropOracleSql,
+    "stream_click_attrib" ->
+      graft.streaming.StreamBridge.clickAttributionOracleSql(3600L),
+    "events_sessions_stream" ->
+      graft.streaming.StreamBridge.eventsSessionsStreamOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
     "events_funnel" -> Relational.eventsFunnelOracleSql,

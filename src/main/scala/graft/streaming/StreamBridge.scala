@@ -229,6 +229,118 @@ object StreamBridge {
       .orderBy(col("bucket").asc, col("event_type").asc)
   }
 
+  /** Session windows under the oracle: per-user 30-minute-gap sessions
+    * via `session_window` in Append mode — the MERGING-state operator
+    * class (tumbling/sliding state is keyed by fixed windows; session
+    * state merges adjacent windows as rows arrive). With the fixture
+    * replayed as one batch plus the watermark-advancing final batch,
+    * Append emits exactly the sessions whose end (last event + gap)
+    * ≤ the final watermark — tail sessions stay open and are withheld,
+    * which the oracle reproduces with the same µs cutoff. The session
+    * recurrence itself (split when the inter-event gap ≥ 30 min, at
+    * µs precision) is the oracle's lag/running-sum rewrite, so the
+    * hash gate pins the merge rule, not just session counts. */
+  def eventsSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"graft_stream_sessions_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val src = EventStreams.readEvents(spark, dir)
+    val q = src
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(session_window(col("event_time"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    spark.table(sink)
+      .orderBy(col("user_id").asc, col("start_us").asc)
+  }
+
+  /** Oracle for [[eventsSessionsStream]]: the µs-precision session
+    * recurrence (lag + running break sum), session end = last event +
+    * gap, emitted iff end ≤ the final watermark (ms-floored max minus
+    * the delay — the same precision rule the late-drop oracle pins). */
+  val eventsSessionsStreamOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us FROM events
+      |), o AS (
+      |  SELECT user_id, value, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      |  FROM e
+      |), f AS (
+      |  SELECT *, CASE WHEN prev IS NULL
+      |    OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM o
+      |), s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, sid, min(us) AS start_us,
+      |    max(us) + 1800000000 AS end_us,
+      |    count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |  FROM s GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT (max(us) // 1000 - 1800000) * 1000 AS wmf FROM e
+      |)
+      |SELECT start_us, end_us, user_id, n_events, sum_value
+      |FROM g, fin WHERE end_us <= wmf
+      |ORDER BY user_id ASC, start_us ASC""".stripMargin
+
+  /** Stream-stream interval join under the oracle: run
+    * [[EventStreams.clickAttribution]] (click→purchase attribution,
+    * both sides watermarked, the join condition time-bounded so state
+    * is evictable) through the micro-batch engine to completion and
+    * emit every attributed pair. With the fixture replayed as one
+    * batch the inner join emits exactly the matches the equivalent
+    * batch interval join produces — the oracle compares at full µs
+    * precision, so the hash gate pins the join CONDITION, not just
+    * cardinality. At 100 TB the same code runs unbounded with the
+    * watermarks bounding join state; the deterministic replay is what
+    * makes it oracle-checkable. */
+  def streamClickAttribution(spark: SparkSession, dir: String,
+      attrWindowSec: Long): DataFrame = {
+    val sink = s"graft_stream_attrib_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val q = EventStreams.clickAttribution(spark,
+        EventStreams.readEvents(spark, dir), attrWindowSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    spark.table(sink)
+      .orderBy(col("click_id").asc, col("purchase_id").asc)
+  }
+
+  /** Oracle for [[streamClickAttribution]]: the same interval join in
+    * SQL, time compared at µs precision exactly as the streaming join
+    * condition does. */
+  def clickAttributionOracleSql(attrWindowSec: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    epoch_us(ts) AS us
+       |  FROM events
+       |)
+       |SELECT c.user_id, c.event_id AS click_id, c.sec AS click_sec,
+       |  p.event_id AS purchase_id, p.sec AS purchase_sec,
+       |  p.value AS purchase_value
+       |FROM e c JOIN e p
+       |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.user_id = c.user_id
+       | AND p.us > c.us AND p.us <= c.us + ${attrWindowSec}000000
+       |ORDER BY click_id ASC, purchase_id ASC""".stripMargin
+
   /** Late-replay constants, shared verbatim by the oracle SQL. */
   val LateB = 6
   val LateMod = 17

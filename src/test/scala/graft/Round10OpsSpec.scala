@@ -86,6 +86,84 @@ class Round10OpsSpec extends SparkSpec {
     assert(emitted < kept.length, "no windows were withheld at the tail")
   }
 
+  test("events_sessions_stream: Append-mode session_window emits " +
+      "exactly the closed sessions of a driver-side gap replay") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val evDf = Tables.events(spark, Sf0001)
+    val usCol = evDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val ev = evDf.select(col("user_id"), col("value"),
+        usCol.cast("long").as("us"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val gap = 1800L * 1000000L
+    val wmf = (ev.map(_._3).max / 1000L - 1800000L) * 1000L
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(_._3)
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]]
+      sorted.foreach { r =>
+        if (sessions.isEmpty || r._3 - sessions.last.last._3 >= gap)
+          sessions += scala.collection.mutable.ArrayBuffer(r)
+        else sessions.last += r
+      }
+      sessions.map { s =>
+        (s.head._3, s.last._3 + gap, uid, s.length.toLong,
+          s.map(_._2).sum)
+      }
+    }.filter(_._2 <= wmf).sortBy(s => (s._3, s._1))
+    val got = StreamBridge.eventsSessionsStream(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._4 == e._4, s"session mismatch: $g vs $e")
+      assert(math.abs(g._5 - e._5) < 1e-3)
+    }
+    // tail sessions (still open at the final watermark) are withheld
+    val allSessions = ev.groupBy(_._1).values
+      .map(_.sortBy(_._3)).toSeq
+    assert(expected.length < allSessions.map(_.size).sum,
+      "sanity: emitted sessions should be fewer than events")
+  }
+
+  test("stream_click_attrib: micro-batch stream-stream join emits " +
+      "exactly the batch interval join at microsecond precision") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val streamed = StreamBridge
+      .streamClickAttribution(spark, Sf0001, 3600L)
+      .collect().map(_.toSeq).toSeq
+    val evDf = Tables.events(spark, Sf0001)
+    val usCol = evDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val e = evDf.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"),
+      Tables.tsSeconds(evDf).cast("long").as("sec"),
+      usCol.cast("long").as("us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("click_sec"), col("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("sec").as("purchase_sec"),
+        col("value").as("purchase_value"), col("us").as("p_us"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_us") > col("c_us") &&
+        col("p_us") <= col("c_us") + 3600L * 1000000L)
+      .select(col("user_id"), col("click_id"), col("click_sec"),
+        col("purchase_id"), col("purchase_sec"), col("purchase_value"))
+      .orderBy(col("click_id").asc, col("purchase_id").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("pq_recall: full exact list per query, recall within [0, 1e6]") {
     val out = ProductQuant.pqRecall(spark, Sf0001,
       Seq(3L, 7L, 11L), 10).collect()
