@@ -12,5 +12,6 @@ object NativeFunctions {
   def registerAll(spark: SparkSession): Unit = {
     LightStem.register(spark)
     CoverDensityScore.register(spark)
+    PqEncode.register(spark)
   }
 }

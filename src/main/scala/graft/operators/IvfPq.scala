@@ -49,17 +49,31 @@ object IvfPq {
     * nCentroids·64 BIGINTs, bounded. Quantized by the same column
     * expression as every other micro path (no driver-side rounding
     * that could drift). */
+  // memoized per (sessionless) fixture dir + k: the centroid matrix
+  // and trained codebook are build-once immutable artifacts, but the
+  // probe/encode paths need them as driver-side literals — without the
+  // memo every encodeDelta/probe re-runs 2-3 small collect jobs whose
+  // fixed job latency dominates streaming-ingest reps (the tables
+  // themselves are still the source of truth; invalidate by restarting
+  // the session or dropping the table before rebuild, as ensureTable
+  // does)
+  private val cmCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[Array[Long]]]()
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[Array[Array[Long]]]]()
+
   private def centroidMicro(spark: SparkSession, dir: String,
-      nCentroids: Int): Array[Array[Long]] = {
-    val rows = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < lit(nCentroids.toLong))
-      .select(col("vec_id"), transform(col("embedding"),
-        x => round(x.cast("double") * 1e6).cast("long")).as("qm"))
-      .collect()
-    val cm = Array.ofDim[Array[Long]](nCentroids)
-    rows.foreach(r => cm(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
-    cm
-  }
+      nCentroids: Int): Array[Array[Long]] =
+    cmCache.computeIfAbsent((dir, nCentroids), _ => {
+      val rows = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < lit(nCentroids.toLong))
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qm"))
+        .collect()
+      val cm = Array.ofDim[Array[Long]](nCentroids)
+      rows.foreach(r => cm(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+      cm
+    })
 
   /** Residual micro-unit subspace points (vec_id, s, sd, q) with
     * q = micro(vec) − micro(assigned centroid): sourced from the
@@ -122,15 +136,16 @@ object IvfPq {
   /** The trained residual codebook as a driver-side literal
     * [s][c][sd] (1024 BIGINTs — bounded). */
   def loadCodebook(spark: SparkSession, dir: String,
-      nCentroids: Int): Array[Array[Array[Long]]] = {
-    val cb = Array.ofDim[Long](M, NCode, Dsub)
-    spark.table(ensureCodebook(spark, dir, nCentroids))
-      .collect().foreach { r =>
-        cb(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("sd")) =
-          r.getAs[Long]("cq")
-      }
-    cb
-  }
+      nCentroids: Int): Array[Array[Array[Long]]] =
+    cbCache.computeIfAbsent((dir, nCentroids), _ => {
+      val cb = Array.ofDim[Long](M, NCode, Dsub)
+      spark.table(ensureCodebook(spark, dir, nCentroids))
+        .collect().foreach { r =>
+          cb(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("sd")) =
+            r.getAs[Long]("cq")
+        }
+      cb
+    })
 
   /** Scan-local residual encoding of the whole corpus against the
     * literal codebook: (vec_id, label, centroid_id, codes[M]). Reads
@@ -148,7 +163,7 @@ object IvfPq {
       (x, c) => x - c)
     spark.table(idx)
       .select(col("vec_id"), col("label"), col("centroid_id"),
-        array(ProductQuant.codeColumns(cb, rarr): _*).as("codes"))
+        ProductQuant.encodeArray(cb, rarr).as("codes"))
   }
 
   /** Build-once: the residual codes persisted bucketed by centroid_id
@@ -179,7 +194,7 @@ object IvfPq {
       (x, c) => x - c)
     Similarity.ivfAssignTo(delta, spark.table(s"${idx}_cents"))
       .select(col("vec_id"), col("label"), col("centroid_id"),
-        array(ProductQuant.codeColumns(cb, rarr): _*).as("codes"))
+        ProductQuant.encodeArray(cb, rarr).as("codes"))
   }
 
   /** Incremental index maintenance — the IVFPQ analog of

@@ -118,23 +118,17 @@ object StreamBridge {
     q.awaitTermination(180000)
     q.stop()
     // compact the micro-batch appends into the bucketed codes-table
-    // shape (merge-on-read, latest batch wins per vec_id) and digest
-    // THAT relation — the surviving artifacts are the compacted table
-    // and its digest; the per-batch files and checkpoint are scratch
+    // shape (merge-on-read, latest batch wins per vec_id) — the
+    // compacted TABLE is the surviving artifact; the per-batch files
+    // and checkpoint are scratch, and the digest is computed off the
+    // persisted table (no second table write)
     val compactTable = s"graft_ivfpq_streamc_${ScaleOps.dirHash(dir)}"
     IvfPq.compactStreamedCodes(spark, s"$tmp/codes", compactTable,
       IvfPq.NCentroids)
-    val table = s"graft_ivfpq_stream_${ScaleOps.dirHash(dir)}"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    graft.sources.ParquetStore.deleteRecursively(
-      java.nio.file.Paths.get(warehouse, table.toLowerCase))
-    IvfPq.cellDigest(spark.table(compactTable))
-      .write.mode("overwrite").saveAsTable(table)
     graft.sources.ParquetStore.deleteRecursively(
       java.nio.file.Paths.get(tmp))
-    spark.table(table).orderBy(col("centroid_id").asc)
+    IvfPq.cellDigest(spark.table(compactTable))
+      .orderBy(col("centroid_id").asc)
   }
 
   /** Watermark late-data semantics under the oracle — the one streaming
