@@ -13,5 +13,7 @@ object NativeFunctions {
     LightStem.register(spark)
     CoverDensityScore.register(spark)
     PqEncode.register(spark)
+    VecDot.register(spark)
+    IVecDot.register(spark)
   }
 }

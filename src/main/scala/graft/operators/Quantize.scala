@@ -32,11 +32,12 @@ object Quantize {
 
   private val Tiny = 1e-12 // all-zero-vector guard: codes become zeros
 
-  /** Integer dot product of two int-code arrays, accumulated as LONG. */
+  /** Integer dot product of two int-code arrays, accumulated as LONG.
+    * Backed by the native codegen'd [[graft.functions.IVecDot]] —
+    * identical arithmetic to the former aggregate/zip_with fold, one
+    * generated loop instead of per-element interpreted lambdas. */
   def idot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    call_function("ivec_dot", a, b)
 
   /** Scan-local quantization frame: (vec_id, label, scale, codes). */
   def codes(emb: DataFrame): DataFrame = {

@@ -24,11 +24,13 @@ import graft.Tables
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, left-to-right summation. */
+  /** dot(a, b) in double precision, left-to-right summation. Backed by
+    * the native codegen'd [[graft.functions.VecDot]] expression —
+    * bit-identical to the former aggregate/zip_with fold (same
+    * widening, same order) but a single generated loop instead of one
+    * interpreted lambda per element. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
