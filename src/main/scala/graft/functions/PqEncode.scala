@@ -73,9 +73,15 @@ case class PqEncode(left: Expression, right: Expression)
 
 object PqEncode {
 
-  /** Static encoder shared by interpreted eval and generated code. */
+  /** Static encoder shared by interpreted eval and generated code.
+    * Registered session-wide, so a data vector shorter than the
+    * codebook's M·Dsub span fails fast instead of reading past the
+    * array (UnsafeArrayData would silently return garbage). */
   def encode(q: ArrayData, cb: Array[Array[Array[Long]]]): ArrayData = {
     val m = cb.length
+    val need = if (m == 0) 0 else m * cb(0)(0).length
+    if (q.numElements() < need) throw new IllegalArgumentException(
+      s"pq_encode: vector has ${q.numElements()} dims, codebook spans $need")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {

@@ -64,13 +64,23 @@ object VecDot {
 
   /** Static kernel shared by interpreted eval and generated code.
     * (double)(float) widening is exact, so the float path equals the
-    * former per-element Cast. */
+    * former per-element Cast.
+    *
+    * Registered session-wide, so ad-hoc SQL callers can reach it with
+    * arguments no internal caller produces: a length mismatch or null
+    * element fails fast with a clear error (UnsafeArrayData would
+    * otherwise silently return garbage on an out-of-range read). */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData,
       bFloat: Boolean): Double = {
     val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"vec_dot: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_dot: null element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -124,9 +134,14 @@ object IVecDot {
 
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"ivec_dot: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"ivec_dot: null element at index $i")
       acc += (a.getInt(i) * b.getInt(i)).toLong
       i += 1
     }

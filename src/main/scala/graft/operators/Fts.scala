@@ -914,25 +914,33 @@ object Fts {
     * inflected-only hit ("merging" for "merge") anchors no snippet.
     *
     * Scale shape: the search keeps its zero-exchange plan; the snippet
-    * pass joins the k-row hit list back to documents — broadcast the
-    * k rows, so the join is shuffle-free and the text column is read
-    * only for matching rows (at 100 TB: a broadcast-hash probe of k
-    * ids against the doc scan, not a corpus-wide projection of text).
+    * pass joins the k-row hit list back to a BARE (doc_id, text)
+    * projection of documents and only THEN computes the word arrays —
+    * broadcast the k rows, so the join is shuffle-free, and the
+    * per-word regex clean / array_position scan runs on exactly the k
+    * joined rows, never corpus-wide (at 100 TB: a broadcast-hash probe
+    * of k ids against the doc scan, then O(k) snippet work). Catalyst
+    * has no rule that defers expensive projections past a join, so the
+    * ordering here is load-bearing: project text only below the join,
+    * everything derived from it above.
     */
   def headlines(spark: SparkSession, dir: String, query: String,
       lang: String, k: Int, window: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
     val top = search(spark, dir, query, lang, k)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"), col("text"))
+    val joined = broadcast(top).join(docs, "doc_id")
     val words = split(lower(col("text")), " ")
     val clean = transform(words, w => regexp_replace(w, "\\W+", ""))
     val posCols = terms.map(t => nullif(array_position(clean, t), lit(0L)))
     val firstPos =
       if (posCols.length == 1) posCols.head else least(posCols: _*)
-    val docs = Tables.documents(spark, dir)
-      .filter(col("lang") === lit(lang))
-      .select(col("doc_id"), words.as("ws"), firstPos.as("fp"))
-    broadcast(top).join(docs, "doc_id")
+    joined
+      .select(col("doc_id"), col("score"), words.as("ws"),
+        firstPos.as("fp"))
       .filter(col("fp").isNotNull)
       .select(col("doc_id"), col("score"), col("fp").as("first_pos"),
         array_join(

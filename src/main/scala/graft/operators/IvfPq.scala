@@ -224,8 +224,15 @@ object IvfPq {
     val raw = spark.read.parquet(codesDir)
     val latest = raw.groupBy("vec_id")
       .agg(max(col("batch_id")).as("batch_id"))
+    // dropDuplicates guards the implicit one-row-per-vec-per-batch
+    // invariant: if a producer ever emitted the same vec_id twice within
+    // one micro-batch, both rows would match (vec_id, max batch_id) and
+    // survive as duplicates. Re-encodes within a batch are deterministic
+    // (encodeDelta is a pure function of the stored artifacts), so any
+    // such twins are identical rows and keeping one is value-exact.
     val winning = raw.join(latest, Seq("vec_id", "batch_id"))
       .select("vec_id", "label", "centroid_id", "codes")
+      .dropDuplicates("vec_id")
     ScaleOps.writeBucketed(winning, table, "centroid_id", nCentroids)
     table
   }

@@ -23,6 +23,42 @@ object StreamBridge {
   private def freshView(spark: SparkSession, name: String): Unit =
     try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
 
+  /** Scratch directory for bridge checkpoints and staging: prefer tmpfs
+    * (/dev/shm) over the disk-backed default temp dir. The bridges are
+    * run-to-completion harnesses, so their checkpoint/state-store I/O is
+    * pure fixed cost (6 micro-batches of fsync'd WAL writes each) —
+    * moving it to memory trims the bridge family's bench floor without
+    * touching semantics (every scratch dir is deleted after the run; a
+    * real deployment would point checkpoints at durable storage
+    * instead). */
+  private def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.getAbsolutePath
+  }
+
+  /** Await the bridge query's natural AvailableNow termination and only
+    * then stop it. A bare `awaitTermination(timeout); q.stop()` would,
+    * on timeout, kill the query mid-run and hand back a silently
+    * PARTIAL sink (wrong digest/windows) — fail fast instead. */
+  private def runToCompletion(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val done =
+      try q.awaitTermination(180000)
+      catch { case e: Throwable => q.stop(); throw e }
+    if (!done) {
+      q.stop()
+      throw new IllegalStateException(
+        "stream did not complete within 180 s; refusing to read a " +
+          "partial sink")
+    }
+    q.stop()
+  }
+
   /** Streaming face of the oracled `events_tumbling`: file-stream source
     * → watermark → 10-minute tumbling window aggregate, run through the
     * micro-batch engine into a memory sink (Complete mode, so the
@@ -34,13 +70,16 @@ object StreamBridge {
   def eventsTumblingStream(spark: SparkSession, dir: String): DataFrame = {
     val sink = "graft_stream_tumbling"
     freshView(spark, sink)
+    val tmp = scratchDir("graft_stream_tumbling_")
     val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, dir))
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
     spark.table(sink)
       .select(
         (unix_timestamp(col("window_start")) / lit(600L)).cast("long")
@@ -59,14 +98,12 @@ object StreamBridge {
     * streamed+compacted index IS the batch index.
     */
   def streamIndexTermStats(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_idx_").toFile.getAbsolutePath
+    val tmp = scratchDir("graft_stream_idx_")
     val q = EventStreams.indexMaintenance(
         spark, dir, s"$tmp/index", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
     val table = s"graft_fts_stream_${ScaleOps.dirHash(dir)}"
     Fts.compactStreamedIndex(spark, s"$tmp/index", table)
     // the compacted TABLE is the surviving artifact; the per-batch
@@ -98,8 +135,7 @@ object StreamBridge {
     // offline-trained artifacts (centroids + codebook): build-once,
     // exactly what a deployment would train before streaming begins
     IvfPq.ensureCodesTable(spark, dir, n)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_ivfpq_").toFile.getAbsolutePath
+    val tmp = scratchDir("graft_stream_ivfpq_")
     val emb = graft.Tables.embeddings(spark, dir)
     val src = spark.readStream.schema(emb.schema)
       .option("pathGlobFilter", "embeddings.parquet")
@@ -115,8 +151,7 @@ object StreamBridge {
       .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
     // compact the micro-batch appends into the bucketed codes-table
     // shape (merge-on-read, latest batch wins per vec_id) — the
     // compacted TABLE is the surviving artifact; the per-batch files
@@ -160,8 +195,7 @@ object StreamBridge {
     * late events made it into the aggregate, and which windows are
     * final. */
   def eventsLateDropStream(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_late_").toFile.getAbsolutePath
+    val tmp = scratchDir("graft_stream_late_")
     val arrivalsDir = s"$tmp/arrivals"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(arrivalsDir))
@@ -211,8 +245,7 @@ object StreamBridge {
       .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
     // the memory sink holds the emitted rows; the staged files and
     // checkpoint are scratch
     graft.sources.ParquetStore.deleteRecursively(
@@ -238,6 +271,7 @@ object StreamBridge {
     val sink = s"graft_stream_sessions_${ScaleOps.dirHash(dir)}"
     freshView(spark, sink)
     val src = EventStreams.readEvents(spark, dir)
+    val tmp = scratchDir("graft_stream_sessions_")
     val q = src
       .withWatermark("event_time", "30 minutes")
       .groupBy(session_window(col("event_time"), "30 minutes"),
@@ -250,10 +284,12 @@ object StreamBridge {
         col("user_id"), col("n_events"), col("sum_value"))
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
     spark.table(sink)
       .orderBy(col("user_id").asc, col("start_us").asc)
   }
@@ -304,14 +340,17 @@ object StreamBridge {
       attrWindowSec: Long): DataFrame = {
     val sink = s"graft_stream_attrib_${ScaleOps.dirHash(dir)}"
     freshView(spark, sink)
+    val tmp = scratchDir("graft_stream_attrib_")
     val q = EventStreams.clickAttribution(spark,
         EventStreams.readEvents(spark, dir), attrWindowSec)
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
-    q.stop()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
     spark.table(sink)
       .orderBy(col("click_id").asc, col("purchase_id").asc)
   }
@@ -360,7 +399,17 @@ object StreamBridge {
        |    us // 600000000 AS bucket
        |  FROM e, bnd
        |),
-       |bm AS (SELECT arrival, max(us) AS bmax FROM a GROUP BY arrival),
+       |-- the bin axis is generated 0..${LateB - 1}, NOT grouped from
+       |-- actual rows: every staged file becomes a micro-batch (empty
+       |-- ones included), so the ROWS offsets below must track
+       |-- file/batch indices, not non-empty-bin ranks. An empty bin
+       |-- contributes a NULL bmax, which the running max ignores —
+       |-- exactly Spark's watermark staying put on an empty batch.
+       |bins AS (SELECT range AS arrival FROM range(0, $LateB)),
+       |bm AS (
+       |  SELECT b.arrival, max(a.us) AS bmax
+       |  FROM bins b LEFT JOIN a ON a.arrival = b.arrival
+       |  GROUP BY b.arrival),
        |wm AS (
        |  -- the LATE filter in batch b uses the watermark in force
        |  -- during batch b-1, i.e. data through batch b-2: 2 PRECEDING

@@ -74,11 +74,20 @@ def main():
     # persist the pairing so the next graft.Bench run can stamp its
     # stdout line with a same-host DuckDB denominator (the r7 verdict's
     # numerator/denominator-from-different-sessions ambiguity)
+    # per-query pairing included so the 2x-of-DuckDB criterion is
+    # adjudicable query by query, not just in aggregate (a single query
+    # 10x its oracle can no longer hide inside a green total)
+    per_query = {n: {"spark_s": round(spark_times[n], 3),
+                     "duckdb_s": round(duck[n], 3),
+                     "ratio": round(spark_times[n] / duck[n], 3)
+                              if duck[n] > 0 else None}
+                 for n in common}
     with open("bench_duckdb.json", "w") as f:
         json.dump({"sf": sf_dir, "n_paired": len(common),
                    "spark_total": round(s_tot, 3),
                    "duckdb_total": round(d_tot, 3),
-                   "ratio": round(s_tot / d_tot, 3)}, f)
+                   "ratio": round(s_tot / d_tot, 3),
+                   "queries": per_query}, f)
 
 
 if __name__ == "__main__":
