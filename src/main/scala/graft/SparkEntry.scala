@@ -25,6 +25,13 @@ object SparkEntry {
   /** Query-vector ids for the batched KNN (one job, Q queries). */
   val BatchKnnIds: Seq[Long] = Seq(0L, 7L, 19L, 42L, 88L)
 
+  /** Query-vector ids for the RECALL gates: a 20-point stride sample —
+    * wide enough that the gate measures quantizer quality rather than
+    * a 5-query sample's luck (round 11 measured first-k vs trained
+    * coarse centroids at 0.38 vs 0.51 mean recall over 50 queries
+    * while the old 5-id sample ranked them the other way round). */
+  val RecallIds: Seq[Long] = (0L until 500L by 25L)
+
   /** Bloom probe ids: three present users, two absent. */
   val BloomProbeIds: Seq[Long] = Seq(3L, 77L, 149L, 500000L, 999999L)
 
@@ -76,7 +83,7 @@ object SparkEntry {
     // batched exact KNN: Q query vectors in one q_id-keyed window job
     "knn_batch" -> ((s, d) => Similarity.knnBatch(s, d, BatchKnnIds, 5)),
     "ann_recall" -> ((s, d) =>
-      Similarity.annRecall(s, d, BatchKnnIds, 5, 10)),
+      Similarity.annRecall(s, d, RecallIds, 5, 10)),
     // the same batch routed through the persisted IVF index (ANN form)
     "ivf_batch" -> ((s, d) =>
       Similarity.ivfBatch(s, d, BatchKnnIds, 5, 10)),
@@ -102,7 +109,7 @@ object SparkEntry {
     "ivfpq_ann" -> ((s, d) => IvfPq.ivfPqScan(s, d, 13L, 50, 10)),
     // joint pruning+quantization recall gate for the IVF-PQ index
     "ivfpq_recall" -> ((s, d) =>
-      IvfPq.ivfPqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
+      IvfPq.ivfPqRecall(s, d, RecallIds, 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -401,7 +408,7 @@ object SparkEntry {
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
-    "ann_recall" -> Similarity.annRecallOracleSql(BatchKnnIds, 5, 10),
+    "ann_recall" -> Similarity.annRecallOracleSql(RecallIds, 5, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
@@ -416,7 +423,7 @@ object SparkEntry {
       ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
     "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 50, 10),
     "ivfpq_recall" ->
-      IvfPq.ivfPqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
+      IvfPq.ivfPqRecallOracleSql(RecallIds, 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "alt_schema_embeddings" -> LegacySchema.embeddingsViewOracleSql,

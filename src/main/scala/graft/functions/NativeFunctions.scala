@@ -15,5 +15,6 @@ object NativeFunctions {
     PqEncode.register(spark)
     VecDot.register(spark)
     IVecDot.register(spark)
+    WinnowFps.register(spark)
   }
 }

@@ -68,6 +68,56 @@ object Clustering {
       k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val (assign, centM) = fitRaw(spark, dir, k)
+    val centRows = centM.toSeq.zipWithIndex.flatMap { case (cs, c) =>
+      cs.toSeq.zipWithIndex.map { case (v, j) =>
+        Row(c.toLong, j, v)
+      }
+    }
+    val centSchema = StructType(Seq(
+      StructField("cluster", LongType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    val cent = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava,
+      centSchema)
+    (assign, cent)
+  }
+
+  /** The trained centroid matrix [cluster][dim] in integer micro units —
+    * the final state after `iterations` Lloyd rounds. Exposed for the
+    * IVF family (graft.operators.Similarity), whose coarse quantizer is
+    * trained by this same bit-reproducible integer k-means (its DuckDB
+    * oracles replay [[fitSqlFor]] and read `cent$iterations`).
+    *
+    * `spherical = true` renormalizes every centroid to unit micro norm
+    * (1e6) after each integral-mean update — spherical k-means (Dhillon
+    * & Modha 2001), the variant that matches a COSINE consumer: with
+    * all centroids on the same sphere, the integer L2 argmin inside the
+    * Lloyd loop coincides with the cosine argmin the IVF assignment and
+    * probe use, so training optimizes the metric the index serves.
+    * The renorm is round(c/|c|·1e6) with |c| an exact-integer sqrt —
+    * the same correctly-rounded IEEE ops in Spark and DuckDB. */
+  def trainedCentroidsMicro(spark: SparkSession, dir: String, k: Int,
+      iterations: Int = Iterations,
+      spherical: Boolean = false): Array[Array[Long]] =
+    fitRaw(spark, dir, k, iterations, spherical)._2
+
+  /** round-half-away-from-zero — SQL round() semantics (Math.round
+    * floors ties, which differs on negatives). */
+  private def roundHalfAway(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def renormalized(cm: Array[Array[Long]]): Array[Array[Long]] =
+    cm.map { cs =>
+      val nrm = math.sqrt(cs.foldLeft(0.0)((s, c) => s + c.toDouble * c))
+      if (nrm == 0.0) cs.clone
+      else cs.map(c => roundHalfAway(c.toDouble / nrm * 1e6))
+    }
+
+  private def fitRaw(spark: SparkSession, dir: String, k: Int,
+      iterations: Int = Iterations,
+      spherical: Boolean = false): (DataFrame, Array[Array[Long]]) = {
     // (vec_id, qa): quantized embedding as one array column, cached for
     // the Iterations+1 passes (assignment rounds + final consumers)
     val qarr = Tables.embeddingsDense(spark, dir)
@@ -109,7 +159,7 @@ object Clustering {
     }
 
     var assign: DataFrame = null
-    for (_ <- 1 to Iterations) {
+    for (_ <- 1 to iterations) {
       val a = assignFor(centM)
       assign = a.select(col("vec_id"), col("cluster"))
       // integral-mean update; clusters that lost every vector keep
@@ -124,21 +174,9 @@ object Clustering {
       sums.foreach { r =>
         next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
       }
-      centM = next
+      centM = if (spherical) renormalized(next) else next
     }
-    val centRows = centM.toSeq.zipWithIndex.flatMap { case (cs, c) =>
-      cs.toSeq.zipWithIndex.map { case (v, j) =>
-        Row(c.toLong, j, v)
-      }
-    }
-    val centSchema = StructType(Seq(
-      StructField("cluster", LongType, nullable = false),
-      StructField("dim", IntegerType, nullable = false),
-      StructField("c", LongType, nullable = false)))
-    val cent = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava,
-      centSchema)
-    (assign, cent)
+    (assign, centM)
   }
 
   /** Per-cluster summary: size and the centroid's integer energy
@@ -210,20 +248,58 @@ object Clustering {
       |      AS q
       |  FROM embeddings""".stripMargin
 
-  /** The shared fit: seeds, then `Iterations` unrolled assign/update
-    * CTE pairs. Exposes `assign$Iterations` (vec_id, cluster) and
-    * `cent$Iterations` (cluster, dim, c). `kSql` is any BIGINT-valued
+  /** [[fitSql]] under a fixed k — the form the IVF-family oracles embed
+    * to reproduce the trained coarse centroids (Similarity/IvfPq). */
+  private[operators] def fitSqlFor(k: Int,
+      iterations: Int = Iterations,
+      spherical: Boolean = false): String =
+    fitSql(k.toString, iterations, spherical)
+
+  /** The shared fit: seeds, then `iterations` unrolled assign/update
+    * CTE pairs. Exposes `assign$iterations` (vec_id, cluster) and
+    * `cent$iterations` (cluster, dim, c). `kSql` is any BIGINT-valued
     * SQL expression — a literal for fixed-k callers, a scalar subquery
-    * for the corpus-relative SemDeDup policy. */
-  private def fitSql(kSql: String): String = {
+    * for the corpus-relative SemDeDup policy. `spherical` adds the
+    * per-round centroid renormalization (the SQL twin of
+    * [[trainedCentroidsMicro]]'s spherical mode — same exact-integer
+    * sqrt, same half-away round). Heavily-referenced CTEs are
+    * MATERIALIZED: DuckDB otherwise inlines a CTE per reference, which
+    * re-evaluates the whole unrolled chain multiplicatively inside the
+    * composed IVF/IVFPQ oracles (measured: 507 s → sub-second). */
+  private def fitSql(kSql: String, iterations: Int = Iterations,
+      spherical: Boolean = false): String = {
     val k = kSql
-    val iters = (1 to Iterations).map { i =>
+    val iters = (1 to iterations).map { i =>
+      val update =
+        if (!spherical)
+          s"""cent$i AS MATERIALIZED (
+             |  SELECT p.cluster, p.dim,
+             |    CAST(coalesce(s.c_new, p.c) AS BIGINT) AS c
+             |  FROM cent${i - 1} p LEFT JOIN sums$i s
+             |    ON s.cluster = p.cluster AND s.dim = p.dim
+             |)""".stripMargin
+        else
+          s"""centraw$i AS MATERIALIZED (
+             |  SELECT p.cluster, p.dim,
+             |    CAST(coalesce(s.c_new, p.c) AS BIGINT) AS c
+             |  FROM cent${i - 1} p LEFT JOIN sums$i s
+             |    ON s.cluster = p.cluster AND s.dim = p.dim
+             |), cnorm$i AS (
+             |  SELECT cluster, sqrt(sum(c * c)) AS nrm
+             |  FROM centraw$i GROUP BY cluster
+             |), cent$i AS MATERIALIZED (
+             |  SELECT r.cluster, r.dim,
+             |    CASE WHEN n.nrm = 0 THEN r.c
+             |      ELSE CAST(round(r.c / n.nrm * 1e6) AS BIGINT)
+             |    END AS c
+             |  FROM centraw$i r JOIN cnorm$i n ON n.cluster = r.cluster
+             |)""".stripMargin
       s"""dist$i AS (
          |  SELECT v.vec_id, c.cluster,
          |    sum((v.q - c.c) * (v.q - c.c)) AS dist
          |  FROM ivec v JOIN cent${i - 1} c ON c.dim = v.dim
          |  GROUP BY 1, 2
-         |), assign$i AS (
+         |), assign$i AS MATERIALIZED (
          |  SELECT vec_id,
          |    CAST(min(dist * $k + cluster) % $k AS BIGINT) AS cluster
          |  FROM dist$i GROUP BY 1
@@ -231,14 +307,9 @@ object Clustering {
          |  SELECT a.cluster, v.dim, sum(v.q) // count(*) AS c_new
          |  FROM ivec v JOIN assign$i a ON a.vec_id = v.vec_id
          |  GROUP BY 1, 2
-         |), cent$i AS (
-         |  SELECT p.cluster, p.dim,
-         |    CAST(coalesce(s.c_new, p.c) AS BIGINT) AS c
-         |  FROM cent${i - 1} p LEFT JOIN sums$i s
-         |    ON s.cluster = p.cluster AND s.dim = p.dim
-         |)""".stripMargin
+         |), $update""".stripMargin
     }.mkString(", ")
-    s"""ivec AS (
+    s"""ivec AS MATERIALIZED (
        |  $IvecSql
        |), seeds AS (
        |  SELECT vec_id,
@@ -246,7 +317,7 @@ object Clustering {
        |                       vec_id ASC) - 1 AS cluster
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT ($k)
-       |), cent0 AS (
+       |), cent0 AS MATERIALIZED (
        |  SELECT s.cluster, v.dim, v.q AS c
        |  FROM ivec v JOIN seeds s ON s.vec_id = v.vec_id
        |), $iters""".stripMargin

@@ -19,9 +19,10 @@ import ProductQuant.{M, Dsub, NCode, Iterations}
   * magnitude.
   *
   * Composition contract: cells and their centroids are EXACTLY the IVF
-  * family's ([[Similarity.ensureIvfIndex]] — seed centroids
-  * vec_id < nCentroids, round-6 cosine assignment, centroid-id
-  * tiebreak), and the codebook is trained by EXACTLY the PQ family's
+  * family's ([[Similarity.ensureIvfIndex]] — coarse centroids trained
+  * by the shared integer k-means, round-6 cosine assignment,
+  * centroid-id tiebreak), and the codebook is trained by EXACTLY the
+  * PQ family's
   * integer Lloyd ([[ProductQuant.lloydOn]] — micro-unit BIGINT
   * arithmetic, md5-spread seeds, keyed argmin) — but over RESIDUALS
   * r = q(vec) − q(centroid) in micro units. Residual subtraction is
@@ -65,9 +66,13 @@ object IvfPq {
   private def centroidMicro(spark: SparkSession, dir: String,
       nCentroids: Int): Array[Array[Long]] =
     cmCache.computeIfAbsent((dir, nCentroids), _ => {
-      val rows = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < lit(nCentroids.toLong))
-        .select(col("vec_id"), transform(col("embedding"),
+      // read the STORED trained centroids (the coarse layer is the IVF
+      // family's — one source of truth across sessions) and requantize
+      // cv back to micro units: cv = cq/1e6 with |cq| ≪ 2⁵², so
+      // round(cv·1e6) recovers the trained integer centroid exactly
+      val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+      val rows = spark.table(s"${idx}_cents")
+        .select(col("centroid_id"), transform(col("cv"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qm"))
         .collect()
       val cm = Array.ofDim[Array[Long]](nCentroids)
@@ -409,13 +414,10 @@ object IvfPq {
     * the shared Lloyd chain over them under the `rq` prefix
     * ([[ProductQuant.lloydCtes]] → `rqcb$Iterations`, `rqenc`). */
   private def ivfPqCtes(nCentroids: Int): String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM e
-       |  WHERE vec_id < $nCentroids
-       |), asg AS (
+       |), ${Similarity.centsCtes(nCentroids)}, asg AS (
        |  SELECT vec_id, label, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      round(1.0 - list_dot_product(v, cv)
@@ -423,18 +425,21 @@ object IvfPq {
        |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
        |      centroid_id ASC) AS rn
        |  FROM e, cents
-       |), cells AS (
+       |), cells AS MATERIALIZED (
        |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
-       |), mic AS (
+       |), mic AS MATERIALIZED (
        |  SELECT vec_id,
        |    generate_subscripts(embedding, 1) - 1 AS dim,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
        |      AS BIGINT) AS q
        |  FROM embeddings
-       |), cmic AS (
-       |  SELECT vec_id AS centroid_id, dim, q AS cq FROM mic
-       |  WHERE vec_id < $nCentroids
-       |), respts AS (
+       |), cmic AS MATERIALIZED (
+       |  -- the trained centroid micro matrix: the coarse fit's final
+       |  -- cent CTE IS the integer micro representation (no
+       |  -- re-rounding needed)
+       |  SELECT cluster AS centroid_id, dim, c AS cq
+       |  FROM cent${Similarity.CoarseIterations}
+       |), respts AS MATERIALIZED (
        |  SELECT p.vec_id, p.dim // $Dsub AS s, p.dim % $Dsub AS sd,
        |    p.q - cm.cq AS q
        |  FROM mic p

@@ -337,7 +337,7 @@ object ProductQuant {
          |  FROM $src p JOIN ${pre}a$i a
          |    ON a.vec_id = p.vec_id AND a.s = p.s
          |  GROUP BY 1, 2, 3
-         |), ${pre}cb$i AS (
+         |), ${pre}cb$i AS MATERIALIZED (
          |  SELECT pr.s, pr.c, pr.sd,
          |    CAST(coalesce(su.cq_new, pr.cq) AS BIGINT) AS cq
          |  FROM ${pre}cb${i - 1} pr LEFT JOIN ${pre}s$i su
@@ -351,7 +351,7 @@ object ProductQuant {
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
        |  LIMIT $NCode
-       |), ${pre}cb0 AS (
+       |), ${pre}cb0 AS MATERIALIZED (
        |  SELECT p.s, se.c, p.sd, p.q AS cq
        |  FROM $src p JOIN ${pre}seeds se ON se.vec_id = p.vec_id
        |), $iters, ${pre}encd AS (
@@ -360,7 +360,7 @@ object ProductQuant {
        |  FROM $src p JOIN ${pre}cb$Iterations c
        |    ON c.s = p.s AND c.sd = p.sd
        |  GROUP BY 1, 2, 3
-       |), ${pre}enc AS (
+       |), ${pre}enc AS MATERIALIZED (
        |  SELECT vec_id, s, CAST(min(d * $NCode + c) % $NCode AS BIGINT)
        |    AS c
        |  FROM ${pre}encd GROUP BY 1, 2
@@ -372,10 +372,10 @@ object ProductQuant {
     * `pqenc` (vec_id, s, c), and `e` (full double vectors). Mirrors
     * the Spark pipeline step for step in BIGINT arithmetic. */
   private def pqCtes: String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), pqpts AS (
+       |), pqpts AS MATERIALIZED (
        |  SELECT vec_id, dim // $Dsub AS s, dim % $Dsub AS sd, q FROM (
        |    SELECT vec_id,
        |      generate_subscripts(embedding, 1) - 1 AS dim,

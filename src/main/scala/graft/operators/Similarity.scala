@@ -16,11 +16,15 @@ import graft.Tables
   *   bit-compatible; both engines sum left-to-right over the array.
   * - V3 threshold + V4 top-k: filter + TakeOrderedAndProject.
   * - ANN (the ivfflat-index analog, scripts/init-db.sql:32): a
-  *   deterministic IVF — fixed centroid set (vec_id < nCentroids as
-  *   seeds), assignment = argmin cosine distance, probe = the query's
-  *   cell only, exact re-rank inside the cell. At 100 TB the assignment
-  *   is a broadcast join (centroids are tiny) writing a bucketed table;
-  *   a probe then touches 1/nCentroids of the data.
+  *   deterministic IVF — coarse centroids TRAINED by the same
+  *   bit-reproducible integer k-means the SemDeDup clustering uses
+  *   (Clustering.trainedCentroidsMicro: md5-spread seeds, integer
+  *   Lloyd, dequantized to doubles), the pgvector-at-build-time
+  *   k-means lists analog; assignment = argmin cosine distance,
+  *   probe = the query's cell only, exact re-rank inside the cell. At
+  *   100 TB the assignment is a broadcast join (centroids are tiny)
+  *   writing a bucketed table; a probe then touches 1/nCentroids of
+  *   the data.
   */
 object Similarity {
 
@@ -84,17 +88,42 @@ object Similarity {
        |SELECT vec_id, label, dist FROM d WHERE dist <= $threshold
        |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
 
-  /** Deterministic IVF assignment: nearest of the seed centroids
-    * (vec_id < nCentroids), tiebreak on centroid id. Returns
+  /** Lloyd rounds for the coarse quantizer — more than the SemDeDup
+    * default (3): the coarse layer is probe infrastructure, trained
+    * once, and recall at fixed nProbe is what it buys. */
+  val CoarseIterations = 5
+
+  /** The TRAINED coarse centroids as a (centroid_id, cv, cn) frame:
+    * SPHERICAL k-means in integer micro units (md5-spread seeds,
+    * [[CoarseIterations]] integer Lloyd rounds with per-round unit
+    * renormalization — [[Clustering.trainedCentroidsMicro]], the ONE
+    * k-means this repo trains, in its cosine-coherent mode),
+    * dequantized to double vectors. The round-10 verdict's carry-over:
+    * first-k-rows centroids cost recall at fixed nProbe on skewed
+    * corpora; pgvector's ivfflat likewise k-means its lists at index
+    * build time. Dequantize/requantize is exact (micro magnitudes
+    * ≪ 2⁵², so cq/1e6·1e6 rounds back to cq), which keeps the IVFPQ
+    * residual layer bit-reproducible against its oracle. */
+  private[operators] def trainedCents(spark: SparkSession, dir: String,
+      nCentroids: Int): DataFrame = {
+    val cm = Clustering.trainedCentroidsMicro(spark, dir, nCentroids,
+      CoarseIterations, spherical = true)
+    val rows = cm.toSeq.zipWithIndex.map { case (cs, c) =>
+      (c.toLong, cs.toSeq.map(_.toDouble / 1e6))
+    }
+    spark.createDataFrame(rows).toDF("centroid_id", "cv")
+      .select(col("centroid_id"), col("cv"), norm(col("cv")).as("cn"))
+  }
+
+  /** Deterministic IVF assignment: nearest of the trained coarse
+    * centroids ([[trainedCents]]), tiebreak on centroid id. Returns
     * (vec_id, label, embedding, nrm, centroid_id, dist-to-centroid) —
     * the vector and its precomputed norm ride along so the persisted
     * index (ensureIvfIndex) can serve probes without joining back to
     * the source table. */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
-    ivfAssignTo(emb,
-      emb.filter(col("vec_id") < lit(nCentroids.toLong))
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("cv"), norm(col("embedding")).as("cn")))
+  def ivfAssign(spark: SparkSession, dir: String, emb: DataFrame,
+      nCentroids: Int): DataFrame =
+    ivfAssignTo(emb, trainedCents(spark, dir, nCentroids))
 
   /** Assignment against an explicit centroid frame — the ONE definition
     * of the assignment semantics (rounding, tiebreak, column order):
@@ -116,6 +145,25 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Corpus-relative cell count — the same policy as the SemDeDup
+    * k-means (k = max(8, n / target)): cells GROW with the corpus so a
+    * probe touches nProbe·target vectors regardless of n, and the
+    * per-cell exact re-rank stays bounded by target. pgvector's own
+    * guidance is the square-root flavor of the same idea (lists ≈
+    * rows/1000 up to 1M, sqrt(rows) beyond); the linear policy keeps
+    * probe cost CONSTANT as the corpus grows, pushing all growth into
+    * the (embarrassingly parallel, build-time) assignment. The count
+    * feeding it is a parquet-metadata job, not a scan. */
+  def autoNCentroids(n: Long, targetCellSize: Long = 1000L): Int =
+    math.max(8L, n / targetCellSize).toInt
+
+  /** [[ensureIvfIndex]] with the corpus-relative [[autoNCentroids]]
+    * policy — the form a deployment calls (the oracled fixture queries
+    * pass explicit counts so their DuckDB twins can replay them). */
+  def ensureIvfIndexAuto(spark: SparkSession, dir: String): String =
+    ensureIvfIndex(spark, dir,
+      autoNCentroids(Tables.embeddings(spark, dir).count()))
+
   /** Deterministic catalog name for the persisted IVF index of (dir,
     * nCentroids). */
   def ivfIndexName(dir: String, nCentroids: Int): String =
@@ -136,13 +184,12 @@ object Similarity {
     val name = ivfIndexName(dir, nCentroids)
     if (!spark.catalog.tableExists(name)) {
       val emb = Tables.embeddings(spark, dir)
-      ScaleOps.writeBucketed(ivfAssign(emb, nCentroids), name,
+      // a driver-local frame (nCentroids rows) — no caching needed for
+      // the two writes below
+      val cents = trainedCents(spark, dir, nCentroids)
+      ScaleOps.writeBucketed(ivfAssignTo(emb, cents), name,
         "centroid_id", nCentroids)
-      ScaleOps.writeBucketed(
-        emb.filter(col("vec_id") < lit(nCentroids.toLong))
-          .select(col("vec_id").as("centroid_id"),
-            col("embedding").as("cv"), norm(col("embedding")).as("cn")),
-        s"${name}_cents", "centroid_id", 1)
+      ScaleOps.writeBucketed(cents, s"${name}_cents", "centroid_id", 1)
     }
     name
   }
@@ -345,16 +392,27 @@ object Similarity {
        |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
        |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
 
+  /** Oracle CTE chain reproducing [[trainedCents]] in DuckDB: the
+    * shared integer-Lloyd fit (Clustering.fitSqlFor → `cent3`)
+    * dequantized to DOUBLE[] centroid vectors — the same exact-integer
+    * arithmetic both engines agree on bit-for-bit, divided by 1e6 as
+    * correctly-rounded IEEE doubles on both sides. Exposes `cents`
+    * (centroid_id, cv). */
+  private[operators] def centsCtes(nCentroids: Int): String =
+    s"""${Clustering.fitSqlFor(nCentroids, CoarseIterations,
+          spherical = true)}, cents AS MATERIALIZED (
+       |  SELECT cluster AS centroid_id,
+       |    list(c / 1e6 ORDER BY dim) AS cv
+       |  FROM cent$CoarseIterations GROUP BY cluster
+       |)""".stripMargin
+
   def ivfBatchOracleSql(qids: Seq[Long], k: Int, nCentroids: Int,
       nProbe: Int = 2): String = {
     val inList = qids.mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM e
-       |  WHERE vec_id < $nCentroids
-       |), asg AS (
+       |), ${centsCtes(nCentroids)}, asg AS (
        |  SELECT vec_id, label, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      round(1.0 - list_dot_product(v, cv)
@@ -401,10 +459,7 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM e
-       |  WHERE vec_id < $nCentroids
-       |), asg AS (
+       |), ${centsCtes(nCentroids)}, asg AS (
        |  SELECT vec_id, label, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      round(1.0 - list_dot_product(v, cv)
@@ -464,10 +519,7 @@ object Similarity {
   def embCosinePairsOracleSql(eps: Double, nCentroids: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM e
-       |  WHERE vec_id < $nCentroids
-       |), asg AS (
+       |), ${centsCtes(nCentroids)}, asg AS (
        |  SELECT vec_id, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      round(1.0 - list_dot_product(v, cv)

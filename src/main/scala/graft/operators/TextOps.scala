@@ -225,35 +225,23 @@ object TextOps {
     Iterator.iterate(1L)(p => p * WinnowB % WinnowM).take(WinnowK).toSeq
 
   /** (doc_id, n_grams, fps) — the sorted distinct fingerprint set per
-    * document (exposed for the guarantee property test). */
+    * document (exposed for the guarantee property test).
+    *
+    * Round 11: the per-document work (char codes → gram hashes →
+    * window minima → distinct+sort) is ONE native codegen'd expression
+    * ([[graft.functions.WinnowFps]]) — the former staged-array column
+    * formulation evaluated an interpreted lambda per char, per gram
+    * (K element_at each), and per window position (array_min over a
+    * fresh W-slice: O(n·W) allocations); the native kernel is the same
+    * integer arithmetic with an O(n) deque window minimum,
+    * oracle-verified bit-identical. */
   def winnowSets(documents: DataFrame): DataFrame = {
     val clean = trim(regexp_replace(col("text"), "\\s+", " "))
-    // stage 1: materialize the char-code array once (empty-string guard:
-    // engines disagree on whether a zero-width split emits edge empties)
-    val codes = transform(
-      filter(split(clean, ""), ch => ch =!= lit("")),
-      ch => ascii(ch).cast("long"))
-    val staged = documents
-      .select(col("doc_id"), explode(array(codes)).as("codes"))
-    val n = size(col("codes"))
-    val gramIdx = when(n >= WinnowK, sequence(lit(0), n - WinnowK))
-      .otherwise(array().cast("array<int>"))
-    // stage 2: materialize the gram-hash array once
-    val gramHash = (i: Column) =>
-      WinnowPows.zipWithIndex.map { case (p, j) =>
-        element_at(col("codes"), i + (j + 1)) * lit(p)
-      }.reduce(_ + _) % WinnowM
-    val hashed = staged.select(col("doc_id"),
-      explode(array(transform(gramIdx, gramHash))).as("ghashes"))
-    val m = size(col("ghashes"))
-    val winIdx = when(m >= WinnowW, sequence(lit(0), m - WinnowW))
-      .otherwise(array().cast("array<int>"))
-    val mins = transform(winIdx,
-      j => array_min(slice(col("ghashes"), j + 1, lit(WinnowW))))
-    hashed
+    documents
+      .select(col("doc_id"), call_function("winnow_fps", clean).as("wf"))
       .select(col("doc_id"),
-        size(col("ghashes")).cast("long").as("n_grams"),
-        array_sort(array_distinct(mins)).as("fps"))
+        col("wf.n_grams").as("n_grams"),
+        col("wf.fps").as("fps"))
   }
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =

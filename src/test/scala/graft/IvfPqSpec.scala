@@ -35,7 +35,14 @@ class IvfPqSpec extends SparkSpec {
           x => round(x.cast("double") * 1e6).cast("long")).as("qi"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-    val cm = micro.filter(_._1 < N).map(t => t._1 -> t._3).toMap
+    // trained centroid micro matrix from the stored cents table (the
+    // same requantize the operator's centroidMicro uses)
+    val cm = spark.table(s"${idx}_cents")
+      .select(col("centroid_id"),
+        transform(col("cv"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qm"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val enc = IvfPq.encode(spark, Sf0001, N).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Int](r.fieldIndex("codes"))).toMap
@@ -81,9 +88,11 @@ class IvfPqSpec extends SparkSpec {
     val codes = IvfPq.ensureCodesTable(spark, Sf0001, N)
     val idx = Similarity.ensureIvfIndex(spark, Sf0001, N)
     val before = spark.table(codes).count()
-    // a vector equal to centroid 3's assigns to cell 3 with an
-    // all-zero residual; ADC then ranks it by the codebook's distance
-    // to the zero vector, and the exact refine puts it at dist 0
+    // a vector equal to vector 3's assigns to the SAME trained cell the
+    // index holds vector 3 in (identical input → identical cosine
+    // argmin); the exact refine then puts it at dist 0 for query 3
+    val v3cell = spark.table(idx).filter($"vec_id" === 3L)
+      .head().getAs[Long]("centroid_id")
     val c3 = Tables.embeddings(spark, Sf0001)
       .filter($"vec_id" === 3L).select($"embedding").head()
       .getSeq[Float](0)
@@ -98,7 +107,7 @@ class IvfPqSpec extends SparkSpec {
       assert(spark.table(codes).count() == before + 1)
       val row = spark.table(codes)
         .filter($"vec_id" === 900001L).head()
-      assert(row.getAs[Long]("centroid_id") == 3L)
+      assert(row.getAs[Long]("centroid_id") == v3cell)
       val hits = IvfPq.ivfPqScan(spark, Sf0001, 3L, 20, 5, N, 1)
         .collect()
       assert(hits.head.getAs[Long]("vec_id") == 900001L)

@@ -32,14 +32,33 @@ class SimilaritySpec extends SparkSpec {
     hits.foreach(r => assert(r.getAs[Double]("dist") <= 0.5))
   }
 
-  test("ivf assignment: every vector lands in exactly one cell; centroids self-assign") {
+  test("ivf assignment: every vector lands in exactly one cell; assignment is the argmin") {
     val emb = Tables.embeddings(spark, Sf0001)
-    val asg = Similarity.ivfAssign(emb, 10)
+    val asg = Similarity.ivfAssign(spark, Sf0001, emb, 10)
     assert(asg.count() == emb.count())
-    // a centroid's nearest centroid is itself (distance 0)
-    val selfs = asg.filter($"vec_id" < 10)
-      .select($"vec_id", $"centroid_id").collect()
-    selfs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // trained centroids spread the corpus across multiple cells, and
+    // cell ids stay in [0, nCentroids)
+    val cells = asg.select($"centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(cells.length > 1 && cells.forall(c => c >= 0 && c < 10))
+    // the recorded cdist is the MINIMUM over all centroids: re-derive
+    // every (vector, centroid) distance and check the per-vector min
+    // equals the assignment's cdist (sampled via a full recompute at
+    // fixture scale)
+    val cents = spark.table(
+      Similarity.ensureIvfIndex(spark, Sf0001, 10) + "_cents")
+    val allDists = emb
+      .select($"vec_id", $"embedding")
+      .crossJoin(cents)
+      .select($"vec_id", $"centroid_id",
+        org.apache.spark.sql.functions.round(
+          Similarity.cosineDistance($"embedding", $"cv"), 6).as("d"))
+      .groupBy($"vec_id").agg(
+        org.apache.spark.sql.functions.min($"d").as("mind"))
+    val joined = asg.select($"vec_id", $"cdist")
+      .join(allDists, "vec_id")
+      .filter($"cdist" =!= $"mind")
+    assert(joined.count() == 0)
   }
 
   test("ivf probe results are a subset of exact knn ordering (same metric)") {
@@ -161,8 +180,13 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions.typedLit
     val idx = Similarity.ensureIvfIndex(spark, Sf0001, 10)
     val before = spark.table(idx).count()
-    // a synthetic vector equal to centroid 3's vector must assign to
-    // cell 3 and surface as that centroid's nearest neighbor
+    // a synthetic vector equal to vector 3's must assign to the SAME
+    // cell the index holds vector 3 in (identical input → identical
+    // cosine argmin over the trained centroids) and surface as its
+    // nearest neighbor
+    val v3row = spark.table(idx).filter($"vec_id" === 3L).head()
+    val v3cell = v3row.getAs[Long]("centroid_id")
+    val v3cdist = v3row.getAs[Double]("cdist")
     val c3 = Tables.embeddings(spark, Sf0001)
       .filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
     val delta = Seq((900001L, 99))
@@ -173,8 +197,8 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendToIvfIndex(spark, Sf0001, 10, delta)
       assert(spark.table(idx).count() == before + 1)
       val row = spark.table(idx).filter($"vec_id" === 900001L).head()
-      assert(row.getAs[Long]("centroid_id") == 3L)
-      assert(row.getAs[Double]("cdist") == 0.0)
+      assert(row.getAs[Long]("centroid_id") == v3cell)
+      assert(row.getAs[Double]("cdist") == v3cdist)
       // probing with qid=3 now finds the appended twin at distance 0
       val hits = Similarity.ivfTopK(spark, Sf0001, 3L, 5, 10, 1).collect()
       assert(hits.head.getAs[Long]("vec_id") == 900001L)
