@@ -114,6 +114,9 @@ object Bench {
       // round-10 additions: index builds / point lookups / probe-cell
       // collects in the builder (IVFPQ family), bucketed-table build
       "ivfpq_ann", "ivfpq_recall", "bucketed_revenue",
+      // round-11: auto-cell-count probe (count + index build + probe
+      // cells in the builder) and the recall curve (index build)
+      "ivf_ann_auto", "ann_recall_curve",
       // hybrid_rrf ranks its two bounded top-k lists driver-side
       "hybrid_rrf")
     // timed pass: min of N successful runs per query (construction +

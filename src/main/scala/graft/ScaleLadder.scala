@@ -65,6 +65,29 @@ object ScaleLadder {
       println(f"$n%-24s $ts%8.2f $tb%8.2f $ratio%7.1fx  $rs->$rb")
       (n, ts, tb, ratio)
     }
+    // corpus-relative cell count: build the IVF index with
+    // autoNCentroids (cells ∝ n, constant target cell size) at each
+    // scale and time the SAME probe — the flatness proof for the
+    // auto policy, not just the fixture's fixed count (the build is
+    // untimed, like every other persisted index in the warm-up)
+    def autoProbe(dir: String): (Double, Long, Int) = {
+      val n = Tables.embeddings(spark, dir).count()
+      val k = operators.Similarity.autoNCentroids(n)
+      operators.Similarity.ensureIvfIndex(spark, dir, k)
+      var best = Double.MaxValue; var rows = 0L
+      (0 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        rows = operators.Similarity.ivfTopK(spark, dir, 42L, 10, k, 2)
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (i > 0 && dt < best) best = dt
+      }
+      (best, rows, k)
+    }
+    val (ats, ars, aks) = autoProbe(small)
+    val (atb, arb, akb) = autoProbe(big)
+    println(f"${"ivf_ann_autoK"}%-24s $ats%8.2f $atb%8.2f ${atb / ats}%7.1fx  " +
+      s"$ars->$arb (cells $aks->$akb)")
     val bad = results.filter(_._4 > 20.0)
     println(s"LADDER_SUMMARY worst=${results.maxBy(_._4)._1} " +
       f"worst_ratio=${results.map(_._4).max}%.1f over20=${bad.map(_._1).mkString(",")}")

@@ -84,6 +84,12 @@ object SparkEntry {
     "knn_batch" -> ((s, d) => Similarity.knnBatch(s, d, BatchKnnIds, 5)),
     "ann_recall" -> ((s, d) =>
       Similarity.annRecall(s, d, RecallIds, 5, 10)),
+    // the recall-vs-probe-width tuning curve over the same index
+    "ann_recall_curve" -> ((s, d) =>
+      Similarity.annRecallCurve(s, d, RecallIds, 5, 10, Seq(1, 2, 4))),
+    // the corpus-relative cell-count policy under the hash gate
+    "ivf_ann_auto" -> ((s, d) =>
+      Similarity.ivfTopKAuto(s, d, 42L, 10)),
     // the same batch routed through the persisted IVF index (ANN form)
     "ivf_batch" -> ((s, d) =>
       Similarity.ivfBatch(s, d, BatchKnnIds, 5, 10)),
@@ -409,6 +415,9 @@ object SparkEntry {
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
     "ann_recall" -> Similarity.annRecallOracleSql(RecallIds, 5, 10),
+    "ann_recall_curve" ->
+      Similarity.annRecallCurveOracleSql(RecallIds, 5, 10, Seq(1, 2, 4)),
+    "ivf_ann_auto" -> Similarity.ivfTopKAutoOracleSql(42L, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,

@@ -255,6 +255,14 @@ object Clustering {
       spherical: Boolean = false): String =
     fitSql(k.toString, iterations, spherical)
 
+  /** [[fitSql]] under an arbitrary BIGINT-valued k EXPRESSION (e.g. a
+    * corpus-relative scalar subquery) — the IVF auto-cell-count oracle
+    * uses this with the semdedup kpick pattern. */
+  private[operators] def fitSqlForExpr(kSql: String,
+      iterations: Int = Iterations,
+      spherical: Boolean = false): String =
+    fitSql(kSql, iterations, spherical)
+
   /** The shared fit: seeds, then `iterations` unrolled assign/update
     * CTE pairs. Exposes `assign$iterations` (vec_id, cluster) and
     * `cent$iterations` (cluster, dim, c). `kSql` is any BIGINT-valued

@@ -164,6 +164,82 @@ object Similarity {
     ensureIvfIndex(spark, dir,
       autoNCentroids(Tables.embeddings(spark, dir).count()))
 
+  /** [[ivfTopK]] under the corpus-relative policy — the auto cell
+    * count itself rides under the hash gate: the DuckDB twin derives
+    * the SAME k = greatest(8, n // target) from the table it scans
+    * (the semdedup kpick pattern), then replays the training chain at
+    * that k. */
+  def ivfTopKAuto(spark: SparkSession, dir: String, qid: Long, k: Int,
+      nProbe: Int = 2, targetCellSize: Long = 1000L): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    ivfTopK(spark, dir, qid, k, autoNCentroids(n, targetCellSize), nProbe)
+  }
+
+  def ivfTopKAutoOracleSql(qid: Long, k: Int, nProbe: Int = 2,
+      targetCellSize: Long = 1000L): String =
+    s"""WITH kpick AS (
+       |  SELECT greatest(8, count(*) // $targetCellSize) AS kk
+       |  FROM embeddings
+       |), e AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${centsCtesK("(SELECT kk FROM kpick)")}, asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcells AS (
+       |  SELECT centroid_id AS q_centroid FROM cents, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe
+       |)
+       |SELECT c.vec_id, c.label, c.centroid_id,
+       |  round(1.0 - list_dot_product(e.v, q.qv)
+       |    / (sqrt(list_dot_product(e.v, e.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |FROM cells c
+       |JOIN e ON e.vec_id = c.vec_id
+       |JOIN qcells ON c.centroid_id = qcells.q_centroid, q
+       |WHERE c.vec_id <> $qid
+       |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  /** The recall-vs-probe-width TUNING CURVE an ANN deployment monitors
+    * (probe more cells → touch more corpus → higher recall): mean
+    * recall@k over the query sample at each nProbe, exact integral
+    * mean so both engines agree bit-for-bit. Composes the
+    * already-oracled [[annRecall]] per probe width against ONE shared
+    * persisted index. Monotonicity is spec-gated (SimilaritySpec's
+    * nprobe-knob test); this registers the curve itself under the
+    * hash gate. */
+  def annRecallCurve(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int, nCentroids: Int, probes: Seq[Int]): DataFrame =
+    probes.map { p =>
+      annRecall(spark, dir, qids, k, nCentroids, p)
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(recall_micro) div count(1)").as("mean_recall_micro"))
+        .select(lit(p).as("n_probe"), col("n_queries"),
+          col("mean_recall_micro"))
+    }.reduce(_.union(_)).orderBy(col("n_probe").asc)
+
+  def annRecallCurveOracleSql(qids: Seq[Long], k: Int, nCentroids: Int,
+      probes: Seq[Int]): String =
+    probes.map { p =>
+      s"""SELECT $p AS n_probe, count(*) AS n_queries,
+         |  CAST(sum(recall_micro) // count(*) AS BIGINT)
+         |    AS mean_recall_micro
+         |FROM (${annRecallOracleSql(qids, k, nCentroids, p)}) r$p""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY n_probe ASC")
+
   /** Deterministic catalog name for the persisted IVF index of (dir,
     * nCentroids). */
   def ivfIndexName(dir: String, nCentroids: Int): String =
@@ -399,7 +475,12 @@ object Similarity {
     * correctly-rounded IEEE doubles on both sides. Exposes `cents`
     * (centroid_id, cv). */
   private[operators] def centsCtes(nCentroids: Int): String =
-    s"""${Clustering.fitSqlFor(nCentroids, CoarseIterations,
+    centsCtesK(nCentroids.toString)
+
+  /** [[centsCtes]] under an arbitrary BIGINT-valued k expression (the
+    * corpus-relative policy's scalar subquery). */
+  private[operators] def centsCtesK(kSql: String): String =
+    s"""${Clustering.fitSqlForExpr(kSql, CoarseIterations,
           spherical = true)}, cents AS MATERIALIZED (
        |  SELECT cluster AS centroid_id,
        |    list(c / 1e6 ORDER BY dim) AS cv

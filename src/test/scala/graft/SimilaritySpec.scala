@@ -61,6 +61,13 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("autoNCentroids: corpus-relative with a floor of 8") {
+    assert(Similarity.autoNCentroids(500) == 8)
+    assert(Similarity.autoNCentroids(8000) == 8)
+    assert(Similarity.autoNCentroids(50000) == 50)
+    assert(Similarity.autoNCentroids(1000000, 2000) == 500)
+  }
+
   test("ivf probe results are a subset of exact knn ordering (same metric)") {
     val ivf = Similarity.ivfTopK(spark, Sf0001, 42L, 5, 10).collect()
     assert(ivf.nonEmpty)
