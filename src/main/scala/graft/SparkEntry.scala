@@ -113,6 +113,12 @@ object SparkEntry {
       ProductQuant.pqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
     // IVF-PQ: cell-pruned scan of bucketed residual codes + refine
     "ivfpq_ann" -> ((s, d) => IvfPq.ivfPqScan(s, d, 13L, 50, 10)),
+    // batched IVF-PQ: Q queries in ONE job over the codes table
+    "ivfpq_batch" -> ((s, d) =>
+      IvfPq.ivfPqBatch(s, d, BatchKnnIds, 30, 5)),
+    // filtered ANN: metadata predicate applied inside the probed cells
+    "ivf_ann_filtered" -> ((s, d) =>
+      Similarity.ivfTopKFiltered(s, d, 42L, 4, 10, 10, 3)),
     // joint pruning+quantization recall gate for the IVF-PQ index
     "ivfpq_recall" -> ((s, d) =>
       IvfPq.ivfPqRecall(s, d, RecallIds, 10)),
@@ -431,6 +437,9 @@ object SparkEntry {
     "pq_recall" ->
       ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
     "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 50, 10),
+    "ivfpq_batch" -> IvfPq.ivfPqBatchOracleSql(BatchKnnIds, 30, 5),
+    "ivf_ann_filtered" ->
+      Similarity.ivfTopKFilteredOracleSql(42L, 4, 10, 10, 3),
     "ivfpq_recall" ->
       IvfPq.ivfPqRecallOracleSql(RecallIds, 10),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),

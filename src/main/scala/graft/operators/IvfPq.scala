@@ -341,6 +341,127 @@ object IvfPq {
       .limit(k)
   }
 
+  /** Batched IVF-PQ search — [[Similarity.ivfBatch]]'s residual-coded
+    * sibling and the actual serving shape at scale: Q queries resolved
+    * in ONE job over the bucketed codes table. Routing = the broadcast
+    * (q_id, centroid_id, ppos) probe-pair frame; each code row is
+    * ADC-scored only against the queries probing its cell (per-pair
+    * LUT literal, integer-exact); per-query top-nCand by ADC, exact
+    * full-dim refine of the survivors against the IVF index's in-row
+    * vectors, per-query top-k. Total work ∝ Q · nProbe/nCentroids ·
+    * |codes| + Q · nCand refine rows — never Q · corpus.
+    * Deterministic: integer ADC, rounded refine, (dist, vec_id)
+    * tiebreaks, identical to [[ivfPqScan]] per query. */
+  def ivfPqBatch(spark: SparkSession, dir: String, qids: Seq[Long],
+      nCand: Int, k: Int, nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): DataFrame = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cm = centroidMicro(spark, dir, nCentroids)
+    val fetched = qids.map(q =>
+      q -> ProductQuant.fetchQuery(spark, dir, q)).toMap
+    val pairs = qids.flatMap { q =>
+      probeCells(spark, idx, fetched(q)._2.toSeq, nProbe)
+        .map(cell => (q, cell))
+    }
+    val pairsDf = broadcast(spark.createDataFrame(
+        pairs.zipWithIndex.map { case ((q, cell), i) => (q, cell, i) })
+      .toDF("q_id", "centroid_id", "ppos"))
+    val lutLit = typedLit(pairs.map { case (q, cell) =>
+      val qq = fetched(q)._1
+      val rq = Array.tabulate(qq.length)(i => qq(i) - cm(cell.toInt)(i))
+      ProductQuant.buildLut(rq, cb).toSeq.map(_.toSeq)
+    })
+    val w = Window.partitionBy(col("q_id"))
+    val cand = spark.table(codes)
+      .join(pairsDf, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        col("centroid_id"), adcDist(lutLit, col("ppos")).as("adist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= nCand)
+      .drop("rn")
+    // exact refine of the Q·nCand survivors against the index's in-row
+    // vectors (bounded broadcast), per-query qv from the literal
+    val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
+    val qdf = broadcast(spark.createDataFrame(
+        qids.zipWithIndex.map { case (q, i) => (q, i) })
+      .toDF("q_id", "qx"))
+    broadcast(cand)
+      .join(spark.table(idx).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(qdf, "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        col("centroid_id"), col("adist"),
+        round(ProductQuant.l2sq(col("embedding"),
+          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "label", "centroid_id", "adist", "dist")
+      .orderBy(col("q_id").asc, col("dist").asc, col("vec_id").asc)
+  }
+
+  def ivfPqBatchOracleSql(qids: Seq[Long], nCand: Int, k: Int,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH ${ivfPqCtes(nCentroids)}, qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($inList)
+       |), qcells AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(1.0 - list_dot_product(cents.cv, q.qv)
+       |          / (sqrt(list_dot_product(cents.cv, cents.cv))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) ASC,
+       |        cents.centroid_id ASC) AS rn
+       |    FROM cents, qs q) WHERE rn <= $nProbe
+       |), qres AS (
+       |  SELECT qc.q_id, qc.centroid_id, cm.dim // $Dsub AS s,
+       |    cm.dim % $Dsub AS sd, p.q - cm.cq AS q
+       |  FROM qcells qc
+       |  JOIN cmic cm ON cm.centroid_id = qc.centroid_id
+       |  JOIN mic p ON p.vec_id = qc.q_id AND p.dim = cm.dim
+       |), lutq AS (
+       |  SELECT r.q_id, r.centroid_id, c.s, c.c,
+       |    sum((r.q - c.cq) * (r.q - c.cq)) AS d
+       |  FROM rqcb$Iterations c JOIN qres r
+       |    ON r.s = c.s AND r.sd = c.sd
+       |  GROUP BY 1, 2, 3, 4
+       |), ad AS (
+       |  SELECT l.q_id, enc.vec_id, cl.label, cl.centroid_id,
+       |    CAST(sum(l.d) AS BIGINT) AS adist
+       |  FROM rqenc enc
+       |  JOIN cells cl ON cl.vec_id = enc.vec_id
+       |  JOIN lutq l ON l.centroid_id = cl.centroid_id
+       |    AND l.s = enc.s AND l.c = enc.c
+       |  WHERE enc.vec_id <> l.q_id
+       |  GROUP BY 1, 2, 3, 4
+       |), cand AS (
+       |  SELECT q_id, vec_id, label, centroid_id, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist ASC, vec_id ASC) AS rn
+       |    FROM ad) x
+       |  WHERE rn <= $nCand
+       |), ref AS (
+       |  SELECT c.q_id, c.vec_id, c.label, c.centroid_id, c.adist,
+       |    round(list_dot_product(e.v, e.v)
+       |      - 2 * list_dot_product(e.v, qs.qv)
+       |      + list_dot_product(qs.qv, qs.qv), 6) AS dist
+       |  FROM cand c
+       |  JOIN e ON e.vec_id = c.vec_id
+       |  JOIN qs ON qs.q_id = c.q_id
+       |)
+       |SELECT q_id, vec_id, label, centroid_id, adist, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist ASC, vec_id ASC) AS rn
+       |  FROM ref) y
+       |WHERE rn <= $k
+       |ORDER BY q_id ASC, dist ASC, vec_id ASC""".stripMargin
+  }
+
   /** Index-quality self-evaluation (mirrors [[ProductQuant.pqRecall]]):
     * recall@k of the PURE pruned-ADC ranking — no refine, so the
     * number reflects cell pruning + residual quantization jointly —

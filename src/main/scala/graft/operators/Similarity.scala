@@ -328,6 +328,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED ANN — the metadata-predicate + vector-search composition
+    * every vector deployment ends up needing (the reference's search
+    * API carries a `metadata_filter` next to the query vector;
+    * pgvector's ivfflat applies the WHERE inside the probed lists):
+    * probe the query's nProbe cells, apply the label predicate to the
+    * surviving rows, exact re-rank, top-k. PRE-FILTER semantics inside
+    * the probed cells — the filter pushes into the bucket-pruned index
+    * scan (label rides in-row, so the scan reads no extra columns and
+    * Parquet gets both the bucket prune AND the pushed label filter);
+    * the recall caveat is the standard one: a highly selective filter
+    * can starve k inside nProbe cells, and the remedy is probing wider,
+    * exactly as in pgvector. Deterministic: same rounding/tiebreaks as
+    * [[ivfTopK]]. */
+  def ivfTopKFiltered(spark: SparkSession, dir: String, qid: Long,
+      label: Int, k: Int, nCentroids: Int, nProbe: Int = 2): DataFrame = {
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    val cells = spark.table(s"${idx}_cents")
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.table(idx)
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("label") === lit(label))
+      .filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(lit(1.0) - dot(col("embedding"), qvCol)
+          / (col("nrm") * lit(qn)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def ivfTopKFilteredOracleSql(qid: Long, label: Int, k: Int,
+      nCentroids: Int, nProbe: Int = 2): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${centsCtes(nCentroids)}, asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcells AS (
+       |  SELECT centroid_id AS q_centroid FROM cents, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe
+       |)
+       |SELECT c.vec_id, c.label, c.centroid_id,
+       |  round(1.0 - list_dot_product(e.v, q.qv)
+       |    / (sqrt(list_dot_product(e.v, e.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |FROM cells c
+       |JOIN e ON e.vec_id = c.vec_id
+       |JOIN qcells ON c.centroid_id = qcells.q_centroid, q
+       |WHERE c.vec_id <> $qid AND c.label = $label
+       |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
   /** Batched exact KNN — every query vector resolved in ONE distributed
     * job (the [[graft.operators.Fts.batchSearch]] shape over vectors):
     * the Q query rows broadcast against the corpus scan, distances are

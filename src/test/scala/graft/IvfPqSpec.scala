@@ -60,6 +60,23 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("batched probe equals the point probe per query") {
+    val qids = Seq(3L, 13L)
+    val batch = IvfPq.ivfPqBatch(spark, Sf0001, qids, 20, 5, N, 2)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("adist"),
+          r.getAs[Double]("dist"))).toSeq).toMap
+    qids.foreach { q =>
+      val point = IvfPq.ivfPqScan(spark, Sf0001, q, 20, 5, N, 2)
+        .collect().map(r =>
+          (r.getAs[Long]("vec_id"), r.getAs[Long]("adist"),
+            r.getAs[Double]("dist"))).toSeq
+      assert(batch(q) == point, s"q=$q")
+    }
+  }
+
   test("scan returns k rows from probed cells only, refine-ordered") {
     val k = 5
     val out = IvfPq.ivfPqScan(spark, Sf0001, 13L, 20, k, N, 2).collect()

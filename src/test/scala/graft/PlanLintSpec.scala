@@ -46,6 +46,7 @@ class PlanLintSpec extends SparkSpec {
     // query-vector / probe / codebook rides (k- or Q-row frames)
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
+    "ann_recall_curve", // the same composition once per probe width
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans
     "ivfpq_recall", // Q·nProbe probe-pair frame riding the same scans
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",

@@ -61,6 +61,23 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("filtered ANN: every hit carries the label; hits are the " +
+      "label-restriction of the unfiltered probe's cells") {
+    val lbl = 4
+    val hits = Similarity.ivfTopKFiltered(spark, Sf0001, 42L, lbl,
+      10, 10, 3).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(r.getAs[Int]("label") == lbl))
+    val dists = hits.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+    // same probe, no filter, large k: the filtered result is exactly
+    // the label-matching subset in the same order
+    val unf = Similarity.ivfTopK(spark, Sf0001, 42L, 10000, 10, 3)
+      .collect().filter(_.getAs[Int]("label") == lbl)
+      .map(_.getAs[Long]("vec_id")).take(hits.length)
+    assert(hits.map(_.getAs[Long]("vec_id")).sameElements(unf))
+  }
+
   test("autoNCentroids: corpus-relative with a floor of 8") {
     assert(Similarity.autoNCentroids(500) == 8)
     assert(Similarity.autoNCentroids(8000) == 8)
