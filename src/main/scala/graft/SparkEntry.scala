@@ -78,6 +78,13 @@ object SparkEntry {
     "fts_headline" -> ((s, d) =>
       Fts.headlines(s, d, "hash join merge", "en", 10, 5)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
+    // typo-tolerant search: SymSpell delete-neighborhood expansion over
+    // the vocabulary (lev<=1, max 8 expansions/term, highest-df first)
+    // gated against the brute-force Levenshtein scan
+    "fts_fuzzy_expand" -> ((s, d) =>
+      FuzzySearch.expand(s, d, Seq("hashe", "joim", "merg"), "en", 8)),
+    "fts_fuzzy" -> ((s, d) =>
+      FuzzySearch.fuzzySearch(s, d, "hashe joim merg", "en", 10, 8)),
     // §2.3 vector similarity
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
     // batched exact KNN: Q query vectors in one q_id-keyed window job
@@ -122,6 +129,11 @@ object SparkEntry {
     // joint pruning+quantization recall gate for the IVF-PQ index
     "ivfpq_recall" -> ((s, d) =>
       IvfPq.ivfPqRecall(s, d, RecallIds, 10)),
+    // binary (sign-bit) quantization: Hamming scan over packed words,
+    // exact cosine refine of the nCand survivors
+    "bq_ann" -> ((s, d) => BinaryQuant.bqScan(s, d, 7L, 50, 10)),
+    // quantizer-quality gate: pure-Hamming recall@10 vs exact cosine
+    "bq_recall" -> ((s, d) => BinaryQuant.bqRecall(s, d, RecallIds, 10)),
     // §2.1 scans/sinks + collections
     "s1_collection_lookup" -> ((s, d) => Collections.lookup(s, d, "fr")),
     "s2_collection_list" -> ((s, d) => Collections.list(s, d)),
@@ -215,6 +227,11 @@ object SparkEntry {
     // gap recurrence + the final-watermark cutoff
     "events_sessions_stream" -> ((s, d) =>
       graft.streaming.StreamBridge.eventsSessionsStream(s, d)),
+    // dropDuplicatesWithinWatermark under the oracle: planted echoes —
+    // within-horizon duplicates dropped, beyond-horizon ones re-emitted
+    // (the state-eviction trade), classified exactly by staging margins
+    "events_dedup_stream" -> ((s, d) =>
+      graft.streaming.StreamBridge.eventsDedupStream(s, d)),
     // §2.8 batch analog of the streaming sessionizer (30-min gap)
     "events_sessions" -> ((s, d) => Relational.eventSessions(s, d, 1800L)),
     // hopping 10-min windows every 5 min (each event in two windows)
@@ -418,6 +435,10 @@ object SparkEntry {
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "fts_fuzzy_expand" ->
+      FuzzySearch.expandOracleSql(Seq("hashe", "joim", "merg"), "en", 8),
+    "fts_fuzzy" ->
+      FuzzySearch.fuzzySearchOracleSql("hashe joim merg", "en", 10, 8),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
     "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
     "ann_recall" -> Similarity.annRecallOracleSql(RecallIds, 5, 10),
@@ -438,6 +459,8 @@ object SparkEntry {
       ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
     "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 50, 10),
     "ivfpq_batch" -> IvfPq.ivfPqBatchOracleSql(BatchKnnIds, 30, 5),
+    "bq_ann" -> BinaryQuant.bqScanOracleSql(7L, 50, 10),
+    "bq_recall" -> BinaryQuant.bqRecallOracleSql(RecallIds, 10),
     "ivf_ann_filtered" ->
       Similarity.ivfTopKFilteredOracleSql(42L, 4, 10, 10, 3),
     "ivfpq_recall" ->
@@ -497,6 +520,8 @@ object SparkEntry {
       graft.streaming.StreamBridge.clickAttributionOracleSql(3600L),
     "events_sessions_stream" ->
       graft.streaming.StreamBridge.eventsSessionsStreamOracleSql,
+    "events_dedup_stream" ->
+      graft.streaming.StreamBridge.eventsDedupStreamOracleSql,
     "events_sessions" -> Relational.eventSessionsOracleSql(1800L),
     "events_sliding" -> Relational.eventsSlidingOracleSql,
     "events_funnel" -> Relational.eventsFunnelOracleSql,

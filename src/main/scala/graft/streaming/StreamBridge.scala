@@ -398,6 +398,175 @@ object StreamBridge {
        | AND p.us > c.us AND p.us <= c.us + ${attrWindowSec}000000
        |ORDER BY click_id ASC, purchase_id ASC""".stripMargin
 
+  /** Dedup-replay constants, shared verbatim by the oracle SQL. */
+  val DupB = 4
+  val DupNearMod = 13
+  val DupFarMod = 97
+  private val DupDelayMin = 4L * 24L * 60L // 4 days, vs 7.5-day bins
+
+  /** Memoized staging for [[eventsDedupStream]]: events split into
+    * [[DupB]] files by equal event-time bins (the [[ensureLateArrivals]]
+    * convention — integer arithmetic, pinned mtimes), plus two planted
+    * duplicate classes:
+    *
+    *  - NEAR echoes (event_id % [[DupNearMod]] == 0, bins 0..B-2):
+    *    re-emitted in the NEXT file with the same event time and
+    *    value+1000 — the key is still in dedup state when the echo
+    *    arrives, so it must be DROPPED.
+    *  - FAR echoes (event_id % [[DupFarMod]] == 0, first HALF of bin 0
+    *    only — so the originals' state expiry (event time + 4 days,
+    *    ≤ day 7.75) sits days below the batch-3 watermark under EVERY
+    *    eviction-timing model, incl. the most lagged one):
+    *    re-emitted in the LAST file displaced 3 bins forward in event
+    *    time (+100000 on value) — by then the watermark has advanced
+    *    ~18 days past the original's expiry (event time + 4-day delay),
+    *    the key was EVICTED, and the echo is RE-EMITTED. That is the
+    *    documented dropDuplicatesWithinWatermark trade: state is
+    *    bounded by the horizon, so a duplicate older than the horizon
+    *    comes back — the contract this bridge pins.
+    *
+    * The class margins are measured in DAYS against a 4-day delay and
+    * 7.5-day bins (fixture span ≈ 30 days at every sf), so the
+    * drop/re-emit outcome of every planted row is invariant to Spark's
+    * exact eviction timing (end-of-batch vs next-batch, ms flooring) —
+    * which is what lets the oracle classify rows without replaying the
+    * watermark trajectory. */
+  private val dupArrivalsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDupArrivals(spark: SparkSession,
+      dir: String): String =
+    dupArrivalsCache.computeIfAbsent(dir, _ => {
+      val base = scratchDir("graft_stream_dup_arrivals_")
+      sys.addShutdownHook {
+        graft.sources.ParquetStore.deleteRecursively(
+          java.nio.file.Paths.get(base))
+      }
+      val arrivalsDir = s"$base/arrivals"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(arrivalsDir))
+      val ev = graft.Tables.events(spark, dir)
+      val isLongTs =
+        ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val us: org.apache.spark.sql.Column =
+        if (isLongTs) expr("ts div 1000")
+        else unix_micros(col("ts").cast("timestamp"))
+      val b = ev.agg(min(us).as("lo"), max(us).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1L
+      val binOf = expr(s"((_us - ${lo}L) * $DupB) div ${span}L")
+      val tagged = ev.withColumn("_us", us.cast("long"))
+        .withColumn("_bin", binOf)
+      // an echo carries a (possibly displaced) event time and a value
+      // offset that makes any wrongly-surviving row hash-visible
+      def echoed(src: DataFrame, usShift: Long,
+          valueOffset: Double): DataFrame = {
+        val shifted = src.withColumn("_us", col("_us") + lit(usShift))
+          .withColumn("value", col("value") + lit(valueOffset))
+        val restored =
+          if (isLongTs) shifted.withColumn("ts", col("_us") * lit(1000L))
+          else shifted.withColumn("ts",
+            timestamp_micros(col("_us")).cast(ev.schema("ts").dataType))
+        restored.select(ev.columns.map(col): _*)
+      }
+      val plain = tagged.select((ev.columns.map(col) :+ col("_bin")): _*)
+      (0 until DupB).foreach { i =>
+        val near =
+          if (i == 0) None
+          else Some(echoed(
+            tagged.filter(col("_bin") === (i - 1) &&
+              col("event_id") % DupNearMod === 0), 0L, 1000.0))
+        val far =
+          if (i == DupB - 1) Some(echoed(
+            tagged.filter(
+              expr(s"((_us - ${lo}L) * ${2 * DupB}) div ${span}L") === 0 &&
+                col("event_id") % DupFarMod === 0),
+            (DupB - 1).toLong * (span / DupB), 100000.0))
+          else None
+        val bin = plain.filter(col("_bin") === i).drop("_bin")
+        val file = (Seq(bin) ++ near ++ far).reduce(_ unionAll _)
+        val stage = s"$base/stage$i"
+        file.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(arrivalsDir, f"evt-$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+      arrivalsDir
+    })
+
+  /** Streaming exact dedup under the oracle:
+    * [[EventStreams.dedupedEvents]]' operator
+    * (`dropDuplicatesWithinWatermark` — first arrival wins, state
+    * bounded by the watermark horizon) driven over the planted-duplicate
+    * replay of [[ensureDupArrivals]]. The emitted digest proves all
+    * three behavior classes at once: every original survives, every
+    * within-horizon echo is dropped (n/v_fixed would shift), and every
+    * beyond-horizon echo is re-emitted (n_echo counts them) — i.e. the
+    * state-eviction trade is pinned, not just happy-path dedup. Output
+    * is an integer digest per event_type (fixed-point value sum), so
+    * double summation order can never alias the hash. */
+  def eventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val arrivalsDir = ensureDupArrivals(spark, dir)
+    val tmp = scratchDir("graft_stream_dedup_")
+    val ev = graft.Tables.events(spark, dir)
+    val sink = s"graft_stream_dedup_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivalsDir)
+    val q = src.withColumn("event_time", graft.Tables.tsTimestamp(src))
+      .withWatermark("event_time", s"$DupDelayMin minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(floor(col("value") * lit(10000.0))).cast("long")
+          .as("v_fixed"),
+        sum(when(col("value") >= lit(100000.0), lit(1L))
+          .otherwise(lit(0L))).as("n_echo"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Oracle for [[eventsDedupStream]]: originals plus the
+    * beyond-horizon echoes (bin-0 rows mod [[DupFarMod]], value
+    * +100000), aggregated with the same integer digest. The
+    * within-horizon echoes never appear — the staging margins make the
+    * classification exact without replaying the watermark (see
+    * [[ensureDupArrivals]]). */
+  val eventsDedupStreamOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events
+       |), bnd AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+       |far AS (
+       |  SELECT event_id, event_type, value + 100000 AS value
+       |  FROM e, bnd
+       |  WHERE event_id % $DupFarMod = 0
+       |    AND (us - lo) * ${2 * DupB} // (hi - lo + 1) = 0
+       |), allr AS (
+       |  SELECT event_id, event_type, value FROM e
+       |  UNION ALL SELECT event_id, event_type, value FROM far
+       |)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+       |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+       |    AS v_fixed,
+       |  CAST(sum(CASE WHEN value >= 100000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_echo
+       |FROM allr GROUP BY event_type ORDER BY event_type ASC""".stripMargin
+
   /** Late-replay constants, shared verbatim by the oracle SQL. */
   val LateB = 6
   val LateMod = 17

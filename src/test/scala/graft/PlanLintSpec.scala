@@ -50,6 +50,8 @@ class PlanLintSpec extends SparkSpec {
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans
     "ivfpq_recall", // Q·nProbe probe-pair frame riding the same scans
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
+    "bq_ann",    // one-row query frame riding the 16-byte codes scan
+    "bq_recall", // Q-row query frame riding the codes scan
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
