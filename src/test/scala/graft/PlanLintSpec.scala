@@ -52,6 +52,8 @@ class PlanLintSpec extends SparkSpec {
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
     "bq_ann",    // one-row query frame riding the 16-byte codes scan
     "bq_recall", // Q-row query frame riding the codes scan
+    // |q|-row query-vector bag riding the corpus/candidate scan
+    "maxsim_topk", "maxsim_pruned",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
