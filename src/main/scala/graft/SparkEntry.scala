@@ -160,6 +160,10 @@ object SparkEntry {
     // searchable_text assembly hash-gated against the oracle
     "s7_servicenow_xml" -> ((s, d) =>
       graft.sources.ServiceNowXml.roundTripFixture(s, d)),
+    // JSONL interchange: export documents as JSONL shards, read back,
+    // per-lang integral digests vs the parquet original (codec gate)
+    "jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.JsonlStore.roundTripDigest(s, d)),
     // S9 relation-size stat: engine-specific (parquet footprint) →
     // rows-only check per SURVEY §2.1
     "s9_relation_size" -> ((s, d) => Collections.relationSizes(s, d)),
@@ -486,6 +490,8 @@ object SparkEntry {
     "s3_keyset" -> Relational.paginateKeysetOracleSql(240L, 25),
     "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
     "s7_servicenow_xml" -> graft.sources.ServiceNowXml.roundTripOracleSql,
+    "jsonl_roundtrip" ->
+      graft.sources.JsonlStore.roundTripDigestOracleSql,
     "s6_cascade_delete" -> Collections.cascadeDeleteOracleSql("de"),
     "q1_pricing" -> Relational.q1OracleSql,
     "q3_shipping" -> Relational.q3OracleSql,

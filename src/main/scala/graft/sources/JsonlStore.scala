@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** JSONL (newline-delimited JSON) interchange — the lingua franca of
+  * LLM training-data pipelines (HuggingFace datasets, Dolma, RedPajama
+  * all ship corpora as *.jsonl shards). The reference's API accepts and
+  * emits JSON documents (/root/reference/src/api/routes.py ingest /
+  * search payloads); at corpus scale that becomes bulk JSONL files, and
+  * an engine claiming the data-processing surface must round-trip them
+  * losslessly.
+  *
+  * Spark-first: `DataFrameWriter.json` / `DataFrameReader.json` ARE the
+  * distributed JSONL codec (one JSON object per line, shard-per
+  * -partition — exactly the sharded-corpus layout). Readers must pass
+  * an explicit schema: schema inference costs an extra full pass and
+  * can mis-type sparse columns at 100 TB, so it is banned here; with a
+  * schema the scan is a streaming line parse with column pruning
+  * (Jackson stops materializing unprojected fields).
+  *
+  * The correctness gate is a ROUND-TRIP digest: export documents to
+  * JSONL, read it back, aggregate per-language integral digests
+  * (counts, id/char sums, and a 52-bit md5 text digest summed per
+  * group). The oracle computes the same digests over the PARQUET
+  * original — any loss or mangling in either codec direction breaks
+  * the hash. Digests are integers, so summation order cannot alias.
+  */
+object JsonlStore {
+
+  /** Write `df` as JSONL shards under `path` (overwrite). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSONL shards with an explicit schema (inference is banned —
+    * see object doc). */
+  def read(spark: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  private val exportCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized documents export: one JSONL staging dir per corpus per
+    * session (build-once like the index ensure* family; scratch lives
+    * on tmpfs and is removed on exit). */
+  def ensureDocumentsJsonl(spark: SparkSession, dir: String): String =
+    exportCache.computeIfAbsent(dir, _ => {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base =
+        (if (java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_jsonl_")
+        else java.nio.file.Files.createTempDirectory("graft_jsonl_"))
+          .toFile.getAbsolutePath
+      sys.addShutdownHook {
+        ParquetStore.deleteRecursively(java.nio.file.Paths.get(base))
+      }
+      write(Tables.documents(spark, dir), s"$base/documents")
+      s"$base/documents"
+    })
+
+  /** The round-trip gate: per-language integral digests computed over
+    * the JSONL read-back. Output (lang, n, id_sum, chars_sum,
+    * text_digest). */
+  def roundTripDigest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val back = read(spark, docs.schema, ensureDocumentsJsonl(spark, dir))
+    back.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(conv(substring(md5(col("text")), 1, 13), 16, 10)
+          .cast("long")).as("text_digest"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Oracle: identical digests over the parquet original — the JSONL
+    * leg exists only Spark-side, so any codec loss hash-mismatches. */
+  val roundTripDigestOracleSql: String =
+    s"""SELECT lang, count(*) AS n,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(sum(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT))
+       |    AS BIGINT) AS text_digest
+       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
+}
