@@ -78,6 +78,16 @@ object SparkEntry {
     "fts_headline" -> ((s, d) =>
       Fts.headlines(s, d, "hash join merge", "en", 10, 5)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
+    // pseudo-relevance feedback (RM3 lineage): mine top-5 feedback
+    // docs for 5 expansion terms, damped re-retrieval; term selection
+    // itself gated by fts_prf_terms
+    "fts_prf_terms" -> ((s, d) =>
+      QueryExpand.prfTerms(s, d, "hash join", "en", 5, 5)),
+    "fts_prf" -> ((s, d) =>
+      QueryExpand.prfSearch(s, d, "hash join", "en", 5, 5, 10)),
+    // more-like-this: doc 14 (en at every sf) top-5 TF-IDF terms
+    "fts_mlt" -> ((s, d) =>
+      QueryExpand.moreLikeThis(s, d, 14L, "en", 5, 10)),
     // typo-tolerant search: SymSpell delete-neighborhood expansion over
     // the vocabulary (lev<=1, max 8 expansions/term, highest-df first)
     // gated against the brute-force Levenshtein scan
@@ -445,6 +455,10 @@ object SparkEntry {
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "fts_prf_terms" ->
+      QueryExpand.prfTermsOracleSql("hash join", "en", 5, 5),
+    "fts_prf" -> QueryExpand.prfSearchOracleSql("hash join", "en", 5, 5, 10),
+    "fts_mlt" -> QueryExpand.moreLikeThisOracleSql(14L, "en", 5, 10),
     "fts_fuzzy_expand" ->
       FuzzySearch.expandOracleSql(Seq("hashe", "joim", "merg"), "en", 8),
     "fts_fuzzy" ->

@@ -54,6 +54,9 @@ class PlanLintSpec extends SparkSpec {
     "bq_recall", // Q-row query frame riding the codes scan
     // |q|-row query-vector bag riding the corpus/candidate scan
     "maxsim_topk", "maxsim_pruned",
+    // 1-row corpus-scalar (n_docs / max_w) riding vocabulary-sized
+    // index aggregates — the fts_bm25 stats-frame pattern
+    "fts_prf_terms", "fts_prf", "fts_mlt",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
