@@ -25,7 +25,16 @@ object ScaleLadder {
     // round-10 additions: residual-coded ANN probe + recall eval and
     // the zero-exchange bucketed fact join (bucket build amortized in
     // the untimed warm-up, like the other persisted indexes)
-    "ivfpq_ann", "ivfpq_recall", "bucketed_revenue")
+    "ivfpq_ann", "ivfpq_recall", "bucketed_revenue",
+    // round-11 additions: the binary-quantized scan (16-byte rows, so
+    // even brute-force asym scoring should grow ~linearly with a low
+    // constant), late-interaction exact vs IVF-cell-pruned (the pruned
+    // path should stay flat like the other probe paths), the SymSpell
+    // probe (variant-bucketed, ~flat), PRF/MLT (vocabulary-sized
+    // aggregates + bucket-pruned probes), and the JSONL codec
+    // round-trip (scan-local, ~linear)
+    "bq_ann", "maxsim_topk", "maxsim_pruned", "fts_fuzzy",
+    "fts_prf", "fts_mlt", "jsonl_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -114,9 +114,9 @@ object SparkEntry {
     // late-interaction (ColBERT MaxSim) retrieval over pseudo-docs of
     // vec_id % 50: exact baseline + PLAID-style IVF-cell-pruned path
     "maxsim_topk" -> ((s, d) =>
-      MultiVector.maxSimTopK(s, d, 3L, 50, 10)),
+      MultiVector.maxSimTopK(s, d, 3L, 50, 500L, 10)),
     "maxsim_pruned" -> ((s, d) =>
-      MultiVector.maxSimPruned(s, d, 3L, 50, 10, 10)),
+      MultiVector.maxSimPruned(s, d, 3L, 50, 500L, 10, 10)),
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
@@ -471,9 +471,9 @@ object SparkEntry {
     "ivf_ann_auto" -> Similarity.ivfTopKAutoOracleSql(42L, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
-    "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 10),
+    "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 500L, 10),
     "maxsim_pruned" ->
-      MultiVector.maxSimPrunedOracleSql(3L, 50, 10, 10),
+      MultiVector.maxSimPrunedOracleSql(3L, 50, 500L, 10, 10),
     "emb_label_stats" -> Similarity.labelStatsOracleSql,
     "hybrid_rrf" ->
       Hybrid.rrfSearchOracleSql("hash join merge", "en", 0L, 20, 60, 10),

@@ -59,11 +59,18 @@ object MultiVector {
       .cast("long")
 
   /** Exact MaxSim top-k: rank all pseudo-docs against query doc `qDoc`.
-    * Output (mv_doc, n_qvec, maxsim_micro). */
+    * Output (mv_doc, n_qvec, maxsim_micro).
+    *
+    * `qCap` pins the QUERY bag to the doc's vectors with vec_id < qCap
+    * — a fixed-size bag at every corpus scale (a real late-interaction
+    * query has a token-bounded vector count independent of the corpus;
+    * without the cap the vec_id-stripe pseudo-doc device would grow the
+    * query 10× with 10× data, an artifact). */
   def maxSimTopK(spark: SparkSession, dir: String, qDoc: Long,
-      groups: Int, k: Int): DataFrame = {
+      groups: Int, qCap: Long, k: Int): DataFrame = {
     val vecs = docVecs(spark, dir, groups)
-    val q = vecs.filter(col("mv_doc") === lit(qDoc))
+    val q = vecs.filter(col("mv_doc") === lit(qDoc) &&
+        col("vec_id") < lit(qCap))
       .select(col("vec_id").as("q_vec"),
         col("embedding").cast("array<double>").as("qv"),
         col("nrm").as("qn"))
@@ -82,13 +89,14 @@ object MultiVector {
 
   /** Shared oracle CTEs: vectors with pseudo-doc key and the query
     * doc's vector bag. */
-  private def baseCtes(qDoc: Long, groups: Int): String =
+  private def baseCtes(qDoc: Long, groups: Int, qCap: Long): String =
     s"""e AS (
        |  SELECT vec_id % $groups AS mv_doc, vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
        |), q AS (
-       |  SELECT vec_id AS q_vec, v AS qv FROM e WHERE mv_doc = $qDoc
+       |  SELECT vec_id AS q_vec, v AS qv FROM e
+       |  WHERE mv_doc = $qDoc AND vec_id < $qCap
        |)""".stripMargin
 
   private def simMicroSql(v: String, qv: String): String =
@@ -97,8 +105,9 @@ object MultiVector {
        |    * sqrt(list_dot_product($qv, $qv))) * 1e6) AS BIGINT)"""
       .stripMargin.replace("\n", " ")
 
-  def maxSimTopKOracleSql(qDoc: Long, groups: Int, k: Int): String =
-    s"""WITH ${baseCtes(qDoc, groups)}, best AS (
+  def maxSimTopKOracleSql(qDoc: Long, groups: Int, qCap: Long,
+      k: Int): String =
+    s"""WITH ${baseCtes(qDoc, groups, qCap)}, best AS (
        |  SELECT e.mv_doc, q.q_vec,
        |    max(${simMicroSql("e.v", "q.qv")}) AS best
        |  FROM e, q WHERE e.mv_doc <> $qDoc
@@ -116,21 +125,23 @@ object MultiVector {
     * [[maxSimTopK]]; the oracle replays the identical pruning, and the
     * spec measures its agreement with the exact path. */
   def maxSimPruned(spark: SparkSession, dir: String, qDoc: Long,
-      groups: Int, nCentroids: Int, k: Int): DataFrame = {
+      groups: Int, qCap: Long, nCentroids: Int, k: Int): DataFrame = {
     val idx = spark.table(Similarity.ensureIvfIndex(spark, dir, nCentroids))
       .select((col("vec_id") % groups).as("mv_doc"), col("vec_id"),
         col("embedding"), col("nrm"), col("centroid_id"))
-    // the probed cells: the query doc's own assignments — a bounded
-    // driver list (<= vectors per doc), inlined so the bucketed index
-    // scan statically prunes to those cells
-    val qcells = idx.filter(col("mv_doc") === lit(qDoc))
+    // the probed cells: the capped query bag's own assignments — a
+    // bounded driver list (<= qCap/groups cells), inlined so the
+    // bucketed index scan statically prunes to those cells
+    val qcells = idx.filter(col("mv_doc") === lit(qDoc) &&
+        col("vec_id") < lit(qCap))
       .select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).sorted // bounded: <= n/groups cells
+      .collect().map(_.getLong(0)).sorted
     val cands = idx
       .filter(col("centroid_id").isin(qcells.map(Long.box): _*))
       .filter(col("mv_doc") =!= lit(qDoc))
       .select("mv_doc").distinct()
-    val q = idx.filter(col("mv_doc") === lit(qDoc))
+    val q = idx.filter(col("mv_doc") === lit(qDoc) &&
+        col("vec_id") < lit(qCap))
       .select(col("vec_id").as("q_vec"),
         col("embedding").cast("array<double>").as("qv"),
         col("nrm").as("qn"))
@@ -147,8 +158,8 @@ object MultiVector {
       .limit(k)
   }
 
-  def maxSimPrunedOracleSql(qDoc: Long, groups: Int, nCentroids: Int,
-      k: Int): String =
+  def maxSimPrunedOracleSql(qDoc: Long, groups: Int, qCap: Long,
+      nCentroids: Int, k: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id % $groups AS mv_doc, vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v
@@ -165,13 +176,15 @@ object MultiVector {
        |), cells AS MATERIALIZED (
        |  SELECT mv_doc, vec_id, v, centroid_id FROM asg WHERE rn = 1
        |), qcells AS (
-       |  SELECT DISTINCT centroid_id FROM cells WHERE mv_doc = $qDoc
+       |  SELECT DISTINCT centroid_id FROM cells
+       |  WHERE mv_doc = $qDoc AND vec_id < $qCap
        |), cands AS (
        |  SELECT DISTINCT mv_doc FROM cells
        |  WHERE centroid_id IN (SELECT centroid_id FROM qcells)
        |    AND mv_doc <> $qDoc
        |), q AS (
-       |  SELECT vec_id AS q_vec, v AS qv FROM cells WHERE mv_doc = $qDoc
+       |  SELECT vec_id AS q_vec, v AS qv FROM cells
+       |  WHERE mv_doc = $qDoc AND vec_id < $qCap
        |), best AS (
        |  SELECT c.mv_doc, q.q_vec,
        |    max(${simMicroSql("c.v", "q.qv")}) AS best
