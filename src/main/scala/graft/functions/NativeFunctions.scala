@@ -16,5 +16,7 @@ object NativeFunctions {
     VecDot.register(spark)
     IVecDot.register(spark)
     WinnowFps.register(spark)
+    BqPack.register(spark)
+    BqAsymScore.register(spark)
   }
 }

@@ -41,22 +41,25 @@ import graft.Tables
   * build-once convention as [[ProductQuant.ensurePqTable]]); the probe
   * is one scan of the packed words + TakeOrderedAndProject, and the
   * refine joins a broadcast nCand-row candidate list back to the
-  * full-vector table — never the other way round. All 64 score terms
-  * are statically unrolled Scala-side so the whole kernel stays inside
-  * whole-stage codegen (no interpreted HOF lambda per element).
+  * full-vector table — never the other way round. The pack and score
+  * kernels are native Catalyst expressions (one generated call each,
+  * [[graft.functions.BqKernels]]): the first cut statically unrolled
+  * 128 expression terms, which blew the JVM 64 KB generated-method
+  * limit and silently degraded the scan to interpreted evaluation —
+  * caught by the scale ladder, not by correctness.
   */
 object BinaryQuant {
 
   private val WordBits = 32
 
   /** One packed word: sum of 2^i over the bits of `v` in
-    * [off, off+32) that are strictly positive. Statically unrolled —
-    * 32 codegen'd CASE terms, no HOF. */
+    * [off, off+32) that are strictly positive. A native loop kernel
+    * ([[graft.functions.BqKernels.pack]]): the former 32 unrolled CASE
+    * terms were correct but — combined with the 64-term score — pushed
+    * whole-stage codegen past the JVM 64 KB method limit, silently
+    * degrading the scan to interpreted evaluation. */
   private def packWord(v: Column, off: Int): Column =
-    (0 until WordBits).map { i =>
-      when(element_at(v, off + i + 1).cast("double") > lit(0.0),
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    call_function("bq_pack", v, lit(off))
 
   /** Scan-local sign-bit codes: (vec_id, label, w0, w1). */
   def codes(emb: DataFrame): DataFrame = {
@@ -73,17 +76,12 @@ object BinaryQuant {
 
   /** Asymmetric score of stored words (w0, w1) against a full-precision
     * query vector `qv` (DOUBLE array, in-row or broadcast): each sign
-    * mismatch costs |round(q_i*1e6)| micro-units. 64 statically
-    * unrolled integer terms. */
+    * mismatch costs |round(q_i*1e6)| micro-units. A native loop kernel
+    * ([[graft.functions.BqKernels.asym]], bit-identical to the former
+    * 64 unrolled terms — oracle-verified) so the probe genuinely stays
+    * inside whole-stage codegen. */
   private def asymScore(w0: Column, w1: Column, qv: Column): Column =
-    (0 until 2 * WordBits).map { i =>
-      val qi = element_at(qv, i + 1)
-      val bit = shiftright(if (i < WordBits) w0 else w1,
-        i % WordBits).bitwiseAND(lit(1L))
-      val sgn = when(qi > lit(0.0), lit(1L)).otherwise(lit(0L))
-      when(bit === sgn, lit(0L))
-        .otherwise(abs(round(qi * lit(1e6), 0).cast("long")))
-    }.reduce(_ + _)
+    call_function("bq_asym", w0, w1, qv)
 
   /** BQ ANN search: asymmetric scan over the packed words, top-nCand,
     * exact cosine refine, top-k. Output (vec_id, label, ascore, dist).
