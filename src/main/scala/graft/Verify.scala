@@ -35,6 +35,10 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
         try {
+          // stderr marker BEFORE the run: lets a log scan attribute
+          // engine-level ERROR lines (e.g. a whole-stage-codegen
+          // fallback) to the query that triggered them
+          System.err.println(s"[verify] running $name")
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // drop per-query persist()ed frames (see Bench) so cached

@@ -45,14 +45,14 @@ case class WinnowFps(child: Expression, k: Int, w: Int, m: Long,
   @transient private lazy val powArr: Array[Long] = pows.toArray
 
   override def nullSafeEval(input: Any): Any =
-    WinnowFps.eval(input.asInstanceOf[UTF8String], k, w, m, powArr)
+    WinnowFps.compute(input.asInstanceOf[UTF8String], k, w, m, powArr)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val powRef = ctx.addReferenceObj("winnowPows", powArr, "long[]")
     val cls = "graft.functions.WinnowFps"
     nullSafeCodeGen(ctx, ev,
-      t => s"${ev.value} = $cls.eval($t, $k, $w, ${m}L, $powRef);")
+      t => s"${ev.value} = $cls.compute($t, $k, $w, ${m}L, $powRef);")
   }
 
   override protected def withNewChildInternal(
@@ -63,8 +63,13 @@ case class WinnowFps(child: Expression, k: Int, w: Int, m: Long,
 
 object WinnowFps {
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def eval(text: UTF8String, k: Int, w: Int, m: Long,
+  /** Static kernel shared by interpreted eval and generated code.
+    * Named `compute`, NOT `eval`: the companion CLASS inherits
+    * Expression.eval, so a same-named object method gets no static
+    * forwarder — janino then fails to resolve the generated call and
+    * Spark silently drops the whole stage to interpreted evaluation
+    * (caught by the round-11 codegen audit, not by correctness). */
+  def compute(text: UTF8String, k: Int, w: Int, m: Long,
       pows: Array[Long]): InternalRow = {
     val s = text.toString
     // code points (one code per character, surrogate pairs included)
