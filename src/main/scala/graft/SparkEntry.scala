@@ -63,6 +63,12 @@ object SparkEntry {
     "fts_topk_stemmed" -> ((s, d) =>
       Fts.searchStemmed(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
+    // proximity search (NEAR/8, unordered) + the tsquery_phrase
+    // distance operator `hash <2> merge` (b exactly n after a)
+    "fts_near" -> ((s, d) =>
+      Fts.nearSearch(s, d, "hash", "merge", 8, "en", 10)),
+    "fts_phrase_dist" -> ((s, d) =>
+      Fts.phraseDistSearch(s, d, "hash", "merge", 2, "en", 10)),
     // Okapi BM25 (k1=1.2, b=0.75), OR-match — the ts_rank alternative
     "fts_bm25" -> ((s, d) => Fts.searchBm25(s, d, "hash join merge", "en", 10)),
     // the full endpoint parameter surface composed in one query:
@@ -455,6 +461,9 @@ object SparkEntry {
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),
+    "fts_phrase_dist" ->
+      Fts.phraseDistSearchOracleSql("hash", "merge", 2, "en", 10),
     "fts_prf_terms" ->
       QueryExpand.prfTermsOracleSql("hash join", "en", 5, 5),
     "fts_prf" -> QueryExpand.prfSearchOracleSql("hash join", "en", 5, 5, 10),

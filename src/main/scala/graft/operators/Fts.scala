@@ -678,6 +678,113 @@ object Fts {
       .limit(k)
   }
 
+  /** Proximity (NEAR/slop) search — the unordered two-term window
+    * query of Lucene's span_near / Elastic's match_phrase slop, the
+    * generalization PG reaches with repeated `<N>` phrase operators:
+    * documents where `a` and `b` occur within `w` token positions of
+    * each other (either order), ranked by the closest approach then by
+    * pair density. Same scan-local shape as [[phraseSearch]]: token
+    * positions and the pair-gap minimum are computed inside the scan
+    * from the analyzed token array (cost ∝ occurrences of a × b per
+    * doc — tiny, and never a shuffle), then TakeOrderedAndProject.
+    * Output (doc_id, n_pairs, min_gap). */
+  def nearSearch(spark: SparkSession, dir: String, a: String, b: String,
+      w: Int, lang: String, k: Int): DataFrame = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    // empty-token guard: sequence(1, 0) would DESCEND and ANSI
+    // element_at would throw on the out-of-range index
+    def posOf(t: String) = filter(
+      when(size(col("toks")) > 0,
+        sequence(lit(1), size(col("toks"))))
+        .otherwise(array().cast("array<int>")),
+      i => element_at(col("toks"), i) === lit(t))
+    val gaps = flatten(transform(posOf(ta),
+      x => transform(posOf(tb), y => abs(y - x))))
+    withToks
+      .select(col("doc_id"),
+        size(filter(gaps, d => d <= lit(w))).cast("long").as("n_pairs"),
+        array_min(gaps).as("min_gap"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("min_gap").asc, col("n_pairs").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def nearSearchOracleSql(a: String, b: String, w: Int, lang: String,
+      k: Int): String = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents WHERE lang = '$lang'
+       |), pos AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      list_filter(range(1, len(toks) + 1), i -> toks[i] = '$ta'),
+       |      x -> list_transform(
+       |        list_filter(range(1, len(toks) + 1), i -> toks[i] = '$tb'),
+       |        y -> abs(y - x)))) AS gaps
+       |  FROM toklists
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(gaps, d -> d <= $w)) AS BIGINT)
+       |      AS n_pairs,
+       |    list_min(gaps) AS min_gap
+       |  FROM pos
+       |)
+       |SELECT doc_id, n_pairs, min_gap FROM m WHERE n_pairs > 0
+       |ORDER BY min_gap ASC, n_pairs DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** The tsquery_phrase distance operator `a <N> b` (PG's generalized
+    * phrase search; `<1>` is [[phraseSearch]]'s adjacency): `b` exactly
+    * `n` analyzed positions after `a`, counted per document. */
+  def phraseDistSearch(spark: SparkSession, dir: String, a: String,
+      b: String, n: Int, lang: String, k: Int): DataFrame = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    // bound i to size-n so the lookahead never indexes past the array
+    // (ANSI element_at throws on out-of-range; and sequence(1, 0)
+    // would DESCEND — the phraseSearch guard pattern)
+    val idxs = when(size(col("toks")) > n,
+      sequence(lit(1), size(col("toks")) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    val hits = filter(idxs,
+      i => element_at(col("toks"), i) === lit(ta) &&
+        element_at(col("toks"), i + lit(n)) === lit(tb))
+    withToks
+      .select(col("doc_id"), size(hits).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def phraseDistSearchOracleSql(a: String, b: String, n: Int,
+      lang: String, k: Int): String = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    s"""WITH toklists AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS toks
+       |  FROM documents WHERE lang = '$lang'
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(toks) + 1),
+       |      i -> toks[i] = '$ta' AND i + $n <= len(toks)
+       |           AND toks[i + $n] = '$tb')) AS BIGINT) AS n_occurrences
+       |  FROM toklists
+       |)
+       |SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+       |ORDER BY n_occurrences DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   def phraseSearchOracleSql(phrase: String, lang: String, k: Int): String = {
     val terms = TextAnalyzer.analyze(phrase)
     val n = terms.length

@@ -137,3 +137,59 @@ class FtsSpec extends SparkSpec {
     byQuery.values.foreach(rows => assert(rows.length <= 3))
   }
 }
+
+class ProximitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic corpus with engineered gaps, written as a documents.parquet
+  // fixture so the dir-based search entry points exercise their real path
+  private lazy val dir: String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_prox_").toFile.getAbsolutePath
+    Seq(
+      (1L, "hash alpha beta merge tail", "en", "s", 25L), // gap 3
+      (2L, "merge alpha hash", "en", "s", 16L),           // gap 2 (reverse)
+      (3L, "hash merge", "en", "s", 10L),                 // gap 1
+      (4L, "hash alone here", "en", "s", 15L),            // no merge
+      (5L, "hash pad pad pad pad pad pad pad pad merge", "en", "s", 42L) // gap 9
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("near search: unordered window, ranked by closest approach") {
+    val rows = graft.operators.Fts
+      .nearSearch(spark, dir, "hash", "merge", 8, "en", 10).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
+    assert(rows.map(_.getAs[Int]("min_gap")).toSeq == Seq(1, 2, 3))
+    // doc 5's gap of 9 exceeds the window; doc 4 has no pair at all
+  }
+
+  test("phrase-distance <n> is directional and exact") {
+    val d3 = graft.operators.Fts
+      .phraseDistSearch(spark, dir, "hash", "merge", 3, "en", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(d3 == Seq(1L)) // only doc 1 has merge exactly 3 after hash
+    val d2rev = graft.operators.Fts
+      .phraseDistSearch(spark, dir, "hash", "merge", 2, "en", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(d2rev.isEmpty) // doc 2's pair is in the REVERSE order
+    val d1 = graft.operators.Fts
+      .phraseDistSearch(spark, dir, "hash", "merge", 1, "en", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(d1 == Seq(3L)) // <1> is plain adjacency
+  }
+
+  test("empty and single-token docs survive the ANSI bounds guards") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_prox2_").toFile.getAbsolutePath
+    Seq((1L, "", "en", "s", 0L), (2L, "hash", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    assert(graft.operators.Fts
+      .nearSearch(spark, d, "hash", "merge", 8, "en", 10).count() == 0L)
+    assert(graft.operators.Fts
+      .phraseDistSearch(spark, d, "hash", "merge", 2, "en", 10)
+      .count() == 0L)
+  }
+}
