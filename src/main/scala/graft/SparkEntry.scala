@@ -119,6 +119,10 @@ object SparkEntry {
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
     // late-interaction (ColBERT MaxSim) retrieval over pseudo-docs of
     // vec_id % 50: exact baseline + PLAID-style IVF-cell-pruned path
+    // graph ANN (NSW shape): M-NN graph over 2-probe IVF candidates,
+    // beam walk from a fixed entry (B=16, R=4), oracle unrolls the walk
+    "graph_ann" -> ((s, d) =>
+      GraphAnn.beamSearch(s, d, 42L, 0L, 10, 12, 16, 4, 10)),
     "maxsim_topk" -> ((s, d) =>
       MultiVector.maxSimTopK(s, d, 3L, 50, 500L, 10)),
     "maxsim_pruned" -> ((s, d) =>
@@ -480,6 +484,8 @@ object SparkEntry {
     "ivf_ann_auto" -> Similarity.ivfTopKAutoOracleSql(42L, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
+    "graph_ann" ->
+      GraphAnn.beamSearchOracleSql(42L, 0L, 10, 12, 16, 4, 10),
     "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 500L, 10),
     "maxsim_pruned" ->
       MultiVector.maxSimPrunedOracleSql(3L, 50, 500L, 10, 10),

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-based ANN — the navigable-small-world serving structure
+  * (Malkov & Yashunin's NSW/HNSW family; DiskANN's Vamana is the same
+  * probe over a different build). A k-NN GRAPH is built once over the
+  * corpus; a query walks it: start from a fixed entry point, expand the
+  * current best-B frontier's out-edges, score the new candidates, keep
+  * the best B, repeat R rounds, return top-k — touching
+  * O(R·B·M) vectors regardless of corpus size.
+  *
+  * Spark-first build: candidate edges come from the trained IVF
+  * geometry (vectors sharing any of their top-2 coarse cells), so the
+  * quadratic neighbor search is bounded per cell exactly like
+  * [[Similarity.embCosinePairs]]; each vector keeps its M nearest
+  * candidates as directed out-edges, persisted BUCKETED BY src — a
+  * frontier probe with driver-known ids statically prunes to the
+  * frontier's buckets. The second-choice cell is what stitches cells
+  * together (pure within-cell edges would make the graph unwalkable
+  * across cell boundaries).
+  *
+  * Spark-first probe: the beam loop runs R bounded rounds; each round
+  * is ONE job — edge scan pruned to the frontier ids, distinct new
+  * neighbors joined to their vectors, scored against the broadcast
+  * query — and collects only (id, dist) pairs bounded by B·M. The
+  * final top-k is re-materialized as a real scan-side projection (the
+  * collected ids become an IN-list), so the returned frame's values
+  * are computed by the engine, not the driver.
+  *
+  * Determinism: all distances round(…, 6); every selection (edge rank,
+  * beam membership, final top-k) tiebreaks on vec_id; the oracle
+  * replays the build chain and unrolls the SAME R beam rounds in SQL.
+  * A spec measures beam recall against exact KNN; the oracle gates the
+  * walk's exactness, the spec its quality.
+  */
+object GraphAnn {
+
+  /** Build-once: the directed M-NN graph over 2-probe IVF candidates,
+    * bucketed by src. Columns (src, dst, dist). */
+  def ensureGraphIndex(spark: SparkSession, dir: String,
+      nCentroids: Int, m: Int): String = {
+    val name =
+      s"graft_gann_${nCentroids}_${m}_${ScaleOps.dirHash(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      // probe-2 assignment against the SAME stored trained centroids
+      // the IVF index uses (build once, share everywhere)
+      val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+      val cents = spark.table(s"${idx}_cents")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cdist").asc, col("centroid_id").asc)
+      val asg2 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("centroid_id"),
+          round(Similarity.cosineDistancePre(col("embedding"), col("cv"),
+            col("nrm"), col("cn")), 6).as("cdist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+      // bounded quadratic: pairs sharing a cell; a pair sharing BOTH
+      // cells dedupes before ranking
+      val pairs = asg2.as("x")
+        .join(asg2.as("y"),
+          col("x.centroid_id") === col("y.centroid_id") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+          round(Similarity.cosineDistancePre(
+            col("x.embedding"), col("y.embedding"),
+            col("x.nrm"), col("y.nrm")), 6).as("dist"))
+        .distinct()
+      val wm = Window.partitionBy("src")
+        .orderBy(col("dist").asc, col("dst").asc)
+      val edges = pairs.withColumn("rn", row_number().over(wm))
+        .filter(col("rn") <= m)
+        .select("src", "dst", "dist")
+      ScaleOps.writeBucketed(edges, name, "src", 16)
+    }
+    name
+  }
+
+  /** Beam search over the graph: entry point -> R rounds of
+    * (expand best-B frontier, score new neighbors) -> top-k.
+    * Output (vec_id, label, dist). */
+  def beamSearch(spark: SparkSession, dir: String, qid: Long,
+      entry: Long, nCentroids: Int, m: Int, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    val edgesT = ensureGraphIndex(spark, dir, nCentroids, m)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    def distOf(idsDf: DataFrame): Array[(Long, Double)] =
+      idsDf.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
+            / (Similarity.norm(col("embedding")) * col("qn")), 6)
+            .as("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    import spark.implicits._
+    // scored: every visited node's (id, dist) — driver-side, bounded
+    // by 1 + R·B·M entries of 16 bytes
+    var scored = distOf(Seq(entry).toDF("vec_id")).toMap
+    var r = 0
+    while (r < rounds) {
+      val frontier = scored.toSeq
+        .sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
+      val known = scored.keySet
+      // one job: frontier-pruned edge scan -> distinct unseen dsts ->
+      // score against the broadcast query (<= B·M rows collected)
+      val fresh = distOf(
+        spark.table(edgesT)
+          .filter(col("src").isin(frontier.map(Long.box): _*))
+          .select(col("dst").as("vec_id")).distinct()
+          .filter(!col("vec_id").isin(known.toSeq.map(Long.box): _*)))
+      if (fresh.isEmpty) r = rounds
+      else { scored ++= fresh; r += 1 }
+    }
+    val topIds = scored.toSeq.filter(_._1 != qid)
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    // re-materialize engine-side: the walk chose WHICH ids, the scan
+    // computes the returned values
+    emb.filter(col("vec_id").isin(topIds.map(Long.box): _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
+          / (Similarity.norm(col("embedding")) * col("qn")), 6)
+          .as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+  }
+
+  /** Oracle: replay the trained-centroid chain, the 2-probe edge
+    * build, and the SAME R beam rounds unrolled as CTEs. */
+  def beamSearchOracleSql(qid: Long, entry: Long, nCentroids: Int,
+      m: Int, beam: Int, rounds: Int, k: Int): String = {
+    val asgDist =
+      """round(1.0 - list_dot_product(v, cv)
+        | / (sqrt(list_dot_product(v, v))
+        |    * sqrt(list_dot_product(cv, cv))), 6)"""
+        .stripMargin.replace("\n", " ")
+    val beamRounds = (1 to rounds).map { r =>
+      s"""f$r AS (
+         |  SELECT vid FROM s${r - 1} ORDER BY dist ASC, vid ASC
+         |  LIMIT $beam
+         |), n$r AS (
+         |  SELECT DISTINCT e.dst AS vid FROM edges e
+         |  JOIN f$r ON e.src = f$r.vid
+         |  WHERE e.dst NOT IN (SELECT vid FROM s${r - 1})
+         |), s$r AS MATERIALIZED (
+         |  SELECT vid, dist FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT n$r.vid,
+         |    round(1.0 - list_dot_product(e2.v, q.qv)
+         |      / (sqrt(list_dot_product(e2.v, e2.v))
+         |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+         |  FROM n$r JOIN e e2 ON e2.vec_id = n$r.vid, q
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${Similarity.centsCtes(nCentroids)}, asg2 AS MATERIALIZED (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT e.vec_id, e.v, centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $asgDist ASC, centroid_id ASC) AS rn
+       |    FROM e, cents) a
+       |  WHERE rn <= 2
+       |), edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY dist ASC, dst ASC) AS rn
+       |    FROM (
+       |      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+       |        round(1.0 - list_dot_product(x.v, y.v)
+       |          / (sqrt(list_dot_product(x.v, x.v))
+       |             * sqrt(list_dot_product(y.v, y.v))), 6) AS dist
+       |      FROM asg2 x JOIN asg2 y
+       |        ON x.centroid_id = y.centroid_id
+       |       AND x.vec_id <> y.vec_id) p
+       |  ) ranked WHERE rn <= $m
+       |), q AS (SELECT v AS qv FROM e WHERE vec_id = $qid),
+       |s0 AS (
+       |  SELECT e.vec_id AS vid,
+       |    round(1.0 - list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v))
+       |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |  FROM e, q WHERE e.vec_id = $entry
+       |),
+       |$beamRounds
+       |SELECT s.vid AS vec_id, e.label, s.dist
+       |FROM s$rounds s JOIN e ON e.vec_id = s.vid
+       |WHERE s.vid <> $qid
+       |ORDER BY s.dist ASC, s.vid ASC LIMIT $k""".stripMargin
+  }
+}
