@@ -313,6 +313,9 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d, 0.2)),
     // z-order layout key (Morton interleave) over (user_id, time bucket)
     "zorder_key" -> ((s, d) => ScaleOps.zorderEventKeys(s, d, 50)),
+    // corpus drift monitoring: PSI over equal-width doc-length buckets,
+    // even/odd doc_id halves as reference vs candidate
+    "drift_psi" -> ((s, d) => Drift.psi(s, d, 10)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -592,6 +595,7 @@ object SparkEntry {
       Changepoints.eventsChangepointsOracleSql(6, 50),
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
+    "drift_psi" -> Drift.psiOracleSql(10),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "bucketed_revenue" -> ScaleOps.bucketedRevenueOracleSql(10),
     "table_digest" -> ScaleOps.tableDigestsOracleSql,
