@@ -131,6 +131,10 @@ object SparkEntry {
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
       Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
+    // weighted linear fusion (min-max normalized, alpha=0.6) — the
+    // calibrated-score hybrid beside RRF's rank-only fusion
+    "hybrid_linear" -> ((s, d) =>
+      Hybrid.linearSearch(s, d, "hash join merge", "en", 0L, 20, 0.6, 10)),
     // int8 scalar quantization: KNN over integer codes + per-label audit
     "knn_quantized" -> ((s, d) => Quantize.knnQuantized(s, d, 0L, 10)),
     "quant_stats" -> ((s, d) => Quantize.quantStats(s, d)),
@@ -316,6 +320,9 @@ object SparkEntry {
     // corpus drift monitoring: PSI over equal-width doc-length buckets,
     // even/odd doc_id halves as reference vs candidate
     "drift_psi" -> ((s, d) => Drift.psi(s, d, 10)),
+    // A/B experiment readout: per-event-type two-proportion z-test,
+    // deterministic user-parity variants
+    "ab_test" -> ((s, d) => Experiment.abTest(s, d, 14L)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -596,6 +603,9 @@ object SparkEntry {
     "sample_weighted" -> Sampling.weightedSampleOracleSql(0.2),
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "drift_psi" -> Drift.psiOracleSql(10),
+    "ab_test" -> Experiment.abTestOracleSql(14L),
+    "hybrid_linear" ->
+      Hybrid.linearSearchOracleSql("hash join merge", "en", 0L, 20, 0.6, 10),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
     "bucketed_revenue" -> ScaleOps.bucketedRevenueOracleSql(10),
     "table_digest" -> ScaleOps.tableDigestsOracleSql,

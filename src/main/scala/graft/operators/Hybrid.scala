@@ -119,4 +119,96 @@ object Hybrid {
        |FROM fts_r f FULL OUTER JOIN knn_r v ON f.doc_id = v.vec_id
        |ORDER BY rrf DESC, id ASC LIMIT $k""".stripMargin
   }
+
+  /** Weighted linear fusion — the other standard hybrid besides RRF
+    * (the convex-combination recipe pgvector/Elastic hybrid guides
+    * reach for when score CALIBRATION matters, where RRF only uses
+    * ranks): min-max normalize each retriever's score within its own
+    * top-kEach list (FTS: higher is better; KNN: closer is better),
+    * fuse as α·fts + (1−α)·knn, absent-from-a-list contributes 0.
+    * Same bounded-collect shape as [[rrfSearch]] — the lists are
+    * driver-scale by construction, the plan keeps zero
+    * single-partition operators. All normalized scores round(…, 6)
+    * before fusing, so the oracle replays bit-for-bit. */
+  def linearSearch(
+      spark: SparkSession, dir: String, query: String, lang: String,
+      qid: Long, kEach: Int, alpha: Double, k: Int): DataFrame = {
+    import spark.implicits._
+    def norm6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val fts = Fts.search(spark, dir, query, lang, kEach)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (fLo, fHi) = (fts.map(_._2).min, fts.map(_._2).max)
+    val ftsN = fts.map { case (id, s) =>
+      (id, if (fHi == fLo) 1.0 else norm6((s - fLo) / (fHi - fLo)))
+    }.toSeq.toDF("doc_id", "fts_n")
+    val knn = Similarity.knnCosine(spark, dir, qid, kEach, 2.0)
+      .select(col("vec_id"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (dLo, dHi) = (knn.map(_._2).min, knn.map(_._2).max)
+    val knnN = knn.map { case (id, d) =>
+      (id, if (dHi == dLo) 1.0 else norm6((dHi - d) / (dHi - dLo)))
+    }.toSeq.toDF("vec_id", "knn_n")
+    ftsN.join(knnN, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("id"),
+        round(lit(alpha) * coalesce(col("fts_n"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("knn_n"), lit(0.0)), 6)
+          .as("fused"),
+        col("fts_n"), col("knn_n"))
+      .orderBy(col("fused").desc, col("id").asc)
+      .limit(k)
+  }
+
+  def linearSearchOracleSql(query: String, lang: String, qid: Long,
+      kEach: Int, alpha: Double, k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE lang = '$lang'
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), m AS (
+       |  SELECT doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY doc_id
+       |), fts_top AS (
+       |  SELECT doc_id, round(s / (1 + s), 6) AS score
+       |  FROM m WHERE nmatch = ${terms.length}
+       |  ORDER BY score DESC, doc_id ASC LIMIT $kEach
+       |), fb AS (SELECT min(score) AS lo, max(score) AS hi FROM fts_top),
+       |fts_n AS (
+       |  SELECT doc_id, CASE WHEN hi = lo THEN 1.0
+       |    ELSE round((score - lo) / (hi - lo), 6) END AS fts_n
+       |  FROM fts_top, fb
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = $qid
+       |), d AS (
+       |  SELECT vec_id,
+       |    round(1.0 - list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+       |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(qv, qv))), 6) AS dist
+       |  FROM embeddings, q WHERE vec_id <> $qid
+       |), knn_top AS (
+       |  SELECT vec_id, dist FROM d
+       |  ORDER BY dist ASC, vec_id ASC LIMIT $kEach
+       |), kb AS (SELECT min(dist) AS lo, max(dist) AS hi FROM knn_top),
+       |knn_n AS (
+       |  SELECT vec_id, CASE WHEN hi = lo THEN 1.0
+       |    ELSE round((hi - dist) / (hi - lo), 6) END AS knn_n
+       |  FROM knn_top, kb
+       |)
+       |SELECT COALESCE(f.doc_id, v.vec_id) AS id,
+       |  round($alpha * COALESCE(f.fts_n, 0)
+       |      + ${1.0 - alpha} * COALESCE(v.knn_n, 0), 6) AS fused,
+       |  f.fts_n, v.knn_n
+       |FROM fts_n f FULL OUTER JOIN knn_n v ON f.doc_id = v.vec_id
+       |ORDER BY fused DESC, id ASC LIMIT $k""".stripMargin
+  }
 }
