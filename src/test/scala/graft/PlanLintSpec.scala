@@ -57,6 +57,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row corpus-scalar (n_docs / max_w) riding vocabulary-sized
     // index aggregates — the fts_bm25 stats-frame pattern
     "fts_prf_terms", "fts_prf", "fts_mlt",
+    // 1-row scalar rides: [lo,hi] bounds, per-variant user totals,
+    // the query vector over the walk's bounded id lists
+    "drift_psi", "ab_test", "graph_ann",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
