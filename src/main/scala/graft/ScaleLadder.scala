@@ -34,7 +34,11 @@ object ScaleLadder {
     // aggregates + bucket-pruned probes), and the JSONL codec
     // round-trip (scan-local, ~linear)
     "bq_ann", "maxsim_topk", "maxsim_pruned", "fts_fuzzy",
-    "fts_prf", "fts_mlt", "jsonl_roundtrip")
+    "fts_prf", "fts_mlt", "jsonl_roundtrip",
+    // the graph walk should be FLAT (O(R·B·M) touches); drift/ab are
+    // single-scan sub-linear; proximity rows are scan-bound like
+    // fts_topk; hybrid_linear carries its exact-KNN leg
+    "graph_ann", "drift_psi", "ab_test", "hybrid_linear", "fts_near")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
