@@ -78,6 +78,12 @@ object SparkEntry {
     "fts_termstats" -> ((s, d) => Fts.termStats(s, d)),
     // prefix search (the tsquery 'pre:*' analog) over the term index
     "fts_prefix" -> ((s, d) => Fts.prefixSearch(s, d, "ha", 10)),
+    // LIKE-pattern family completed: suffix via the reversed-term
+    // index, infix via the vocab scan + postings probe
+    "fts_suffix" -> ((s, d) => Fts.suffixSearch(s, d, "ing", 10)),
+    "fts_infix" -> ((s, d) => Fts.infixSearch(s, d, "as", 10)),
+    // facet panel: (lang, source) doc counts over the AND-match set
+    "fts_facets" -> ((s, d) => Fts.facetedSearch(s, d, "hash join")),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc
     "keywords_tfidf" -> ((s, d) => Fts.keywordsTfidf(s, d, 3)),
     // ts_headline analog: KWIC snippets around the first term hit
@@ -475,6 +481,9 @@ object SparkEntry {
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "fts_suffix" -> Fts.suffixSearchOracleSql("ing", 10),
+    "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
+    "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),
     "fts_phrase_dist" ->
       Fts.phraseDistSearchOracleSql("hash", "merge", 2, "en", 10),

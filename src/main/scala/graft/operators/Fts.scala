@@ -866,6 +866,132 @@ object Fts {
        |GROUP BY doc_id
        |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Suffix search — the `LIKE '%ing'` acceleration trick: a
+    * REVERSED-term projection of the index, persisted sorted by the
+    * reversed term, probed with `startsWith(reverse(suffix))` — the
+    * same sorted-column parquet min/max row-group pruning
+    * [[prefixSearch]] gets on the forward index (PG reaches this with
+    * an expression index on reverse(col)). Ranking mirrors
+    * prefixSearch: docs matching ANY suffixed term by total matched
+    * tf. */
+  def ensureReverseIndex(spark: SparkSession, dir: String): String = {
+    val name = s"graft_fts_rev_${ScaleOps.dirHash(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      ScaleOps.writeBucketed(
+        spark.table(ensureIndex(spark, dir))
+          .select(reverse(col("term")).as("rterm"), col("doc_id"),
+            col("lang"), col("tf")),
+        name, "rterm", 32)
+    }
+    name
+  }
+
+  def suffixSearch(spark: SparkSession, dir: String, suffix: String,
+      k: Int): DataFrame =
+    spark.table(ensureReverseIndex(spark, dir))
+      .filter(col("rterm").startsWith(suffix.reverse))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("rterm")).as("n_terms"),
+        sum(col("tf")).as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+
+  def suffixSearchOracleSql(suffix: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT doc_id, count(DISTINCT term) AS n_terms,
+       |  CAST(sum(tf) AS BIGINT) AS matched_tf
+       |FROM idx WHERE term LIKE '%$suffix'
+       |GROUP BY doc_id
+       |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Infix (wildcard `%pat%`) search: the vocabulary — orders of
+    * magnitude smaller than the corpus — is scanned for containing
+    * terms, then their posting lists aggregate per doc. This is the
+    * honest baseline PG's pg_trgm LIKE acceleration improves on with
+    * a trigram index; at this engine's scale the vocab scan is a
+    * rounding error next to any corpus-touching operator, and the
+    * postings probe is the same index aggregation as prefix/suffix. */
+  def infixSearch(spark: SparkSession, dir: String, pat: String,
+      k: Int): DataFrame =
+    spark.table(ensureIndex(spark, dir))
+      .filter(col("term").contains(pat))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+
+  def infixSearchOracleSql(pat: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT doc_id, count(DISTINCT term) AS n_terms,
+       |  CAST(sum(tf) AS BIGINT) AS matched_tf
+       |FROM idx WHERE term LIKE '%$pat%'
+       |GROUP BY doc_id
+       |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Faceted search — the aggregation panel every search UI renders
+    * beside the hit list (Elastic terms-aggs, PG GROUP BY over the
+    * match): the AND-match doc set of `query`, bucketed by
+    * (lang, source) with doc counts and total matched tf. One
+    * scan-local match pass (the [[search]] formulation keeps facets on
+    * the SAME zero-exchange scan) feeding one partial-aggregated
+    * groupBy — never a join between hits and facets. */
+  def facetedSearch(spark: SparkSession, dir: String,
+      query: String): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val withToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("toks"), x => x === lit(terms(i)))).as(s"tf$i"))
+    withToks
+      .select(col("doc_id") +: col("lang") +: col("source") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(terms.indices.map(i => col(s"tf$i")).reduce(_ + _))
+          .cast("long").as("matched_tf"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  def facetedSearchOracleSql(query: String): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tl, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val allMatch = terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
+    val tfSum = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, lang, source, $tfCols
+       |  FROM (
+       |    SELECT doc_id, lang, source, list_filter(
+       |      string_split_regex(lower(text), '\\W+'),
+       |      t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |    FROM documents
+       |  ) tokl
+       |)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum($tfSum) AS BIGINT) AS matched_tf
+       |FROM perdoc WHERE $allMatch
+       |GROUP BY lang, source
+       |ORDER BY lang ASC, source ASC""".stripMargin
+  }
+
   /** TF-IDF keyword extraction: the top-`perDoc` most characteristic
     * terms of every document — the per-doc summarization / tagging pass
     * a training-data pipeline runs for corpus exploration and topic
