@@ -82,6 +82,8 @@ object SparkEntry {
     // index, infix via the vocab scan + postings probe
     "fts_suffix" -> ((s, d) => Fts.suffixSearch(s, d, "ing", 10)),
     "fts_infix" -> ((s, d) => Fts.infixSearch(s, d, "as", 10)),
+    // suggest-as-you-type: top df-ranked vocabulary completions
+    "fts_complete" -> ((s, d) => Fts.completeTerms(s, d, "s", 10)),
     // facet panel: (lang, source) doc counts over the AND-match set
     "fts_facets" -> ((s, d) => Fts.facetedSearch(s, d, "hash join")),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc
@@ -329,6 +331,12 @@ object SparkEntry {
     // A/B experiment readout: per-event-type two-proportion z-test,
     // deterministic user-parity variants
     "ab_test" -> ((s, d) => Experiment.abTest(s, d, 14L)),
+    // Markov next-event transition matrix within 30-min sessions
+    "events_transitions" -> ((s, d) => EventMining.transitions(s, d, 1800L)),
+    // market-basket rules over session item-sets (support/conf/lift)
+    "events_basket" -> ((s, d) => EventMining.basketRules(s, d, 1800L)),
+    // EWMA trend over the dense daily volume series per event type
+    "events_ewma" -> ((s, d) => EventMining.ewmaDaily(s, d, 0.3)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -483,6 +491,7 @@ object SparkEntry {
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
     "fts_suffix" -> Fts.suffixSearchOracleSql("ing", 10),
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
+    "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
     "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),
     "fts_phrase_dist" ->
@@ -613,6 +622,9 @@ object SparkEntry {
     "zorder_key" -> ScaleOps.zorderEventKeysOracleSql(50),
     "drift_psi" -> Drift.psiOracleSql(10),
     "ab_test" -> Experiment.abTestOracleSql(14L),
+    "events_transitions" -> EventMining.transitionsOracleSql(1800L),
+    "events_basket" -> EventMining.basketRulesOracleSql(1800L),
+    "events_ewma" -> EventMining.ewmaDailyOracleSql(0.3),
     "hybrid_linear" ->
       Hybrid.linearSearchOracleSql("hash join merge", "en", 0L, 20, 0.6, 10),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,

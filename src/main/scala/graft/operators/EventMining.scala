@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral sequence/set mining over the events stream — the product
+  * analytics the reference's event log would feed if it had more than a
+  * health check: Markov next-event transitions, market-basket
+  * association rules over session item-sets, and EWMA trend smoothing
+  * of the daily volume series.
+  *
+  * All three sessionize with the same gap rule as
+  * [[Relational.eventSessions]] so session identity is consistent
+  * across the analytics family.
+  *
+  * Scale shape: one user-keyed window pass for sessionization (the
+  * shuffle is keyed by user_id, the same partitioning the session
+  * operator already uses, so at 100 TB these share one exchange);
+  * everything downstream aggregates to frames bounded by the
+  * EVENT-TYPE VOCABULARY (|types|² transition cells, |types|² rule
+  * pairs, |types|×days EWMA grid), never the event count.
+  */
+object EventMining {
+
+  private def sessionized(spark: SparkSession, dir: String,
+      gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    Relational.eventsWithTsec(spark, dir)
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** First-order Markov transition matrix of event types WITHIN
+    * sessions: for every (from, to) adjacent pair, its count and the
+    * row-normalized transition probability — the "what happens after a
+    * click" panel.
+    *
+    * The lead() runs inside the per-(user, session) window of the one
+    * sessionization pass; the probability normalizer is a window over
+    * the AGGREGATED |types|² frame (bounded by vocabulary, partitioned
+    * by from_type — never a corpus-wide window). */
+  def transitions(spark: SparkSession, dir: String,
+      gapSec: Long): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    val pairs = sessionized(spark, dir, gapSec)
+      .withColumn("next_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("prob",
+        round(col("n_pairs") / sum(col("n_pairs")).over(byFrom), 6))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
+  def transitionsOracleSql(gapSec: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000000000 AS tsec
+       |  FROM events
+       |), l AS (
+       |  SELECT *, lag(tsec) OVER (PARTITION BY user_id
+       |    ORDER BY tsec ASC, event_id ASC) AS prev
+       |  FROM e
+       |), s AS MATERIALIZED (
+       |  SELECT user_id, event_id, event_type, tsec,
+       |    sum(CASE WHEN prev IS NULL OR tsec - prev > $gapSec
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY tsec ASC, event_id ASC
+       |            ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM l
+       |), p AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY tsec ASC, event_id ASC) AS to_type
+       |  FROM s
+       |), c AS (
+       |  SELECT from_type, to_type, count(*) AS n_pairs
+       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n_pairs,
+       |  round(n_pairs / sum(n_pairs) OVER (PARTITION BY from_type),
+       |        6) AS prob
+       |FROM c ORDER BY from_type ASC, to_type ASC""".stripMargin
+
+  /** Market-basket association rules (Agrawal-Srikant shape) where a
+    * basket = one session's DISTINCT event-type set: per unordered type
+    * pair, basket support, confidence a→b, and lift. The
+    * sanity-analytics layer over any event log ("do users who error
+    * also purchase?").
+    *
+    * The pair join is an equi-join on the basket key (each side ≤
+    * |types| rows per basket — never a corpus-side blowup); per-type
+    * basket counts broadcast back onto the |types|² pair frame; the
+    * single global basket total rides as a 1-row broadcast
+    * (PlanLint-allowlisted scalar pattern). */
+  def basketRules(spark: SparkSession, dir: String,
+      gapSec: Long): DataFrame = {
+    val items = sessionized(spark, dir, gapSec)
+      .select("user_id", "session_seq", "event_type").distinct()
+    val totals = items.select("user_id", "session_seq").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val a = items.select(col("user_id"), col("session_seq"),
+      col("event_type").as("item_a"))
+    val b = items.select(col("user_id"), col("session_seq"),
+      col("event_type").as("item_b"))
+    a.join(b, Seq("user_id", "session_seq"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeCounts.select(col("event_type").as("item_a"),
+        col("n_type").as("n_a"))), Seq("item_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("item_b"),
+        col("n_type").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab") * col("n_baskets") / (col("n_a") * col("n_b")),
+          6).as("lift"))
+      .orderBy(col("item_a").asc, col("item_b").asc)
+  }
+
+  def basketRulesOracleSql(gapSec: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000000000 AS tsec
+       |  FROM events
+       |), l AS (
+       |  SELECT *, lag(tsec) OVER (PARTITION BY user_id
+       |    ORDER BY tsec ASC, event_id ASC) AS prev
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, event_type, tsec, event_id,
+       |    sum(CASE WHEN prev IS NULL OR tsec - prev > $gapSec
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY tsec ASC, event_id ASC
+       |            ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM l
+       |), items AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, session_seq, event_type FROM s
+       |), tot AS (
+       |  SELECT count(*) AS n_baskets FROM (
+       |    SELECT DISTINCT user_id, session_seq FROM items)
+       |), tc AS (
+       |  SELECT event_type, count(*) AS n_type FROM items GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+       |    count(*) AS n_ab
+       |  FROM items a JOIN items b
+       |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       |   AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT item_a, item_b, n_ab,
+       |  round(n_ab / t.n_baskets, 6) AS support,
+       |  round(n_ab / ta.n_type, 6) AS confidence,
+       |  round(n_ab * t.n_baskets / (ta.n_type * tb.n_type), 6) AS lift
+       |FROM pairs
+       |JOIN tc ta ON ta.event_type = item_a
+       |JOIN tc tb ON tb.event_type = item_b
+       |CROSS JOIN tot t
+       |ORDER BY item_a ASC, item_b ASC""".stripMargin
+
+  /** EWMA smoothing (pandas `ewm(adjust=False)` recurrence: s_0 = x_0,
+    * s_i = (1-α)·s_{i-1} + α·x_i) of the DAILY event count per type —
+    * the trend line a monitoring dashboard draws over the raw volume
+    * series, with missing days counted as true zeros (a dense day grid,
+    * not just observed days — decay is per DAY, not per observation).
+    *
+    * The recurrence is computed closed-form in one partitioned window
+    * pass: s_i = r^i · Σ_{j≤i} w_j with w_0 = x_0, w_j = α·x_j·r^{-j}
+    * (r = 1-α) — no driver loop, no sequential dependency the engine
+    * can't parallelize. All terms are positive so the fp error stays
+    * relative (no cancellation); with α ≥ 0.3 and day spans in the
+    * hundreds, r^{-j} stays far inside double range. The day axis
+    * derives from a 1-row [min,max] aggregate exploded via sequence();
+    * the |types|×|days| grid is a broadcast cross of two bounded dims
+    * (PlanLint-allowlisted). */
+  def ewmaDaily(spark: SparkSession, dir: String,
+      alpha: Double): DataFrame = {
+    val r = 1.0 - alpha
+    val ev = Relational.eventsWithTsec(spark, dir)
+      .select(col("event_type"), expr("tsec div 86400").as("day"))
+    val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"), (col("day") - col("d0")).as("i"))
+    val grid = ev.select("event_type").distinct().crossJoin(broadcast(days))
+    val counts = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy("event_type").orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("w",
+        when(col("i") === 0, col("n_events").cast("double"))
+          .otherwise(lit(alpha) * col("n_events") * pow(lit(r), -col("i"))))
+      .withColumn("ewma",
+        round(pow(lit(r), col("i")) * sum(col("w")).over(byType), 6))
+      .select(col("event_type"), col("day"), col("n_events"), col("ewma"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  def ewmaDailyOracleSql(alpha: Double): String = {
+    val r = 1.0 - alpha
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+       |  FROM events
+       |), b AS (
+       |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+       |), days AS (
+       |  SELECT day, day - (SELECT d0 FROM b) AS i
+       |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b)
+       |), grid AS (
+       |  SELECT t.event_type, d.day, d.i
+       |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
+       |), c AS (
+       |  SELECT event_type, day, count(*) AS n_events
+       |  FROM e GROUP BY 1, 2
+       |), g AS (
+       |  SELECT grid.event_type, grid.day, grid.i,
+       |    COALESCE(c.n_events, 0) AS n_events
+       |  FROM grid LEFT JOIN c USING (event_type, day)
+       |), w AS (
+       |  SELECT *, sum(CASE WHEN i = 0 THEN CAST(n_events AS DOUBLE)
+       |    ELSE $alpha * n_events * power($r, -i) END)
+       |    OVER (PARTITION BY event_type ORDER BY i ASC
+       |          ROWS UNBOUNDED PRECEDING) AS acc
+       |  FROM g
+       |)
+       |SELECT event_type, day, n_events,
+       |  round(power($r, i) * acc, 6) AS ewma
+       |FROM w ORDER BY event_type ASC, day ASC""".stripMargin
+  }
+}

@@ -943,6 +943,37 @@ object Fts {
        |GROUP BY doc_id
        |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Query autocomplete — the TERM-level sibling of [[prefixSearch]]
+    * (which ranks documents): top-k vocabulary completions of a typed
+    * prefix ranked by document frequency, the suggest-as-you-type
+    * primitive (Lucene's prefix suggester / PG's `pg_trgm` suggest
+    * path). A pushed StartsWith over the sorted term column of the
+    * persisted index prunes row groups; the aggregate runs at
+    * VOCABULARY size, never corpus size. */
+  def completeTerms(spark: SparkSession, dir: String, prefix: String,
+      k: Int): DataFrame =
+    spark.table(ensureIndex(spark, dir))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
+  def completeTermsOracleSql(prefix: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+       |FROM idx WHERE term LIKE '$prefix%'
+       |GROUP BY term
+       |ORDER BY df DESC, term ASC LIMIT $k""".stripMargin
+
   /** Faceted search — the aggregation panel every search UI renders
     * beside the hit list (Elastic terms-aggs, PG GROUP BY over the
     * match): the AND-match doc set of `query`, bucketed by

@@ -1371,7 +1371,7 @@ object Relational {
       |FROM r WHERE rn <= 5
       |ORDER BY c_mktsegment ASC, rn ASC""".stripMargin
 
-  private def eventsWithTsec(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def eventsWithTsec(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val tsec = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")

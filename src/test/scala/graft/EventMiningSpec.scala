@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.EventMining
+
+class EventMiningSpec extends SparkSpec {
+
+  test("transitions: probs row-normalize to 1 and pairs stay in-session") {
+    val rows = EventMining.transitions(spark, Sf0001, 1800L).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (from, rs) =>
+      val total = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"$from probs sum to $total")
+    }
+    // pair count conservation: every non-terminal event emits one pair
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val sessions = graft.operators.Relational
+      .eventSessions(spark, Sf0001, 1800L).collect()
+    val expected = sessions.map(_.getAs[Long]("n_events") - 1).sum
+    assert(nPairs == expected,
+      s"pairs $nPairs != events-minus-sessions $expected")
+  }
+
+  test("basket rules: lift is symmetric in its marginals and bounded") {
+    val rows = EventMining.basketRules(spark, Sf0001, 1800L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c, l) = (r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift"))
+      assert(s > 0 && s <= 1.0, s"support $s")
+      assert(c >= s - 1e-9 && c <= 1.0, s"confidence $c < support $s")
+      assert(l > 0, s"lift $l")
+      // confidence = support_pair / support_a >= support_pair
+      assert(r.getAs[String]("item_a") < r.getAs[String]("item_b"))
+    }
+  }
+
+  test("ewma matches the sequential adjust=False recurrence exactly") {
+    val rows = EventMining.ewmaDaily(spark, Sf0001, 0.3).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      // dense axis: days are consecutive
+      val days = sorted.map(_.getAs[Long]("day"))
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+      var s = sorted.head.getAs[Long]("n_events").toDouble
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) s = 0.7 * s + 0.3 * r.getAs[Long]("n_events")
+        val got = r.getAs[Double]("ewma")
+        assert(math.abs(got - s) < 1e-5, s"day ${r.get(1)}: $got vs $s")
+      }
+    }
+  }
+}

@@ -60,6 +60,10 @@ class PlanLintSpec extends SparkSpec {
     // 1-row scalar rides: [lo,hi] bounds, per-variant user totals,
     // the query vector over the walk's bounded id lists
     "drift_psi", "ab_test", "graph_ann",
+    // 1-row basket total riding the |types|² rule frame; the
+    // |types|×|days| EWMA grid = cross of two bounded dims (type
+    // vocabulary × a [min,max]-derived day axis)
+    "events_basket", "events_ewma",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
