@@ -337,6 +337,15 @@ object SparkEntry {
     "events_basket" -> ((s, d) => EventMining.basketRules(s, d, 1800L)),
     // EWMA trend over the dense daily volume series per event type
     "events_ewma" -> ((s, d) => EventMining.ewmaDaily(s, d, 0.3)),
+    // autocorrelation of the daily series, lags 1..7 (periodicity)
+    "events_acf" -> ((s, d) => EventMining.acfDaily(s, d, 7)),
+    // day-of-week seasonal baseline + mean±2σ outlier-day counts
+    "events_dow" -> ((s, d) => EventMining.dowProfile(s, d)),
+    // Zipf's-law least-squares fit over the term-frequency vocabulary
+    "zipf_fit" -> ((s, d) => Fts.zipfFit(s, d)),
+    // CSV interchange: export/read-back digest gate (JSONL's sibling)
+    "csv_roundtrip" -> ((s, d) =>
+      graft.sources.CsvStore.roundTripDigest(s, d)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -625,6 +634,10 @@ object SparkEntry {
     "events_transitions" -> EventMining.transitionsOracleSql(1800L),
     "events_basket" -> EventMining.basketRulesOracleSql(1800L),
     "events_ewma" -> EventMining.ewmaDailyOracleSql(0.3),
+    "events_acf" -> EventMining.acfDailyOracleSql(7),
+    "events_dow" -> EventMining.dowProfileOracleSql,
+    "zipf_fit" -> Fts.zipfFitOracleSql,
+    "csv_roundtrip" -> graft.sources.CsvStore.roundTripDigestOracleSql,
     "hybrid_linear" ->
       Hybrid.linearSearchOracleSql("hash join merge", "en", 0L, 20, 0.6, 10),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,

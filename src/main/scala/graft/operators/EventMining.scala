@@ -192,9 +192,12 @@ object EventMining {
     * derives from a 1-row [min,max] aggregate exploded via sequence();
     * the |types|×|days| grid is a broadcast cross of two bounded dims
     * (PlanLint-allowlisted). */
-  def ewmaDaily(spark: SparkSession, dir: String,
-      alpha: Double): DataFrame = {
-    val r = 1.0 - alpha
+  /** The DENSE (event_type, day) grid of daily counts — missing days
+    * materialized as true zeros, `i` = 0-based day index. The shared
+    * substrate of every daily-series operator below; |types|×|days|
+    * rows, built by crossing two bounded dims (1-row [min,max]
+    * aggregate exploded via sequence × the type vocabulary). */
+  private def denseDaily(spark: SparkSession, dir: String): DataFrame = {
     val ev = Relational.eventsWithTsec(spark, dir)
       .select(col("event_type"), expr("tsec div 86400").as("day"))
     val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -203,10 +206,16 @@ object EventMining {
     val grid = ev.select("event_type").distinct().crossJoin(broadcast(days))
     val counts = ev.groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_events"))
-    val byType = Window.partitionBy("event_type").orderBy(col("i").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(counts, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("n_events"))
+  }
+
+  def ewmaDaily(spark: SparkSession, dir: String,
+      alpha: Double): DataFrame = {
+    val r = 1.0 - alpha
+    val byType = Window.partitionBy("event_type").orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denseDaily(spark, dir)
       .withColumn("w",
         when(col("i") === 0, col("n_events").cast("double"))
           .otherwise(lit(alpha) * col("n_events") * pow(lit(r), -col("i"))))
@@ -248,4 +257,146 @@ object EventMining {
        |  round(power($r, i) * acc, 6) AS ewma
        |FROM w ORDER BY event_type ASC, day ASC""".stripMargin
   }
+
+  /** Autocorrelation function of the daily count series per event type,
+    * lags 1..maxLag — the periodicity detector (a weekly-seasonal
+    * series spikes at lag 7) that complements [[ewmaDaily]]'s trend and
+    * Changepoints' level shifts.
+    *
+    * Numerics are EXACT until the final division: the lagged pairing is
+    * an equi-join of the dense grid with itself (key = type, day−lag —
+    * |types|×|days|×maxLag rows, all bounded dims), and Pearson r is
+    * assembled from pure BIGINT power sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * that cannot lose precision or depend on summation order; only the
+    * last divide is floating-point, so the round(6) gate is safe. Zero
+    * variance on either side → NULL by contract. */
+  def acfDaily(spark: SparkSession, dir: String, maxLag: Int): DataFrame = {
+    val d = denseDaily(spark, dir).select(
+      col("event_type"), col("day"), col("n_events").as("x"))
+    val lagged = d.select(col("event_type"), col("day"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"),
+      col("x").as("y"))
+      .withColumn("day", col("day") + col("lag"))
+    d.join(lagged, Seq("event_type", "day"))
+      .groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6).as("acf"))
+      .orderBy(col("event_type").asc, col("lag").asc)
+  }
+
+  def acfDailyOracleSql(maxLag: Int): String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+       |  FROM events
+       |), b AS (
+       |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+       |), days AS (
+       |  SELECT unnest(range(d0, d1 + 1)) AS day FROM b
+       |), g AS MATERIALIZED (
+       |  SELECT t.event_type, d.day, COALESCE(c.n_events, 0) AS x
+       |  FROM (SELECT DISTINCT event_type FROM e) t
+       |  CROSS JOIN days d
+       |  LEFT JOIN (SELECT event_type, day, count(*) AS n_events
+       |             FROM e GROUP BY 1, 2) c
+       |    USING (event_type, day)
+       |), p AS (
+       |  SELECT a.event_type, l.lag, a.x, b2.x AS y
+       |  FROM g a
+       |  CROSS JOIN (SELECT unnest(range(1, $maxLag + 1)) AS lag) l
+       |  JOIN g b2 ON b2.event_type = a.event_type
+       |    AND b2.day = a.day - l.lag
+       |), s AS (
+       |  SELECT event_type, lag, count(*) AS n,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM p GROUP BY 1, 2
+       |)
+       |SELECT event_type, lag, n,
+       |  round((n * sxy - sx * sy) /
+       |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+       |         AS DOUBLE)), 6) AS acf
+       |FROM s ORDER BY event_type ASC, lag ASC""".stripMargin
+
+  /** Day-of-week seasonal profile per event type: mean and population
+    * σ of the daily count per weekday slot (pure epoch-day arithmetic,
+    * `(day+4) mod 7`, 0 = Sunday — no timezone machinery on either
+    * engine), plus how many days sit outside mean±2σ — the seasonal
+    * baseline a monitoring pipeline alerts against.
+    *
+    * Same exact-integer-sums discipline as [[acfDaily]]; the per-slot
+    * moments come back onto the daily grid as a |types|×7 broadcast for
+    * the outlier count, and the threshold comparison multiplies through
+    * by n² to stay in exact BIGINT arithmetic:
+    * |x−μ| > 2σ  ⟺  (n·x−sx)² > 4·(n·sxx−sx²). */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = denseDaily(spark, dir)
+      .withColumn("dow", (col("day") + 4) % 7)
+    val prof = d.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+    d.join(broadcast(prof), Seq("event_type", "dow"))
+      // integer-exact |x−μ| > 2σ: (n·x − sx)² > 4·(n·sxx − sx²)
+      .withColumn("is_out",
+        when((col("n_days") * col("n_events") - col("sx")) *
+          (col("n_days") * col("n_events") - col("sx")) >
+          lit(4) * (col("n_days") * col("sxx") - col("sx") * col("sx")),
+          1L).otherwise(0L))
+      .groupBy("event_type", "dow")
+      .agg(
+        first(col("n_days")).as("n_days"),
+        round(first(col("sx")) / first(col("n_days")), 6).as("mean_n"),
+        round(sqrt((first(col("sxx")) * first(col("n_days")) -
+          first(col("sx")) * first(col("sx"))).cast("double")) /
+          first(col("n_days")), 6).as("sd_n"),
+        sum(col("is_out")).as("n_outlier_days"))
+      .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
+  val dowProfileOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+      |  FROM events
+      |), b AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+      |), days AS (
+      |  SELECT unnest(range(d0, d1 + 1)) AS day FROM b
+      |), g AS MATERIALIZED (
+      |  SELECT t.event_type, d.day, (d.day + 4) % 7 AS dow,
+      |    COALESCE(c.n_events, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN (SELECT event_type, day, count(*) AS n_events
+      |             FROM e GROUP BY 1, 2) c
+      |    USING (event_type, day)
+      |), prof AS MATERIALIZED (
+      |  SELECT event_type, dow, count(*) AS n_days,
+      |    sum(x) AS sx, sum(x * x) AS sxx
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT g.event_type, g.dow,
+      |  first(p.n_days) AS n_days,
+      |  round(first(p.sx) / first(p.n_days), 6) AS mean_n,
+      |  round(sqrt(CAST(first(p.sxx) * first(p.n_days) -
+      |    first(p.sx) * first(p.sx) AS DOUBLE)) / first(p.n_days),
+      |    6) AS sd_n,
+      |  CAST(sum(CASE WHEN (p.n_days * g.x - p.sx) *
+      |      (p.n_days * g.x - p.sx) >
+      |      4 * (p.n_days * p.sxx - p.sx * p.sx)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+      |FROM g JOIN prof p USING (event_type, dow)
+      |GROUP BY g.event_type, g.dow
+      |ORDER BY g.event_type ASC, g.dow ASC""".stripMargin
 }

@@ -974,6 +974,69 @@ object Fts {
        |GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT $k""".stripMargin
 
+  /** Zipf's-law fit of the corpus term-frequency distribution: least
+    * squares of ln(freq) on ln(rank) over the vocabulary — slope ≈ −1
+    * is the healthy-natural-text signature; a flat or cliff-shaped fit
+    * flags boilerplate/dedup-failure corpora (the corpus-law diagnostic
+    * next to diversity_report's type/token ratios).
+    *
+    * The rank is a row_number over the VOCABULARY-sized frequency frame
+    * (bounded global window, allowlisted — never the corpus); the fit
+    * reduces to one 1-row aggregate of log power sums. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = spark.table(ensureIndex(spark, dir))
+      .groupBy("term").agg(sum(col("tf")).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+    val pts = vocab.select(
+      log(col("rank").cast("double")).as("lx"),
+      log(col("freq").cast("double")).as("ly"))
+    pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("ly") * col("ly")).as("syy"))
+      .select(
+        col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6).as("r2"))
+  }
+
+  val zipfFitOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY term
+       |), ranked AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+       |    AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly
+       |  FROM vocab
+       |), s AS (
+       |  SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+       |    sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+       |  FROM ranked
+       |)
+       |SELECT n AS n_terms,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+       |        6) AS intercept,
+       |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM s""".stripMargin
+
   /** Faceted search — the aggregation panel every search UI renders
     * beside the hit list (Elastic terms-aggs, PG GROUP BY over the
     * match): the AND-match doc set of `query`, bucketed by

@@ -34,6 +34,34 @@ class EventMiningSpec extends SparkSpec {
     }
   }
 
+  test("acf: correlations bounded, n shrinks by exactly lag") {
+    val rows = EventMining.acfDaily(spark, Sf0001, 7).collect()
+    assert(rows.nonEmpty)
+    val nDays = rows.filter(_.getAs[Int]("lag") == 1)
+      .map(_.getAs[Long]("n")).head + 1
+    rows.foreach { r =>
+      val acf = r.getAs[Double]("acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"acf $acf")
+      assert(r.getAs[Long]("n") == nDays - r.getAs[Int]("lag"))
+    }
+  }
+
+  test("dow profile: 7 slots per type, day counts partition the span") {
+    val rows = EventMining.dowProfile(spark, Sf0001).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("dow")).sorted.sameElements(0L to 6L),
+        s"$t slots")
+      rs.foreach { r =>
+        assert(r.getAs[Double]("sd_n") >= 0.0)
+        assert(r.getAs[Long]("n_outlier_days") <= r.getAs[Long]("n_days"))
+      }
+    }
+    // every type sees the same dense span
+    val spans = byType.values.map(_.map(_.getAs[Long]("n_days")).sum).toSet
+    assert(spans.size == 1, s"spans $spans")
+  }
+
   test("ewma matches the sequential adjust=False recurrence exactly") {
     val rows = EventMining.ewmaDaily(spark, Sf0001, 0.3).collect()
       .groupBy(_.getAs[String]("event_type"))

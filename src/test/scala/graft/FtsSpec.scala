@@ -192,4 +192,15 @@ class ProximitySpec extends SparkSpec {
       .phraseDistSearch(spark, d, "hash", "merge", 2, "en", 10)
       .count() == 0L)
   }
+
+  test("zipf fit: negative slope, r2 in (0,1], rank-1 intercept sane") {
+    val row = graft.operators.Fts.zipfFit(spark, Sf0001).collect().head
+    assert(row.getAs[Long]("n_terms") > 10)
+    assert(row.getAs[Double]("slope") < 0.0)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 $r2")
+    // intercept = ln(freq) predicted at rank 1: must be at least the
+    // log of the least frequent term, at most log of corpus size
+    assert(row.getAs[Double]("intercept") > 0.0)
+  }
 }

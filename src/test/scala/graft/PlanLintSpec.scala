@@ -23,7 +23,10 @@ class PlanLintSpec extends SparkSpec {
     // window over an already-top-k'd list
     "mmr_rerank", "fts_headline",
     // window over per-group bounded frames (band, source, stratum)
-    "dedup_simhash_pairs", "sample_stratified", "events_retention")
+    "dedup_simhash_pairs", "sample_stratified", "events_retention",
+    // rank over the VOCABULARY-sized frequency frame (bounded by the
+    // term dictionary, never the corpus)
+    "zipf_fit")
   // round-10 removals: kmeans/semdedup seed labeling is now a k-row
   // driver collect, the collections dim ranks via broadcast self-join,
   // and hybrid_rrf ranks its two top-k lists driver-side — none of
@@ -61,9 +64,10 @@ class PlanLintSpec extends SparkSpec {
     // the query vector over the walk's bounded id lists
     "drift_psi", "ab_test", "graph_ann",
     // 1-row basket total riding the |types|² rule frame; the
-    // |types|×|days| EWMA grid = cross of two bounded dims (type
-    // vocabulary × a [min,max]-derived day axis)
-    "events_basket", "events_ewma",
+    // |types|×|days| daily grid = cross of two bounded dims (type
+    // vocabulary × a [min,max]-derived day axis) under the EWMA/ACF/
+    // day-of-week series operators
+    "events_basket", "events_ewma", "events_acf", "events_dow",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
