@@ -284,6 +284,8 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     // PIVOT reshape: priorities as columns, explicit value domain
     "agg_pivot" -> ((s, d) => Relational.pivotSummary(s, d)),
+    // UNPIVOT/melt: the lossless reshape inverse of agg_pivot
+    "agg_unpivot" -> ((s, d) => Relational.unpivotSummary(s, d)),
     "asof_latest_order" -> ((s, d) => Relational.asofLatestOrder(s, d)),
     "asof_custom_op" -> ((s, d) => Relational.asofLatestOrderCustom(s, d)),
     "range_join_counts" -> ((s, d) =>
@@ -346,6 +348,10 @@ object SparkEntry {
     // CSV interchange: export/read-back digest gate (JSONL's sibling)
     "csv_roundtrip" -> ((s, d) =>
       graft.sources.CsvStore.roundTripDigest(s, d)),
+    // DAU / new-user / cumulative growth panel on the day axis
+    "events_user_growth" -> ((s, d) => EventMining.userGrowth(s, d)),
+    // first-view → first-purchase latency distribution (1-row summary)
+    "events_time_to_convert" -> ((s, d) => EventMining.timeToConvert(s, d)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -608,6 +614,7 @@ object SparkEntry {
     "events_funnel" -> Relational.eventsFunnelOracleSql,
     "events_retention" -> Relational.eventsRetentionOracleSql,
     "agg_pivot" -> Relational.pivotOracleSql,
+    "agg_unpivot" -> Relational.unpivotOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
@@ -635,6 +642,8 @@ object SparkEntry {
     "events_basket" -> EventMining.basketRulesOracleSql(1800L),
     "events_ewma" -> EventMining.ewmaDailyOracleSql(0.3),
     "events_acf" -> EventMining.acfDailyOracleSql(7),
+    "events_user_growth" -> EventMining.userGrowthOracleSql,
+    "events_time_to_convert" -> EventMining.timeToConvertOracleSql,
     "events_dow" -> EventMining.dowProfileOracleSql,
     "zipf_fit" -> Fts.zipfFitOracleSql,
     "csv_roundtrip" -> graft.sources.CsvStore.roundTripDigestOracleSql,

@@ -399,4 +399,104 @@ object EventMining {
       |FROM g JOIN prof p USING (event_type, dow)
       |GROUP BY g.event_type, g.dow
       |ORDER BY g.event_type ASC, g.dow ASC""".stripMargin
+
+  /** User growth curve: per day, the daily active users, the NEW users
+    * (first ever seen that day), and the cumulative user count — the
+    * DAU/acquisition panel of every product dashboard.
+    *
+    * First-seen reduces per user (one user-keyed aggregate), then
+    * everything lives on the bounded day axis: the cumulative sum is a
+    * prefix sum over the |days|-row frame (bounded global window,
+    * allowlisted — the day axis, never the event count). All-integer
+    * outputs, order-proof. */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.eventsWithTsec(spark, dir)
+      .select(col("user_id"), expr("tsec div 86400").as("day"))
+    val dau = ev.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val newPerDay = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newPerDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(cum))
+      .orderBy(col("day").asc)
+  }
+
+  val userGrowthOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+      |  FROM events
+      |), dau AS (
+      |  SELECT day, count(DISTINCT user_id) AS n_active
+      |  FROM e GROUP BY 1
+      |), fs AS (
+      |  SELECT user_id, min(day) AS day FROM e GROUP BY 1
+      |), nw AS (
+      |  SELECT day, count(*) AS n_new FROM fs GROUP BY 1
+      |)
+      |SELECT dau.day, dau.n_active,
+      |  COALESCE(nw.n_new, 0) AS n_new,
+      |  CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY dau.day ASC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM dau LEFT JOIN nw USING (day)
+      |ORDER BY dau.day ASC""".stripMargin
+
+  /** Funnel latency: the time-to-convert distribution from a user's
+    * FIRST view to their first purchase strictly after it — the
+    * "how long does conversion take" summary beside eventsFunnel's
+    * "how many convert". One row: viewer/converter counts, mean and
+    * exact continuous-interpolation quantiles of the delta in seconds
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    *
+    * Two user-keyed aggregates sharing one shuffle key; the final
+    * 1-row reduction is an aggregate (never a window), and the viewer
+    * total rides back as a 1-row broadcast (allowlisted scalar). */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.eventsWithTsec(spark, dir)
+      .select(col("user_id"), col("event_type"), col("tsec"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsec")).as("fv"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("tsec") > col("fv"))
+      .groupBy("user_id")
+      .agg((min(col("tsec")) - first(col("fv"))).as("delta"))
+    val viewers = firstView.agg(count(lit(1)).as("n_viewers"))
+    deltas.agg(
+      count(lit(1)).as("n_converted"),
+      round(avg(col("delta")), 6).as("mean_sec"),
+      round(expr("percentile(delta, 0.5)"), 6).as("p50_sec"),
+      round(expr("percentile(delta, 0.9)"), 6).as("p90_sec"),
+      min(col("delta")).as("min_sec"),
+      max(col("delta")).as("max_sec"))
+      .crossJoin(broadcast(viewers))
+      .select(col("n_viewers"), col("n_converted"), col("mean_sec"),
+        col("p50_sec"), col("p90_sec"), col("min_sec"), col("max_sec"))
+  }
+
+  val timeToConvertOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS tsec
+      |  FROM events
+      |), fv AS MATERIALIZED (
+      |  SELECT user_id, min(tsec) AS fv FROM e
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), d AS (
+      |  SELECT e.user_id, min(e.tsec) - first(fv.fv) AS delta
+      |  FROM e JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.tsec > fv.fv
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT count(*) FROM fv) AS n_viewers,
+      |  count(*) AS n_converted,
+      |  round(avg(delta), 6) AS mean_sec,
+      |  round(quantile_cont(delta, 0.5), 6) AS p50_sec,
+      |  round(quantile_cont(delta, 0.9), 6) AS p90_sec,
+      |  min(delta) AS min_sec,
+      |  max(delta) AS max_sec
+      |FROM d""".stripMargin
 }

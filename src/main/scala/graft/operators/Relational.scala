@@ -795,6 +795,34 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus
       |ORDER BY o_orderstatus ASC""".stripMargin
 
+  /** UNPIVOT/melt — the reshape inverse of [[pivotSummary]]: the wide
+    * per-priority count columns fold back into (status, slot, n) rows
+    * via the native `Dataset.unpivot` (Spark's melt, one scan-local
+    * projection — a Generate, never a join or shuffle). Zero cells
+    * survive the round-trip because the pivot coalesces absent
+    * combinations to 0 — the melt is lossless on the full
+    * status×priority grid. */
+  def unpivotSummary(spark: SparkSession, dir: String): DataFrame = {
+    val slots = Seq("p1_urgent", "p2_high", "p3_medium", "p4_none",
+      "p5_low")
+    pivotSummary(spark, dir)
+      .unpivot(Array(col("o_orderstatus")), slots.map(col).toArray,
+        "slot", "n")
+      .orderBy(col("o_orderstatus").asc, col("slot").asc)
+  }
+
+  val unpivotOracleSql: String = {
+    val slots = Seq("p1_urgent", "p2_high", "p3_medium", "p4_none",
+      "p5_low")
+    val arms = slots.map(s =>
+      s"SELECT o_orderstatus, '$s' AS slot, $s AS n FROM p")
+      .mkString("\n|", "\n|UNION ALL\n|", "\n|")
+    s"""WITH p AS MATERIALIZED (
+       |${pivotOracleSql.replace("ORDER BY o_orderstatus ASC", "")}
+       |)$arms
+       |ORDER BY o_orderstatus ASC, slot ASC""".stripMargin
+  }
+
   /** Gap-based sessionization — the batch analog of the streaming
     * sessionizer (EventStreams.scala's flatMapGroupsWithState path,
     * SURVEY §2.8): a new session starts when a user's inter-event gap

@@ -62,6 +62,29 @@ class EventMiningSpec extends SparkSpec {
     assert(spans.size == 1, s"spans $spans")
   }
 
+  test("user growth: cum is monotone and ends at the distinct-user total") {
+    val rows = EventMining.userGrowth(spark, Sf0001).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last == rows.map(_.getAs[Long]("n_new")).sum)
+    val users = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(cums.last == users)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_active")))
+  }
+
+  test("time-to-convert: deltas positive, quantiles ordered") {
+    val r = EventMining.timeToConvert(spark, Sf0001).collect().head
+    assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_viewers"))
+    assert(r.getAs[Long]("min_sec") > 0L)
+    val (p50, p90) = (r.getAs[Double]("p50_sec"), r.getAs[Double]("p90_sec"))
+    assert(r.getAs[Long]("min_sec") <= p50 && p50 <= p90)
+    assert(p90 <= r.getAs[Long]("max_sec"))
+  }
+
   test("ewma matches the sequential adjust=False recurrence exactly") {
     val rows = EventMining.ewmaDaily(spark, Sf0001, 0.3).collect()
       .groupBy(_.getAs[String]("event_type"))

@@ -26,7 +26,9 @@ class PlanLintSpec extends SparkSpec {
     "dedup_simhash_pairs", "sample_stratified", "events_retention",
     // rank over the VOCABULARY-sized frequency frame (bounded by the
     // term dictionary, never the corpus)
-    "zipf_fit")
+    "zipf_fit",
+    // prefix sum over the bounded [min,max] day axis
+    "events_user_growth")
   // round-10 removals: kmeans/semdedup seed labeling is now a k-row
   // driver collect, the collections dim ranks via broadcast self-join,
   // and hybrid_rrf ranks its two top-k lists driver-side — none of
@@ -68,6 +70,8 @@ class PlanLintSpec extends SparkSpec {
     // vocabulary × a [min,max]-derived day axis) under the EWMA/ACF/
     // day-of-week series operators
     "events_basket", "events_ewma", "events_acf", "events_dow",
+    // 1-row viewer total riding the 1-row conversion summary
+    "events_time_to_convert",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
