@@ -215,6 +215,13 @@ object SparkEntry {
     "q18_bigorders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q22_prospects" -> ((s, d) => Relational.q22Prospects(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    // Q21 shape: semi + anti SELF-joins on the fact table (sole-blame)
+    "q21_sole_blame" -> ((s, d) => Relational.q21SoleBlame(s, d)),
+    // Q11 shape: per-group sums gated by a global-scalar HAVING
+    "q11_important" -> ((s, d) =>
+      Relational.q11ImportantSuppliers(s, d, 1.05)),
+    // LISTAGG/string_agg: sorted delimited roll-up per group
+    "agg_stringagg" -> ((s, d) => Relational.sourcesPerLang(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
     "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
@@ -615,6 +622,9 @@ object SparkEntry {
     "events_retention" -> Relational.eventsRetentionOracleSql,
     "agg_pivot" -> Relational.pivotOracleSql,
     "agg_unpivot" -> Relational.unpivotOracleSql,
+    "q21_sole_blame" -> Relational.q21OracleSql,
+    "q11_important" -> Relational.q11OracleSql(1.05),
+    "agg_stringagg" -> Relational.sourcesPerLangOracleSql,
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),

@@ -1280,6 +1280,134 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment ASC""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept waiting orders): the
+    * hardest-plan TPC-H query — a SEMI self-join (the order had at
+    * least one OTHER supplier) and an ANTI self-join (no OTHER supplier
+    * also flagged) over the same fact table, then a per-supplier tally.
+    * The fixture carries no commit/receipt dates, so `l_returnflag='R'`
+    * stands in for "late" — identical join topology, numwait semantics.
+    *
+    * Scale shape: both self-joins key on l_orderkey — the SAME shuffle
+    * partitioning, so the plan reuses one exchange of the distinct
+    * (order, supplier) pairs for semi and anti sides; supplier/nation
+    * are broadcast dims over the final |suppliers|-sized tally. */
+  def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === lit("F"))
+      .select("o_orderkey")
+    val pairs = Tables.lineitem(spark, dir)
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val all = pairs.select("l_orderkey", "l_suppkey").distinct()
+    val flagged = pairs.filter(col("l_returnflag") === lit("R"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = all.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
+    val flaggedOthers = flagged.select(col("l_orderkey").as("y_orderkey"),
+      col("l_suppkey").as("y_suppkey"))
+    val sole = flagged
+      .join(others, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      .join(flaggedOthers, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+    sole.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val q21OracleSql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      |), pairs AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag = 'R' AS flg
+      |  FROM lineitem JOIN f ON o_orderkey = l_orderkey
+      |), allp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM pairs
+      |), flagged AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM pairs WHERE flg
+      |)
+      |SELECT s_name, n_name, count(*) AS numwait
+      |FROM flagged l
+      |JOIN supplier ON s_suppkey = l.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE EXISTS (SELECT 1 FROM allp a
+      |              WHERE a.l_orderkey = l.l_orderkey
+      |                AND a.l_suppkey <> l.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM flagged g
+      |                  WHERE g.l_orderkey = l.l_orderkey
+      |                    AND g.l_suppkey <> l.l_suppkey)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-group value sums gated by a
+    * HAVING against a fraction of the GLOBAL total — the global scalar
+    * rides back as a 1-row broadcast over the per-supplier aggregate
+    * (allowlisted; the TPC-H plan's scalar subquery). Decimal sums on
+    * both engines make the threshold comparison exact. */
+  /** `margin` is the above-average multiplier (TPC-H parameterizes the
+    * fraction by 1/SF for the same reason — a fixed fraction goes
+    * vacuous or empty as supplier count scales; anchoring on the mean
+    * share keeps the HAVING selective at every sf). */
+  def q11ImportantSuppliers(spark: SparkSession, dir: String,
+      margin: Double): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,6)").as("v"))
+    val total = li.agg(
+      (sum(col("v")).cast("double") /
+        countDistinct(col("l_suppkey"))).as("mean_v"))
+    li.groupBy("l_suppkey")
+      .agg(sum(col("v")).as("supp_v"))
+      .crossJoin(broadcast(total))
+      .filter(col("supp_v").cast("double") > lit(margin) * col("mean_v"))
+      .select(col("l_suppkey"),
+        round(col("supp_v"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_suppkey").asc)
+  }
+
+  def q11OracleSql(margin: Double): String =
+    s"""WITH li AS (
+       |  SELECT l_suppkey, CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+       |  FROM lineitem
+       |), t AS (
+       |  SELECT CAST(sum(v) AS DOUBLE) / count(DISTINCT l_suppkey)
+       |    AS mean_v
+       |  FROM li
+       |)
+       |SELECT l_suppkey,
+       |  CAST(round(sum(v), 2) AS DOUBLE) AS value
+       |FROM li, t
+       |GROUP BY l_suppkey, t.mean_v
+       |HAVING CAST(sum(v) AS DOUBLE) > $margin * t.mean_v
+       |ORDER BY value DESC, l_suppkey ASC""".stripMargin
+
+  /** String aggregation (LISTAGG / string_agg): the sorted roll-up of a
+    * group's member list into one delimited string — the "show me the
+    * sources per language" report cell. Deterministic by construction:
+    * the set is sorted before joining, so engine accumulation order
+    * cannot leak into the result. */
+  def sourcesPerLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(collect_set(col("source")).as("srcs"))
+      .select(col("lang"),
+        size(col("srcs")).cast("long").as("n_sources"),
+        array_join(array_sort(col("srcs")), ",").as("source_csv"))
+      .orderBy(col("lang").asc)
+
+  val sourcesPerLangOracleSql: String =
+    """SELECT lang, count(DISTINCT source) AS n_sources,
+      |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
+      |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
+
   /** TPC-H Q8 shape (national market share): one nation's share of the
     * line revenue inside one region's customer orders, per order year.
     * Both nation lookups are broadcast dims; the share is a conditional

@@ -48,6 +48,7 @@ class PlanLintSpec extends SparkSpec {
     "select_budget", "pack_sequences", "token_accounting",
     "sketch_quantiles", "events_outliers", "skew_stats", "table_digest",
     "pmi_collocations", "win_ntile_scale", "q22_prospects",
+    "q11_important", // global-total scalar gating the HAVING
     // query-vector / probe / codebook rides (k- or Q-row frames)
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
