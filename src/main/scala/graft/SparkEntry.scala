@@ -84,6 +84,9 @@ object SparkEntry {
     "fts_infix" -> ((s, d) => Fts.infixSearch(s, d, "as", 10)),
     // suggest-as-you-type: top df-ranked vocabulary completions
     "fts_complete" -> ((s, d) => Fts.completeTerms(s, d, "s", 10)),
+    // index DELETE path: anti-join tombstones, no rebuild
+    "fts_delete_termstats" -> ((s, d) =>
+      Fts.termStatsAfterDelete(s, d, 7L)),
     // facet panel: (lang, source) doc counts over the AND-match set
     "fts_facets" -> ((s, d) => Fts.facetedSearch(s, d, "hash join")),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc
@@ -136,6 +139,8 @@ object SparkEntry {
     "maxsim_pruned" -> ((s, d) =>
       MultiVector.maxSimPruned(s, d, 3L, 50, 500L, 10, 10)),
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    // embedding-space health: top PC by 3 power iterations (anisotropy)
+    "emb_pca_power" -> ((s, d) => PcaPower.topComponent(s, d)),
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
       Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
@@ -405,6 +410,8 @@ object SparkEntry {
     "token_accounting" -> ((s, d) => TextOps.tokenAccounting(s, d)),
     // per-(source, lang) corpus datacard: docs, exact dups, tokens, p50
     "corpus_datacard" -> ((s, d) => Datacard.corpusDatacard(s, d)),
+    // k-anonymity audit over (lang, source, length-bucket) cells
+    "kanon_risk" -> ((s, d) => Datacard.kAnonymityRisk(s, d, 5L, 100L)),
     // retrieval-quality eval: nDCG@10 + MRR@10 of the BM25 ranking vs
     // term-overlap graded relevance (micro-integer DCG for determinism)
     "retrieval_ndcg" -> ((s, d) =>
@@ -514,6 +521,9 @@ object SparkEntry {
     "fts_suffix" -> Fts.suffixSearchOracleSql("ing", 10),
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
+    "fts_delete_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
+    "emb_pca_power" -> PcaPower.topComponentOracleSql,
+    "kanon_risk" -> Datacard.kAnonymityRiskOracleSql(5L, 100L),
     "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),
     "fts_phrase_dist" ->

@@ -54,4 +54,33 @@ object Datacard {
       |  round(avg(n_chars), 4) AS avg_chars
       |FROM t GROUP BY source, lang
       |ORDER BY source ASC, lang ASC""".stripMargin
+
+  /** k-anonymity audit over quasi-identifiers — the re-identification
+    * governance check a dataset release runs (Sweeney 2002): every
+    * (lang, source, length-bucket) cell whose document count is below
+    * `k` is a group an adversary could single out. Output = the risky
+    * cells plus their exposure; an empty frame means the release is
+    * k-anonymous under these quasi-identifiers.
+    *
+    * One hash-groupBy on the quasi-identifier tuple (map-side
+    * combinable, cell count bounded by langs × sources × buckets) and
+    * a HAVING — scan-shaped at any corpus size. */
+  def kAnonymityRisk(spark: SparkSession, dir: String, k: Long,
+      bucketChars: Long): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / lit(bucketChars)).cast("long").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < k)
+      .orderBy(col("lang").asc, col("source").asc, col("len_bucket").asc)
+
+  def kAnonymityRiskOracleSql(k: Long, bucketChars: Long): String =
+    s"""SELECT lang, source,
+       |  CAST(floor(n_chars / $bucketChars.0) AS BIGINT) AS len_bucket,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) < $k
+       |ORDER BY lang ASC, source ASC, len_bucket ASC""".stripMargin
 }

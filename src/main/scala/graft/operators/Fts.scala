@@ -974,6 +974,45 @@ object Fts {
        |GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT $k""".stripMargin
 
+  /** Index DELETE path — S5's anti-join delete applied to the
+    * PERSISTED index instead of the base table: queries after a
+    * document deletion must see postings without the deleted docs
+    * WITHOUT an index rebuild. The delete list (here: doc_id ≡ 0 mod
+    * `mod`, standing in for an API delete batch) anti-joins the
+    * term-bucketed index; downstream stats aggregate over survivors.
+    * The merge-on-read dual of [[compactStreamedIndex]]'s upsert side —
+    * together they close the index maintenance lifecycle.
+    *
+    * At 100 TB the delete list is the small side (a broadcast anti-
+    * join over the bucketed index scan, no shuffle of the postings);
+    * a compaction job folds tombstones in off the serving path. */
+  def termStatsAfterDelete(spark: SparkSession, dir: String,
+      mod: Long): DataFrame = {
+    val deletes = Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod === 0).select("doc_id")
+    spark.table(ensureIndex(spark, dir))
+      .join(broadcast(deletes), Seq("doc_id"), "left_anti")
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(100)
+  }
+
+  def termStatsAfterDeleteOracleSql(mod: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents WHERE doc_id % $mod <> 0
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+       |FROM idx GROUP BY term
+       |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
+
   /** Zipf's-law fit of the corpus term-frequency distribution: least
     * squares of ln(freq) on ln(rank) over the vocabulary — slope ≈ −1
     * is the healthy-natural-text signature; a flat or cliff-shaped fit

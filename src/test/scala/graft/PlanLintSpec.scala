@@ -73,6 +73,9 @@ class PlanLintSpec extends SparkSpec {
     "events_basket", "events_ewma", "events_acf", "events_dow",
     // 1-row viewer total riding the 1-row conversion summary
     "events_time_to_convert",
+    // power iteration: the per-iteration normalizer is a 1-row ride
+    // over the 64-row eigenvector frame
+    "emb_pca_power",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
