@@ -141,6 +141,8 @@ object SparkEntry {
     "emb_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     // embedding-space health: top PC by 3 power iterations (anisotropy)
     "emb_pca_power" -> ((s, d) => PcaPower.topComponent(s, d)),
+    // inter-label centroid cosine: class-separation margins
+    "emb_label_margin" -> ((s, d) => Similarity.labelCentroidMargins(s, d)),
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
       Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
@@ -364,6 +366,12 @@ object SparkEntry {
     "events_user_growth" -> ((s, d) => EventMining.userGrowth(s, d)),
     // first-view → first-purchase latency distribution (1-row summary)
     "events_time_to_convert" -> ((s, d) => EventMining.timeToConvert(s, d)),
+    // days-inactive churn distribution off each user's last event
+    "events_inactivity" -> ((s, d) => EventMining.inactivity(s, d)),
+    // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
+    // counting over the staged late-arrival replay, min-bin credited
+    "stream_user_growth" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamUserGrowth(s, d)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -523,6 +531,10 @@ object SparkEntry {
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
     "fts_delete_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
     "emb_pca_power" -> PcaPower.topComponentOracleSql,
+    "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
+    "events_inactivity" -> EventMining.inactivityOracleSql,
+    "stream_user_growth" ->
+      graft.streaming.StreamBridge.streamUserGrowthOracleSql,
     "kanon_risk" -> Datacard.kAnonymityRiskOracleSql(5L, 100L),
     "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),

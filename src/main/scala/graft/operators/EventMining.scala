@@ -477,6 +477,34 @@ object EventMining {
         col("p50_sec"), col("p90_sec"), col("min_sec"), col("max_sec"))
   }
 
+  /** Inactivity/churn distribution: users bucketed by how many whole
+    * DAYS their LAST event trails the corpus frontier — bucket 0 is
+    * the active base, the tail is churn (the inverse view of
+    * [[Relational.eventsRetention]]'s cohort matrix; day grain because
+    * the dense fixture keeps every user inside the last week). One
+    * user-keyed max-reduce; the frontier rides as a 1-row broadcast
+    * (allowlisted); output is bounded by the day span. */
+  def inactivity(spark: SparkSession, dir: String): DataFrame = {
+    val lastSeen = Relational.eventsWithTsec(spark, dir)
+      .groupBy("user_id").agg(max(col("tsec")).as("last_sec"))
+    val frontier = lastSeen.agg(max(col("last_sec")).as("hi"))
+    lastSeen.crossJoin(broadcast(frontier))
+      .select(expr("(hi - last_sec) div 86400").as("days_inactive"))
+      .groupBy("days_inactive")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("days_inactive").asc)
+  }
+
+  val inactivityOracleSql: String =
+    """WITH ls AS (
+      |  SELECT user_id, max(epoch_ns(ts) // 1000000000) AS last_sec
+      |  FROM events GROUP BY 1
+      |), f AS (SELECT max(last_sec) AS hi FROM ls)
+      |SELECT (f.hi - ls.last_sec) // 86400 AS days_inactive,
+      |  count(*) AS n_users
+      |FROM ls, f
+      |GROUP BY 1 ORDER BY days_inactive ASC""".stripMargin
+
   val timeToConvertOracleSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type,

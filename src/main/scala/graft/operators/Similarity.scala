@@ -885,4 +885,54 @@ object Similarity {
       |                                  CAST(embedding AS DOUBLE[])))), 6)
       |    AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label ASC""".stripMargin
+
+  /** Inter-label centroid separation — the supervised-embedding
+    * diagnostic next to [[labelStats]]: per unordered label pair, the
+    * cosine between the class centroids. Labels whose centroids sit at
+    * cosine ≈ 1 are classes the embedding cannot separate (the margin
+    * collapse a classifier downstream would surface as confusion — the
+    * geometric twin of nb_confusion).
+    *
+    * Long-format contraction like PcaPower: one posexplode, centroids
+    * reduce per (label, d) — map-side combinable — and the pairwise
+    * cosine is an equi-join of the |labels|×64 centroid frame with
+    * itself on d: every frame after the first reduce is bounded by the
+    * label dimension, never the corpus. */
+  def labelCentroidMargins(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("c"))
+    val a = cents.select(col("label").as("label_a"), col("d"),
+      col("c").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("d"),
+      col("c").as("cb"))
+    a.join(b, Seq("d"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(
+        (sum(col("ca") * col("cb")) /
+          (sqrt(sum(col("ca") * col("ca"))) *
+            sqrt(sum(col("cb") * col("cb"))))).as("cosine"))
+      .select(col("label_a"), col("label_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("label_a").asc, col("label_b").asc)
+  }
+
+  val labelCentroidMarginsOracleSql: String =
+    """WITH long AS (
+      |  SELECT label,
+      |    unnest(range(0, len(embedding))) AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), cents AS MATERIALIZED (
+      |  SELECT label, d, sum(x) / count(*) AS c
+      |  FROM long GROUP BY label, d
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(sum(a.c * b.c) /
+      |    (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6) AS cosine
+      |FROM cents a JOIN cents b ON a.d = b.d AND a.label < b.label
+      |GROUP BY a.label, b.label
+      |ORDER BY label_a ASC, label_b ASC""".stripMargin
 }

@@ -567,6 +567,76 @@ object StreamBridge {
        |    AS BIGINT) AS n_echo
        |FROM allr GROUP BY event_type ORDER BY event_type ASC""".stripMargin
 
+  /** Streaming user growth — the STATEFUL-DISTINCT surface under the
+    * oracle: the staged late-arrival replay ([[ensureLateArrivals]],
+    * one micro-batch per file) flows through `dropDuplicates(user_id)`
+    * (no watermark: user identity never expires — state is bounded by
+    * the USER dimension, not the event count, which is exactly the
+    * cardinality a growth counter must hold at any scale), and
+    * foreachBatch tallies the new users each batch surfaces. Output =
+    * (batch_id, n_new, cum_users); the oracle replays the arrival-bin
+    * assignment (the [[eventsLateDropOracleSql]] formula, displaced
+    * rows included) and takes each user's MIN bin.
+    *
+    * A user first seen only via a DISPLACED (late) event is credited to
+    * the late batch — both engines, by the same rule, so the contract
+    * "late data shifts acquisition, never loses it" is hash-pinned. */
+  def streamUserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val arrivalsDir = ensureLateArrivals(spark, dir)
+    val tmp = scratchDir("graft_stream_growth_")
+    val ev = graft.Tables.events(spark, dir)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivalsDir)
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = src.select(col("user_id")).dropDuplicates("user_id")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        perBatch.put(id, df.count()); ()
+      }
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until LateB).map { i =>
+      (i.toLong, perBatch.asScala.getOrElse(i.toLong, 0L))
+    }
+    val withCum = rows.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, cum), (id, n)) => (id, n, cum + n)
+    }.drop(1)
+    import spark.implicits._
+    withCum.toDF("batch_id", "n_new", "cum_users")
+      .orderBy(col("batch_id").asc)
+  }
+
+  def streamUserGrowthOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+       |), bnd AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+       |a AS (
+       |  SELECT e.user_id,
+       |    CASE WHEN e.event_id % $LateMod = 0
+       |      THEN least((e.us - bnd.lo) * $LateB // (bnd.hi - bnd.lo + 1)
+       |             + $LateJump, ${LateB - 1})
+       |      ELSE (e.us - bnd.lo) * $LateB // (bnd.hi - bnd.lo + 1)
+       |    END AS arrival
+       |  FROM e, bnd
+       |), fs AS (
+       |  SELECT user_id, min(arrival) AS batch_id FROM a GROUP BY 1
+       |), nw AS (
+       |  SELECT batch_id, count(*) AS n_new FROM fs GROUP BY 1
+       |), bins AS (SELECT range AS batch_id FROM range(0, $LateB))
+       |SELECT bins.batch_id, COALESCE(nw.n_new, 0) AS n_new,
+       |  CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY bins.batch_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+       |FROM bins LEFT JOIN nw USING (batch_id)
+       |ORDER BY bins.batch_id ASC""".stripMargin
+
   /** Late-replay constants, shared verbatim by the oracle SQL. */
   val LateB = 6
   val LateMod = 17

@@ -76,6 +76,8 @@ class PlanLintSpec extends SparkSpec {
     // power iteration: the per-iteration normalizer is a 1-row ride
     // over the 64-row eigenvector frame
     "emb_pca_power",
+    // 1-row corpus-frontier ride over the per-user last-seen reduce
+    "events_inactivity",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
