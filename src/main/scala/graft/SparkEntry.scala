@@ -229,6 +229,10 @@ object SparkEntry {
       Relational.q11ImportantSuppliers(s, d, 1.05)),
     // LISTAGG/string_agg: sorted delimited roll-up per group
     "agg_stringagg" -> ((s, d) => Relational.sourcesPerLang(s, d)),
+    // RATIO_TO_REPORT: per-nation revenue share of the global total
+    "agg_share" -> ((s, d) => Relational.revenueShareByNation(s, d)),
+    // ANALYZE-style per-column stats block (CBO/catalog food)
+    "table_stats" -> ((s, d) => ScaleOps.columnStats(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "agg_distinct" -> ((s, d) => Relational.distinctAgg(s, d)),
     "agg_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
@@ -470,6 +474,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
     // integer-exact PageRank over the minhash candidate graph:
     // centrality-based canonical-doc selection
+    "graph_triangles" -> ((s, d) =>
+      GraphOps.triangleStats(s, d, 0.3)),
     "pagerank_dups" -> ((s, d) => GraphOps.pagerankDups(s, d, 0.5, 20)),
     // SemDeDup shape: integer k-means over embeddings + within-cluster
     // near-pair scan (bit-reproducible Lloyd iterations, no doubles)
@@ -647,6 +653,9 @@ object SparkEntry {
     "q21_sole_blame" -> Relational.q21OracleSql,
     "q11_important" -> Relational.q11OracleSql(1.05),
     "agg_stringagg" -> Relational.sourcesPerLangOracleSql,
+    "agg_share" -> Relational.revenueShareOracleSql,
+    "table_stats" -> ScaleOps.columnStatsOracleSql,
+    "graph_triangles" -> GraphOps.triangleStatsOracleSql(0.3),
     "asof_latest_order" -> Relational.asofOracleSql,
     "asof_custom_op" -> Relational.asofOracleSql,
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),

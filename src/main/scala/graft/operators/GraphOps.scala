@@ -102,4 +102,64 @@ object GraphOps {
        |FROM r$Iterations r JOIN deg ON deg.id = r.id
        |ORDER BY rank_nano DESC, doc_id ASC LIMIT $topK""".stripMargin
   }
+
+  /** Triangle census of the near-dup graph: triangle count, wedge
+    * (open-triple) count, and the global clustering coefficient
+    * 3·Δ/wedges — the "are duplicates CLIQUES or CHAINS" diagnostic
+    * that decides whether [[pagerankDups]]-style cluster canonicals are
+    * safe (clique-y graphs collapse cleanly; chain-y graphs over-merge
+    * under transitive closure — Lee et al.'s dedup papers flag exactly
+    * this).
+    *
+    * Count uses the ORDERED edge list (a<b from minhashPairs), so each
+    * triangle is found exactly once via two equi-joins — the standard
+    * distributed triangle-count shape (node-iterator on ordered
+    * edges); wedges come from the symmetrized degree reduce in exact
+    * integer arithmetic. The three 1-row tallies cross as broadcast
+    * scalars (allowlisted). */
+  def triangleStats(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir, threshold)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val p2 = pairs.select(col("a").as("b2"), col("b").as("c"))
+    val p3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = pairs
+      .join(p2, col("b") === col("b2"))
+      .join(p3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(broadcast(tri)).crossJoin(broadcast(wedges))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)), 6).as("gcc"))
+  }
+
+  def triangleStatsOracleSql(threshold: Double): String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a, b FROM (${Dedup.minhashPairsOracleSql(threshold)}) mh
+       |), tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM pairs p1
+       |  JOIN pairs p2 ON p2.a = p1.b
+       |  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+       |), deg AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT a AS id FROM pairs
+       |    UNION ALL SELECT b AS id FROM pairs)
+       |  GROUP BY 1
+       |), w AS (
+       |  SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |), ne AS (SELECT count(*) AS n_edges FROM pairs)
+       |SELECT n_edges, n_triangles, n_wedges,
+       |  round(CASE WHEN n_wedges > 0
+       |    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS gcc
+       |FROM ne, tri, w""".stripMargin
 }

@@ -114,6 +114,48 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name ASC, revenue DESC, n_name ASC""".stripMargin
 
+  /** RATIO_TO_REPORT / percent-of-total: each nation's share of global
+    * line revenue — the report column every BI layer derives from a
+    * grouped sum. The global total is computed from the SAME decimal
+    * per-nation sums (one aggregate, re-reduced — no second corpus
+    * scan) and rides back as an allowlisted 1-row broadcast; decimal
+    * partials make numerator and denominator engine-exact, so the one
+    * double division rounds identically. */
+  def revenueShareByNation(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val perNation = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).as("rev"))
+    val total = perNation.agg(sum(col("rev")).as("total_rev"))
+    perNation.crossJoin(broadcast(total))
+      .select(col("n_name"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          col("total_rev").cast("double"), 6).as("share"))
+      .orderBy(col("share").desc, col("n_name").asc)
+  }
+
+  val revenueShareOracleSql: String =
+    """WITH pn AS MATERIALIZED (
+      |  SELECT n_name,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |        AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |), t AS (SELECT sum(rev) AS total_rev FROM pn)
+      |SELECT n_name,
+      |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS share
+      |FROM pn, t
+      |ORDER BY share DESC, n_name ASC""".stripMargin
+
   /** TPC-H Q6 shape: the canonical predicate-pushdown showcase — a
     * tight conjunctive range filter and a 2-column arithmetic aggregate
     * over the fact table. The whole WHERE clause reaches the parquet

@@ -435,6 +435,47 @@ object ScaleOps {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name ASC")
   }
 
+  /** ANALYZE-style column statistics over lineitem — the per-column
+    * (count, NDV, min, max) block a cost-based optimizer (and every
+    * data catalog) feeds on. ONE scan computes every column's moments
+    * in a single aggregate row (count/min/max are plain combinable
+    * aggregates; the multi-column exact countDistinct plans one Expand
+    * — at 100 TB swap the exact NDVs for the HLL sketch this repo
+    * already ships in `sketch_hll`, which is what ANALYZE
+    * implementations do); the wide 1-row result melts to the
+    * catalog's long (column, stats) shape scan-locally. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val metrics = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val one = graft.Tables.lineitem(spark, dir)
+      .agg(metrics.head, metrics.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"n_$c").as("n"),
+      col(s"ndv_$c").as("ndv"),
+      col(s"min_$c").as("min_d"),
+      col(s"max_$c").as("max_d"))): _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("column_name").asc)
+  }
+
+  val columnStatsOracleSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    cols.map(c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n,
+         |  count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_d,
+         |  CAST(max($c) AS DOUBLE) AS max_d
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC")
+  }
+
   /** Join-key skew diagnostic — the measurement that decides whether a
     * key needs `saltedCountSum`: per-key frequency of the fact-side
     * join key, the global max/avg skew factor, and the heaviest keys.

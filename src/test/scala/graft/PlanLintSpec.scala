@@ -78,6 +78,9 @@ class PlanLintSpec extends SparkSpec {
     "emb_pca_power",
     // 1-row corpus-frontier ride over the per-user last-seen reduce
     "events_inactivity",
+    // 1-row tallies: triangle/wedge/edge counts; the global revenue
+    // total riding the per-nation share report
+    "graph_triangles", "agg_share",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
