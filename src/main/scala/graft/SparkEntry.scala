@@ -222,6 +222,10 @@ object SparkEntry {
     "q18_bigorders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q22_prospects" -> ((s, d) => Relational.q22Prospects(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    // Q16 shape: negated dim filter + NOT-IN anti + grouped distinct
+    "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
+    // Q20 shape: nested-aggregate half-of-total predicate
+    "q20_excess" -> ((s, d) => Relational.q20ExcessSuppliers(s, d)),
     // Q21 shape: semi + anti SELF-joins on the fact table (sole-blame)
     "q21_sole_blame" -> ((s, d) => Relational.q21SoleBlame(s, d)),
     // Q11 shape: per-group sums gated by a global-scalar HAVING
@@ -424,6 +428,10 @@ object SparkEntry {
     "corpus_datacard" -> ((s, d) => Datacard.corpusDatacard(s, d)),
     // k-anonymity audit over (lang, source, length-bucket) cells
     "kanon_risk" -> ((s, d) => Datacard.kAnonymityRisk(s, d, 5L, 100L)),
+    // per-language length quantile block (grouped exact percentiles)
+    "len_quantiles" -> ((s, d) => Datacard.lengthQuantilesByLang(s, d)),
+    // Efraimidis-Spirakis weighted sample WITHOUT replacement (exact k)
+    "sample_aes" -> ((s, d) => Sampling.aesSample(s, d, 20)),
     // retrieval-quality eval: nDCG@10 + MRR@10 of the BM25 ranking vs
     // term-overlap graded relevance (micro-integer DCG for determinism)
     "retrieval_ndcg" -> ((s, d) =>
@@ -651,6 +659,10 @@ object SparkEntry {
     "agg_pivot" -> Relational.pivotOracleSql,
     "agg_unpivot" -> Relational.unpivotOracleSql,
     "q21_sole_blame" -> Relational.q21OracleSql,
+    "q16_supplier_cnt" -> Relational.q16OracleSql,
+    "q20_excess" -> Relational.q20OracleSql,
+    "len_quantiles" -> Datacard.lengthQuantilesByLangOracleSql,
+    "sample_aes" -> Sampling.aesSampleOracleSql(20),
     "q11_important" -> Relational.q11OracleSql(1.05),
     "agg_stringagg" -> Relational.sourcesPerLangOracleSql,
     "agg_share" -> Relational.revenueShareOracleSql,

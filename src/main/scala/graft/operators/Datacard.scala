@@ -75,6 +75,32 @@ object Datacard {
       .filter(col("n_docs") < k)
       .orderBy(col("lang").asc, col("source").asc, col("len_bucket").asc)
 
+  /** Grouped length quantiles per language — the distribution block a
+    * datacard draws as per-group box plots (p25/p50/p75/p95 of doc
+    * length). Exact continuous-interpolation percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` — the pairing
+    * [[corpusDatacard]] and sketch_quantiles already pin); group state
+    * is bounded by the largest language, which the exact quantile
+    * needs anyway. */
+  def lengthQuantilesByLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+      .orderBy(col("lang").asc)
+
+  val lengthQuantilesByLangOracleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+      |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
+
   def kAnonymityRiskOracleSql(k: Long, bucketChars: Long): String =
     s"""SELECT lang, source,
        |  CAST(floor(n_chars / $bucketChars.0) AS BIGINT) AS len_bucket,

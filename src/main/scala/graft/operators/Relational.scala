@@ -1450,6 +1450,88 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** TPC-H Q16 shape (supplier count per part attribute): a broadcast
+    * dim filter with a NEGATED predicate, an ANTI-join against an
+    * excluded-supplier list (the NOT IN subquery — here suppliers in
+    * arrears, standing in for Q16's complaints LIKE), and a
+    * count-DISTINCT per attribute pair. The fixture has no partsupp
+    * table, so "supplies part" = "shipped it" via lineitem — same
+    * topology. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= lit("Brand#1"))
+      .select("p_partkey", "p_brand", "p_type")
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < lit(0.0)).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc)
+  }
+
+  val q16OracleSql: String =
+    """SELECT p_brand, p_type,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin
+
+  /** TPC-H Q20 shape (excess-stock suppliers): the nested-aggregate
+    * half-of-total predicate — suppliers who shipped MORE THAN HALF of
+    * some part's 1995 volume. Per-(part, supplier) quantity reduces
+    * once; the per-part total RE-REDUCES those partials (no second
+    * scan); the comparison stays exact because TPC-H quantities are
+    * integer-valued (integer-exact double sums in any order). */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li95 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val perPS = li95.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("q_ps"))
+    val perP = perPS.groupBy("l_partkey")
+      .agg(sum(col("q_ps")).as("q_p"))
+    perPS.join(perP, Seq("l_partkey"))
+      .filter(col("q_ps") > lit(0.5) * col("q_p"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("q_ps")).as("qty_sum"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_parts"),
+        col("qty_sum").cast("long").as("qty_long"))
+      .orderBy(col("n_parts").desc, col("s_name").asc)
+      .limit(25)
+  }
+
+  val q20OracleSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |), ps AS MATERIALIZED (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q_ps
+      |  FROM li GROUP BY 1, 2
+      |), p AS (
+      |  SELECT l_partkey, sum(q_ps) AS q_p FROM ps GROUP BY 1
+      |)
+      |SELECT s_name, count(*) AS n_parts,
+      |  CAST(sum(q_ps) AS BIGINT) AS qty_long
+      |FROM ps JOIN p USING (l_partkey)
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE q_ps > 0.5 * q_p
+      |GROUP BY s_name
+      |ORDER BY n_parts DESC, s_name ASC LIMIT 25""".stripMargin
+
   /** TPC-H Q8 shape (national market share): one nation's share of the
     * line revenue inside one region's customer orders, per order year.
     * Both nation lookups are broadcast dims; the share is a conditional

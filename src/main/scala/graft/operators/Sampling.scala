@@ -474,4 +474,40 @@ object Sampling {
        |  least(sa, sb) != greatest(sa, sb) AS is_cross
        |FROM tagged GROUP BY 1, 2
        |ORDER BY split_lo ASC, split_hi ASC""".stripMargin
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis-Spirakis
+    * (A-ES) reservoir keys: each doc draws key = u^(1/w) (u =
+    * deterministic md5-uniform, w = its weight, here n_chars) and the
+    * top-k keys ARE a weight-proportional sample-without-replacement.
+    * The rate-based [[weightedSample]] can't promise an exact sample
+    * SIZE; A-ES fixes k exactly — the pairing every sampling survey
+    * recommends. Deterministic: u derives from the doc id's md5, no
+    * RNG, so the oracle draws identical keys.
+    *
+    * One scan + TakeOrderedAndProject — map-side partial top-k, never
+    * a global sort. */
+  def aesSample(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long")
+    val u = (h + lit(1L)) / lit(4503599627370496.0) // 2^52
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(pow(u, lit(1.0) / col("n_chars")), 6).as("aes_key"),
+        pow(u, lit(1.0) / col("n_chars")).as("_k"))
+      .orderBy(col("_k").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"), col("aes_key"))
+  }
+
+  def aesSampleOracleSql(k: Int): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars,
+       |    pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+       |           AS BIGINT) + 1) / 4503599627370496.0,
+       |        1.0 / n_chars) AS k
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars, round(k, 6) AS aes_key
+       |FROM keyed
+       |ORDER BY k DESC, doc_id ASC LIMIT $k""".stripMargin
 }
