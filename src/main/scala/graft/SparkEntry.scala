@@ -439,6 +439,16 @@ object SparkEntry {
     // concat-and-chunk sequence packing into fixed token budgets
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048L)),
     "fingerprint_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
+    // PPJoin: exact-threshold set-similarity join via prefix filtering,
+    // hash-gated against the brute posting-join semantics
+    "dedup_ppjoin" -> ((s, d) => Dedup.ppjoinPairs(s, d, 0.5)),
+    // LangId heuristic vs the labeled lang column: confusion matrix
+    "langid_confusion" -> ((s, d) =>
+      graft.functions.LangId
+        .withDetected(graft.Tables.documentsDense(s, d), "text")
+        .groupBy("lang", "detected").count()
+        .orderBy(org.apache.spark.sql.functions.col("lang").asc,
+          org.apache.spark.sql.functions.col("detected").asc)),
     "langid_counts" -> ((s, d) =>
       graft.functions.LangId
         .withDetected(graft.Tables.documentsDense(s, d), "text")
@@ -731,6 +741,13 @@ object SparkEntry {
       RetrievalEval.ndcgOracleSql("hash join merge", "en", 10),
     "pack_sequences" -> TextOps.packSequencesOracleSql(2048L),
     "fingerprint_winnow" -> TextOps.winnowOracleSql,
+    "dedup_ppjoin" -> Dedup.ppjoinOracleSql(0.5),
+    "langid_confusion" ->
+      s"""SELECT lang,
+         |  ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,
+         |  count(*) AS count
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY lang ASC, detected ASC""".stripMargin,
     "langid_counts" ->
       s"""SELECT ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,
          |  count(*) AS count

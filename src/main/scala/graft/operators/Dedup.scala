@@ -1043,4 +1043,67 @@ object Dedup {
        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
        |      >= $threshold
        |ORDER BY jaccard DESC, a ASC, b ASC""".stripMargin
+
+  /** PPJoin-style EXACT-threshold set-similarity join with PREFIX
+    * FILTERING (Chaudhuri et al. 2006 / Xiao et al. 2008): candidate
+    * pairs come only from each document's L = |set| − ⌈t·|set|⌉ + 1
+    * RAREST tokens (global-df order), by the prefix-filter lemma —
+    * two sets with Jaccard ≥ t MUST share a prefix token. The posting
+    * join therefore runs over the rare tail of the vocabulary instead
+    * of every token ([[shingleJaccardPairs]] joins ALL postings): at
+    * 100 TB the frequent-token posting lists are exactly the quadratic
+    * blowup this prunes, while the result is IDENTICAL to the brute
+    * join — which is what the oracle computes, so the optimization is
+    * hash-gated against the semantics it must preserve.
+    *
+    * Plan: one df-keyed join attaches the sort key (co-keyed shuffle,
+    * not a broadcast — the vocabulary is corpus-sized at scale), one
+    * doc-partitioned window ranks tokens, the prefix posting join
+    * yields candidates, and one candidate-restricted intersection
+    * verifies exact Jaccard. */
+  def ppjoinPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val sh = docShinglesSized(Tables.documentsDense(spark, dir))
+      .transform(CacheScope.cached)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("sdf").asc, col("shingle").asc)
+    val ranked = sh.join(dfs, Seq("shingle"))
+      .withColumn("pos", row_number().over(byDoc))
+      .transform(CacheScope.cached)
+    val prefix = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz"))
+        + lit(1))
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.select("doc_id", "sz").distinct()
+    val ta = sh.select(col("doc_id").as("a"), col("shingle"))
+    val tb = sh.select(col("doc_id").as("b"), col("shingle"))
+    candidates
+      .join(ta, Seq("a")).join(tb, Seq("b", "shingle"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+  }
+
+  /** Oracle = the BRUTE posting join over full shingle sets (no prefix
+    * filter) — [[shingleJaccardOracleSql]] verbatim: the semantics the
+    * optimization must preserve, at a threshold high enough that the
+    * prefixes actually prune. */
+  def ppjoinOracleSql(threshold: Double): String =
+    shingleJaccardOracleSql(threshold)
 }

@@ -102,4 +102,18 @@ class DedupSpec extends SparkSpec {
       assert(ham <= 12, s"hamming($a,$b)=$ham")
     }
   }
+
+  test("ppjoin prefix filtering equals the full posting join") {
+    val t = 0.5
+    val pp = graft.operators.Dedup.ppjoinPairs(spark, Sf0001, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val full = graft.operators.Dedup
+      .shingleJaccardPairs(spark, Sf0001, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(pp == full, s"ppjoin ${pp.size} vs full ${full.size}")
+    assert(pp.nonEmpty)
+    graft.operators.CacheScope.release(spark)
+  }
 }
