@@ -38,7 +38,14 @@ object ScaleLadder {
     // the graph walk should be FLAT (O(R·B·M) touches); drift/ab are
     // single-scan sub-linear; proximity rows are scan-bound like
     // fts_topk; hybrid_linear carries its exact-KNN leg
-    "graph_ann", "drift_psi", "ab_test", "hybrid_linear", "fts_near")
+    "graph_ann", "drift_psi", "ab_test", "hybrid_linear", "fts_near",
+    // this session's additions worth a ladder row: the power-iteration
+    // solver (iters × one corpus pass, all reduces combinable), the
+    // prefix-filtered PPJoin (cost ∝ rare-tail posting lists, not all
+    // postings), the session-basket rule miner (one user-keyed window
+    // + vocabulary-bounded frames), and the Q21 double self-join (two
+    // joins sharing one orderkey exchange)
+    "emb_pca_power", "dedup_ppjoin", "events_basket", "q21_sole_blame")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1082,17 +1082,27 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = sh.select("doc_id", "sz").distinct()
-    val ta = sh.select(col("doc_id").as("a"), col("shingle"))
-    val tb = sh.select(col("doc_id").as("b"), col("shingle"))
-    candidates
-      .join(ta, Seq("a")).join(tb, Seq("b", "shingle"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")),
-        Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")),
-        Seq("b"))
+    // exact verification = minhashPairs' shape: the THRESHOLD-bounded
+    // candidate list broadcasts over the per-doc set arrays and the
+    // intersection is a scan-local array_intersect — no posting
+    // re-join (the earlier postings-based verify paid two more
+    // corpus-keyed shuffles and benched 5x its oracle)
+    val sets = docShingleSets(Tables.documentsDense(spark, dir))
+    val withA = sets
+      .select(col("doc_id").as("a"), col("sh_set").as("set_a"))
+      .join(broadcast(candidates), Seq("a"))
+    // second hop is a plain equi-join: withA CARRIES the shingle
+    // arrays, so broadcasting it (minhashPairs' shape) builds an
+    // array-laden driver table that stops fitting once candidates ×
+    // set size grows (it OOM'd at the sf1 ladder rung) — let the
+    // planner shuffle the candidate-bounded side instead
+    val withB = sets
+      .select(col("doc_id").as("b"), col("sh_set").as("set_b"))
+      .join(withA, Seq("b"))
+    withB
+      .select(col("a"), col("b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
+        size(col("set_a")).as("sza"), size(col("set_b")).as("szb"))
       .select(col("a"), col("b"),
         round(col("inter") /
           (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))

@@ -13,61 +13,69 @@ import graft.Tables
   * pgvector embeddings but ships no space diagnostics at all — this is
   * the beyond-reference monitoring layer for §2.3's vector surface.
   *
-  * Spark-first shape: the matrix never materializes. Vectors live in
-  * LONG format (vec_id, d, x) — one posexplode — and each iteration is
-  * two relational contractions: u = X·v (join the 64-row v as a
-  * broadcast, reduce per vec_id) and w = Xᵀ·u (join u back on vec_id,
-  * reduce per dim, 64 rows out). The normalizer rides as a 1-row
-  * broadcast. Three unrolled iterations from the uniform seed — all
-  * engine-deterministic arithmetic, no RNG — and the oracle replays the
-  * identical unrolled recursion in SQL.
-  *
-  * At 100 TB: every per-iteration reduce is map-side combinable, the
-  * only all-data structure shuffled is the (d, partial-sum) pairs — 64
-  * rows per partition — and the vec_id-keyed join reuses the exchange
-  * the u-reduction just produced. Cost = iters × one corpus pass, the
-  * same shape a distributed Lanczos/power solver has.
+  * Spark-first shape, driver-paced like GraphAnn's beam walk: the
+  * matrix never materializes AND nothing ever shuffles at corpus
+  * size. Each iteration is ONE scan — a projection computes
+  * u = (x−μ)·v per row (a 64-term codegen'd expression; μ and v ride
+  * as literals), and a 64-column combinable aggregate reduces
+  * w_d = Σᵢ (x_{id}−μ_d)·uᵢ map-side. The 64-double w row is a
+  * bounded collect (the graph_ann k-row pattern); the normalizer and
+  * next v are driver arithmetic. Cost = (1 mean pass) + iters scans,
+  * zero wide exchanges — the earlier long-format formulation paid 6
+  * corpus shuffles per run and benched 14× its oracle; this one is the
+  * shape a 100 TB solver actually uses (all-reduce of a fixed-width
+  * gradient).
   */
 object PcaPower {
 
   val Iters = 3
 
   /** (d, loading, lambda): the unit top eigenvector after [[Iters]]
-    * power iterations on the CENTERED covariance, with the Rayleigh
-    * estimate λ = ‖X·v‖-step norm of the final iteration. */
+    * power iterations on the CENTERED covariance, with λ = the final
+    * iteration's ‖w‖. */
   def topComponent(spark: SparkSession, dir: String): DataFrame = {
-    val long = CacheScope.cached(
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), col("d"),
-          col("x").cast("double").as("x")))
-    val means = long.groupBy("d")
-      .agg((sum(col("x")) / count(lit(1))).as("mu"))
-    val centered = CacheScope.cached(
-      long.join(broadcast(means), Seq("d"))
-        .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("x")))
-    val dims = means.select(col("d"))
-    var v = dims.select(col("d"), lit(0.125).as("v")) // 1/sqrt(64)
-    var lambda: DataFrame = null
+    val emb = Tables.embeddings(spark, dir).select(col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    def x(d: Int) = element_at(col("embedding"), d + 1).cast("double")
+
+    val meanAggs = count(lit(1)).cast("double").as("n") +:
+      (0 until dim).map(d => sum(x(d)).as(s"s$d"))
+    val meanRow = emb.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val n = meanRow.getDouble(0)
+    val mu = Array.tabulate(dim)(d => meanRow.getDouble(d + 1) / n)
+
+    var v = Array.fill(dim)(0.125) // 1/sqrt(64) uniform seed
+    var lambda = 0.0
     (1 to Iters).foreach { _ =>
-      val u = centered.join(broadcast(v), Seq("d"))
-        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("u"))
-      val w = centered.join(u, Seq("vec_id"))
-        .groupBy("d").agg(sum(col("x") * col("u")).as("w"))
-      lambda = w.agg(sqrt(sum(col("w") * col("w"))).as("lambda"))
-      v = w.crossJoin(broadcast(lambda))
-        .select(col("d"), (col("w") / col("lambda")).as("v"))
+      val u = (0 until dim)
+        .map(d => (x(d) - lit(mu(d))) * lit(v(d)))
+        .reduce(_ + _)
+      val wAggs = (0 until dim).map(d =>
+        sum((x(d) - lit(mu(d))) * col("u")).as(s"w$d"))
+      val wRow = emb.select(col("embedding"), u.as("u"))
+        .agg(wAggs.head, wAggs.tail: _*).head()
+      val w = Array.tabulate(dim)(wRow.getDouble)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
     }
-    v.crossJoin(broadcast(lambda))
-      .select(col("d").cast("long").as("d"),
-        round(col("v"), 6).as("loading"),
-        round(col("lambda"), 3).as("lambda"))
+    import spark.implicits._
+    // HALF_UP to match both engines' round() (math.rint would tie to
+    // even)
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.toSeq.zipWithIndex
+      .map { case (l, d) => (d.toLong, r(l, 6), r(lambda, 3)) }
+      .toDF("d", "loading", "lambda")
       .orderBy(col("d").asc)
   }
 
   /** The same unrolled recursion in DuckDB (zipped parallel unnests
     * give the long format; every shared frame is MATERIALIZED so the
-    * chain doesn't re-evaluate multiplicatively). */
+    * chain doesn't re-evaluate multiplicatively). The relational
+    * long-format formulation and the engine's fixed-width aggregate
+    * formulation sum the same positive-curvature terms in different
+    * orders; the round-6 gate absorbs the ~1e-12 fp slack exactly as
+    * the rolling-window operators document. */
   val topComponentOracleSql: String =
     """WITH long AS MATERIALIZED (
       |  SELECT vec_id,

@@ -73,9 +73,6 @@ class PlanLintSpec extends SparkSpec {
     "events_basket", "events_ewma", "events_acf", "events_dow",
     // 1-row viewer total riding the 1-row conversion summary
     "events_time_to_convert",
-    // power iteration: the per-iteration normalizer is a 1-row ride
-    // over the 64-row eigenvector frame
-    "emb_pca_power",
     // 1-row corpus-frontier ride over the per-user last-seen reduce
     "events_inactivity",
     // 1-row tallies: triangle/wedge/edge counts; the global revenue
