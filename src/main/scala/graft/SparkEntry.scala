@@ -143,6 +143,8 @@ object SparkEntry {
     "emb_pca_power" -> ((s, d) => PcaPower.topComponent(s, d)),
     // inter-label centroid cosine: class-separation margins
     "emb_label_margin" -> ((s, d) => Similarity.labelCentroidMargins(s, d)),
+    // per-dimension moment profile (dead/dominant coordinate check)
+    "emb_variance" -> ((s, d) => Similarity.dimVariance(s, d)),
     // hybrid retrieval: reciprocal-rank fusion of the FTS and KNN lists
     "hybrid_rrf" -> ((s, d) =>
       Hybrid.rrfSearch(s, d, "hash join merge", "en", 0L, 20, 60, 10)),
@@ -235,6 +237,8 @@ object SparkEntry {
     "agg_stringagg" -> ((s, d) => Relational.sourcesPerLang(s, d)),
     // RATIO_TO_REPORT: per-nation revenue share of the global total
     "agg_share" -> ((s, d) => Relational.revenueShareByNation(s, d)),
+    // RFM segmentation via broadcast percentile boundaries (no ntile)
+    "customer_rfm" -> ((s, d) => Relational.customerRfm(s, d)),
     // ANALYZE-style per-column stats block (CBO/catalog food)
     "table_stats" -> ((s, d) => ScaleOps.columnStats(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
@@ -367,6 +371,8 @@ object SparkEntry {
     "events_dow" -> ((s, d) => EventMining.dowProfile(s, d)),
     // Zipf's-law least-squares fit over the term-frequency vocabulary
     "zipf_fit" -> ((s, d) => Fts.zipfFit(s, d)),
+    // Simpson/top-share concentration of the term distribution
+    "vocab_concentration" -> ((s, d) => Fts.vocabConcentration(s, d)),
     // CSV interchange: export/read-back digest gate (JSONL's sibling)
     "csv_roundtrip" -> ((s, d) =>
       graft.sources.CsvStore.roundTripDigest(s, d)),
@@ -376,6 +382,8 @@ object SparkEntry {
     "events_time_to_convert" -> ((s, d) => EventMining.timeToConvert(s, d)),
     // days-inactive churn distribution off each user's last event
     "events_inactivity" -> ((s, d) => EventMining.inactivity(s, d)),
+    // robust MAD anomaly flags on the daily series (median twin of dow)
+    "events_mad" -> ((s, d) => EventMining.madOutliers(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -557,6 +565,10 @@ object SparkEntry {
     "emb_pca_power" -> PcaPower.topComponentOracleSql,
     "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
     "events_inactivity" -> EventMining.inactivityOracleSql,
+    "events_mad" -> EventMining.madOutliersOracleSql,
+    "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
+    "emb_variance" -> Similarity.dimVarianceOracleSql,
+    "customer_rfm" -> Relational.customerRfmOracleSql,
     "stream_user_growth" ->
       graft.streaming.StreamBridge.streamUserGrowthOracleSql,
     "kanon_risk" -> Datacard.kAnonymityRiskOracleSql(5L, 100L),

@@ -477,6 +477,77 @@ object EventMining {
         col("p50_sec"), col("p90_sec"), col("min_sec"), col("max_sec"))
   }
 
+  /** Robust anomaly detection on the daily series: median absolute
+    * deviation (MAD) outliers per event type — the robust twin of
+    * [[dowProfile]]'s mean±2σ (a single spike inflates σ and hides
+    * itself; the median pair doesn't). Day is an outlier when
+    * |x − median| > 3 × 1.4826 × MAD (the Gaussian-consistent
+    * constant). Exact continuous-interpolation medians (`percentile` ≡
+    * `quantile_cont`); per-type day-series state is bounded by the day
+    * span. NULL-guard: a flat series has MAD 0 — its days are flagged
+    * only if they differ from the median at all. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = denseDaily(spark, dir)
+    val med = d.groupBy("event_type")
+      .agg(expr("percentile(n_events, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    dev.select("event_type", "n_events")
+      .join(broadcast(mad.select(col("event_type"),
+        col("med").as("m2"), col("mad"))), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        round(first(col("m2")), 4).as("median_n"),
+        round(first(col("mad")), 4).as("mad_n"),
+        // literal 4.4478 (= 3 × 1.4826) spelled identically on both
+        // sides so the threshold double is bit-equal
+        sum(when(abs(col("n_events") - col("m2")) >
+          lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outlier_days"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val madOutliersOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+      |  FROM events
+      |), b AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+      |), days AS (
+      |  SELECT unnest(range(d0, d1 + 1)) AS day FROM b
+      |), g AS MATERIALIZED (
+      |  SELECT t.event_type, d.day, COALESCE(c.n_events, 0) AS n_events
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN (SELECT event_type, day, count(*) AS n_events
+      |             FROM e GROUP BY 1, 2) c
+      |    USING (event_type, day)
+      |), med AS MATERIALIZED (
+      |  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+      |  FROM g GROUP BY 1
+      |), dev AS MATERIALIZED (
+      |  SELECT g.event_type, g.n_events, med.med,
+      |    abs(g.n_events - med.med) AS adev
+      |  FROM g JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, first(med) AS med,
+      |    quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT dev.event_type,
+      |  round(first(mad.med), 4) AS median_n,
+      |  round(first(mad.mad), 4) AS mad_n,
+      |  CAST(sum(CASE WHEN abs(dev.n_events - mad.med) >
+      |    4.4478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outlier_days
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type
+      |ORDER BY dev.event_type ASC""".stripMargin
+
   /** Inactivity/churn distribution: users bucketed by how many whole
     * DAYS their LAST event trails the corpus frontier — bucket 0 is
     * the active base, the tail is churn (the inverse view of

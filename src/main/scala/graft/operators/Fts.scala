@@ -1013,6 +1013,43 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Vocabulary concentration indexes — Simpson/Herfindahl Σ(tfᵢ/T)²
+    * and the top-term share: [[zipfFit]]'s scalar companions (a
+    * boilerplate-dominated corpus concentrates probability mass in few
+    * terms; healthy text doesn't). One vocabulary-sized aggregate off
+    * the persisted index; the Simpson sum runs in exact integer
+    * numerators (Σ tfᵢ²) with ONE final division. */
+  def vocabConcentration(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureIndex(spark, dir))
+      .groupBy("term").agg(sum(col("tf")).as("freq"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("freq")).as("total_tf"),
+        sum(col("freq") * col("freq")).as("sum_sq"),
+        max(col("freq")).as("top_freq"))
+      .select(
+        col("n_terms"), col("total_tf").cast("long").as("total_tf"),
+        round(col("sum_sq") / (col("total_tf") * col("total_tf")), 6)
+          .as("simpson"),
+        round(col("top_freq") / col("total_tf"), 6).as("top1_share"))
+
+  val vocabConcentrationOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY term
+       |)
+       |SELECT count(*) AS n_terms,
+       |  CAST(sum(freq) AS BIGINT) AS total_tf,
+       |  round(CAST(sum(freq * freq) AS DOUBLE) /
+       |    (CAST(sum(freq) AS DOUBLE) * CAST(sum(freq) AS DOUBLE)), 6)
+       |    AS simpson,
+       |  round(CAST(max(freq) AS DOUBLE) / CAST(sum(freq) AS DOUBLE), 6)
+       |    AS top1_share
+       |FROM vocab""".stripMargin
+
   /** Zipf's-law fit of the corpus term-frequency distribution: least
     * squares of ln(freq) on ln(rank) over the vocabulary — slope ≈ −1
     * is the healthy-natural-text signature; a flat or cliff-shaped fit

@@ -1450,6 +1450,92 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** RFM customer segmentation — the classic marketing-analytics cube:
+    * per customer recency (days since last order vs the corpus
+    * frontier), frequency (order count), monetary (decimal-exact spend),
+    * each bucketed into quartiles by GLOBAL percentile boundaries, then
+    * the segment histogram. Scale-safe quartiling: boundaries are ONE
+    * 1-row percentile aggregate broadcast back over the per-customer
+    * frame (never an ntile window over all customers — that's a global
+    * sort; win_ntile documents that contrast), so the whole op is two
+    * combinable reduces + one broadcast bucket pass. Both engines
+    * derive boundaries from identical exact inputs, so bucket
+    * comparisons agree everywhere including ties. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("osec"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy("o_custkey")
+      .agg(max(col("osec")).as("last_sec"),
+        count(lit(1)).as("freq"),
+        sum(col("price")).cast("double").as("monetary"))
+    val frontier = perCust.agg(max(col("last_sec")).as("hi"))
+    val rfm = perCust.crossJoin(broadcast(frontier))
+      .select(
+        expr("(hi - last_sec) div 86400").as("recency"),
+        col("freq"), col("monetary"))
+    val bounds = rfm.agg(
+      expr("percentile(recency, 0.25)").as("r1"),
+      expr("percentile(recency, 0.5)").as("r2"),
+      expr("percentile(recency, 0.75)").as("r3"),
+      expr("percentile(freq, 0.25)").as("f1"),
+      expr("percentile(freq, 0.5)").as("f2"),
+      expr("percentile(freq, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    def q(v: org.apache.spark.sql.Column, b1: String, b2: String,
+        b3: String) =
+      lit(1L) + (v > col(b1)).cast("long") + (v > col(b2)).cast("long") +
+        (v > col(b3)).cast("long")
+    rfm.crossJoin(broadcast(bounds))
+      .select(
+        q(col("recency").cast("double"), "r1", "r2", "r3").as("r_q"),
+        q(col("freq").cast("double"), "f1", "f2", "f3").as("f_q"),
+        q(col("monetary"), "m1", "m2", "m3").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_q").asc, col("f_q").asc, col("m_q").asc)
+  }
+
+  val customerRfmOracleSql: String =
+    """WITH pc AS MATERIALIZED (
+      |  SELECT o_custkey,
+      |    max(epoch(o_orderdate)) AS last_sec,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS monetary
+      |  FROM orders GROUP BY 1
+      |), f AS (SELECT max(last_sec) AS hi FROM pc),
+      |rfm AS MATERIALIZED (
+      |  SELECT (f.hi - pc.last_sec) // 86400 AS recency,
+      |    pc.freq, pc.monetary
+      |  FROM pc, f
+      |), b AS (
+      |  SELECT quantile_cont(recency, 0.25) AS r1,
+      |    quantile_cont(recency, 0.5) AS r2,
+      |    quantile_cont(recency, 0.75) AS r3,
+      |    quantile_cont(freq, 0.25) AS f1,
+      |    quantile_cont(freq, 0.5) AS f2,
+      |    quantile_cont(freq, 0.75) AS f3,
+      |    quantile_cont(monetary, 0.25) AS m1,
+      |    quantile_cont(monetary, 0.5) AS m2,
+      |    quantile_cont(monetary, 0.75) AS m3
+      |  FROM rfm
+      |)
+      |SELECT
+      |  1 + CAST(recency > r1 AS BIGINT) + CAST(recency > r2 AS BIGINT)
+      |    + CAST(recency > r3 AS BIGINT) AS r_q,
+      |  1 + CAST(freq > f1 AS BIGINT) + CAST(freq > f2 AS BIGINT)
+      |    + CAST(freq > f3 AS BIGINT) AS f_q,
+      |  1 + CAST(monetary > m1 AS BIGINT) + CAST(monetary > m2 AS BIGINT)
+      |    + CAST(monetary > m3 AS BIGINT) AS m_q,
+      |  count(*) AS n_customers
+      |FROM rfm, b
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_q ASC, f_q ASC, m_q ASC""".stripMargin
+
   /** TPC-H Q16 shape (supplier count per part attribute): a broadcast
     * dim filter with a NEGATED predicate, an ANTI-join against an
     * excluded-supplier list (the NOT IN subquery — here suppliers in

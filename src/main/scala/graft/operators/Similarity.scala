@@ -886,6 +886,40 @@ object Similarity {
       |    AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label ASC""".stripMargin
 
+  /** Per-dimension moment profile of the embedding cloud — mean and
+    * population variance per coordinate, the tabular companion of
+    * PcaPower's eigen-diagnostic (a dimension with ~zero variance is
+    * dead capacity; a dominant one signals the same collapse the top
+    * PC measures, without the solver). One posexplode + one (d)-keyed
+    * combinable reduce — 64 output rows at any corpus size. */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), col("x").cast("double").as("x"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("d").cast("long").as("d"),
+        round(col("sx") / col("n"), 6).as("mu"),
+        round(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), 6)
+          .as("variance"))
+      .orderBy(col("d").asc)
+
+  val dimVarianceOracleSql: String =
+    """WITH long AS (
+      |  SELECT unnest(range(0, len(embedding))) AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT d, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      |  FROM long GROUP BY d
+      |)
+      |SELECT CAST(d AS BIGINT) AS d,
+      |  round(sx / n, 6) AS mu,
+      |  round(sxx / n - (sx / n) * (sx / n), 6) AS variance
+      |FROM s ORDER BY d ASC""".stripMargin
+
   /** Inter-label centroid separation — the supervised-embedding
     * diagnostic next to [[labelStats]]: per unordered label pair, the
     * cosine between the class centroids. Labels whose centroids sit at

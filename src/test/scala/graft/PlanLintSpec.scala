@@ -71,6 +71,7 @@ class PlanLintSpec extends SparkSpec {
     // vocabulary × a [min,max]-derived day axis) under the EWMA/ACF/
     // day-of-week series operators
     "events_basket", "events_ewma", "events_acf", "events_dow",
+    "events_mad",
     // 1-row viewer total riding the 1-row conversion summary
     "events_time_to_convert",
     // 1-row corpus-frontier ride over the per-user last-seen reduce
@@ -78,6 +79,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row tallies: triangle/wedge/edge counts; the global revenue
     // total riding the per-nation share report
     "graph_triangles", "agg_share",
+    // 1-row rides: the order frontier + the 9-value quartile-boundary
+    // frame over the per-customer reduce
+    "customer_rfm",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
