@@ -63,6 +63,9 @@ object SparkEntry {
     "fts_topk_stemmed" -> ((s, d) =>
       Fts.searchStemmed(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
+    // full boolean algebra (& | ! parens) — one AST emits both engines
+    "fts_boolean" -> ((s, d) =>
+      Fts.booleanSearch(s, d, "(hash | merge) & !sort", "en", 10)),
     // proximity search (NEAR/8, unordered) + the tsquery_phrase
     // distance operator `hash <2> merge` (b exactly n after a)
     "fts_near" -> ((s, d) =>
@@ -347,6 +350,9 @@ object SparkEntry {
     // CDC merge-on-read: latest version wins, deletes apply last
     "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
     "cdc_timestamps" -> ((s, d) => Cdc.mergeTimestamps(s, d)),
+    // SCD type-2 history: validity intervals + current flags from the
+    // same change batch; deletes close the open interval
+    "cdc_scd2" -> ((s, d) => Cdc.scd2History(s, d)),
     "events_changepoints" -> ((s, d) =>
       Changepoints.eventsChangepoints(s, d, 6, 50)),
     // mixture-weighted reproducible sampler (weights drive the rates)
@@ -566,7 +572,10 @@ object SparkEntry {
     "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
     "events_inactivity" -> EventMining.inactivityOracleSql,
     "events_mad" -> EventMining.madOutliersOracleSql,
+    "cdc_scd2" -> Cdc.scd2OracleSql,
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
+    "fts_boolean" ->
+      Fts.booleanSearchOracleSql("(hash | merge) & !sort", "en", 10),
     "emb_variance" -> Similarity.dimVarianceOracleSql,
     "customer_rfm" -> Relational.customerRfmOracleSql,
     "stream_user_growth" ->

@@ -143,4 +143,61 @@ object Cdc {
       |                  WHERE d.doc_id % 17 = 0
       |                    AND d.doc_id = won.doc_id)
       |ORDER BY doc_id ASC""".stripMargin
+
+  /** SCD TYPE-2 history — the dimension-table discipline built from
+    * the same change batch [[mergeUpsert]] merges: every version keeps
+    * a row with a validity interval (valid_from = its version,
+    * valid_to = the NEXT version or NULL while open) and a current
+    * flag; a delete CLOSES the open interval without emitting a row
+    * (is_current = 0 for every version of a deleted doc). Restricted
+    * to docs the batch actually touched, so the history is the
+    * interesting rows, not a copy of the corpus.
+    *
+    * One doc-keyed window (lead over version) on the versioned union —
+    * the partitioning a dimension table already has; the delete set is
+    * a broadcast-scale flag join. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val touched = docs
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 17 === 0)
+    val v1 = touched.select(col("doc_id"), col("text"),
+      lit(1L).as("version"))
+    val v2 = touched.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" [rev]")).as("text"),
+        lit(2L).as("version"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("version").asc)
+    v1.unionByName(v2)
+      .withColumn("valid_to", lead(col("version"), 1).over(byDoc))
+      .withColumn("deleted", (col("doc_id") % 17 === 0).cast("long"))
+      .select(col("doc_id"), col("version"),
+        substring(md5(col("text")), 1, 8).as("content_sig"),
+        col("valid_to"),
+        when(col("valid_to").isNull && col("deleted") === 0L, 1L)
+          .otherwise(0L).as("is_current"))
+      .orderBy(col("doc_id").asc, col("version").asc)
+  }
+
+  val scd2OracleSql: String =
+    """WITH touched AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0 OR doc_id % 17 = 0
+      |), v AS (
+      |  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM touched
+      |  UNION ALL
+      |  SELECT doc_id, text || ' [rev]', CAST(2 AS BIGINT)
+      |  FROM touched WHERE doc_id % 10 = 0
+      |), h AS (
+      |  SELECT doc_id, version,
+      |    substr(md5(text), 1, 8) AS content_sig,
+      |    lead(version) OVER (PARTITION BY doc_id
+      |                        ORDER BY version ASC) AS valid_to
+      |  FROM v
+      |)
+      |SELECT doc_id, version, content_sig, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL AND doc_id % 17 <> 0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM h
+      |ORDER BY doc_id ASC, version ASC""".stripMargin
 }

@@ -1013,6 +1013,62 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Full BOOLEAN query search — the `to_tsquery` connective algebra
+    * (`&`, `|`, `!`, parens) the reference's plainto path flattens to
+    * AND ([[graft.functions.BoolQuery]] holds the grammar): one
+    * driver-side parse, then the SAME AST emits both the Spark
+    * predicate and the oracle SQL, so the semantics have one source of
+    * truth. Matching stays scan-local exactly like [[search]] (per-term
+    * tf columns from the analyzed token array, zero exchanges before
+    * the top-k); ranking sums the tf of terms in NON-negated positions
+    * only (a doc matching `a & !b` ranks by a, not b). */
+  def booleanSearch(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val ast = graft.functions.BoolQuery.parse(query)
+    val terms = graft.functions.BoolQuery.terms(ast)
+    val pos = graft.functions.BoolQuery.positiveTerms(ast)
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id"),
+        TextAnalyzer.tokens(col("text")).as("toks"))
+    val tfCols = terms.map(t =>
+      size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t"))
+    val projected = withToks
+      .select(col("doc_id") +: tfCols: _*)
+    val pred = graft.functions.BoolQuery
+      .predicate(ast, t => col(s"tf_$t") > 0)
+    val rank =
+      if (pos.isEmpty) lit(0L)
+      else pos.map(t => col(s"tf_$t").cast("long")).reduce(_ + _)
+    projected.filter(pred)
+      .select(col("doc_id"), rank.as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def booleanSearchOracleSql(query: String, lang: String,
+      k: Int): String = {
+    val ast = graft.functions.BoolQuery.parse(query)
+    val terms = graft.functions.BoolQuery.terms(ast)
+    val pos = graft.functions.BoolQuery.positiveTerms(ast)
+    val tfCols = terms.map(t =>
+      s"len(list_filter(tl, x -> x = '$t')) AS tf_$t").mkString(", ")
+    val pred = graft.functions.BoolQuery
+      .predicateSql(ast, t => s"tf_$t > 0")
+    val rank = pos.map(t => s"tf_$t").mkString(" + ")
+    s"""WITH tokl AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents WHERE lang = '$lang'
+       |), tf AS (
+       |  SELECT doc_id, $tfCols FROM tokl
+       |)
+       |SELECT doc_id, CAST($rank AS BIGINT) AS matched_tf
+       |FROM tf WHERE $pred
+       |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Vocabulary concentration indexes — Simpson/Herfindahl Σ(tfᵢ/T)²
     * and the top-term share: [[zipfFit]]'s scalar companions (a
     * boilerplate-dominated corpus concentrates probability mass in few
