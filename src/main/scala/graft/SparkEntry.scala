@@ -242,6 +242,8 @@ object SparkEntry {
     "agg_share" -> ((s, d) => Relational.revenueShareByNation(s, d)),
     // RFM segmentation via broadcast percentile boundaries (no ntile)
     "customer_rfm" -> ((s, d) => Relational.customerRfm(s, d)),
+    // Pareto 80/20 concentration curve over supplier revenue
+    "pareto_suppliers" -> ((s, d) => Relational.paretoSuppliers(s, d, 25)),
     // ANALYZE-style per-column stats block (CBO/catalog food)
     "table_stats" -> ((s, d) => ScaleOps.columnStats(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
@@ -390,6 +392,11 @@ object SparkEntry {
     "events_inactivity" -> ((s, d) => EventMining.inactivity(s, d)),
     // robust MAD anomaly flags on the daily series (median twin of dow)
     "events_mad" -> ((s, d) => EventMining.madOutliers(s, d)),
+    // top 3-step session opening paths (journey mining over sessions)
+    "events_paths" -> ((s, d) =>
+      EventMining.openingPaths(s, d, 1800L, 3, 10)),
+    // one-way ANOVA of value across types (fixed-point exact sums)
+    "events_anova" -> ((s, d) => EventMining.valueAnova(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -573,6 +580,9 @@ object SparkEntry {
     "events_inactivity" -> EventMining.inactivityOracleSql,
     "events_mad" -> EventMining.madOutliersOracleSql,
     "cdc_scd2" -> Cdc.scd2OracleSql,
+    "events_paths" -> EventMining.openingPathsOracleSql(1800L, 3, 10),
+    "events_anova" -> EventMining.valueAnovaOracleSql,
+    "pareto_suppliers" -> Relational.paretoOracleSql(25),
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
     "fts_boolean" ->
       Fts.booleanSearchOracleSql("(hash | merge) & !sort", "en", 10),

@@ -477,6 +477,131 @@ object EventMining {
         col("p50_sec"), col("p90_sec"), col("min_sec"), col("max_sec"))
   }
 
+  /** Top session OPENING PATHS — the first `steps` event types of each
+    * session as one path string, ranked by frequency: the "how do
+    * journeys start" panel one level above [[transitions]]' single-step
+    * matrix. Deterministic assembly: the k-th step is a conditional
+    * max over the session's row_number ≤ k rows (never collect_list
+    * order), concatenated with '>'. Sessions shorter than `steps` pad
+    * with '·' so partial journeys stay distinct from truncated ones.
+    * One sessionization window + one session-keyed reduce; the path
+    * vocabulary is bounded by |types|^steps. */
+  def openingPaths(spark: SparkSession, dir: String, gapSec: Long,
+      steps: Int, k: Int): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    val stepped = sessionized(spark, dir, gapSec)
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= steps)
+    val stepCols = (1 to steps).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"s$i"))
+    stepped.groupBy("user_id", "session_seq")
+      .agg(stepCols.head, stepCols.tail: _*)
+      .select(concat_ws(">",
+        (1 to steps).map(i => coalesce(col(s"s$i"), lit("·"))): _*)
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
+  def openingPathsOracleSql(gapSec: Long, steps: Int, k: Int): String = {
+    val stepCols = (1 to steps).map(i =>
+      s"max(CASE WHEN rn = $i THEN event_type END) AS s$i")
+      .mkString(", ")
+    val pathExpr = (1 to steps).map(i => s"COALESCE(s$i, '·')")
+      .mkString(" || '>' || ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000000000 AS tsec
+       |  FROM events
+       |), l AS (
+       |  SELECT *, lag(tsec) OVER (PARTITION BY user_id
+       |    ORDER BY tsec ASC, event_id ASC) AS prev
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, tsec,
+       |    sum(CASE WHEN prev IS NULL OR tsec - prev > $gapSec
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY tsec ASC, event_id ASC
+       |            ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM l
+       |), r AS (
+       |  SELECT user_id, session_seq, event_type,
+       |    row_number() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY tsec ASC, event_id ASC) AS rn
+       |  FROM s
+       |), g AS (
+       |  SELECT user_id, session_seq, $stepCols
+       |  FROM r WHERE rn <= $steps GROUP BY 1, 2
+       |)
+       |SELECT $pathExpr AS path, count(*) AS n_sessions
+       |FROM g GROUP BY 1
+       |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
+  }
+
+  /** One-way ANOVA of event `value` across event types — "does the
+    * value distribution actually differ by type": between/within sum
+    * of squares and the F statistic. The fixture's values are 2-dp
+    * decimals, so scaling by 100 makes every power sum an EXACT
+    * integer (the q10 fixed-point discipline): SSB/SSW come out of
+    * pure BIGINT arithmetic and only the final F division is floating
+    * point. One scan, |types|-row intermediate. */
+  def valueAnova(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+    val per = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    per.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_total"),
+      sum(col("ss")).as("ss_all"),
+      sum(col("s")).as("s_all"),
+      // Σ_g s_g²/n_g in double (exact integer numerators, one divide
+      // per group, k tiny)
+      sum(col("s") * col("s") / col("n")).as("grp_term"))
+      .select(
+        col("k"), col("n_total"),
+        round((col("grp_term") -
+          col("s_all") * col("s_all") / col("n_total")) / lit(10000.0), 4)
+          .as("ssb"),
+        round((col("ss_all") - col("grp_term")) / lit(10000.0), 4)
+          .as("ssw"),
+        round(((col("grp_term") -
+          col("s_all") * col("s_all") / col("n_total")) / (col("k") - 1)) /
+          ((col("ss_all") - col("grp_term")) /
+            (col("n_total") - col("k"))), 6).as("f_stat"))
+  }
+
+  val valueAnovaOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), per AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS s,
+      |    sum(v * v) AS ss
+      |  FROM e GROUP BY 1
+      |), t AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+      |    CAST(sum(ss) AS BIGINT) AS ss_all,
+      |    CAST(sum(s) AS BIGINT) AS s_all,
+      |    sum(CAST(s AS DOUBLE) * s / n) AS grp_term
+      |  FROM per
+      |)
+      |SELECT k, n_total,
+      |  round((grp_term - CAST(s_all AS DOUBLE) * s_all / n_total)
+      |        / 10000.0, 4) AS ssb,
+      |  round((ss_all - grp_term) / 10000.0, 4) AS ssw,
+      |  round(((grp_term - CAST(s_all AS DOUBLE) * s_all / n_total)
+      |         / (k - 1)) /
+      |        ((ss_all - grp_term) / (n_total - k)), 6) AS f_stat
+      |FROM t""".stripMargin
+
   /** Robust anomaly detection on the daily series: median absolute
     * deviation (MAD) outliers per event type — the robust twin of
     * [[dowProfile]]'s mean±2σ (a single spike inflates σ and hides

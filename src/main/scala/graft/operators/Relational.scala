@@ -1450,6 +1450,59 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** Pareto (80/20) concentration curve over supplier revenue: rank
+    * suppliers by decimal-exact revenue, attach the cumulative share,
+    * and flag the 80% frontier — [[revenueShareByNation]]'s ordered
+    * sibling and the "how concentrated is supply" diagnostic. The
+    * ordered prefix sum runs over the SUPPLIER-bounded frame after the
+    * fact-table reduce (bounded global window, allowlisted — the
+    * win_ntile contrast documents why corpus-side ntile is banned);
+    * cumulative sums stay in decimal so the share division is the only
+    * fp op. */
+  def paretoSuppliers(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,6)").as("v"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("v")).as("rev"))
+    val total = per.agg(sum(col("rev")).as("total_rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_suppkey").asc)
+    per.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        round((sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")) / col("total_rev").cast("double"), 6))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("l_suppkey"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        col("cum_share"),
+        (col("cum_share") >= 0.8).cast("long").as("past_80"))
+      .orderBy(col("rank").asc)
+  }
+
+  def paretoOracleSql(k: Int): String =
+    s"""WITH per AS (
+       |  SELECT l_suppkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+       |  FROM lineitem GROUP BY 1
+       |), t AS (SELECT sum(rev) AS total_rev FROM per),
+       |r AS (
+       |  SELECT l_suppkey, rev, total_rev,
+       |    row_number() OVER (ORDER BY rev DESC, l_suppkey ASC) AS rank,
+       |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_suppkey ASC
+       |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+       |  FROM per, t
+       |)
+       |SELECT CAST(rank AS BIGINT) AS rank, l_suppkey,
+       |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       |  round(cum / CAST(total_rev AS DOUBLE), 6) AS cum_share,
+       |  CAST(round(cum / CAST(total_rev AS DOUBLE), 6) >= 0.8
+       |    AS BIGINT) AS past_80
+       |FROM r WHERE rank <= $k
+       |ORDER BY rank ASC""".stripMargin
+
   /** RFM customer segmentation — the classic marketing-analytics cube:
     * per customer recency (days since last order vs the corpus
     * frontier), frequency (order count), monetary (decimal-exact spend),

@@ -28,7 +28,9 @@ class PlanLintSpec extends SparkSpec {
     // term dictionary, never the corpus)
     "zipf_fit",
     // prefix sum over the bounded [min,max] day axis
-    "events_user_growth")
+    "events_user_growth",
+    // ordered prefix sum over the SUPPLIER-bounded frame post-reduce
+    "pareto_suppliers")
   // round-10 removals: kmeans/semdedup seed labeling is now a k-row
   // driver collect, the collections dim ranks via broadcast self-join,
   // and hybrid_rrf ranks its two top-k lists driver-side — none of
@@ -80,8 +82,9 @@ class PlanLintSpec extends SparkSpec {
     // total riding the per-nation share report
     "graph_triangles", "agg_share",
     // 1-row rides: the order frontier + the 9-value quartile-boundary
-    // frame over the per-customer reduce
-    "customer_rfm",
+    // frame over the per-customer reduce; the revenue total riding the
+    // supplier-bounded Pareto frame
+    "customer_rfm", "pareto_suppliers",
     // collections dim rank = non-equi self-join over the aggregated
     // (tiny) dim — bounded build side by construction
     "s1_collection_lookup", "s2_collection_list",
