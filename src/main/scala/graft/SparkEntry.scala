@@ -231,6 +231,8 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
     // Q20 shape: nested-aggregate half-of-total predicate
     "q20_excess" -> ((s, d) => Relational.q20ExcessSuppliers(s, d)),
+    // Q2 shape: correlated-MIN subquery (cheapest-offer suppliers)
+    "q2_min_price" -> ((s, d) => Relational.q2MinPriceSuppliers(s, d)),
     // Q21 shape: semi + anti SELF-joins on the fact table (sole-blame)
     "q21_sole_blame" -> ((s, d) => Relational.q21SoleBlame(s, d)),
     // Q11 shape: per-group sums gated by a global-scalar HAVING
@@ -397,6 +399,8 @@ object SparkEntry {
       EventMining.openingPaths(s, d, 1800L, 3, 10)),
     // one-way ANOVA of value across types (fixed-point exact sums)
     "events_anova" -> ((s, d) => EventMining.valueAnova(s, d)),
+    // Benford first-digit audit of value (string-based bucketing)
+    "events_benford" -> ((s, d) => EventMining.benfordDigits(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -463,6 +467,8 @@ object SparkEntry {
     // PPJoin: exact-threshold set-similarity join via prefix filtering,
     // hash-gated against the brute posting-join semantics
     "dedup_ppjoin" -> ((s, d) => Dedup.ppjoinPairs(s, d, 0.5)),
+    // LSH banding recall vs the provably-complete prefix-filtered join
+    "dedup_lsh_eval" -> ((s, d) => Dedup.lshRecallEval(s, d, 0.5)),
     // LangId heuristic vs the labeled lang column: confusion matrix
     "langid_confusion" -> ((s, d) =>
       graft.functions.LangId
@@ -582,6 +588,7 @@ object SparkEntry {
     "cdc_scd2" -> Cdc.scd2OracleSql,
     "events_paths" -> EventMining.openingPathsOracleSql(1800L, 3, 10),
     "events_anova" -> EventMining.valueAnovaOracleSql,
+    "events_benford" -> EventMining.benfordDigitsOracleSql,
     "pareto_suppliers" -> Relational.paretoOracleSql(25),
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
     "fts_boolean" ->
@@ -702,6 +709,7 @@ object SparkEntry {
     "q21_sole_blame" -> Relational.q21OracleSql,
     "q16_supplier_cnt" -> Relational.q16OracleSql,
     "q20_excess" -> Relational.q20OracleSql,
+    "q2_min_price" -> Relational.q2OracleSql,
     "len_quantiles" -> Datacard.lengthQuantilesByLangOracleSql,
     "sample_aes" -> Sampling.aesSampleOracleSql(20),
     "q11_important" -> Relational.q11OracleSql(1.05),
@@ -773,6 +781,7 @@ object SparkEntry {
     "pack_sequences" -> TextOps.packSequencesOracleSql(2048L),
     "fingerprint_winnow" -> TextOps.winnowOracleSql,
     "dedup_ppjoin" -> Dedup.ppjoinOracleSql(0.5),
+    "dedup_lsh_eval" -> Dedup.lshRecallEvalOracleSql(0.5),
     "langid_confusion" ->
       s"""SELECT lang,
          |  ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,

@@ -1110,6 +1110,44 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
   }
 
+  /** LSH banding recall gate — the dedup twin of `ann_recall`: both
+    * [[minhashPairs]] (banded candidates, exact verify) and
+    * [[ppjoinPairs]] (prefix-filtered, provably complete) end with the
+    * same exact-Jaccard-≥-t verification, so any pair the MinHash path
+    * lacks is a BANDING miss. One full-outer join of the two pair
+    * frames reduces to the recall scorecard — the measured answer to
+    * "how much does the LSH shortcut cost", which round-over-round
+    * protects the banding parameters from silent degradation. */
+  def lshRecallEval(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val exact = ppjoinPairs(spark, dir, threshold)
+      .select(col("a"), col("b"), lit(1L).as("in_e"))
+    val lsh = minhashPairs(spark, dir, threshold)
+      .select(col("a"), col("b"), lit(1L).as("in_l"))
+    exact.join(lsh.withColumnRenamed("in_l", "in_l2"),
+      Seq("a", "b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_l2"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_e"), lit(0L)) *
+          coalesce(col("in_l2"), lit(0L))).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common") / col("n_exact"), 6).as("band_recall"))
+  }
+
+  def lshRecallEvalOracleSql(threshold: Double): String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT a, b FROM (${shingleJaccardOracleSql(threshold)})
+       |), mh AS MATERIALIZED (
+       |  SELECT a, b FROM (${minhashPairsOracleSql(threshold)})
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM mh) AS n_lsh,
+       |  (SELECT count(*) FROM ex JOIN mh USING (a, b)) AS n_common,
+       |  round(CAST((SELECT count(*) FROM ex JOIN mh USING (a, b))
+       |    AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS band_recall""".stripMargin
+
   /** Oracle = the BRUTE posting join over full shingle sets (no prefix
     * filter) — [[shingleJaccardOracleSql]] verbatim: the semantics the
     * optimization must preserve, at a threshold high enough that the

@@ -542,6 +542,55 @@ object EventMining {
        |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
   }
 
+  /** Benford's-law first-digit audit of the value column — the
+    * fabricated-data / instrumentation-bug screen financial and data-
+    * quality pipelines run: observed first-digit shares vs the Benford
+    * expectation log10(1+1/d), with the per-digit χ² contribution.
+    * Digit extraction is STRING-based (first char of the engine's
+    * shortest decimal rendering of values ≥ 1) so no log/floor fp
+    * arithmetic touches the bucketing; the Benford constants are
+    * computed once in Scala and injected as identical literals into
+    * BOTH engines. One scan + a 9-row frame with the total as an
+    * allowlisted 1-row ride. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = graft.Tables.events(spark, dir)
+      .filter(col("value") >= 1.0)
+      .select(substring(col("value").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    val benford = (1 to 9).map(d => d.toString -> math.log10(1.0 + 1.0 / d))
+    val bCol = benford.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(total))
+      .withColumn("benford", bCol)
+      .select(col("digit"), col("n"),
+        round(col("n") / col("n_total"), 6).as("share"),
+        round(col("benford"), 6).as("benford_share"),
+        round(pow(col("n") - col("n_total") * col("benford"), 2) /
+          (col("n_total") * col("benford")), 4).as("chi2_contrib"))
+      .orderBy(col("digit").asc)
+  }
+
+  val benfordDigitsOracleSql: String = {
+    val benford = (1 to 9).map(d =>
+      s"WHEN '$d' THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT substr(CAST(value AS VARCHAR), 1, 1) AS digit
+       |  FROM events WHERE value >= 1.0
+       |), g AS (
+       |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+       |SELECT digit, n,
+       |  round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+       |  round(CASE digit $benford ELSE 0.0 END, 6) AS benford_share,
+       |  round(pow(n - n_total * (CASE digit $benford ELSE 0.0 END), 2)
+       |    / (n_total * (CASE digit $benford ELSE 0.0 END)), 4)
+       |    AS chi2_contrib
+       |FROM g, t
+       |ORDER BY digit ASC""".stripMargin
+  }
+
   /** One-way ANOVA of event `value` across event types — "does the
     * value distribution actually differ by type": between/within sum
     * of squares and the F statistic. The fixture's values are 2-dp

@@ -1450,6 +1450,54 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    * subquery — for each part of one brand, the supplier(s) whose
+    * average observed price equals that part's minimum. The fixture
+    * has no partsupp, so "offers the part at" = lineitem's per-(part,
+    * supplier) MINIMUM observed price — a raw stored double, no
+    * arithmetic, so the equality join is engine-exact (an average
+    * would acquire engine-specific division scale/rounding). Same plan
+    * topology as Q2: per-group aggregate → per-part min re-reduce →
+    * equality join back. */
+  def q2MinPriceSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === lit("Brand#2"))
+      .select("p_partkey", "p_name")
+    val perPS = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("offer_price"))
+    val minP = perPS.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("offer_price")).as("min_price"))
+    perPS
+      .join(minP, col("p_partkey") === col("m_partkey") &&
+        col("offer_price") === col("min_price"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        round(col("offer_price"), 2).as("best_price"))
+      .orderBy(col("p_partkey").asc, col("s_name").asc)
+  }
+
+  val q2OracleSql: String =
+    """WITH perps AS MATERIALIZED (
+      |  SELECT p_partkey, p_name, l_suppkey,
+      |    min(l_extendedprice) AS offer_price
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#2'
+      |  GROUP BY 1, 2, 3
+      |), minp AS (
+      |  SELECT p_partkey AS m_partkey, min(offer_price) AS min_price
+      |  FROM perps GROUP BY 1
+      |)
+      |SELECT p_partkey, p_name, s_name,
+      |  round(offer_price, 2) AS best_price
+      |FROM perps
+      |JOIN minp ON m_partkey = p_partkey AND offer_price = min_price
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY p_partkey ASC, s_name ASC""".stripMargin
+
   /** Pareto (80/20) concentration curve over supplier revenue: rank
     * suppliers by decimal-exact revenue, attach the cumulative share,
     * and flag the 80% frontier — [[revenueShareByNation]]'s ordered
