@@ -90,6 +90,8 @@ object SparkEntry {
     // index DELETE path: anti-join tombstones, no rebuild
     "fts_delete_termstats" -> ((s, d) =>
       Fts.termStatsAfterDelete(s, d, 7L)),
+    // posting-length decade histogram (index health introspection)
+    "fts_df_histogram" -> ((s, d) => Fts.dfHistogram(s, d)),
     // facet panel: (lang, source) doc counts over the AND-match set
     "fts_facets" -> ((s, d) => Fts.facetedSearch(s, d, "hash join")),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc
@@ -401,6 +403,8 @@ object SparkEntry {
     "events_anova" -> ((s, d) => EventMining.valueAnova(s, d)),
     // Benford first-digit audit of value (string-based bucketing)
     "events_benford" -> ((s, d) => EventMining.benfordDigits(s, d)),
+    // inter-event gap quantiles: the evidence behind the 1800s gap
+    "events_gaps" -> ((s, d) => EventMining.gapStats(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -581,6 +585,7 @@ object SparkEntry {
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
     "fts_delete_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
+    "fts_df_histogram" -> Fts.dfHistogramOracleSql,
     "emb_pca_power" -> PcaPower.topComponentOracleSql,
     "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
     "events_inactivity" -> EventMining.inactivityOracleSql,
@@ -589,6 +594,7 @@ object SparkEntry {
     "events_paths" -> EventMining.openingPathsOracleSql(1800L, 3, 10),
     "events_anova" -> EventMining.valueAnovaOracleSql,
     "events_benford" -> EventMining.benfordDigitsOracleSql,
+    "events_gaps" -> EventMining.gapStatsOracleSql,
     "pareto_suppliers" -> Relational.paretoOracleSql(25),
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
     "fts_boolean" ->

@@ -542,6 +542,46 @@ object EventMining {
        |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
   }
 
+  /** Inter-event gap distribution per user — the EVIDENCE behind the
+    * session gap constant (the 30-minute industry default this repo's
+    * sessionizers inherit): exact quantiles of the per-user
+    * consecutive-event gap, per event count decade. A principled gap
+    * sits far above p50 and near the distribution's knee; this query
+    * is how you'd re-derive it from your own traffic. One user-keyed
+    * lag window (the sessionization exchange), integer gaps, exact
+    * `percentile` ≡ `quantile_cont`. */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    Relational.eventsWithTsec(spark, dir)
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select((col("tsec") - col("prev")).as("gap"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 4).as("p50_gap"),
+        round(expr("percentile(gap, 0.9)"), 4).as("p90_gap"),
+        round(expr("percentile(gap, 0.99)"), 4).as("p99_gap"),
+        max(col("gap")).as("max_gap"))
+  }
+
+  val gapStatsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_ns(ts) // 1000000000 AS tsec
+      |  FROM events
+      |), l AS (
+      |  SELECT tsec - lag(tsec) OVER (PARTITION BY user_id
+      |    ORDER BY tsec ASC, event_id ASC) AS gap
+      |  FROM e
+      |)
+      |SELECT count(*) AS n_gaps,
+      |  round(quantile_cont(gap, 0.5), 4) AS p50_gap,
+      |  round(quantile_cont(gap, 0.9), 4) AS p90_gap,
+      |  round(quantile_cont(gap, 0.99), 4) AS p99_gap,
+      |  max(gap) AS max_gap
+      |FROM l WHERE gap IS NOT NULL""".stripMargin
+
   /** Benford's-law first-digit audit of the value column — the
     * fabricated-data / instrumentation-bug screen financial and data-
     * quality pipelines run: observed first-digit shares vs the Benford

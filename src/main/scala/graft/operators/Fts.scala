@@ -1013,6 +1013,42 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Posting-list length histogram — index HEALTH introspection (the
+    * `pg_stats`/Lucene-segment-info analog): how many terms fall in
+    * each document-frequency magnitude bucket, and how much total tf
+    * each bucket carries. The bucket is the DIGIT COUNT of df —
+    * string-based, so no log arithmetic can diverge between engines —
+    * which is exactly the decade structure that decides whether a
+    * posting list is a broadcast probe (short tail) or the quadratic
+    * hazard the PPJoin prefix filter prunes (frequent head). One
+    * vocabulary-sized aggregate off the persisted index. */
+  def dfHistogram(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureIndex(spark, dir))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .groupBy(length(col("df").cast("string")).cast("long")
+        .as("df_decade"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("total_tf")).cast("long").as("total_tf"))
+      .orderBy(col("df_decade").asc)
+
+  val dfHistogramOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextAnalyzer.sqlTokenize("text")} AS term FROM documents
+       |), idx AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, term
+       |), vocab AS (
+       |  SELECT term, count(*) AS df, sum(tf) AS total_tf
+       |  FROM idx GROUP BY term
+       |)
+       |SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_decade,
+       |  count(*) AS n_terms,
+       |  CAST(sum(total_tf) AS BIGINT) AS total_tf
+       |FROM vocab GROUP BY 1 ORDER BY df_decade ASC""".stripMargin
+
   /** Full BOOLEAN query search — the `to_tsquery` connective algebra
     * (`&`, `|`, `!`, parens) the reference's plainto path flattens to
     * AND ([[graft.functions.BoolQuery]] holds the grammar): one
