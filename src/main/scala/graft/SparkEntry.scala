@@ -248,6 +248,8 @@ object SparkEntry {
     "customer_rfm" -> ((s, d) => Relational.customerRfm(s, d)),
     // Pareto 80/20 concentration curve over supplier revenue
     "pareto_suppliers" -> ((s, d) => Relational.paretoSuppliers(s, d, 25)),
+    // monthly order series + explicit-key YoY growth (calendar surface)
+    "orders_monthly" -> ((s, d) => Relational.monthlyOrders(s, d)),
     // ANALYZE-style per-column stats block (CBO/catalog food)
     "table_stats" -> ((s, d) => ScaleOps.columnStats(s, d)),
     "agg_gsets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
@@ -596,6 +598,7 @@ object SparkEntry {
     "events_benford" -> EventMining.benfordDigitsOracleSql,
     "events_gaps" -> EventMining.gapStatsOracleSql,
     "pareto_suppliers" -> Relational.paretoOracleSql(25),
+    "orders_monthly" -> Relational.monthlyOrdersOracleSql,
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
     "fts_boolean" ->
       Fts.booleanSearchOracleSql("(hash | merge) & !sort", "en", 10),

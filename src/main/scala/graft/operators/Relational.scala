@@ -1450,6 +1450,47 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** Monthly order series with year-over-year growth — the calendar
+    * reporting surface (every finance dashboard's first page). YoY
+    * joins each month to `ym − 100` EXPLICITLY (exact integer key
+    * arithmetic) instead of lag(12) over an assumed-dense axis — a
+    * missing month misaligns a positional lag silently, the equi-join
+    * just yields NULL growth. Month frames are calendar-bounded, so
+    * everything after the one fact reduce is broadcast-sized. */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).as("rev"))
+    val prev = monthly.select((col("ym") + 100).as("ym"),
+      col("n_orders").as("n_prev"))
+    monthly.join(broadcast(prev), Seq("ym"), "left")
+      .select(col("ym"), col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round((col("n_orders") - col("n_prev")) /
+          col("n_prev").cast("double"), 6).as("yoy_growth"))
+      .orderBy(col("ym").asc)
+  }
+
+  val monthlyOrdersOracleSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+      |    AS BIGINT) AS ym,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT m.ym, m.n_orders,
+      |  CAST(round(m.rev, 2) AS DOUBLE) AS revenue,
+      |  round((m.n_orders - p.n_orders) /
+      |    CAST(p.n_orders AS DOUBLE), 6) AS yoy_growth
+      |FROM m LEFT JOIN m p ON p.ym = m.ym - 100
+      |ORDER BY m.ym ASC""".stripMargin
+
   /** TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
     * subquery — for each part of one brand, the supplier(s) whose
     * average observed price equals that part's minimum. The fixture
