@@ -407,6 +407,8 @@ object SparkEntry {
     "events_benford" -> ((s, d) => EventMining.benfordDigits(s, d)),
     // inter-event gap quantiles: the evidence behind the 1800s gap
     "events_gaps" -> ((s, d) => EventMining.gapStats(s, d)),
+    // event-mix drift between time halves (two-sample homogeneity)
+    "events_mix_drift" -> ((s, d) => EventMining.typeMixDrift(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -597,6 +599,7 @@ object SparkEntry {
     "events_anova" -> EventMining.valueAnovaOracleSql,
     "events_benford" -> EventMining.benfordDigitsOracleSql,
     "events_gaps" -> EventMining.gapStatsOracleSql,
+    "events_mix_drift" -> EventMining.typeMixDriftOracleSql,
     "pareto_suppliers" -> Relational.paretoOracleSql(25),
     "orders_monthly" -> Relational.monthlyOrdersOracleSql,
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,

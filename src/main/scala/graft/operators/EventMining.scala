@@ -542,6 +542,71 @@ object EventMining {
        |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
   }
 
+  /** Event-MIX drift between the time halves of the log — the events
+    * twin of the documents' `drift_psi`: split the span at its integer
+    * midpoint, compare each type's share across halves, and report the
+    * per-type χ² contribution against the pooled expectation (the
+    * two-sample homogeneity test, the alert a traffic-mix regression
+    * trips). Integer counts + 1-row scalar rides (midpoint, half
+    * totals) keep everything exact until the final divisions. */
+  def typeMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Relational.eventsWithTsec(spark, dir)
+      .select(col("event_type"), col("tsec"))
+    val mid = e.agg(
+      expr("(min(tsec) + max(tsec)) div 2").as("mid"))
+    val halves = e.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        when(col("tsec") <= col("mid"), 1L).otherwise(2L).as("half"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2"))
+    val totals = halves.agg(sum(col("n1")).as("t1"),
+      sum(col("n2")).as("t2"))
+    halves.crossJoin(broadcast(totals))
+      .withColumn("p", (col("n1") + col("n2")) /
+        (col("t1") + col("t2")).cast("double"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("n1") / col("t1").cast("double"), 6).as("share1"),
+        round(col("n2") / col("t2").cast("double"), 6).as("share2"),
+        round(
+          pow(col("n1") - col("t1") * col("p"), 2) /
+            (col("t1") * col("p")) +
+            pow(col("n2") - col("t2") * col("p"), 2) /
+              (col("t2") * col("p")), 4).as("chi2_contrib"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val typeMixDriftOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000000000 AS tsec
+      |  FROM events
+      |), m AS (
+      |  SELECT (min(tsec) + max(tsec)) // 2 AS mid FROM e
+      |), h AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN tsec <= m.mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN tsec > m.mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2
+      |  FROM e, m GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n1) AS BIGINT) AS t1,
+      |    CAST(sum(n2) AS BIGINT) AS t2
+      |  FROM h
+      |)
+      |SELECT event_type, n1, n2,
+      |  round(CAST(n1 AS DOUBLE) / t1, 6) AS share1,
+      |  round(CAST(n2 AS DOUBLE) / t2, 6) AS share2,
+      |  round(
+      |    pow(n1 - t1 * ((n1 + n2) / CAST(t1 + t2 AS DOUBLE)), 2)
+      |      / (t1 * ((n1 + n2) / CAST(t1 + t2 AS DOUBLE))) +
+      |    pow(n2 - t2 * ((n1 + n2) / CAST(t1 + t2 AS DOUBLE)), 2)
+      |      / (t2 * ((n1 + n2) / CAST(t1 + t2 AS DOUBLE))), 4)
+      |    AS chi2_contrib
+      |FROM h, t
+      |ORDER BY event_type ASC""".stripMargin
+
   /** Inter-event gap distribution per user — the EVIDENCE behind the
     * session gap constant (the 30-minute industry default this repo's
     * sessionizers inherit): exact quantiles of the per-user

@@ -73,7 +73,7 @@ class PlanLintSpec extends SparkSpec {
     // vocabulary × a [min,max]-derived day axis) under the EWMA/ACF/
     // day-of-week series operators
     "events_basket", "events_ewma", "events_acf", "events_dow",
-    "events_mad", "events_benford",
+    "events_mad", "events_benford", "events_mix_drift",
     // 1-row viewer total riding the 1-row conversion summary
     "events_time_to_convert",
     // 1-row corpus-frontier ride over the per-user last-seen reduce
