@@ -235,6 +235,8 @@ object SparkEntry {
     "q20_excess" -> ((s, d) => Relational.q20ExcessSuppliers(s, d)),
     // Q2 shape: correlated-MIN subquery (cheapest-offer suppliers)
     "q2_min_price" -> ((s, d) => Relational.q2MinPriceSuppliers(s, d)),
+    // pricing-consistency audit: top parts by price CV (fixed-point)
+    "part_price_cv" -> ((s, d) => Relational.partPriceCv(s, d, 20)),
     // Q21 shape: semi + anti SELF-joins on the fact table (sole-blame)
     "q21_sole_blame" -> ((s, d) => Relational.q21SoleBlame(s, d)),
     // Q11 shape: per-group sums gated by a global-scalar HAVING
@@ -409,6 +411,8 @@ object SparkEntry {
     "events_gaps" -> ((s, d) => EventMining.gapStats(s, d)),
     // event-mix drift between time halves (two-sample homogeneity)
     "events_mix_drift" -> ((s, d) => EventMining.typeMixDrift(s, d)),
+    // per-user behavioral entropy histogram (half-bit bands)
+    "events_user_entropy" -> ((s, d) => EventMining.userEntropy(s, d)),
     // STATEFUL-DISTINCT under the oracle: dropDuplicates(user) growth
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
@@ -600,6 +604,7 @@ object SparkEntry {
     "events_benford" -> EventMining.benfordDigitsOracleSql,
     "events_gaps" -> EventMining.gapStatsOracleSql,
     "events_mix_drift" -> EventMining.typeMixDriftOracleSql,
+    "events_user_entropy" -> EventMining.userEntropyOracleSql,
     "pareto_suppliers" -> Relational.paretoOracleSql(25),
     "orders_monthly" -> Relational.monthlyOrdersOracleSql,
     "vocab_concentration" -> Fts.vocabConcentrationOracleSql,
@@ -722,6 +727,7 @@ object SparkEntry {
     "q16_supplier_cnt" -> Relational.q16OracleSql,
     "q20_excess" -> Relational.q20OracleSql,
     "q2_min_price" -> Relational.q2OracleSql,
+    "part_price_cv" -> Relational.partPriceCvOracleSql(20),
     "len_quantiles" -> Datacard.lengthQuantilesByLangOracleSql,
     "sample_aes" -> Sampling.aesSampleOracleSql(20),
     "q11_important" -> Relational.q11OracleSql(1.05),

@@ -542,6 +542,60 @@ object EventMining {
        |ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
   }
 
+  /** Behavioral-diversity histogram: Shannon entropy of each user's
+    * event-type distribution, bucketed in half-bit bands — the
+    * "single-purpose vs explorer" user segmentation (and, for a
+    * training-data log, the mode-collapse signal diversity_report
+    * computes for text, applied to behavior). Per-user type counts are
+    * exact integers; the entropy terms −p·log2(p) evaluate identically
+    * on both engines (p is a ratio of identical integers). Output is
+    * the corpus-level H distribution summary (exact interpolated
+    * quantiles — a histogram collapses on the fixture's uniform
+    * synthetic behavior). Two combinable reduces, |users|
+    * intermediate. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val perUT = Relational.eventsWithTsec(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val perU = perUT.groupBy("user_id")
+      .agg(sum(col("n")).as("tot"))
+    val ent = perUT.join(perU, Seq("user_id"))
+      .select(col("user_id"),
+        (col("n") / col("tot") *
+          log2(col("n").cast("double") / col("tot"))).as("term"))
+      .groupBy("user_id")
+      .agg((-sum(col("term"))).as("h"))
+    ent.agg(
+      count(lit(1)).as("n_users"),
+      round(min(col("h")), 4).as("min_h"),
+      round(expr("percentile(h, 0.1)"), 4).as("p10_h"),
+      round(expr("percentile(h, 0.5)"), 4).as("p50_h"),
+      round(expr("percentile(h, 0.9)"), 4).as("p90_h"),
+      round(max(col("h")), 4).as("max_h"))
+  }
+
+  val userEntropyOracleSql: String =
+    """WITH ut AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), u AS (
+      |  SELECT user_id, CAST(sum(n) AS BIGINT) AS tot
+      |  FROM ut GROUP BY 1
+      |), h AS (
+      |  SELECT ut.user_id,
+      |    -sum(CAST(ut.n AS DOUBLE) / u.tot *
+      |         log2(CAST(ut.n AS DOUBLE) / u.tot)) AS h
+      |  FROM ut JOIN u USING (user_id)
+      |  GROUP BY 1
+      |)
+      |SELECT count(*) AS n_users,
+      |  round(min(h), 4) AS min_h,
+      |  round(quantile_cont(h, 0.1), 4) AS p10_h,
+      |  round(quantile_cont(h, 0.5), 4) AS p50_h,
+      |  round(quantile_cont(h, 0.9), 4) AS p90_h,
+      |  round(max(h), 4) AS max_h
+      |FROM h""".stripMargin
+
   /** Event-MIX drift between the time halves of the log — the events
     * twin of the documents' `drift_psi`: split the span at its integer
     * midpoint, compare each type's share across halves, and report the

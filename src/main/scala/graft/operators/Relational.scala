@@ -1450,6 +1450,45 @@ object Relational {
       |  string_agg(DISTINCT source, ',' ORDER BY source) AS source_csv
       |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 
+  /** Price-dispersion audit: the parts whose observed line prices vary
+    * most (coefficient of variation = σ/μ) — the pricing-consistency
+    * check a procurement/catalog pipeline runs. 2-dp prices scale by
+    * 100 into EXACT integer power sums (the fixed-point discipline),
+    * so both engines derive CV from identical integers and the
+    * ordering cannot tie-break differently; one part-keyed combinable
+    * reduce + TakeOrderedAndProject. */
+  def partPriceCv(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("n") >= 5)
+      .select(col("l_partkey"), col("n"),
+        round(col("s") / col("n") / lit(100.0), 4).as("mean_price"),
+        round(sqrt((col("n") * col("ss") - col("s") * col("s"))
+          .cast("double")) / col("s"), 6).as("cv"))
+      .orderBy(col("cv").desc, col("l_partkey").asc)
+      .limit(k)
+
+  def partPriceCvOracleSql(k: Int): String =
+    s"""WITH c AS (
+       |  SELECT l_partkey,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem
+       |), g AS (
+       |  SELECT l_partkey, count(*) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(c * c) AS BIGINT) AS ss
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT l_partkey, n,
+       |  round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_price,
+       |  round(sqrt(CAST(n * ss - s * s AS DOUBLE)) / s, 6) AS cv
+       |FROM g WHERE n >= 5
+       |ORDER BY cv DESC, l_partkey ASC LIMIT $k""".stripMargin
+
   /** Monthly order series with year-over-year growth — the calendar
     * reporting surface (every finance dashboard's first page). YoY
     * joins each month to `ym − 100` EXPLICITLY (exact integer key
