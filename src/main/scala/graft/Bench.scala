@@ -65,9 +65,20 @@ object Bench {
     // cases (PlanLintSpec allowlist); their repeated WindowExec warnings
     // burned ~300 chars of the driver's 2000-char stdout tail budget, so
     // drop that one logger to ERROR and let the tail carry data
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
+    // same budget reasoning for the streaming bridges' per-run WARN
+    // pair (MicroBatchExecution: watermark-disabled + AQE-not-
+    // supported-in-stateful — both inherent to the bridge design and
+    // lint-documented) and the state-store provider's maintenance note
+    Seq(
       "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ).foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR))
     graft.functions.NativeFunctions.registerAll(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (untimed)
@@ -119,7 +130,10 @@ object Bench {
       "ivf_ann_auto", "ann_recall_curve", "ivfpq_batch",
       "ivf_ann_filtered",
       // hybrid_rrf ranks its two bounded top-k lists driver-side
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // round-12: the rarest-first rewrite collects its |terms|-row df
+      // probe in the builder
+      "fts_rarest_first")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>

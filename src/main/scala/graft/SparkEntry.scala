@@ -100,6 +100,14 @@ object SparkEntry {
     "fts_headline" -> ((s, d) =>
       Fts.headlines(s, d, "hash join merge", "en", 10, 5)),
     "fts_batch" -> ((s, d) => Fts.batchSearch(s, d, BatchQueries, "en", 5)),
+    // one query, top-k per collection, ONE job (fts_batch keyed by
+    // collection instead of query index)
+    "fts_by_collection" -> ((s, d) =>
+      Fts.searchPerCollection(s, d, "hash join", 5)),
+    // rarest-term-first AND intersection: identical results to
+    // fts_topk, candidate frames bounded by the rarest term's df
+    "fts_rarest_first" -> ((s, d) =>
+      Fts.searchRarestFirst(s, d, "hash join merge", "en", 10)),
     // pseudo-relevance feedback (RM3 lineage): mine top-5 feedback
     // docs for 5 expansion terms, damped re-retrieval; term selection
     // itself gated by fts_prf_terms
@@ -171,16 +179,18 @@ object SparkEntry {
     "pq_recall" -> ((s, d) =>
       ProductQuant.pqRecall(s, d, Seq(3L, 7L, 11L, 19L, 23L), 10)),
     // IVF-PQ: cell-pruned scan of bucketed residual codes + refine
-    "ivfpq_ann" -> ((s, d) => IvfPq.ivfPqScan(s, d, 13L, 50, 10)),
+    "ivfpq_ann" -> ((s, d) => IvfPq.ivfPqScan(s, d, 13L, 400, 10)),
     // batched IVF-PQ: Q queries in ONE job over the codes table
     "ivfpq_batch" -> ((s, d) =>
-      IvfPq.ivfPqBatch(s, d, BatchKnnIds, 30, 5)),
+      IvfPq.ivfPqBatch(s, d, BatchKnnIds, 400, 5)),
     // filtered ANN: metadata predicate applied inside the probed cells
     "ivf_ann_filtered" -> ((s, d) =>
       Similarity.ivfTopKFiltered(s, d, 42L, 4, 10, 10, 3)),
-    // joint pruning+quantization recall gate for the IVF-PQ index
+    // serving-recall gate for the IVF-PQ index: the full probe→ADC
+    // pool→exact-refine path vs the exact top-k (nCand widened r12 —
+    // the r11 pure-ADC gate scored 0.158@10, error the refine removes)
     "ivfpq_recall" -> ((s, d) =>
-      IvfPq.ivfPqRecall(s, d, RecallIds, 10)),
+      IvfPq.ivfPqRecall(s, d, RecallIds, 10, 400)),
     // binary (sign-bit) quantization: Hamming scan over packed words,
     // exact cosine refine of the nCand survivors
     "bq_ann" -> ((s, d) => BinaryQuant.bqScan(s, d, 7L, 50, 10)),
@@ -589,6 +599,10 @@ object SparkEntry {
     "keywords_tfidf" -> Fts.keywordsTfidfOracleSql(3),
     "fts_headline" -> Fts.headlinesOracleSql("hash join merge", "en", 10, 5),
     "fts_batch" -> Fts.batchSearchOracleSql(BatchQueries, "en", 5),
+    "fts_by_collection" ->
+      Fts.searchPerCollectionOracleSql("hash join", 5),
+    // same semantics as fts_topk — the rewrite only changes join order
+    "fts_rarest_first" -> Fts.searchOracleSql("hash join merge", "en", 10),
     "fts_suffix" -> Fts.suffixSearchOracleSql("ing", 10),
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
@@ -650,14 +664,14 @@ object SparkEntry {
     "pq_scan" -> ProductQuant.pqScanOracleSql(7L, 50, 10),
     "pq_recall" ->
       ProductQuant.pqRecallOracleSql(Seq(3L, 7L, 11L, 19L, 23L), 10),
-    "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 50, 10),
-    "ivfpq_batch" -> IvfPq.ivfPqBatchOracleSql(BatchKnnIds, 30, 5),
+    "ivfpq_ann" -> IvfPq.ivfPqScanOracleSql(13L, 400, 10),
+    "ivfpq_batch" -> IvfPq.ivfPqBatchOracleSql(BatchKnnIds, 400, 5),
     "bq_ann" -> BinaryQuant.bqScanOracleSql(7L, 50, 10),
     "bq_recall" -> BinaryQuant.bqRecallOracleSql(RecallIds, 10),
     "ivf_ann_filtered" ->
       Similarity.ivfTopKFilteredOracleSql(42L, 4, 10, 10, 3),
     "ivfpq_recall" ->
-      IvfPq.ivfPqRecallOracleSql(RecallIds, 10),
+      IvfPq.ivfPqRecallOracleSql(RecallIds, 10, 400),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "alt_schema_embeddings" -> LegacySchema.embeddingsViewOracleSql,

@@ -130,11 +130,18 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .transform(CacheScope.cached)
-    // exact verification: set intersection on the candidates' arrays
+    // exact verification: set intersection on the candidates' arrays.
+    // Both hops are plain equi-joins — `candidates` is bare id pairs
+    // (AQE broadcasts it when it's small, shuffles when dup density
+    // makes it large; no fixed 8 GB driver bound baked in), and the
+    // second hop MUST NOT broadcast: `withA` CARRIES the shingle
+    // arrays, and an array-laden driver table scales as |candidates| ×
+    // avg set size — the exact shape that OOM'd ppjoinPairs' sf1
+    // ladder rung before its verify was fixed to this same pattern.
     val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(broadcast(candidates), Seq("a"))
+      .join(candidates, Seq("a"))
     val withB = docs.select(col("doc_id").as("b"), col("sh_set").as("set_b"))
-      .join(broadcast(withA), Seq("b"))
+      .join(withA, Seq("b"))
     withB
       .select(col("a"), col("b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
@@ -169,11 +176,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
+    // Verify hops mirror minhashPairs/ppjoinPairs: plain equi-joins so
+    // AQE sizes the bare-pair candidate side, and the array-carrying
+    // `withN` frame is never broadcast (it grows as |candidates| × avg
+    // shingle-set size — unbounded on a dup-heavy corpus).
     val withN = docs
       .select(col("doc_id").as("new_id"), col("sh_set").as("set_n"))
-      .join(broadcast(candidates), Seq("new_id"))
+      .join(candidates, Seq("new_id"))
     docs.select(col("doc_id").as("corpus_id"), col("sh_set").as("set_c"))
-      .join(broadcast(withN), Seq("corpus_id"))
+      .join(withN, Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         size(array_intersect(col("set_n"), col("set_c"))).as("inter"),
         size(col("set_n")).as("szn"), size(col("set_c")).as("szc"))
@@ -1082,20 +1093,23 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verification = minhashPairs' shape: the THRESHOLD-bounded
-    // candidate list broadcasts over the per-doc set arrays and the
-    // intersection is a scan-local array_intersect — no posting
-    // re-join (the earlier postings-based verify paid two more
-    // corpus-keyed shuffles and benched 5x its oracle)
+    // exact verification: the THRESHOLD-bounded candidate id pairs
+    // equi-join the per-doc set arrays and the intersection is a
+    // scan-local array_intersect — no posting re-join (the earlier
+    // postings-based verify paid two more corpus-keyed shuffles and
+    // benched 5x its oracle). No broadcast hint: bare long pairs are
+    // broadcast-sized when dup density is low and AQE does that on its
+    // own; when a dup-heavy corpus makes the pair count explode, AQE
+    // shuffles instead of hitting the 8 GB driver broadcast bound.
     val sets = docShingleSets(Tables.documentsDense(spark, dir))
     val withA = sets
       .select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(broadcast(candidates), Seq("a"))
-    // second hop is a plain equi-join: withA CARRIES the shingle
-    // arrays, so broadcasting it (minhashPairs' shape) builds an
-    // array-laden driver table that stops fitting once candidates ×
-    // set size grows (it OOM'd at the sf1 ladder rung) — let the
-    // planner shuffle the candidate-bounded side instead
+      .join(candidates, Seq("a"))
+    // second hop stays a plain equi-join: withA CARRIES the shingle
+    // arrays, so broadcasting it builds an array-laden driver table
+    // that stops fitting once candidates × set size grows (it OOM'd
+    // at the sf1 ladder rung) — let the planner shuffle the
+    // candidate-bounded side instead
     val withB = sets
       .select(col("doc_id").as("b"), col("sh_set").as("set_b"))
       .join(withA, Seq("b"))

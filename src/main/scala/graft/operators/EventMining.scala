@@ -769,18 +769,22 @@ object EventMining {
       sum(col("n")).as("n_total"),
       sum(col("ss")).as("ss_all"),
       sum(col("s")).as("s_all"),
-      // Σ_g s_g²/n_g in double (exact integer numerators, one divide
-      // per group, k tiny)
-      sum(col("s") * col("s") / col("n")).as("grp_term"))
+      // Σ_g s_g²/n_g in double — cast BEFORE squaring, mirroring the
+      // oracle's CAST(s AS DOUBLE) * s: a long×long square of a
+      // value×100 sum (~5e9 at sf1) exceeds Int64, where ANSI Spark
+      // throws and non-ANSI silently wraps away from the oracle
+      sum(col("s").cast("double") * col("s") / col("n")).as("grp_term"))
       .select(
         col("k"), col("n_total"),
         round((col("grp_term") -
-          col("s_all") * col("s_all") / col("n_total")) / lit(10000.0), 4)
+          col("s_all").cast("double") * col("s_all") / col("n_total")) /
+          lit(10000.0), 4)
           .as("ssb"),
         round((col("ss_all") - col("grp_term")) / lit(10000.0), 4)
           .as("ssw"),
         round(((col("grp_term") -
-          col("s_all") * col("s_all") / col("n_total")) / (col("k") - 1)) /
+          col("s_all").cast("double") * col("s_all") / col("n_total")) /
+          (col("k") - 1)) /
           ((col("ss_all") - col("grp_term")) /
             (col("n_total") - col("k"))), 6).as("f_stat"))
   }

@@ -1486,4 +1486,107 @@ object Fts {
        |FROM h WHERE fp IS NOT NULL
        |ORDER BY score DESC, doc_id ASC""".stripMargin
   }
+
+  /** Grouped per-collection top-k in ONE pass — [[batchSearch]]'s shape
+    * keyed by collection (lang) instead of query index: one query
+    * string, the k best AND-matches WITHIN every collection, resolved
+    * in a single job over the persisted term-bucketed index (the
+    * reference serves this as a per-collection loop over its search
+    * endpoint, /root/reference/src/api/routes/search.py — N scans
+    * where one suffices). The term IN-list statically prunes to the
+    * query terms' buckets, the (lang, doc_id) aggregate is map-side
+    * combinable, and the rank window is keyed by lang — no
+    * single-partition operator anywhere, so the plan survives a
+    * thousand collections at 100 TB unchanged. */
+  def searchPerCollection(spark: SparkSession, dir: String,
+      query: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val idx = spark.table(ensureIndex(spark, dir))
+      .filter(col("term").isin(terms: _*))
+    idx
+      .groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("nmatch"),
+        sum(log(lit(1.0) + col("tf"))).as("s"))
+      .filter(col("nmatch") === lit(terms.length))
+      .select(col("lang"), col("doc_id"),
+        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("score"),
+        col("rn").cast("long").as("rank"))
+      .orderBy(col("lang").asc, col("rank").asc)
+  }
+
+  def searchPerCollectionOracleSql(query: String, k: Int): String = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${TextAnalyzer.sqlTokenize("text")} AS term
+       |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, lang, term, count(*) AS tf FROM toks
+       |  WHERE ${TextAnalyzer.sqlTermFilter("term")}
+       |  GROUP BY doc_id, lang, term
+       |), m AS (
+       |  SELECT lang, doc_id, count(*) AS nmatch, sum(ln(1 + tf)) AS s
+       |  FROM idx WHERE term IN $termList GROUP BY lang, doc_id
+       |), scored AS (
+       |  SELECT lang, doc_id, round(s / (1 + s), 6) AS score,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY round(s / (1 + s), 6) DESC, doc_id ASC) AS rn
+       |  FROM m WHERE nmatch = ${terms.length}
+       |)
+       |SELECT lang, doc_id, score, CAST(rn AS BIGINT) AS rank
+       |FROM scored WHERE rn <= $k
+       |ORDER BY lang ASC, rank ASC""".stripMargin
+  }
+
+  /** Rarest-term-first AND-match — the manual rewrite SURVEY §4.1 notes
+    * a posting-list engine performs implicitly (intersect starting from
+    * the SHORTEST posting list; Postgres GIN does the same via
+    * `gincostestimate`): probe the index for each query term's df
+    * (|terms| rows, bucket-pruned), order terms by ascending df, seed
+    * the candidate set with the rarest term's postings, and equi-join
+    * each later (larger) posting list against the shrinking candidate
+    * frame. Results are IDENTICAL to [[search]] (same tf scoring; the
+    * oracle is literally [[searchOracleSql]]); what changes is the
+    * JOIN ORDER — every intermediate frame is bounded by the rarest
+    * df, so on a skewed vocabulary (every real corpus) the frequent
+    * term's millions-row posting list is only ever the PROBE side of a
+    * candidate-bounded join, never a frame that must be ranked or
+    * shuffled whole. AQE broadcasts the candidate side when small. */
+  def searchRarestFirst(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val idx = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang))
+    // driver-side df probe: |terms| rows out of the terms' buckets
+    val dfs = idx.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // an absent term makes the AND-match provably empty — skip the
+    // joins entirely (the posting engine's same short-circuit)
+    if (terms.exists(t => !dfs.contains(t)))
+      return idx.filter(lit(false))
+        .select(col("doc_id"), lit(0.0).as("score"))
+    val ordered = terms.sortBy(t => (dfs(t), t))
+    def post(t: String) =
+      idx.filter(col("term") === lit(t)).select(col("doc_id"), col("tf"))
+    val seed = post(ordered.head)
+      .select(col("doc_id"), log(lit(1.0) + col("tf")).as("s"))
+    val joined = ordered.tail.foldLeft(seed) { (cur, t) =>
+      cur.join(post(t), "doc_id")
+        .select(col("doc_id"),
+          (col("s") + log(lit(1.0) + col("tf"))).as("s"))
+    }
+    joined
+      .select(col("doc_id"),
+        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -96,6 +96,14 @@ object FuzzySearch {
       lang: String, maxExpansions: Int): DataFrame = {
     import spark.implicits._
     require(qTerms.nonEmpty, "no query terms")
+    // The vocabulary is ASCII-scoped by construction (sqlTermFilter),
+    // and the documented oracle-parity bound is byte-vs-char
+    // Levenshtein equivalence — DuckDB counts BYTES, Spark counts
+    // CHARS, so a multi-byte query term ('café') could pass dist<=1
+    // here yet fail in the oracle. Enforce the same scope query-side.
+    require(qTerms.forall(_.matches("^[a-z0-9]+$")),
+      s"fuzzy query terms must be lowercase ASCII [a-z0-9]+: " +
+        qTerms.filterNot(_.matches("^[a-z0-9]+$")).mkString(", "))
     val qv = qTerms.distinct
       .flatMap(q => variantsOf(q).map(v => (q, v)))
       .toDF("q_term", "variant")

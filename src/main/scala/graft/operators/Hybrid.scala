@@ -140,17 +140,27 @@ object Hybrid {
     val fts = Fts.search(spark, dir, query, lang, kEach)
       .select(col("doc_id"), col("score")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    val (fLo, fHi) = (fts.map(_._2).min, fts.map(_._2).max)
-    val ftsN = fts.map { case (id, s) =>
-      (id, if (fHi == fLo) 1.0 else norm6((s - fLo) / (fHi - fLo)))
-    }.toSeq.toDF("doc_id", "fts_n")
+    // An AND-query matching zero documents yields an empty list —
+    // min/max on it would throw, while the oracle SQL's empty CTE just
+    // contributes nothing. Normalize to an empty frame so the KNN side
+    // still surfaces (and symmetrically for an empty KNN list).
+    val ftsN = (if (fts.isEmpty) Seq.empty[(Long, Double)]
+      else {
+        val (fLo, fHi) = (fts.map(_._2).min, fts.map(_._2).max)
+        fts.toSeq.map { case (id, s) =>
+          (id, if (fHi == fLo) 1.0 else norm6((s - fLo) / (fHi - fLo)))
+        }
+      }).toDF("doc_id", "fts_n")
     val knn = Similarity.knnCosine(spark, dir, qid, kEach, 2.0)
       .select(col("vec_id"), col("dist")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    val (dLo, dHi) = (knn.map(_._2).min, knn.map(_._2).max)
-    val knnN = knn.map { case (id, d) =>
-      (id, if (dHi == dLo) 1.0 else norm6((dHi - d) / (dHi - dLo)))
-    }.toSeq.toDF("vec_id", "knn_n")
+    val knnN = (if (knn.isEmpty) Seq.empty[(Long, Double)]
+      else {
+        val (dLo, dHi) = (knn.map(_._2).min, knn.map(_._2).max)
+        knn.toSeq.map { case (id, d) =>
+          (id, if (dHi == dLo) 1.0 else norm6((dHi - d) / (dHi - dLo)))
+        }
+      }).toDF("vec_id", "knn_n")
     ftsN.join(knnN, col("doc_id") === col("vec_id"), "full_outer")
       .select(
         coalesce(col("doc_id"), col("vec_id")).as("id"),

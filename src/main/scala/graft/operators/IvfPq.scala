@@ -462,15 +462,24 @@ object IvfPq {
        |ORDER BY q_id ASC, dist ASC, vec_id ASC""".stripMargin
   }
 
-  /** Index-quality self-evaluation (mirrors [[ProductQuant.pqRecall]]):
-    * recall@k of the PURE pruned-ADC ranking — no refine, so the
-    * number reflects cell pruning + residual quantization jointly —
-    * against the exact full-corpus L2 top-k, per query. One job ranks
-    * all Q queries: the (q_id, centroid_id, ppos) probe-pair frame
-    * broadcasts against the bucketed codes scan; both rankings use
-    * q_id-partitioned windows. */
+  /** Index-quality self-evaluation (mirrors [[ProductQuant.pqRecall]])
+    * — SERVING recall@k: the full serving path per query (prune to the
+    * nProbe cells, ADC-rank the survivors, keep the top-`nCand`
+    * candidate pool, exact full-dim refine, top-k), compared against
+    * the exact full-corpus L2 top-k. Round 11 measured the PURE-ADC
+    * ranking here (no refine) at 0.158@10 — a number that punished the
+    * 16-codeword subquantizers for error the serving path's exact
+    * refine removes; what an ivfflat user actually receives is the
+    * refined list, so that is what the gate scores. With the refine
+    * exact, residual quantization only has to get a true neighbor
+    * into the top-nCand pool, and the remaining loss is cell pruning
+    * (a true neighbor living outside the probed cells — the nProbe
+    * knob, shared with the IVF family). One job ranks all Q queries:
+    * the (q_id, centroid_id, ppos) probe-pair frame broadcasts against
+    * the bucketed codes scan; refine touches Q·nCand rows; all
+    * rankings use q_id-partitioned windows. */
   def ivfPqRecall(spark: SparkSession, dir: String, qids: Seq[Long],
-      k: Int, nCentroids: Int = NCentroids,
+      k: Int, nCand: Int = 50, nCentroids: Int = NCentroids,
       nProbe: Int = NProbe): DataFrame = {
     val codes = ensureCodesTable(spark, dir, nCentroids)
     val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
@@ -508,13 +517,27 @@ object IvfPq {
       val rq = Array.tabulate(qq.length)(i => qq(i) - cm(cell.toInt)(i))
       ProductQuant.buildLut(rq, cb).toSeq.map(_.toSeq)
     })
-    val approx = spark.table(codes)
+    val pool = spark.table(codes)
       .join(pairsDf, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         adcDist(lutLit, col("ppos")).as("adist"))
       .withColumn("rn", row_number().over(
         w.orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("vec_id"))
+    // exact full-dim refine of the Q·nCand pool — the serving path's
+    // final stage (ivfPqScan/ivfPqBatch do exactly this), against the
+    // IVF index's in-row vectors
+    val approx = pool
+      .join(spark.table(idx).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(qdf, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(ProductQuant.l2sq(col("embedding"),
+          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("dist").asc, col("vec_id").asc)))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("q_id", "vec_id"), "left")
@@ -613,7 +636,7 @@ object IvfPq {
        |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
        |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
 
-  def ivfPqRecallOracleSql(qids: Seq[Long], k: Int,
+  def ivfPqRecallOracleSql(qids: Seq[Long], k: Int, nCand: Int = 50,
       nCentroids: Int = NCentroids, nProbe: Int = NProbe): String = {
     val inList = qids.mkString(", ")
     s"""WITH ${ivfPqCtes(nCentroids)}, qs AS (
@@ -649,7 +672,7 @@ object IvfPq {
        |  FROM rqcb$Iterations c JOIN qres r
        |    ON r.s = c.s AND r.sd = c.sd
        |  GROUP BY 1, 2, 3, 4
-       |), ap AS (
+       |), pool AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT l.q_id, enc.vec_id,
        |      row_number() OVER (PARTITION BY l.q_id ORDER BY
@@ -660,6 +683,18 @@ object IvfPq {
        |      AND l.s = enc.s AND l.c = enc.c
        |    WHERE enc.vec_id <> l.q_id
        |    GROUP BY 1, 2) y
+       |  WHERE rn <= $nCand
+       |), ap AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |        round(list_dot_product(e.v, e.v)
+       |          - 2 * list_dot_product(e.v, q.qv)
+       |          + list_dot_product(q.qv, q.qv), 6) ASC,
+       |        p.vec_id ASC) AS rn
+       |    FROM pool p
+       |    JOIN e ON e.vec_id = p.vec_id
+       |    JOIN qs q ON q.q_id = p.q_id) z
        |  WHERE rn <= $k
        |)
        |SELECT ex.q_id, count(*) AS n_exact,

@@ -1467,8 +1467,13 @@ object Relational {
       .filter(col("n") >= 5)
       .select(col("l_partkey"), col("n"),
         round(col("s") / col("n") / lit(100.0), 4).as("mean_price"),
-        round(sqrt((col("n") * col("ss") - col("s") * col("s"))
-          .cast("double")) / col("s"), 6).as("cv"))
+        // cast to double BEFORE forming n·ss − s², mirrored in the
+        // oracle: per-part line counts grow with sf, and the BIGINT
+        // products exceed Int64 headroom at large scale (ANSI Spark
+        // throws, DuckDB range-errors); identical IEEE double ops on
+        // both engines keep the hash gate exact
+        round(sqrt(col("n").cast("double") * col("ss") -
+          col("s").cast("double") * col("s")) / col("s"), 6).as("cv"))
       .orderBy(col("cv").desc, col("l_partkey").asc)
       .limit(k)
 
@@ -1485,7 +1490,8 @@ object Relational {
        |)
        |SELECT l_partkey, n,
        |  round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_price,
-       |  round(sqrt(CAST(n * ss - s * s AS DOUBLE)) / s, 6) AS cv
+       |  round(sqrt(CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+       |        / s, 6) AS cv
        |FROM g WHERE n >= 5
        |ORDER BY cv DESC, l_partkey ASC LIMIT $k""".stripMargin
 

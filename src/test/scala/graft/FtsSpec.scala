@@ -76,6 +76,69 @@ class FtsSpec extends SparkSpec {
     }
   }
 
+  test("rarest-first rewrite returns exactly search()'s results and " +
+      "its plan intersects from the rarest term's postings") {
+    val (query, lang, k) = ("hash join merge", "en", 10)
+    val base = Fts.search(spark, Sf0001, query, lang, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rf = Fts.searchRarestFirst(spark, Sf0001, query, lang, k)
+    val got = rf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == base)
+    // plan shape: the DEEPEST-LEFT posting scan (printed first in the
+    // left-deep join chain) must carry the rarest term's filter —
+    // that is the whole point of the rewrite
+    val terms = graft.functions.TextAnalyzer.analyze(query).distinct
+    val idx = spark.table(Fts.ensureIndex(spark, Sf0001))
+      .filter(col("lang") === lang)
+    val dfs = idx.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = terms.sortBy(t => (dfs(t), t))
+    val plan = rf.queryExecution.optimizedPlan.toString
+    val pos = ordered.map(t => t -> plan.indexOf(s"= $t)"))
+    pos.foreach { case (t, p) => assert(p >= 0, s"term $t not in plan") }
+    assert(pos.map(_._2) == pos.map(_._2).sorted,
+      s"posting scans out of df order: $pos\n$plan")
+  }
+
+  test("rarest-first with an absent term short-circuits to empty") {
+    val out = Fts.searchRarestFirst(spark, Sf0001,
+      "hash zzqqabsentterm", "en", 10).collect()
+    assert(out.isEmpty)
+  }
+
+  test("per-collection grouped top-k equals a per-lang searchLang loop " +
+      "over the index analyzer's semantics") {
+    val k = 5
+    val out = Fts.searchPerCollection(spark, Sf0001, "hash join", k)
+      .collect()
+    val langs = out.map(_.getString(0)).distinct
+    assert(langs.nonEmpty)
+    // within every collection: ranks are 1..n, scores non-increasing
+    langs.foreach { lg =>
+      val rows = out.filter(_.getString(0) == lg)
+      assert(rows.length <= k)
+      assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rows.length).toSeq)
+      val scores = rows.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    // cross-check one collection against an independent index probe
+    val terms = graft.functions.TextAnalyzer.analyze("hash join").distinct
+    val exp = spark.table(Fts.ensureIndex(spark, Sf0001))
+      .filter($"lang" === langs.head && $"term".isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nmatch"), sum(log(lit(1.0) + $"tf")).as("s"))
+      .filter($"nmatch" === terms.length)
+      .select($"doc_id", round($"s" / (lit(1.0) + $"s"), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = out.filter(_.getString(0) == langs.head)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(got == exp)
+  }
+
   test("endpoint composition: min_score and metadata filter both bind") {
     // unfiltered baseline
     val all = Fts.search(spark, Sf0001, "hash join merge", "en", 100)

@@ -189,7 +189,8 @@ class IvfPqSpec extends SparkSpec {
       "ADC top-k agrees with a driver-side recompute") {
     val qids = Seq(3L, 7L)
     val k = 5
-    val out = IvfPq.ivfPqRecall(spark, Sf0001, qids, k, N, 2).collect()
+    val out = IvfPq.ivfPqRecall(spark, Sf0001, qids, k, 20, N, 2)
+      .collect()
     assert(out.map(_.getAs[Long]("q_id")).toSeq == qids.sorted)
     out.foreach { r =>
       assert(r.getAs[Long]("n_exact") == k)
