@@ -32,20 +32,38 @@ object EventStreams {
     * TIMESTAMP; pinning a hardcoded schema strands whichever variant is
     * on disk, so the stream schema is always derived from the file. */
   def eventsSchema(spark: SparkSession, dir: String): StructType =
-    spark.read
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .schema
+    spark.read.parquet(s"$dir/events.parquet").schema
 
-  /** File-stream source over the events table. FileStreamSource requires a
-    * directory path; pathGlobFilter scopes it to the one table file. The
-    * emitted frame always carries an `event_time` TIMESTAMP column
-    * normalized from either `ts` dtype ([[graft.Tables.tsTimestamp]]). */
+  /** True when `<dir>/<table>.parquet` is a DIRECTORY of part files
+    * (the ScaleUp-generated sf1 fixture layout; the driver's testdata
+    * ships single files). FileStreamSource needs a directory either
+    * way — the two layouts just differ in which directory to watch and
+    * whether a name filter is needed. */
+  private[streaming] def isPartDir(spark: SparkSession, dir: String,
+      table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+  }
+
+  /** Streaming source over one fixture table, layout-agnostic: a
+    * single-file table streams from the fixture dir under a
+    * pathGlobFilter; a directory-shaped table (ScaleUp output) streams
+    * from the table directory itself. */
+  private[streaming] def readTable(spark: SparkSession, dir: String,
+      table: String, schema: StructType): DataFrame =
+    if (isPartDir(spark, dir, table))
+      spark.readStream.schema(schema).parquet(s"$dir/$table.parquet")
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet")
+        .parquet(dir)
+
+  /** File-stream source over the events table. The emitted frame always
+    * carries an `event_time` TIMESTAMP column normalized from either
+    * `ts` dtype ([[graft.Tables.tsTimestamp]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.readStream
-      .schema(eventsSchema(spark, dir))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val df = readTable(spark, dir, "events", eventsSchema(spark, dir))
     df.withColumn("event_time", graft.Tables.tsTimestamp(df))
   }
 
@@ -352,14 +370,9 @@ object EventStreams {
     */
   def qualityGatedIngest(spark: SparkSession, docsDir: String,
       outDir: String, checkpointDir: String) = {
-    val docSchema = spark.read
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(docsDir)
-      .schema
-    spark.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(docsDir)
+    val docSchema =
+      spark.read.parquet(s"$docsDir/documents.parquet").schema
+    readTable(spark, docsDir, "documents", docSchema)
       .withColumn("q", graft.operators.TextOps.gopherRuleCount)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -390,10 +403,7 @@ object EventStreams {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    spark.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(docsDir)
+    readTable(spark, docsDir, "documents", docSchema)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

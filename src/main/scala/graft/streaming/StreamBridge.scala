@@ -137,9 +137,7 @@ object StreamBridge {
     IvfPq.ensureCodesTable(spark, dir, n)
     val tmp = scratchDir("graft_stream_ivfpq_")
     val emb = graft.Tables.embeddings(spark, dir)
-    val src = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    val src = EventStreams.readTable(spark, dir, "embeddings", emb.schema)
     val doBatch: (DataFrame, Long) => Unit = (batch, bid) => {
       IvfPq.encodeDelta(spark, dir, n, batch)
         .withColumn("batch_id", lit(bid))
