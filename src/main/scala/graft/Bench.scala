@@ -71,11 +71,23 @@ object Bench {
     // lint-documented) and the state-store provider's maintenance note
     Seq(
       "org.apache.spark.sql.execution.window.WindowExec",
-      "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+      // Spark 4.1 moved the micro-batch runtime under .streaming.runtime
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-      "org.apache.spark.sql.execution.streaming.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      // "Asked to cache already cached data": CacheScope.cached is
+      // deliberately idempotent across reps; 300+ repeats of this line
+      // are pure tail noise
+      "org.apache.spark.sql.execution.CacheManager",
+      // "Assume no metadata directory": the bridges read plain parquet
+      // fixtures, never a FileStreamSink-written directory
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      // "Failed to cancel job group": the job-ledger queries cancel
+      // their group on cleanup whether or not it still has active jobs
+      // (cancelJobGroup is deliberately idempotent); benign, and the
+      // two lines land exactly in the driver's 2000-char stdout tail
+      "org.apache.spark.scheduler.DAGScheduler"
     ).foreach(l =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR))

@@ -45,7 +45,12 @@ object ScaleLadder {
     // postings), the session-basket rule miner (one user-keyed window
     // + vocabulary-bounded frames), and the Q21 double self-join (two
     // joins sharing one orderkey exchange)
-    "emb_pca_power", "dedup_ppjoin", "events_basket", "q21_sole_blame")
+    "emb_pca_power", "dedup_ppjoin", "events_basket", "q21_sole_blame",
+    // round-12: the quantization-family recall gate (Q-row broadcast
+    // over ONE corpus scan computing all three distances; the exact
+    // side is deliberately brute-force, so expect knn_quantized-class
+    // growth, not probe-path flatness)
+    "quant_recall")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -168,9 +168,17 @@ object SparkEntry {
     // int8 scalar quantization: KNN over integer codes + per-label audit
     "knn_quantized" -> ((s, d) => Quantize.knnQuantized(s, d, 0L, 10)),
     "quant_stats" -> ((s, d) => Quantize.quantStats(s, d)),
-    // Matryoshka two-stage KNN: coarse prefix-dim scan, exact re-rank
+    // quantization-family recall gate: int8-SQ ranking + Matryoshka
+    // prefix→exact-refine serving path, both vs exact cosine top-k —
+    // completes the per-variant quality-gate matrix (r12)
+    "quant_recall" -> ((s, d) =>
+      Quantize.quantRecall(s, d, RecallIds, 32, 200, 10)),
+    // Matryoshka two-stage KNN: coarse prefix-dim scan, exact re-rank.
+    // dCoarse=32/nCand=200 = 0.86@10 measured by quant_recall at sf0.1:
+    // the synthetic embeddings have no PCA-style energy compaction, so
+    // a 16-dim prefix keeps only a quarter of the signal (0.26@10)
     "knn_matryoshka" -> ((s, d) =>
-      Similarity.knnMatryoshka(s, d, 0L, 16, 50, 10)),
+      Similarity.knnMatryoshka(s, d, 0L, 32, 200, 10)),
     // MMR diversified re-rank of the KNN candidates (recursive oracle)
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 0L, 20, 8, 0.7)),
     // product quantization: persisted 8-byte codes, ADC scan + refine
@@ -659,7 +667,9 @@ object SparkEntry {
       Hybrid.rrfSearchOracleSql("hash join merge", "en", 0L, 20, 60, 10),
     "knn_quantized" -> Quantize.knnQuantizedOracleSql(0L, 10),
     "quant_stats" -> Quantize.quantStatsOracleSql,
-    "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 16, 50, 10),
+    "quant_recall" ->
+      Quantize.quantRecallOracleSql(RecallIds, 32, 200, 10),
+    "knn_matryoshka" -> Similarity.knnMatryoshkaOracleSql(0L, 32, 200, 10),
     "mmr_rerank" -> Similarity.mmrRerankOracleSql(0L, 20, 8, 0.7),
     "pq_scan" -> ProductQuant.pqScanOracleSql(7L, 50, 10),
     "pq_recall" ->

@@ -150,4 +150,145 @@ object Quantize {
        |    AS saturated,
        |  round(avg(scale), 6) AS avg_scale
        |FROM s GROUP BY label ORDER BY label ASC""".stripMargin
+
+  /** Quantization-family serving-recall gate — closes the gate matrix
+    * so EVERY ANN/compression variant ships a measured quality number
+    * (IVF→ann_recall, PQ→pq_recall, IVFPQ→ivfpq_recall, BQ→bq_recall,
+    * and now int8 SQ + Matryoshka): recall@k per query of
+    *
+    *   sq  — the pure int8-cosine ranking (knn_quantized's serving
+    *         path: quantization loss alone, no refine stage exists),
+    *   mat — the Matryoshka serving path (dCoarse-dim prefix-cosine
+    *         top-nCand pool → EXACT full-dim refine → top-k, exactly
+    *         knn_matryoshka's plan),
+    *
+    * both against the exact full-dim cosine top-k. ONE corpus scan
+    * computes all three distances per (query, vector) pair — the
+    * Q-row query frame (full vector + int8 codes + prefix) broadcasts
+    * into the scan, and every ranking is a q_id-keyed window; the
+    * refine reuses the already-computed exact distance over the
+    * nCand-bounded pool. */
+  def quantRecall(spark: SparkSession, dir: String, qids: Seq[Long],
+      dCoarse: Int, nCand: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    def cn(c: Column): Column =
+      greatest(sqrt(idot(c, c).cast("double")), lit(Tiny))
+    def vn(v: Column): Column =
+      greatest(sqrt(Similarity.dot(v, v)), lit(Tiny))
+    // one projection: double vector + int8 codes + coarse prefix
+    val corpus = codes(emb)
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), "vec_id")
+      .select(col("vec_id"), col("v"), col("codes"),
+        slice(col("v"), 1, dCoarse).as("vc"))
+    val q = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("codes").as("qcodes"), col("vc").as("qvc"))
+    val scored = CacheScope.cached(corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(lit(1.0) - idot(col("codes"), col("qcodes"))
+          .cast("double") / (cn(col("codes")) * cn(col("qcodes"))), 6)
+          .as("sq"),
+        round(lit(1.0) - Similarity.dot(col("vc"), col("qvc"))
+          / (vn(col("vc")) * vn(col("qvc"))), 6).as("cd"),
+        round(lit(1.0) - Similarity.dot(col("v"), col("qv"))
+          / (vn(col("v")) * vn(col("qv"))), 6).as("xd")))
+    def w(rank: String) = Window.partitionBy("q_id")
+      .orderBy(col(rank).asc, col("vec_id").asc)
+    val sqTop = scored.withColumn("rn", row_number().over(w("sq")))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("sq_hit"))
+    val matTop = scored.withColumn("rn", row_number().over(w("cd")))
+      .filter(col("rn") <= nCand) // coarse pool
+      .withColumn("rr", row_number().over(w("xd"))) // exact refine
+      .filter(col("rr") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("mat_hit"))
+    val exact = scored.withColumn("rn", row_number().over(w("xd")))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(sqTop, Seq("q_id", "vec_id"), "left")
+      .join(matTop, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("sq_hit"), lit(0L))).as("sq_common"),
+        sum(coalesce(col("mat_hit"), lit(0L))).as("mat_common"))
+      .select(col("q_id"), col("n_exact"), col("sq_common"),
+        col("mat_common"),
+        expr(s"sq_common * 1000000 div $k").as("sq_micro"),
+        expr(s"mat_common * 1000000 div $k").as("mat_micro"))
+      .orderBy(col("q_id").asc)
+  }
+
+  def quantRecallOracleSql(qids: Seq[Long], dCoarse: Int, nCand: Int,
+      k: Int): String = {
+    val inList = qids.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), c AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CAST(list_transform(v,
+       |      x -> CAST(floor(x / (greatest(list_max(list_transform(v,
+       |        y -> abs(y))), CAST($Tiny AS DOUBLE))) * 127 + 0.5)
+       |        AS INT)) AS DOUBLE[]) AS codes,
+       |    CAST(list_slice(v, 1, $dCoarse) AS DOUBLE[]) AS vc
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, codes AS qcodes, vc AS qvc
+       |  FROM c WHERE vec_id IN ($inList)
+       |), scored AS MATERIALIZED (
+       |  SELECT q.q_id, c.vec_id,
+       |    round(1.0 - list_dot_product(c.codes, q.qcodes)
+       |      / (greatest(sqrt(list_dot_product(c.codes, c.codes)),
+       |           CAST($Tiny AS DOUBLE))
+       |         * greatest(sqrt(list_dot_product(q.qcodes, q.qcodes)),
+       |           CAST($Tiny AS DOUBLE))), 6) AS sq,
+       |    round(1.0 - list_dot_product(c.vc, q.qvc)
+       |      / (greatest(sqrt(list_dot_product(c.vc, c.vc)),
+       |           CAST($Tiny AS DOUBLE))
+       |         * greatest(sqrt(list_dot_product(q.qvc, q.qvc)),
+       |           CAST($Tiny AS DOUBLE))), 6) AS cd,
+       |    round(1.0 - list_dot_product(c.v, q.qv)
+       |      / (greatest(sqrt(list_dot_product(c.v, c.v)),
+       |           CAST($Tiny AS DOUBLE))
+       |         * greatest(sqrt(list_dot_product(q.qv, q.qv)),
+       |           CAST($Tiny AS DOUBLE))), 6) AS xd
+       |  FROM c, q WHERE c.vec_id <> q.q_id
+       |), sqr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sq ASC, vec_id ASC) AS rn FROM scored) x
+       |  WHERE rn <= $k
+       |), pool AS (
+       |  SELECT q_id, vec_id, xd FROM (
+       |    SELECT q_id, vec_id, xd, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cd ASC, vec_id ASC) AS rn FROM scored) x
+       |  WHERE rn <= $nCand
+       |), matr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY xd ASC, vec_id ASC) AS rn FROM pool) x
+       |  WHERE rn <= $k
+       |), ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY xd ASC, vec_id ASC) AS rn FROM scored) x
+       |  WHERE rn <= $k
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS sq_common,
+       |  CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS mat_common,
+       |  CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS sq_micro,
+       |  CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS mat_micro
+       |FROM ex
+       |LEFT JOIN sqr s ON s.q_id = ex.q_id AND s.vec_id = ex.vec_id
+       |LEFT JOIN matr m ON m.q_id = ex.q_id AND m.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
+  }
 }

@@ -239,13 +239,17 @@ object ScaleOps {
     * non-matching rows before they reach the join's shuffle. No false
     * negatives, so the join result is EXACTLY the plain join — which is
     * what lets the plain join be the oracle. */
-  val JoinBloomBits = 4096 // 3 md5 hex chars
+  val JoinBloomBits = 4096
   val JoinBloomHashes = 5
 
-  /** index_k(key) = first 3 hex chars of md5(k ':' key) ∈ [0, 4096). */
+  /** index_k(key) = xxhash64(k, key) mod 4096. xxhash64 stays inside
+    * whole-stage codegen as a few integer ops per row — the earlier
+    * md5-hex form (hash → hex string → substring → base-16 conv) paid
+    * string materialization 5× per fact row and dominated the probe
+    * scan. Any hash family is admissible here: the bloom can only
+    * produce false POSITIVES, and the oracle is the plain join. */
   private def jbloomIdx(k: Int, key: Column): Column =
-    conv(substring(md5(concat(lit(s"$k:"), key)), 1, 3), 16, 10)
-      .cast("int")
+    pmod(xxhash64(lit(k), key), lit(JoinBloomBits)).cast("int")
 
   /** Distributed bloom build: each dim key explodes to its 5 bit
     * indexes, ONE partial-agg shuffle folds them to ≤64 (word, bits)
@@ -254,7 +258,7 @@ object ScaleOps {
   def buildJoinBloom(keys: DataFrame, keyCol: String): Array[Long] = {
     val cells = keys
       .select(explode(array((0 until JoinBloomHashes).map(k =>
-        jbloomIdx(k, col(keyCol).cast("string"))): _*)).as("idx"))
+        jbloomIdx(k, col(keyCol))): _*)).as("idx"))
       .groupBy((col("idx") / 64).cast("int").as("word"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), idx % 64)"))
         .as("bits"))
@@ -265,11 +269,13 @@ object ScaleOps {
   }
 
   /** Scan-local might-contain predicate against the literal word array:
-    * 5 md5s + 5 bit tests per row, zero joins, zero shuffles. */
+    * 5 integer hashes + 5 bit tests per row, zero joins, zero
+    * shuffles. Build and probe MUST pass same-typed key columns (both
+    * sides hash the native type — no stringification). */
   def joinBloomMightContain(words: Seq[Long], key: Column): Column = {
     val wl = typedLit(words)
     (0 until JoinBloomHashes).map { k =>
-      val idx = jbloomIdx(k, key.cast("string"))
+      val idx = jbloomIdx(k, key)
       val word = element_at(wl, (idx / 64).cast("int") + 1)
       call_function("shiftright", word, pmod(idx, lit(64)))
         .bitwiseAND(lit(1L)) === lit(1L)

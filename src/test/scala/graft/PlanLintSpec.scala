@@ -60,6 +60,7 @@ class PlanLintSpec extends SparkSpec {
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
     "bq_ann",    // one-row query frame riding the 16-byte codes scan
     "bq_recall", // Q-row query frame riding the codes scan
+    "quant_recall", // Q-row query frame riding the embeddings scan
     // |q|-row query-vector bag riding the corpus/candidate scan
     "maxsim_topk", "maxsim_pruned",
     // 1-row corpus-scalar (n_docs / max_w) riding vocabulary-sized

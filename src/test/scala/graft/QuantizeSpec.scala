@@ -68,4 +68,27 @@ class QuantizeSpec extends SparkSpec {
     // coarse distance is over a prefix: full distance generally differs
     mat.foreach(r => assert(!r.isNullAt(r.fieldIndex("dist"))))
   }
+
+  test("quant_recall frame: n_exact = k, micro fields consistent, and " +
+      "mat recall with a corpus-covering pool is exactly 1.0") {
+    val qids = Seq(3L, 7L)
+    val k = 5
+    val out = Quantize.quantRecall(spark, Sf0001, qids, 16, 40, k)
+      .collect()
+    assert(out.map(_.getAs[Long]("q_id")).toSeq == qids.sorted)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == k)
+      Seq("sq", "mat").foreach { p =>
+        val c = r.getAs[Long](s"${p}_common")
+        val m = r.getAs[Long](s"${p}_micro")
+        assert(c >= 0L && c <= k)
+        assert(m == c * 1000000L / k)
+      }
+    }
+    // a pool covering the whole corpus makes the refined ranking the
+    // exact ranking — mat recall must be exactly 1.0 per query
+    val full = Quantize.quantRecall(spark, Sf0001, qids, 16, 100000, k)
+      .collect()
+    full.foreach(r => assert(r.getAs[Long]("mat_common") == k))
+  }
 }
