@@ -139,7 +139,7 @@ object Bench {
       "ivfpq_ann", "ivfpq_recall", "bucketed_revenue",
       // round-11: auto-cell-count probe (count + index build + probe
       // cells in the builder) and the recall curve (index build)
-      "ivf_ann_auto", "ann_recall_curve", "ivfpq_batch",
+      "ivf_ann_auto", "ann_recall_curve", "ivfpq_batch", "ivfpq_recall_curve",
       "ivf_ann_filtered",
       // hybrid_rrf ranks its two bounded top-k lists driver-side
       "hybrid_rrf",

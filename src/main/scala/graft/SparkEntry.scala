@@ -199,6 +199,10 @@ object SparkEntry {
     // the r11 pure-ADC gate scored 0.158@10, error the refine removes)
     "ivfpq_recall" -> ((s, d) =>
       IvfPq.ivfPqRecall(s, d, RecallIds, 10, 400)),
+    // pool-width recall ladder (the curve the r12 nCand=400 choice was
+    // read from; protects the pool width round-over-round)
+    "ivfpq_recall_curve" -> ((s, d) =>
+      IvfPq.ivfPqRecallCurve(s, d, RecallIds, 10, Seq(50, 200, 400))),
     // binary (sign-bit) quantization: Hamming scan over packed words,
     // exact cosine refine of the nCand survivors
     "bq_ann" -> ((s, d) => BinaryQuant.bqScan(s, d, 7L, 50, 10)),
@@ -682,6 +686,8 @@ object SparkEntry {
       Similarity.ivfTopKFilteredOracleSql(42L, 4, 10, 10, 3),
     "ivfpq_recall" ->
       IvfPq.ivfPqRecallOracleSql(RecallIds, 10, 400),
+    "ivfpq_recall_curve" ->
+      IvfPq.ivfPqRecallCurveOracleSql(RecallIds, 10, Seq(50, 200, 400)),
     "s1_collection_lookup" -> Collections.lookupOracleSql("fr"),
     "s2_collection_list" -> Collections.listOracleSql,
     "alt_schema_embeddings" -> LegacySchema.embeddingsViewOracleSql,

@@ -549,6 +549,165 @@ object IvfPq {
       .orderBy(col("q_id").asc)
   }
 
+  /** Serving recall over a LADDER of refine-pool widths — the IVFPQ
+    * twin of `ann_recall_curve` (which sweeps nProbe for plain IVF):
+    * one row per nCand with the aggregate recall@k over all queries.
+    * Round 12 chose nCand=400 from exactly this curve (50→0.21,
+    * 200→0.43, 400→0.555 at sf0.1, ceiling 0.57 from nProbe=3 cell
+    * coverage); registering the sweep protects the pool-width choice
+    * from silent degradation the same way the nProbe curve protects
+    * the coarse layer. The ADC ranking is computed and cached ONCE;
+    * each width is a filter + bounded refine over it. */
+  def ivfPqRecallCurve(spark: SparkSession, dir: String,
+      qids: Seq[Long], k: Int, nCands: Seq[Int],
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe): DataFrame = {
+    val codes = ensureCodesTable(spark, dir, nCentroids)
+    val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)
+    val cb = loadCodebook(spark, dir, nCentroids)
+    val cm = centroidMicro(spark, dir, nCentroids)
+    val fetched = qids.map(q =>
+      q -> ProductQuant.fetchQuery(spark, dir, q)).toMap
+    val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
+    val qdf = broadcast(spark.createDataFrame(
+        qids.zipWithIndex.map { case (q, i) => (q, i) })
+      .toDF("q_id", "qx"))
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("q_id"))
+    val exact = CacheScope.cached(
+      emb.join(qdf, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(ProductQuant.l2sq(col("embedding").cast("array<double>"),
+            element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dist").asc, col("vec_id").asc)))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id")))
+    val pairs = qids.flatMap { q =>
+      probeCells(spark, idx, fetched(q)._2.toSeq, nProbe)
+        .map(cell => (q, cell))
+    }
+    val pairsDf = broadcast(spark.createDataFrame(
+        pairs.zipWithIndex.map { case ((q, cell), i) => (q, cell, i) })
+      .toDF("q_id", "centroid_id", "ppos"))
+    val lutLit = typedLit(pairs.map { case (q, cell) =>
+      val qq = fetched(q)._1
+      val rq = Array.tabulate(qq.length)(i => qq(i) - cm(cell.toInt)(i))
+      ProductQuant.buildLut(rq, cb).toSeq.map(_.toSeq)
+    })
+    // ADC rank within probed cells, refined distance in-row: computed
+    // once, every pool width is a filter over it
+    val adc = CacheScope.cached(spark.table(codes)
+      .join(pairsDf, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        adcDist(lutLit, col("ppos")).as("adist"))
+      .withColumn("arn", row_number().over(
+        w.orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("arn") <= nCands.max)
+      .join(spark.table(idx).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(qdf, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("arn"),
+        round(ProductQuant.l2sq(col("embedding"),
+          element_at(qvsLit, col("qx") + 1)), 6).as("dist")))
+    nCands.map { nc =>
+      val hits = adc.filter(col("arn") <= nc)
+        .withColumn("rr", row_number().over(
+          w.orderBy(col("dist").asc, col("vec_id").asc)))
+        .filter(col("rr") <= k)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(hits, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .select(lit(nc).cast("long").as("n_cand"),
+          col("n_exact"), col("n_common"),
+          expr(s"n_common * 1000000 div (${qids.length} * $k)")
+            .as("recall_micro"))
+    }.reduce(_ union _)
+      .orderBy(col("n_cand").asc)
+  }
+
+  def ivfPqRecallCurveOracleSql(qids: Seq[Long], k: Int,
+      nCands: Seq[Int], nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): String = {
+    val inList = qids.mkString(", ")
+    val widthCtes = nCands.map { nc =>
+      s"""r$nc AS (
+         |  SELECT CAST($nc AS BIGINT) AS n_cand,
+         |    count(*) AS n_exact,
+         |    CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_common,
+         |    CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      * 1000000 // (${qids.length} * $k) AS BIGINT)
+         |      AS recall_micro
+         |  FROM ex LEFT JOIN (
+         |    SELECT q_id, vec_id FROM (
+         |      SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY dist ASC, vec_id ASC) AS rr
+         |      FROM adc WHERE arn <= $nc) z
+         |    WHERE rr <= $k) h
+         |  ON h.q_id = ex.q_id AND h.vec_id = ex.vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = nCands.map(nc => s"SELECT * FROM r$nc")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${ivfPqCtes(nCentroids)}, qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($inList)
+       |), qcells AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(1.0 - list_dot_product(cents.cv, q.qv)
+       |          / (sqrt(list_dot_product(cents.cv, cents.cv))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) ASC,
+       |        cents.centroid_id ASC) AS rn
+       |    FROM cents, qs q) WHERE rn <= $nProbe
+       |), ex AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_dot_product(e.v, e.v)
+       |          - 2 * list_dot_product(e.v, q.qv)
+       |          + list_dot_product(q.qv, q.qv), 6) ASC,
+       |        e.vec_id ASC) AS rn
+       |    FROM e, qs q WHERE e.vec_id <> q.q_id) x
+       |  WHERE rn <= $k
+       |), qres AS (
+       |  SELECT qc.q_id, qc.centroid_id, cm.dim // $Dsub AS s,
+       |    cm.dim % $Dsub AS sd, p.q - cm.cq AS q
+       |  FROM qcells qc
+       |  JOIN cmic cm ON cm.centroid_id = qc.centroid_id
+       |  JOIN mic p ON p.vec_id = qc.q_id AND p.dim = cm.dim
+       |), lutq AS (
+       |  SELECT r.q_id, r.centroid_id, c.s, c.c,
+       |    sum((r.q - c.cq) * (r.q - c.cq)) AS d
+       |  FROM rqcb$Iterations c JOIN qres r
+       |    ON r.s = c.s AND r.sd = c.sd
+       |  GROUP BY 1, 2, 3, 4
+       |), adc AS MATERIALIZED (
+       |  SELECT y.q_id, y.vec_id, y.arn,
+       |    round(list_dot_product(e.v, e.v)
+       |      - 2 * list_dot_product(e.v, q.qv)
+       |      + list_dot_product(q.qv, q.qv), 6) AS dist
+       |  FROM (
+       |    SELECT l.q_id, enc.vec_id,
+       |      row_number() OVER (PARTITION BY l.q_id ORDER BY
+       |        sum(l.d) ASC, enc.vec_id ASC) AS arn
+       |    FROM rqenc enc
+       |    JOIN cells cl ON cl.vec_id = enc.vec_id
+       |    JOIN lutq l ON l.centroid_id = cl.centroid_id
+       |      AND l.s = enc.s AND l.c = enc.c
+       |    WHERE enc.vec_id <> l.q_id
+       |    GROUP BY 1, 2) y
+       |  JOIN e ON e.vec_id = y.vec_id
+       |  JOIN qs q ON q.q_id = y.q_id
+       |  WHERE y.arn <= ${nCands.max}
+       |), $widthCtes
+       |SELECT n_cand, n_exact, n_common, recall_micro FROM (
+       |  $unions
+       |) u ORDER BY n_cand ASC""".stripMargin
+  }
+
   // ---- oracle SQL ----
 
   /** Shared CTE block for the IVF-PQ oracles: `e` (double vectors),

@@ -547,4 +547,35 @@ class EventStreamsSpec extends SparkSpec {
       scanStr.contains("SelectedBucketsCount"),
       s"compacted table not bucketed:\n$scanStr")
   }
+
+  test("state-store portability: the merging-state bridge produces " +
+      "identical rows under the RocksDB provider") {
+    // HDFSBackedStateStoreProvider (the default) holds state on the
+    // executor heap — fine at fixture scale, not at a 100 TB horizon.
+    // The deployment answer is RocksDB (state spills to local disk,
+    // bounded heap); this pins that the SAME bridge code produces the
+    // SAME rows under it, so switching providers at scale is a config
+    // change, not a semantics change. Session windows are the MERGING
+    // state class — the provider's hardest case.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val base = graft.streaming.StreamBridge
+      .eventsSessionsStream(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try {
+      val rocksRows = graft.streaming.StreamBridge
+        .eventsSessionsStream(spark, Sf0001)
+        .collect().map(_.toString).toSeq
+      assert(rocksRows == base)
+      assert(base.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_recall_curve", // the same composition once per probe width
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans
     "ivfpq_recall", // Q·nProbe probe-pair frame riding the same scans
+    "ivfpq_recall_curve", // same probe-pair frame, one row per pool width
     "ivf_batch", "hybrid_rrf", "keywords_tfidf", "sketch_bloom",
     "bq_ann",    // one-row query frame riding the 16-byte codes scan
     "bq_recall", // Q-row query frame riding the codes scan
