@@ -39,7 +39,7 @@ object EventStreams {
     * ships single files). FileStreamSource needs a directory either
     * way — the two layouts just differ in which directory to watch and
     * whether a name filter is needed. */
-  private[streaming] def isPartDir(spark: SparkSession, dir: String,
+  private[graft] def isPartDir(spark: SparkSession, dir: String,
       table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,7 +50,7 @@ object EventStreams {
     * single-file table streams from the fixture dir under a
     * pathGlobFilter; a directory-shaped table (ScaleUp output) streams
     * from the table directory itself. */
-  private[streaming] def readTable(spark: SparkSession, dir: String,
+  private[graft] def readTable(spark: SparkSession, dir: String,
       table: String, schema: StructType): DataFrame =
     if (isPartDir(spark, dir, table))
       spark.readStream.schema(schema).parquet(s"$dir/$table.parquet")

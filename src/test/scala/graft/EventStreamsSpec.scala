@@ -548,6 +548,31 @@ class EventStreamsSpec extends SparkSpec {
       s"compacted table not bucketed:\n$scanStr")
   }
 
+  test("layout-agnostic sources: a directory-shaped events table " +
+      "(the ScaleUp sf1 layout) streams to the same bridge rows as " +
+      "the single-file fixture") {
+    // replicate the fixture into the OTHER on-disk layout:
+    // <dir>/events.parquet as a DIRECTORY of part files
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_layout_t").toString
+    try {
+      Tables.events(spark, Sf0001).repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      assert(graft.streaming.EventStreams
+        .isPartDir(spark, tmp, "events"))
+      val fromDir = graft.streaming.StreamBridge
+        .eventsTumblingStream(spark, tmp)
+        .collect().map(_.toString).toSeq
+      val fromFile = graft.streaming.StreamBridge
+        .eventsTumblingStream(spark, Sf0001)
+        .collect().map(_.toString).toSeq
+      assert(fromDir == fromFile && fromDir.nonEmpty)
+    } finally {
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("state-store portability: the merging-state bridge produces " +
       "identical rows under the RocksDB provider") {
     // HDFSBackedStateStoreProvider (the default) holds state on the

@@ -101,6 +101,34 @@ class FtsSpec extends SparkSpec {
       s"posting scans out of df order: $pos\n$plan")
   }
 
+  test("rarest-first equivalence holds over randomized vocabulary " +
+      "queries (seeded)") {
+    // deterministic sample of real vocabulary terms spanning the df
+    // spectrum — the rewrite must be result-identical to search() for
+    // ANY term multiset, not just the pinned fixture query
+    val vocab = spark.table(Fts.ensureIndex(spark, Sf0001))
+      .filter(col("lang") === "en")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .collect().map(_.getString(0))
+    assert(vocab.length > 20)
+    val rnd = new scala.util.Random(12)
+    (0 until 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(3)
+      // mix of frequent head and rare tail terms
+      val terms = Seq.fill(n)(
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(10))
+        else vocab(vocab.length / 2 + rnd.nextInt(vocab.length / 2)))
+        .distinct
+      val q = terms.mkString(" ")
+      val base = Fts.search(spark, Sf0001, q, "en", 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rf = Fts.searchRarestFirst(spark, Sf0001, q, "en", 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rf == base, s"mismatch for query '$q'")
+    }
+  }
+
   test("rarest-first with an absent term short-circuits to empty") {
     val out = Fts.searchRarestFirst(spark, Sf0001,
       "hash zzqqabsentterm", "en", 10).collect()
