@@ -286,10 +286,17 @@ object EventMining {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("event_type"), col("lag"), col("n"),
+        // variance/covariance terms form in DOUBLE on both engines
+        // (the partPriceCv discipline): the BIGINT product of two
+        // variance terms is QUARTIC in the daily counts — the worst
+        // Int64 headroom in the file; identical IEEE ops keep parity
         round(
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))),
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            sqrt((col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+              (col("n").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy"))),
           6).as("acf"))
       .orderBy(col("event_type").asc, col("lag").asc)
   }
@@ -323,9 +330,10 @@ object EventMining {
        |  FROM p GROUP BY 1, 2
        |)
        |SELECT event_type, lag, n,
-       |  round((n * sxy - sx * sy) /
-       |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
-       |         AS DOUBLE)), 6) AS acf
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+       |    6) AS acf
        |FROM s ORDER BY event_type ASC, lag ASC""".stripMargin
 
   /** Day-of-week seasonal profile per event type: mean and population
@@ -346,19 +354,26 @@ object EventMining {
       .agg(count(lit(1)).as("n_days"),
         sum(col("n_events")).as("sx"),
         sum(col("n_events") * col("n_events")).as("sxx"))
+    // the squared comparison forms in DOUBLE on both engines (the
+    // partPriceCv discipline): daily-count sums squared exceed Int64
+    // headroom at warehouse scale, where ANSI Spark throws and DuckDB
+    // promotes to HUGEINT — identical IEEE double products keep the
+    // engines bit-equal instead (values ≤ 2⁵³ are still exact)
     d.join(broadcast(prof), Seq("event_type", "dow"))
-      // integer-exact |x−μ| > 2σ: (n·x − sx)² > 4·(n·sxx − sx²)
+      .withColumn("dev",
+        col("n_days").cast("double") * col("n_events") - col("sx"))
       .withColumn("is_out",
-        when((col("n_days") * col("n_events") - col("sx")) *
-          (col("n_days") * col("n_events") - col("sx")) >
-          lit(4) * (col("n_days") * col("sxx") - col("sx") * col("sx")),
+        when(col("dev") * col("dev") >
+          lit(4.0) * (col("n_days").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")),
           1L).otherwise(0L))
       .groupBy("event_type", "dow")
       .agg(
         first(col("n_days")).as("n_days"),
         round(first(col("sx")) / first(col("n_days")), 6).as("mean_n"),
-        round(sqrt((first(col("sxx")) * first(col("n_days")) -
-          first(col("sx")) * first(col("sx"))).cast("double")) /
+        round(sqrt(first(col("sxx")).cast("double") *
+          first(col("n_days")) -
+          first(col("sx")).cast("double") * first(col("sx"))) /
           first(col("n_days")), 6).as("sd_n"),
         sum(col("is_out")).as("n_outlier_days"))
       .orderBy(col("event_type").asc, col("dow").asc)
@@ -389,12 +404,14 @@ object EventMining {
       |SELECT g.event_type, g.dow,
       |  first(p.n_days) AS n_days,
       |  round(first(p.sx) / first(p.n_days), 6) AS mean_n,
-      |  round(sqrt(CAST(first(p.sxx) * first(p.n_days) -
-      |    first(p.sx) * first(p.sx) AS DOUBLE)) / first(p.n_days),
+      |  round(sqrt(CAST(first(p.sxx) AS DOUBLE) * first(p.n_days) -
+      |    CAST(first(p.sx) AS DOUBLE) * first(p.sx)) / first(p.n_days),
       |    6) AS sd_n,
-      |  CAST(sum(CASE WHEN (p.n_days * g.x - p.sx) *
-      |      (p.n_days * g.x - p.sx) >
-      |      4 * (p.n_days * p.sxx - p.sx * p.sx)
+      |  CAST(sum(CASE WHEN
+      |      (CAST(p.n_days AS DOUBLE) * g.x - p.sx) *
+      |      (CAST(p.n_days AS DOUBLE) * g.x - p.sx) >
+      |      4.0 * (CAST(p.n_days AS DOUBLE) * p.sxx -
+      |             CAST(p.sx AS DOUBLE) * p.sx)
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
       |FROM g JOIN prof p USING (event_type, dow)
       |GROUP BY g.event_type, g.dow

@@ -1121,7 +1121,10 @@ object Fts {
         max(col("freq")).as("top_freq"))
       .select(
         col("n_terms"), col("total_tf").cast("long").as("total_tf"),
-        round(col("sum_sq") / (col("total_tf") * col("total_tf")), 6)
+        // denominator forms in DOUBLE (oracle already does): the
+        // corpus token total SQUARED exceeds Int64 long before 100 TB
+        round(col("sum_sq") /
+          (col("total_tf").cast("double") * col("total_tf")), 6)
           .as("simpson"),
         round(col("top_freq") / col("total_tf"), 6).as("top1_share"))
 
