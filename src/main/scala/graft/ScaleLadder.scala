@@ -49,8 +49,10 @@ object ScaleLadder {
     // round-12: the quantization-family recall gate (Q-row broadcast
     // over ONE corpus scan computing all three distances; the exact
     // side is deliberately brute-force, so expect knn_quantized-class
-    // growth, not probe-path flatness)
-    "quant_recall")
+    // growth, not probe-path flatness), the one-job grouped
+    // per-collection top-k (bucket-pruned — should stay FLAT), and the
+    // xxhash64 bloom-pruned join (scan-bound, ~linear)
+    "quant_recall", "fts_by_collection", "join_bloom_prune")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
