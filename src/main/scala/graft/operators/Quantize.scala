@@ -176,12 +176,18 @@ object Quantize {
       greatest(sqrt(idot(c, c).cast("double")), lit(Tiny))
     def vn(v: Column): Column =
       greatest(sqrt(Similarity.dot(v, v)), lit(Tiny))
-    // one projection: double vector + int8 codes + coarse prefix
-    val corpus = codes(emb)
-      .join(emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v")), "vec_id")
-      .select(col("vec_id"), col("v"), col("codes"),
-        slice(col("v"), 1, dCoarse).as("vc"))
+    // ONE projection off the embeddings scan: double vector + int8
+    // codes + coarse prefix (a codes(emb) ⋈ emb self-join would pay a
+    // corpus shuffle for columns the same scan already has in-row)
+    val ev = col("embedding")
+    val scale = greatest(
+      array_max(transform(ev, x => abs(x.cast("double")))), lit(Tiny))
+    val corpus = emb.select(
+      col("vec_id"), ev.cast("array<double>").as("v"),
+      transform(ev, x =>
+        floor(x.cast("double") / scale * lit(127.0) + lit(0.5))
+          .cast("int")).as("codes"),
+      slice(ev.cast("array<double>"), 1, dCoarse).as("vc"))
     val q = corpus.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("codes").as("qcodes"), col("vc").as("qvc"))
