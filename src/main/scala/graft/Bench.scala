@@ -133,6 +133,7 @@ object Bench {
       "events_tumbling_stream", "stream_index_termstats",
       "stream_ivfpq_append", "events_late_drop_stream",
       "stream_click_attrib", "events_sessions_stream",
+      "stream_custom_sessions", "stream_running_totals",
       "kmeans_clusters", "pq_recall",
       // round-10 additions: index builds / point lookups / probe-cell
       // collects in the builder (IVFPQ family), bucketed-table build

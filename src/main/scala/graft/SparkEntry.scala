@@ -439,6 +439,14 @@ object SparkEntry {
     // counting over the staged late-arrival replay, min-bin credited
     "stream_user_growth" -> ((s, d) =>
       graft.streaming.StreamBridge.streamUserGrowth(s, d)),
+    // CUSTOM-state operators under the oracle (r12): the
+    // flatMapGroupsWithState gap sessionizer (emission rule = sessions
+    // CLOSED by a later event; trailing open session withheld) and the
+    // mapGroupsWithState running totals (Update mode)
+    "stream_custom_sessions" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamCustomSessions(s, d)),
+    "stream_running_totals" -> ((s, d) =>
+      graft.streaming.StreamBridge.streamRunningTotals(s, d)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
@@ -640,6 +648,10 @@ object SparkEntry {
     "customer_rfm" -> Relational.customerRfmOracleSql,
     "stream_user_growth" ->
       graft.streaming.StreamBridge.streamUserGrowthOracleSql,
+    "stream_custom_sessions" ->
+      graft.streaming.StreamBridge.streamCustomSessionsOracleSql,
+    "stream_running_totals" ->
+      graft.streaming.StreamBridge.streamRunningTotalsOracleSql,
     "kanon_risk" -> Datacard.kAnonymityRiskOracleSql(5L, 100L),
     "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),

@@ -691,4 +691,132 @@ object StreamBridge {
        |FROM kept, fin WHERE wend <= wm_final
        |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin
   }
+
+  /** Single-batch staging for the CUSTOM-state bridges: one parquet
+    * file per fixture, so AvailableNow replays exactly one micro-batch.
+    * [[EventStreams.sessionize]]'s recurrence is defined over per-user
+    * time-ordered arrival (a production feed is time-bucketed upstream
+    * — the contract its scaladoc states); one file makes that hold for
+    * ANY fixture layout, and `value` is pre-scaled to exact integer
+    * micro-units so the state fold's double additions are
+    * order-independent exact (the eventsDedupStream fixed-point
+    * discipline applied to state). Memoized per dir; removed on JVM
+    * exit. */
+  private val singleBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureSingleBatch(spark: SparkSession,
+      dir: String): String =
+    singleBatchCache.computeIfAbsent(dir, _ => {
+      val base = scratchDir("graft_stream_onebatch_")
+      sys.addShutdownHook {
+        graft.sources.ParquetStore.deleteRecursively(
+          java.nio.file.Paths.get(base))
+      }
+      val ev = graft.Tables.events(spark, dir)
+      ev.withColumn("value",
+          round(col("value") * 100).cast("double"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/events")
+      s"$base/events"
+    })
+
+  /** Custom-state sessionization under the oracle — puts the
+    * flatMapGroupsWithState operator class (until now spec-only) into
+    * the hash-gated bridge family beside its built-in session_window
+    * twin. The gap recurrence differs from session_window on purpose
+    * (strict `gap > 1800 s` split at SECONDS precision, session_end =
+    * the LAST EVENT, not last+gap) so the gate pins the CUSTOM
+    * operator's own semantics, including its emission rule: a session
+    * is emitted only when a LATER event closes it, so each user's
+    * trailing open session stays in state — the oracle reproduces
+    * exactly that by dropping each user's final session. */
+  def streamCustomSessions(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensureSingleBatch(spark, dir)
+    val sink = s"graft_stream_fmgws_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val tmp = scratchDir("graft_stream_fmgws_")
+    val ev = graft.Tables.events(spark, dir)
+    val src = spark.readStream.schema(ev.schema).parquet(staged)
+    val q = EventStreams.sessionize(spark, src, 1800L)
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(sink)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        // exact integer micro-sum back to 2-dp currency
+        round(col("total_value") / 100.0, 2).as("total_value"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+  }
+
+  val streamCustomSessionsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+      |    epoch_ns(ts) // 1000000000 AS sec
+      |  FROM events
+      |), o AS (
+      |  SELECT user_id, v, sec,
+      |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+      |  FROM e
+      |), f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM o
+      |), s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, sid, min(sec) AS session_start,
+      |    max(sec) AS session_end, count(*) AS n_events,
+      |    CAST(sum(v) AS BIGINT) AS tv
+      |  FROM s GROUP BY 1, 2
+      |), last AS (
+      |  SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1
+      |)
+      |SELECT g.user_id, g.session_start, g.session_end, g.n_events,
+      |  round(CAST(g.tv AS DOUBLE) / 100.0, 2) AS total_value
+      |FROM g JOIN last USING (user_id) WHERE g.sid <> last.last_sid
+      |ORDER BY g.user_id ASC, g.session_start ASC""".stripMargin
+
+  /** Custom-state running totals under the oracle — the
+    * mapGroupsWithState sibling ([[EventStreams.runningUserTotals]],
+    * Update mode): with the fixture replayed as one batch, the final
+    * update per user IS the per-user total, and the fixed-point
+    * staging makes the state fold's double sum exact, so the terminal
+    * Update-mode table hash-equals a plain GROUP BY. */
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val staged = ensureSingleBatch(spark, dir)
+    val sink = s"graft_stream_mgws_${ScaleOps.dirHash(dir)}"
+    freshView(spark, sink)
+    val tmp = scratchDir("graft_stream_mgws_")
+    val ev = graft.Tables.events(spark, dir)
+    val src = spark.readStream.schema(ev.schema).parquet(staged)
+    val q = EventStreams.runningUserTotals(spark, src)
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q)
+    graft.sources.ParquetStore.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+    spark.table(sink)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value") / 100.0, 2).as("total_value"))
+      .orderBy(col("user_id").asc)
+  }
+
+  val streamRunningTotalsOracleSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0, 2) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin
 }
