@@ -354,6 +354,10 @@ object SparkEntry {
     "sketch_countmin" -> ((s, d) =>
       Sketches.countMinEstimates(s, d, CountMinProbeTerms)),
     "events_quantiles" -> ((s, d) => Sketches.eventQuantiles(s, d)),
+    // MERGEABLE quantile sketch (HDR 3-sig-digit buckets) beside the
+    // exact form above — the 100 TB global-distribution primitive
+    "sketch_hdr_quantiles" -> ((s, d) =>
+      Sketches.hdrQuantiles(s, d, Seq(500, 900, 990, 999))),
     // deterministic HyperLogLog: md5-derived registers, integer-exact
     // harmonic sum, estimate next to the exact distinct count
     "sketch_hll" -> ((s, d) => Sketches.hllVsExact(s, d)),
@@ -782,6 +786,8 @@ object SparkEntry {
     "range_join_counts" -> Relational.rangeJoinOracleSql(3600L),
     "sketch_countmin" -> Sketches.countMinOracleSql(CountMinProbeTerms),
     "events_quantiles" -> Sketches.eventQuantilesOracleSql,
+    "sketch_hdr_quantiles" ->
+      Sketches.hdrQuantilesOracleSql(Seq(500, 900, 990, 999)),
     "sketch_hll" -> Sketches.hllOracleSql,
     "sketch_bloom" -> Sketches.bloomOracleSql(BloomProbeIds),
     "events_histogram" -> Sketches.valueHistogramOracleSql(0.0, 50.0, 10),

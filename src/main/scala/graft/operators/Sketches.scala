@@ -426,6 +426,98 @@ object Sketches {
        |WHERE s.sd > 0
        |  AND round((value - s.m) / s.sd, 6) > $z
        |ORDER BY zscore DESC, event_id ASC""".stripMargin
+
+  /** MERGEABLE quantile sketch — the missing member of the sketch
+    * family (HLL/Bloom/CMS ship above; [[eventQuantiles]] is the EXACT
+    * form, which needs a per-group sort and is not a 100 TB primitive
+    * for a global distribution). HDR-histogram shape with
+    * 3-significant-decimal-digit buckets: each fixed-point value maps
+    * scan-locally to its bucket lower bound (first 3 digits
+    * right-padded with zeros — STRING arithmetic, the proven
+    * engine-exact bucketing trick), one partial-agg shuffle folds the
+    * corpus to ≤ 900·decades cells, and quantile recovery is a prefix
+    * sum over that BOUNDED frame. Cells are integers and merge by
+    * addition — shards/days/sources combine without re-scanning, and
+    * the est is within one bucket width (≤ 0.5 % relative) of the true
+    * rank statistic by construction; `rel_err` against the exact
+    * interpolated quantile is reported per row. Targets are per-mille
+    * integers so the rank arithmetic is exact: rank = ⌈n·p/1000⌉. */
+  def hdrQuantiles(spark: SparkSession, dir: String,
+      pMille: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(round(col("value") * 100).cast("long").as("m"))
+      .withColumn("ms", col("m").cast("string"))
+      .withColumn("lb", expr(
+        "CASE WHEN length(ms) <= 3 THEN m ELSE " +
+          "CAST(rpad(substring(ms, 1, 3), length(ms), '0') AS BIGINT) " +
+          "END"))
+      .transform(graft.operators.CacheScope.cached)
+    val buckets = ev.groupBy("lb").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = buckets.withColumn("cum", sum(col("cnt")).over(w))
+    val exList = pMille.map(p => p / 1000.0).mkString(", ")
+    val stats = ev.agg(count(lit(1)).as("n"),
+      expr(s"percentile(m, array($exList))").as("ex"))
+    val psDf = pMille.zipWithIndex.toDF("p_mille", "px")
+    cum.crossJoin(broadcast(psDf.crossJoin(stats)))
+      .withColumn("target", expr("(n * p_mille + 999) div 1000"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("p_mille", "px", "n")
+      .agg(min(col("lb")).as("est_m"),
+        first(col("ex")).as("ex"))
+      .select(col("p_mille").cast("long").as("p_mille"), col("n"),
+        round(col("est_m") / lit(100.0), 2).as("est_value"),
+        round(element_at(col("ex"), col("px") + 1) / lit(100.0), 6)
+          .as("exact_cont"),
+        round(abs(col("est_m") - element_at(col("ex"), col("px") + 1)) /
+          element_at(col("ex"), col("px") + 1), 4).as("rel_err"))
+      .orderBy(col("p_mille").asc)
+  }
+
+  def hdrQuantilesOracleSql(pMille: Seq[Int]): String = {
+    val psRows = pMille.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS m FROM events
+       |), b AS (
+       |  SELECT CASE WHEN length(CAST(m AS VARCHAR)) <= 3 THEN m
+       |    ELSE CAST(rpad(substring(CAST(m AS VARCHAR), 1, 3),
+       |                   CAST(length(CAST(m AS VARCHAR)) AS INTEGER),
+       |                   '0') AS BIGINT)
+       |    END AS lb
+       |  FROM e
+       |), h AS (SELECT lb, count(*) AS cnt FROM b GROUP BY 1),
+       |c AS MATERIALIZED (
+       |  SELECT lb, sum(cnt) OVER (ORDER BY lb
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM h
+       |), st AS (SELECT count(*) AS n FROM e),
+       |ps(p_mille) AS (VALUES $psRows),
+       |sel AS (
+       |  SELECT p.p_mille, st.n, min(c.lb) AS est_m
+       |  FROM ps p, st, c
+       |  WHERE c.cum >= (st.n * p.p_mille + 999) // 1000
+       |  GROUP BY 1, 2
+       |), exl AS (
+       |  SELECT quantile_cont(m,
+       |    [${pMille.map(p => p / 1000.0).mkString(", ")}]) AS ql
+       |  FROM e
+       |), exq AS (
+       |  -- parallel unnests zip positionally: p list order = ql order
+       |  SELECT unnest([${pMille.mkString(", ")}]) AS p_mille,
+       |    unnest(ql) AS exact_m
+       |  FROM exl
+       |)
+       |SELECT CAST(s.p_mille AS BIGINT) AS p_mille, s.n,
+       |  round(s.est_m / 100.0, 2) AS est_value,
+       |  round(x.exact_m / 100.0, 6) AS exact_cont,
+       |  round(abs(s.est_m - x.exact_m) / x.exact_m, 4) AS rel_err
+       |FROM sel s JOIN exq x USING (p_mille)
+       |ORDER BY p_mille ASC""".stripMargin
+  }
 }
 
 /** Changepoint detection over the event stream — the monitoring read a

@@ -29,6 +29,9 @@ class PlanLintSpec extends SparkSpec {
     "zipf_fit",
     // prefix sum over the bounded [min,max] day axis
     "events_user_growth",
+    // prefix sum over the ≤900·decades HDR bucket frame (sketch cells,
+    // never the corpus)
+    "sketch_hdr_quantiles",
     // ordered prefix sum over the SUPPLIER-bounded frame post-reduce
     "pareto_suppliers")
   // round-10 removals: kmeans/semdedup seed labeling is now a k-row
@@ -48,7 +51,7 @@ class PlanLintSpec extends SparkSpec {
     "quality_compress", "quality_ppl_buckets", "dsir_weights",
     "mix_weights", "sample_weighted", "fts_bm25", "contamination_bm25",
     "select_budget", "pack_sequences", "token_accounting",
-    "sketch_quantiles", "events_outliers", "skew_stats", "table_digest",
+    "sketch_quantiles", "sketch_hdr_quantiles", "events_outliers", "skew_stats", "table_digest",
     "pmi_collocations", "win_ntile_scale", "q22_prospects",
     "q11_important", // global-total scalar gating the HAVING
     // query-vector / probe / codebook rides (k- or Q-row frames)
