@@ -1560,7 +1560,15 @@ object Fts {
     * df, so on a skewed vocabulary (every real corpus) the frequent
     * term's millions-row posting list is only ever the PROBE side of a
     * candidate-bounded join, never a frame that must be ranked or
-    * shuffled whole. AQE broadcasts the candidate side when small. */
+    * shuffled whole. AQE broadcasts the candidate side when small.
+    *
+    * Exactness of "identical": double addition is not associative, so
+    * summing log(1+tf) in df-sorted JOIN order could differ from
+    * [[search]] in the last ulp and flip a rank landing exactly on a
+    * 6-dp rounding boundary. The joins therefore only COLLECT the
+    * per-term tf columns (order-free), and the score is computed at
+    * the end with the same fixed query-term-index expression tree as
+    * [[search]] — the two paths produce bit-identical doubles. */
   def searchRarestFirst(spark: SparkSession, dir: String, query: String,
       lang: String, k: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
@@ -1576,19 +1584,23 @@ object Fts {
     if (terms.exists(t => !dfs.contains(t)))
       return idx.filter(lit(false))
         .select(col("doc_id"), lit(0.0).as("score"))
+    // join in ascending-df order, but carry each term's tf under its
+    // ORIGINAL query index so the final sum can replay search()'s tree
+    val origIdx = terms.zipWithIndex.toMap
     val ordered = terms.sortBy(t => (dfs(t), t))
     def post(t: String) =
-      idx.filter(col("term") === lit(t)).select(col("doc_id"), col("tf"))
-    val seed = post(ordered.head)
-      .select(col("doc_id"), log(lit(1.0) + col("tf")).as("s"))
-    val joined = ordered.tail.foldLeft(seed) { (cur, t) =>
-      cur.join(post(t), "doc_id")
-        .select(col("doc_id"),
-          (col("s") + log(lit(1.0) + col("tf"))).as("s"))
+      idx.filter(col("term") === lit(t))
+        .select(col("doc_id"), col("tf").as(s"tf${origIdx(t)}"))
+    val joined = ordered.tail.foldLeft(post(ordered.head)) {
+      (cur, t) => cur.join(post(t), "doc_id")
     }
+    // identical expression tree to search(): query-term-index order
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
     joined
       .select(col("doc_id"),
-        round(col("s") / (lit(1.0) + col("s")), 6).as("score"))
+        round(s / (lit(1.0) + s), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

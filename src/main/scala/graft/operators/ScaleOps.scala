@@ -242,14 +242,28 @@ object ScaleOps {
   val JoinBloomBits = 4096
   val JoinBloomHashes = 5
 
-  /** index_k(key) = xxhash64(k, key) mod 4096. xxhash64 stays inside
-    * whole-stage codegen as a few integer ops per row — the earlier
-    * md5-hex form (hash → hex string → substring → base-16 conv) paid
-    * string materialization 5× per fact row and dominated the probe
-    * scan. Any hash family is admissible here: the bloom can only
-    * produce false POSITIVES, and the oracle is the plain join. */
+  /** index_k(key) = xxhash64(k, CAST(key AS BIGINT)) mod 4096.
+    * xxhash64 stays inside whole-stage codegen as a few integer ops
+    * per row — the earlier md5-hex form (hash → hex string →
+    * substring → base-16 conv) paid string materialization 5× per
+    * fact row and dominated the probe scan.
+    *
+    * The BIGINT canonicalization makes the false-negative-freedom
+    * STRUCTURAL rather than a same-type calling convention: xxhash64
+    * output depends on the input Spark type, so an INT build key
+    * probed with a BIGINT fact key would otherwise silently hash to
+    * different cells and DROP matching join rows. CAST AS BIGINT maps
+    * every integral width (and numeric strings) of the same value to
+    * the same long; values outside the long domain cast to NULL on
+    * BOTH sides, and xxhash64 folds NULL to its seed hash — so such
+    * keys collapse to one shared cell, degrading the filter to
+    * always-pass (a false POSITIVE, which the plain-join semantics
+    * absorb) but never to a false negative. Any hash family is
+    * admissible here: the bloom can only produce false positives, and
+    * the oracle is the plain join. */
   private def jbloomIdx(k: Int, key: Column): Column =
-    pmod(xxhash64(lit(k), key), lit(JoinBloomBits)).cast("int")
+    pmod(xxhash64(lit(k), key.cast("long")), lit(JoinBloomBits))
+      .cast("int")
 
   /** Distributed bloom build: each dim key explodes to its 5 bit
     * indexes, ONE partial-agg shuffle folds them to ≤64 (word, bits)
@@ -270,8 +284,10 @@ object ScaleOps {
 
   /** Scan-local might-contain predicate against the literal word array:
     * 5 integer hashes + 5 bit tests per row, zero joins, zero
-    * shuffles. Build and probe MUST pass same-typed key columns (both
-    * sides hash the native type — no stringification). */
+    * shuffles. Build and probe keys may differ in integral width
+    * (INT dim key vs BIGINT fact key is the common star-schema case):
+    * [[jbloomIdx]] canonicalizes both sides to BIGINT before hashing,
+    * so type mismatches cannot introduce false negatives. */
   def joinBloomMightContain(words: Seq[Long], key: Column): Column = {
     val wl = typedLit(words)
     (0 until JoinBloomHashes).map { k =>

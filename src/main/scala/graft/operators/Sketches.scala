@@ -432,26 +432,33 @@ object Sketches {
     * form, which needs a per-group sort and is not a 100 TB primitive
     * for a global distribution). HDR-histogram shape with
     * 3-significant-decimal-digit buckets: each fixed-point value maps
-    * scan-locally to its bucket lower bound (first 3 digits
-    * right-padded with zeros — STRING arithmetic, the proven
-    * engine-exact bucketing trick), one partial-agg shuffle folds the
-    * corpus to ≤ 900·decades cells, and quantile recovery is a prefix
-    * sum over that BOUNDED frame. Cells are integers and merge by
-    * addition — shards/days/sources combine without re-scanning, and
-    * the est is within one bucket width (≤ 0.5 % relative) of the true
-    * rank statistic by construction; `rel_err` against the exact
-    * interpolated quantile is reported per row. Targets are per-mille
-    * integers so the rank arithmetic is exact: rank = ⌈n·p/1000⌉. */
+    * scan-locally to its bucket bound nearest zero (sign × first 3
+    * digits of |m| right-padded with zeros — STRING arithmetic, the
+    * proven engine-exact bucketing trick; bucketing |m| and
+    * reattaching the sign keeps the ≤ 0.5 %-of-|m| bucket-width
+    * guarantee for NEGATIVE values too, where padding a '-'-prefixed
+    * string would eat a significant digit), one partial-agg shuffle
+    * folds the corpus to ≤ 1800·decades cells, and quantile recovery
+    * is a prefix sum over that BOUNDED frame (sign × monotone(|m|) is
+    * monotone in m, so bucket order = value order). Cells are
+    * integers and merge by addition — shards/days/sources combine
+    * without re-scanning, and the est is within one bucket width
+    * (≤ 0.5 % relative) of the true rank statistic by construction;
+    * `rel_err` against the exact interpolated quantile is reported
+    * per row (NULL when the exact quantile is 0 — relative error is
+    * undefined at a zero denominator). Targets are per-mille integers
+    * so the rank arithmetic is exact: rank = ⌈n·p/1000⌉. */
   def hdrQuantiles(spark: SparkSession, dir: String,
       pMille: Seq[Int]): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(round(col("value") * 100).cast("long").as("m"))
-      .withColumn("ms", col("m").cast("string"))
+      .withColumn("ms", abs(col("m")).cast("string"))
       .withColumn("lb", expr(
-        "CASE WHEN length(ms) <= 3 THEN m ELSE " +
+        "(CASE WHEN m < 0 THEN -1 ELSE 1 END) * " +
+          "(CASE WHEN length(ms) <= 3 THEN abs(m) ELSE " +
           "CAST(rpad(substring(ms, 1, 3), length(ms), '0') AS BIGINT) " +
-          "END"))
+          "END)"))
       .transform(graft.operators.CacheScope.cached)
     val buckets = ev.groupBy("lb").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("lb"))
@@ -474,7 +481,8 @@ object Sketches {
         round(element_at(col("ex"), col("px") + 1) / lit(100.0), 6)
           .as("exact_cont"),
         round(abs(col("est_m") - element_at(col("ex"), col("px") + 1)) /
-          element_at(col("ex"), col("px") + 1), 4).as("rel_err"))
+          nullif(element_at(col("ex"), col("px") + 1), lit(0.0)), 4)
+          .as("rel_err"))
       .orderBy(col("p_mille").asc)
   }
 
@@ -483,11 +491,12 @@ object Sketches {
     s"""WITH e AS MATERIALIZED (
        |  SELECT CAST(round(value * 100) AS BIGINT) AS m FROM events
        |), b AS (
-       |  SELECT CASE WHEN length(CAST(m AS VARCHAR)) <= 3 THEN m
-       |    ELSE CAST(rpad(substring(CAST(m AS VARCHAR), 1, 3),
-       |                   CAST(length(CAST(m AS VARCHAR)) AS INTEGER),
-       |                   '0') AS BIGINT)
-       |    END AS lb
+       |  SELECT (CASE WHEN m < 0 THEN -1 ELSE 1 END) *
+       |    (CASE WHEN length(CAST(abs(m) AS VARCHAR)) <= 3 THEN abs(m)
+       |     ELSE CAST(rpad(substring(CAST(abs(m) AS VARCHAR), 1, 3),
+       |                CAST(length(CAST(abs(m) AS VARCHAR)) AS INTEGER),
+       |                '0') AS BIGINT)
+       |     END) AS lb
        |  FROM e
        |), h AS (SELECT lb, count(*) AS cnt FROM b GROUP BY 1),
        |c AS MATERIALIZED (
@@ -514,7 +523,8 @@ object Sketches {
        |SELECT CAST(s.p_mille AS BIGINT) AS p_mille, s.n,
        |  round(s.est_m / 100.0, 2) AS est_value,
        |  round(x.exact_m / 100.0, 6) AS exact_cont,
-       |  round(abs(s.est_m - x.exact_m) / x.exact_m, 4) AS rel_err
+       |  round(abs(s.est_m - x.exact_m) / nullif(x.exact_m, 0), 4)
+       |    AS rel_err
        |FROM sel s JOIN exq x USING (p_mille)
        |ORDER BY p_mille ASC""".stripMargin
   }

@@ -720,6 +720,26 @@ object StreamBridge {
       s"$base/events"
     })
 
+  /** The CUSTOM-state bridges' semantics (trailing-open-session drop;
+    * "final Update = per-user total") hold ONLY if AvailableNow
+    * replays the staged fixture as exactly ONE micro-batch —
+    * [[ensureSingleBatch]] coalesces to one file to make that so, but
+    * a session-level `maxFilesPerTrigger`/`maxBytesPerTrigger` conf or
+    * a multi-file staging change would silently split the batch and
+    * change the emitted rows (surfacing only as a confusing oracle
+    * diff). Fail loudly at the source instead: every data-carrying
+    * batch must be batch 0. */
+  private def assertSingleBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dataBatches = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0).map(_.batchId).distinct
+    require(dataBatches.forall(_ == 0L),
+      s"custom-state bridge expected ONE data micro-batch (batch 0) " +
+        s"but data arrived in batches ${dataBatches.sorted.mkString(",")}" +
+        " — single-batch staging assumption violated (check " +
+        "maxFilesPerTrigger/maxBytesPerTrigger and ensureSingleBatch)")
+  }
+
   /** Custom-state sessionization under the oracle — puts the
     * flatMapGroupsWithState operator class (until now spec-only) into
     * the hash-gated bridge family beside its built-in session_window
@@ -745,6 +765,7 @@ object StreamBridge {
       .trigger(Trigger.AvailableNow())
       .start()
     runToCompletion(q)
+    assertSingleBatch(q)
     graft.sources.ParquetStore.deleteRecursively(
       java.nio.file.Paths.get(tmp))
     spark.table(sink)
@@ -806,6 +827,7 @@ object StreamBridge {
       .trigger(Trigger.AvailableNow())
       .start()
     runToCompletion(q)
+    assertSingleBatch(q)
     graft.sources.ParquetStore.deleteRecursively(
       java.nio.file.Paths.get(tmp))
     spark.table(sink)

@@ -534,6 +534,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(bloomed == plain)
   }
 
+  test("bloom join: cross-width keys (INT build, BIGINT probe) lose " +
+      "no true match") {
+    import graft.operators.ScaleOps
+    // build on INT-typed keys, probe BIGINT-typed ones: xxhash64 is
+    // type-sensitive, so without the BIGINT canonicalization inside
+    // jbloomIdx this pairing silently DROPPED matching rows
+    val cust = Tables.customer(spark, Sf0001)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".cast("int").as("c_custkey"))
+    val words = ScaleOps.buildJoinBloom(cust, "c_custkey")
+    val orders = Tables.orders(spark, Sf0001) // o_custkey is BIGINT
+    val custKeys = cust.collect().map(_.getInt(0).toLong).toSet
+    val trueMatches = orders.collect()
+      .count(r => custKeys(r.getAs[Long]("o_custkey")))
+    val keptTrue = orders
+      .filter(ScaleOps.joinBloomMightContain(words.toSeq, $"o_custkey"))
+      .collect().count(r => custKeys(r.getAs[Long]("o_custkey")))
+    assert(keptTrue == trueMatches) // zero false negatives across widths
+  }
+
   test("rolling window: frame counts clamp at the frame size") {
     val rows = Relational.rollingUserStats(spark, Sf0001, 10).collect()
     assert(rows.nonEmpty)
