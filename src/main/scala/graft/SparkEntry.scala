@@ -127,6 +127,19 @@ object SparkEntry {
       FuzzySearch.fuzzySearch(s, d, "hashe joim merg", "en", 10, 8)),
     // §2.3 vector similarity
     "knn_cosine" -> ((s, d) => Similarity.knnCosine(s, d, 0L, 10, 0.95)),
+    // per-collection distance_function dispatch (models.py:20): the
+    // label%3 policy routes 4→l2, 5→ip, 3→cosine; each query runs
+    // through knnForCollection so a mis-route fails the oracle hash
+    "knn_l2" -> ((s, d) =>
+      Similarity.knnForCollection(s, d, 4, Similarity.minVecId(s, d, 4), 10)),
+    "knn_ip" -> ((s, d) =>
+      Similarity.knnForCollection(s, d, 5, Similarity.minVecId(s, d, 5), 10)),
+    "knn_dispatch_cos" -> ((s, d) =>
+      Similarity.knnForCollection(s, d, 3, Similarity.minVecId(s, d, 3), 10)),
+    "vec_collections" -> ((s, d) =>
+      Similarity.vectorCollections(s, d).orderBy("collection_id")),
+    "p1_validate_dim" -> ((s, d) =>
+      graft.operators.DocumentPipeline.validateEmbeddingDim(s, d)),
     // batched exact KNN: Q query vectors in one q_id-keyed window job
     "knn_batch" -> ((s, d) => Similarity.knnBatch(s, d, BatchKnnIds, 5)),
     "ann_recall" -> ((s, d) =>
@@ -670,6 +683,12 @@ object SparkEntry {
     "fts_fuzzy" ->
       FuzzySearch.fuzzySearchOracleSql("hashe joim merg", "en", 10, 8),
     "knn_cosine" -> Similarity.knnCosineOracleSql(0L, 10, 0.95),
+    "knn_l2" -> Similarity.knnL2OracleSql(4, 10),
+    "knn_ip" -> Similarity.knnIpOracleSql(5, 10),
+    "knn_dispatch_cos" -> Similarity.knnCosineLabelOracleSql(3, 10),
+    "vec_collections" -> Similarity.vectorCollectionsOracleSql,
+    "p1_validate_dim" ->
+      graft.operators.DocumentPipeline.validateEmbeddingDimOracleSql,
     "knn_batch" -> Similarity.knnBatchOracleSql(BatchKnnIds, 5),
     "ann_recall" -> Similarity.annRecallOracleSql(RecallIds, 5, 10),
     "ann_recall_curve" ->

@@ -145,6 +145,53 @@ object DocumentPipeline {
        |FROM v ORDER BY doc_id ASC""".stripMargin
   }
 
+  // ---- P1 embedding-dimension gate ---------------------------------------
+
+  /** The dimension check NEITHER engine of the reference performs: the
+    * schema declares a per-collection `embedding_dimension`
+    * (/root/reference/src/db/models.py:19, default 384 — conflicting
+    * with the 1024 default its own init script writes,
+    * scripts/init-db.sql:24; Document.embedding is meanwhile hardwired
+    * Vector(768), models.py:55 — THREE mutually inconsistent defaults),
+    * yet inserts never compare `len(embedding)` against it, so a
+    * mis-dimensioned vector is only caught when pgvector errors at
+    * query time. This gate closes the contract at ingest: flag every
+    * vector whose length differs from its collection's declared
+    * dimension. Pure scan + broadcast dim join — one pass, no shuffle
+    * beyond the final tally.
+    *
+    * [[validateEmbeddingDimFrame]] is the reusable core (any
+    * (collection_id, embedding) frame against any (collection_id,
+    * embedding_dimension) dim); the registered query runs it over the
+    * fixture embeddings and [[Similarity.vectorCollections]]. */
+  def validateEmbeddingDimFrame(emb: DataFrame,
+      dims: DataFrame): DataFrame =
+    emb.join(broadcast(dims), Seq("collection_id"))
+      .withColumn("dim_ok",
+        size(col("embedding")) === col("embedding_dimension"))
+      .groupBy(col("collection_id"), col("embedding_dimension"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("dim_ok"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("dim_ok"), 0L).otherwise(1L)).as("n_invalid"))
+      .orderBy(col("collection_id").asc)
+
+  def validateEmbeddingDim(spark: SparkSession, dir: String): DataFrame =
+    validateEmbeddingDimFrame(
+      Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("collection_id"),
+          col("embedding")),
+      Similarity.vectorCollections(spark, dir)
+        .select("collection_id", "embedding_dimension"))
+
+  val validateEmbeddingDimOracleSql: String =
+    """SELECT CAST(label AS BIGINT) AS collection_id,
+      |  64 AS embedding_dimension, count(*) AS n_vectors,
+      |  CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_valid,
+      |  CAST(sum(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_invalid
+      |FROM embeddings GROUP BY label ORDER BY collection_id ASC""".stripMargin
+
   // ---- P4 metadata extraction ------------------------------------------
 
   private def containsAny(c: Column, needles: Seq[String]): Column =

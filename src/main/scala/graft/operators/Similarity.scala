@@ -88,6 +88,178 @@ object Similarity {
        |SELECT vec_id, label, dist FROM d WHERE dist <= $threshold
        |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
 
+  // --- per-collection distance_function dispatch (models.py:20) --------
+
+  /** The vector-collections dim: the reference's `collections` schema
+    * carries `distance_function` (default "cosine",
+    * /root/reference/src/db/models.py:20) and `embedding_dimension`
+    * (default 384, models.py:19 — CONFLICTING with the 1024 default in
+    * scripts/init-db.sql:24; see [[validateEmbeddingDim]]), but its
+    * search path ignores both and always computes cosine
+    * (vector_store.py:286). This engine honors the column: the
+    * embeddings fixture's `label` (10 values) plays the vector-
+    * collection role, `distance_function` is assigned by the
+    * deterministic label%3 → (cosine, l2, ip) policy (a synthetic
+    * stand-in for the user-chosen column), and `embedding_dimension`
+    * is the fixture's actual 64. A tiny dim — broadcast-joined
+    * everywhere, exactly like the reference's collections table. */
+  def vectorCollections(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label").as("collection_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("distance_function",
+        element_at(typedLit(Seq("cosine", "l2", "ip")),
+          pmod(col("collection_id"), lit(3)).cast("int") + 1))
+      .withColumn("embedding_dimension", lit(64))
+
+  val vectorCollectionsOracleSql: String =
+    """SELECT CAST(label AS BIGINT) AS collection_id,
+      |  count(*) AS n_vectors,
+      |  (['cosine','l2','ip'])[(label % 3) + 1] AS distance_function,
+      |  64 AS embedding_dimension
+      |FROM embeddings GROUP BY label ORDER BY collection_id ASC""".stripMargin
+
+  /** L2 KNN within one vector collection. The distance is computed as
+    * sqrt(a·a + q·q − 2·a·q) — three [[dot]] kernels plus identical
+    * scalar arithmetic on both engines (the DuckDB twin uses the SAME
+    * three-dot form, not `list_distance`, so the doubles are
+    * bit-equal) — and a·a is a scan-local per-row pass while q·q is
+    * computed once on the broadcast side, so the per-pair cost is ONE
+    * array traversal, the same as cosine's. */
+  def knnL2(spark: SparkSession, dir: String, label: Int, qid: Long,
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("label") === lit(label))
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").as("qv"),
+        dot(col("embedding"), col("embedding")).as("qq"))
+    emb.filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"),
+        dot(col("embedding"), col("embedding")).as("aa"),
+        col("embedding"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(sqrt(col("aa") + col("qq") -
+          lit(2.0) * dot(col("embedding"), col("qv"))), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle twin of [[knnL2]] with qid = the label's min vec_id (the
+    * sf-agnostic fixture anchor — vec_id/label pairings differ per
+    * scale factor, but every label's min exists at every sf). */
+  def knnL2OracleSql(label: Int, k: Int): String =
+    s"""WITH q0 AS (
+       |  SELECT min(vec_id) AS qid FROM embeddings WHERE label = $label
+       |), q AS (
+       |  SELECT CAST(e.embedding AS DOUBLE[]) AS qv,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                     CAST(e.embedding AS DOUBLE[])) AS qq,
+       |    q0.qid
+       |  FROM embeddings e, q0 WHERE e.vec_id = q0.qid
+       |)
+       |SELECT e.vec_id,
+       |  round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                              CAST(e.embedding AS DOUBLE[]))
+       |    + q.qq
+       |    - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)),
+       |    6) AS dist
+       |FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label = $label
+       |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** Inner-product KNN within one vector collection, pgvector `<#>`
+    * semantics: the operator returns the NEGATED inner product so that
+    * ascending order = most similar first, and a plain ORDER BY ASC
+    * top-k serves MIPS. One dot per pair, no norms at all. */
+  def knnIp(spark: SparkSession, dir: String, label: Int, qid: Long,
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("label") === lit(label))
+    val q = emb.filter(col("vec_id") === lit(qid))
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= lit(qid))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(-dot(col("embedding"), col("qv")), 6).as("neg_ip"))
+      .orderBy(col("neg_ip").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def knnIpOracleSql(label: Int, k: Int): String =
+    s"""WITH q0 AS (
+       |  SELECT min(vec_id) AS qid FROM embeddings WHERE label = $label
+       |), q AS (
+       |  SELECT CAST(e.embedding AS DOUBLE[]) AS qv, q0.qid
+       |  FROM embeddings e, q0 WHERE e.vec_id = q0.qid
+       |)
+       |SELECT e.vec_id,
+       |  round(-list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+       |    AS neg_ip
+       |FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label = $label
+       |ORDER BY neg_ip ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** Oracle twin of [[knnForCollection]]'s cosine branch (same
+    * min-vec_id anchor, same within-label scope). */
+  def knnCosineLabelOracleSql(label: Int, k: Int): String =
+    s"""WITH q0 AS (
+       |  SELECT min(vec_id) AS qid FROM embeddings WHERE label = $label
+       |), q AS (
+       |  SELECT CAST(e.embedding AS DOUBLE[]) AS qv,
+       |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                          CAST(e.embedding AS DOUBLE[]))) AS qn,
+       |    q0.qid
+       |  FROM embeddings e, q0 WHERE e.vec_id = q0.qid
+       |)
+       |SELECT e.vec_id,
+       |  round(1.0 - list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+       |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                             CAST(e.embedding AS DOUBLE[]))) * q.qn),
+       |    6) AS dist
+       |FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label = $label
+       |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** The label's min vec_id — bounded control-plane lookup (one agg
+    * over the label's pushed-filter scan) anchoring the dispatch
+    * queries at every sf. */
+  def minVecId(spark: SparkSession, dir: String, label: Int): Long =
+    Tables.embeddings(spark, dir).filter(col("label") === lit(label))
+      .agg(min(col("vec_id"))).first().getLong(0)
+
+  /** Collection-routed KNN: read the collection's `distance_function`
+    * from [[vectorCollections]] (a 1-row control-plane lookup on a
+    * 10-row dim — bounded by the number of collections, the same read
+    * the reference does per search against its collections table) and
+    * dispatch to the matching kernel. The reference declares this
+    * dispatch in schema and never implements it; here the column is
+    * load-bearing. Cosine keeps [[knnCosine]]'s within-collection
+    * scoping applied via label filter. */
+  def knnForCollection(spark: SparkSession, dir: String, label: Int,
+      qid: Long, k: Int): DataFrame = {
+    val fn = vectorCollections(spark, dir)
+      .filter(col("collection_id") === lit(label))
+      .select("distance_function")
+      .first().getString(0)
+    fn match {
+      case "l2" => knnL2(spark, dir, label, qid, k)
+      case "ip" => knnIp(spark, dir, label, qid, k)
+      case _ =>
+        val emb = Tables.embeddings(spark, dir)
+          .filter(col("label") === lit(label))
+        val q = emb.filter(col("vec_id") === lit(qid))
+          .select(col("embedding").as("qv"),
+            norm(col("embedding")).as("qn"))
+        emb.filter(col("vec_id") =!= lit(qid))
+          .select(col("vec_id"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(cosineDistancePre(col("embedding"), col("qv"),
+              col("nrm"), col("qn")), 6).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+          .limit(k)
+    }
+  }
+
   /** Lloyd rounds for the coarse quantizer — more than the SemDeDup
     * default (3): the coarse layer is probe infrastructure, trained
     * once, and recall at fixed nProbe is what it buys. */

@@ -56,6 +56,9 @@ class PlanLintSpec extends SparkSpec {
     "q11_important", // global-total scalar gating the HAVING
     // query-vector / probe / codebook rides (k- or Q-row frames)
     "knn_cosine", "knn_matryoshka", "knn_quantized", "knn_batch",
+    // 1-row query-vector rides of the dispatch family (same shape as
+    // knn_cosine, one kernel per distance_function)
+    "knn_l2", "knn_ip", "knn_dispatch_cos",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
     "ann_recall_curve", // the same composition once per probe width
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans

