@@ -66,6 +66,9 @@ object SparkEntry {
     // full boolean algebra (& | ! parens) — one AST emits both engines
     "fts_boolean" -> ((s, d) =>
       Fts.booleanSearch(s, d, "(hash | merge) & !sort", "en", 10)),
+    // websearch_to_tsquery: quoted phrase, bare OR, glued -negation
+    "fts_websearch" -> ((s, d) =>
+      Fts.websearchSearch(s, d, "\"hash join\" OR merge -sort", "en", 10)),
     // proximity search (NEAR/8, unordered) + the tsquery_phrase
     // distance operator `hash <2> merge` (b exactly n after a)
     "fts_near" -> ((s, d) =>
@@ -672,6 +675,8 @@ object SparkEntry {
     "kanon_risk" -> Datacard.kAnonymityRiskOracleSql(5L, 100L),
     "fts_facets" -> Fts.facetedSearchOracleSql("hash join"),
     "fts_near" -> Fts.nearSearchOracleSql("hash", "merge", 8, "en", 10),
+    "fts_websearch" ->
+      Fts.websearchSearchOracleSql("\"hash join\" OR merge -sort", "en", 10),
     "fts_phrase_dist" ->
       Fts.phraseDistSearchOracleSql("hash", "merge", 2, "en", 10),
     "fts_prf_terms" ->

@@ -1105,6 +1105,92 @@ object Fts {
        |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** `websearch_to_tsquery` search — the forgiving web-style surface
+    * completing the tsquery family ([[booleanSearch]] is the strict
+    * algebra): quoted phrases, bare `OR`, glued `-` negation, nothing
+    * is a syntax error ([[graft.functions.WebSearchQuery]] holds the
+    * grammar and PG-semantics notes). One driver-side parse; the SAME
+    * AST emits the Spark predicate and the oracle SQL. Matching stays
+    * scan-local like [[search]]/[[phraseSearch]]: per-term tf and
+    * per-phrase adjacency counts computed from the analyzed token
+    * array inside the scan, zero exchanges before the top-k. Rank =
+    * total match count of atoms in non-negated positions (term tf +
+    * phrase occurrences), the booleanSearch convention. */
+  def websearchSearch(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    import graft.functions.WebSearchQuery
+    import graft.functions.WebSearchQuery.{Term => WTerm, Phrase => WPhrase}
+    val ast = WebSearchQuery.parse(query)
+    val atoms = WebSearchQuery.atoms(ast)
+    val pos = WebSearchQuery.positiveAtoms(ast)
+    val name = atoms.zipWithIndex.map { case (a, i) => a -> s"m$i" }.toMap
+    val withToks = Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"),
+        TextAnalyzer.tokens(col("text")).as("toks"))
+    def phraseCount(ts: Seq[String]): Column = {
+      val n = ts.length
+      val idx = when(size(col("toks")) >= n,
+        sequence(lit(0), size(col("toks")) - n))
+        .otherwise(array().cast("array<int>"))
+      size(filter(transform(idx, i =>
+        ts.indices.map(j =>
+          element_at(col("toks"), i + j + 1) === lit(ts(j)))
+          .reduce(_ && _)), b => b))
+    }
+    val matchCols = atoms.map {
+      case a @ WTerm(t) =>
+        size(filter(col("toks"), x => x === lit(t))).as(name(a))
+      case a @ WPhrase(ts) => phraseCount(ts).as(name(a))
+      case other => throw new IllegalStateException(s"non-leaf $other")
+    }
+    val projected = withToks.select(col("doc_id") +: matchCols: _*)
+    val pred = WebSearchQuery.predicate(ast, a => col(name(a)))
+    val rank =
+      if (pos.isEmpty) lit(0L)
+      else pos.map(a => col(name(a)).cast("long")).reduce(_ + _)
+    projected.filter(pred)
+      .select(col("doc_id"), rank.as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def websearchSearchOracleSql(query: String, lang: String,
+      k: Int): String = {
+    import graft.functions.WebSearchQuery
+    import graft.functions.WebSearchQuery.{Term => WTerm, Phrase => WPhrase}
+    val ast = WebSearchQuery.parse(query)
+    val atoms = WebSearchQuery.atoms(ast)
+    val pos = WebSearchQuery.positiveAtoms(ast)
+    val name = atoms.zipWithIndex.map { case (a, i) => a -> s"m$i" }.toMap
+    def frag(a: WebSearchQuery.Node): String = a match {
+      case WTerm(t) => s"len(list_filter(tl, x -> x = '$t'))"
+      case WPhrase(ts) =>
+        val cond = ts.zipWithIndex
+          .map { case (t, j) => s"tl[i + $j] = '$t'" }.mkString(" AND ")
+        s"len(list_filter(range(1, greatest(len(tl) - ${ts.length - 1}, 0) + 1), i -> $cond))"
+      case other => throw new IllegalStateException(s"non-leaf $other")
+    }
+    val matchCols = atoms
+      .map(a => s"${frag(a)} AS ${name(a)}").mkString(",\n    ")
+    val pred = WebSearchQuery.predicateSql(ast, a => name(a))
+    val rank =
+      if (pos.isEmpty) "0" else pos.map(name).mkString(" + ")
+    s"""WITH tokl AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents WHERE lang = '$lang'
+       |), m AS (
+       |  SELECT doc_id,
+       |    $matchCols
+       |  FROM tokl
+       |)
+       |SELECT doc_id, CAST($rank AS BIGINT) AS matched_tf
+       |FROM m WHERE $pred
+       |ORDER BY matched_tf DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Vocabulary concentration indexes — Simpson/Herfindahl Σ(tfᵢ/T)²
     * and the top-term share: [[zipfFit]]'s scalar companions (a
     * boilerplate-dominated corpus concentrates probability mass in few
