@@ -587,6 +587,9 @@ object SparkEntry {
     // SemDeDup shape: integer k-means over embeddings + within-cluster
     // near-pair scan (bit-reproducible Lloyd iterations, no doubles)
     "kmeans_clusters" -> ((s, d) => Clustering.kmeansClusters(s, d, 8)),
+    // two-level k-means: the past-the-driver-bound route, exercised
+    // at fixture scale under an explicit 4x4 factorization
+    "kmeans_hier" -> ((s, d) => Clustering.kmeansHierClusters(s, d, 4, 4)),
     // distributed BPE tokenizer training: 8 merge steps over the
     // corpus word-frequency table (fold-rewrite, bounded collects)
     "bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
@@ -904,6 +907,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
+    "kmeans_hier" -> Clustering.kmeansHierClustersOracleSql(4, 4),
     "bpe_merges" -> Bpe.bpeMergesOracleSql,
     "bpe_vocab" -> Bpe.bpeVocabOracleSql(20),
     "cdc_chunks" -> Chunker.cdcChunksOracleSql(64),

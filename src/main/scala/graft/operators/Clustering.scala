@@ -183,7 +183,10 @@ object Clustering {
     * Σ c² — a checksum that pins the exact centroid without k·dim
     * output rows. */
   def kmeansClusters(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val (assign, cent) = fit(spark, dir, k)
+    // routed: flat kernel under the driver bound, hierarchical past it
+    // (at fixture k this takes the flat route, which the oracle replays;
+    // the hierarchical route has its own oracle, kmeans_hier)
+    val (assign, cent) = kmeansAuto(spark, dir, k)
     val sizes = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
     val energy = cent.groupBy(col("cluster"))
@@ -205,16 +208,19 @@ object Clustering {
     * et al. 2023, runs tens of thousands of clusters on billion-vector
     * corpora for exactly this reason; a FIXED k makes clusters ~n/k and
     * the pair scan O(n²) — the shape this replaced.) The count feeding k
-    * is a parquet-metadata job, not a scan. Beyond ~10⁷ centroid rows
-    * (k·dim) the broadcast assignment join itself outgrows memory; at
-    * that scale the standard move is two-level (hierarchical) k-means —
-    * out of scope for this fixture, documented as the next rung. Skewed
-    * clusters re-shard by a salted sub-cluster pass (see object doc). */
+    * is a parquet-metadata job, not a scan. Beyond
+    * [[MaxDriverCentroidCells]] (k·dim ~10⁷) the flat kernel's driver
+    * matrix outgrows memory; [[kmeansAuto]] routes that regime through
+    * [[fitHierarchical]] — the two-level rung, implemented and oracled
+    * (kmeans_hier). Skewed clusters re-shard by a salted sub-cluster
+    * pass (see object doc). */
   def semdedupReport(spark: SparkSession, dir: String,
       targetClusterSize: Long, maxDistMicro2: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(8L, n / targetClusterSize).toInt
-    val (assign, _) = fit(spark, dir, k)
+    // corpus-relative k grows with n: the auto route keeps the driver
+    // bound structural (flat ≤ MaxDriverCentroidCells, else two-level)
+    val (assign, _) = kmeansAuto(spark, dir, k)
     val comps = ivec(spark, dir).join(assign, Seq("vec_id"))
       .transform(CacheScope.cached)
     val pairDists = comps.as("x")
@@ -237,6 +243,157 @@ object Clustering {
         coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"),
         col("min_dist"))
       .orderBy(col("cluster").asc)
+  }
+
+  // ---- hierarchical (two-level) k-means ---------------------------------
+
+  /** Flat-kernel ceiling: [[fitRaw]] keeps the k·dim centroid matrix on
+    * the driver and collects k·dim update cells per Lloyd round — fine
+    * to ~10⁷ cells, the documented boundary. Above it, [[kmeansAuto]]
+    * routes through [[fitHierarchical]]. */
+  val MaxDriverCentroidCells: Long = 10L * 1000 * 1000
+
+  /** Two-level (hierarchical) k-means — the scale rung past the flat
+    * kernel's driver boundary. Level 1 trains k1 ≈ √k coarse centroids
+    * with the scan-local [[fitRaw]] (driver state k1·dim = √k·dim —
+    * the bounded collect). Level 2 trains k2 sub-centroids WITHIN each
+    * coarse cluster with NO driver state at all: the sub-centroid
+    * frame stays distributed and each Lloyd round is
+    * ivec ⋈ cent ON (coarse, dim) → per-vector argmin → integral-mean
+    * update, all partial-aggregable exchanges. The join touches only
+    * the vector's OWN coarse cluster's k2 rows, so per-round work is
+    * n·dim·k2 = n·dim·√k — the hierarchical win over the flat
+    * kernel's n·dim·k, on top of removing the driver bound entirely.
+    * (The repo's perf lesson that driver-paced beats relational holds
+    * for BOUNDED k; hierarchy exists precisely for k where the driver
+    * matrix cannot exist.)
+    *
+    * Same bit-reproducible integer arithmetic as [[fitRaw]]: micro-unit
+    * quantization, Σ(q−c)² BIGINT distances, dist·k2+sub argmin
+    * composite, sum-div-count updates, empty sub-clusters keep their
+    * previous centroid. Seeds: per coarse cluster, the k2 min-md5
+    * vectors (row_number over a PARTITIONED window — no global
+    * funnel). Final cluster id = coarse·k2 + sub.
+    *
+    * Returns (assign: vec_id → cluster, cent: cluster, dim, c) after
+    * `iterations` rounds, with the fitSql convention that the returned
+    * assignment is the one computed FROM the pre-update centroids of
+    * the final round. */
+  def fitHierarchical(spark: SparkSession, dir: String, k1: Int, k2: Int,
+      iterations: Int = Iterations): (DataFrame, DataFrame) = {
+    val (coarseAssign, _) = fitRaw(spark, dir, k1)
+    val ivc = ivec(spark, dir)
+      .join(coarseAssign.select(col("vec_id"),
+        col("cluster").as("coarse")), Seq("vec_id"))
+      .transform(CacheScope.cached)
+    val byCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+    val seeds = ivc.select(col("vec_id"), col("coarse")).distinct()
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .withColumn("rn", row_number().over(byCoarse))
+      .filter(col("rn") <= k2)
+      .select(col("vec_id"), col("coarse"),
+        (col("rn") - 1).cast("long").as("sub"))
+    var cent: DataFrame = ivc.join(seeds, Seq("vec_id", "coarse"))
+      .select(col("coarse"), col("sub"), col("dim"), col("q").as("c"))
+      .transform(CacheScope.cached)
+    var assign: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val dist = ivc.join(cent, Seq("coarse", "dim"))
+        .groupBy(col("vec_id"), col("coarse"), col("sub"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+          .as("dist"))
+      assign = dist.groupBy(col("vec_id"), col("coarse"))
+        .agg((min(col("dist") * lit(k2.toLong) + col("sub")) %
+          lit(k2.toLong)).as("sub"))
+        .transform(CacheScope.cached)
+      val sums = ivc.join(assign, Seq("vec_id", "coarse"))
+        .groupBy(col("coarse"), col("sub"), col("dim"))
+        .agg(expr("sum(q) div count(1)").as("c_new"))
+      cent = cent.as("p")
+        .join(sums.as("s"), Seq("coarse", "sub", "dim"), "left")
+        .select(col("coarse"), col("sub"), col("dim"),
+          coalesce(col("c_new"), col("c")).as("c"))
+        .transform(CacheScope.cached)
+    }
+    val a = assign.select(col("vec_id"),
+      (col("coarse") * k2 + col("sub")).as("cluster"))
+    val c = cent.select((col("coarse") * k2 + col("sub")).as("cluster"),
+      col("dim"), col("c"))
+    (a, c)
+  }
+
+  /** Routed fit: flat kernel while the driver centroid matrix fits the
+    * documented bound, hierarchical k1·k2 factorization past it. */
+  def kmeansAuto(spark: SparkSession, dir: String, k: Int,
+      dim: Int = 64): (DataFrame, DataFrame) =
+    if (k.toLong * dim <= MaxDriverCentroidCells) fit(spark, dir, k)
+    else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = math.ceil(k.toDouble / k1).toInt
+      fitHierarchical(spark, dir, k1, k2)
+    }
+
+  /** [[kmeansClusters]]' hierarchical sibling: per final-cluster size
+    * and centroid energy under an explicit k1·k2 factorization — the
+    * oracled fixture-scale exercise of the [[fitHierarchical]] path. */
+  def kmeansHierClusters(spark: SparkSession, dir: String, k1: Int,
+      k2: Int): DataFrame = {
+    val (assign, cent) = fitHierarchical(spark, dir, k1, k2)
+    val sizes = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val energy = cent.groupBy(col("cluster"))
+      .agg(sum(col("c") * col("c")).as("energy"))
+    sizes.join(energy, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("energy"))
+      .orderBy(col("cluster").asc)
+  }
+
+  def kmeansHierClustersOracleSql(k1: Int, k2: Int,
+      iterations: Int = Iterations): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""hdist$i AS (
+         |  SELECT v.vec_id, v.coarse, c.sub,
+         |    sum((v.q - c.c) * (v.q - c.c)) AS dist
+         |  FROM ivc v JOIN hcent${i - 1} c
+         |    ON c.coarse = v.coarse AND c.dim = v.dim
+         |  GROUP BY 1, 2, 3
+         |), hassign$i AS MATERIALIZED (
+         |  SELECT vec_id, coarse,
+         |    CAST(min(dist * $k2 + sub) % $k2 AS BIGINT) AS sub
+         |  FROM hdist$i GROUP BY 1, 2
+         |), hsums$i AS (
+         |  SELECT a.coarse, a.sub, v.dim, sum(v.q) // count(*) AS c_new
+         |  FROM ivc v JOIN hassign$i a ON a.vec_id = v.vec_id
+         |  GROUP BY 1, 2, 3
+         |), hcent$i AS MATERIALIZED (
+         |  SELECT p.coarse, p.sub, p.dim,
+         |    CAST(coalesce(s.c_new, p.c) AS BIGINT) AS c
+         |  FROM hcent${i - 1} p LEFT JOIN hsums$i s
+         |    ON s.coarse = p.coarse AND s.sub = p.sub AND s.dim = p.dim
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${fitSql(k1.toString)}, ivc AS MATERIALIZED (
+       |  SELECT v.vec_id, v.dim, v.q, a.cluster AS coarse
+       |  FROM ivec v JOIN assign$iterations a ON a.vec_id = v.vec_id
+       |), hseeds AS (
+       |  SELECT vec_id, coarse, rn - 1 AS sub FROM (
+       |    SELECT vec_id, coarse,
+       |      row_number() OVER (PARTITION BY coarse
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+       |        AS rn
+       |    FROM (SELECT DISTINCT vec_id, coarse FROM ivc)
+       |  ) WHERE rn <= $k2
+       |), hcent0 AS MATERIALIZED (
+       |  SELECT s.coarse, s.sub, v.dim, v.q AS c
+       |  FROM ivc v JOIN hseeds s ON s.vec_id = v.vec_id
+       |), $iters
+       |SELECT a.coarse * $k2 + a.sub AS cluster, count(*) AS n_vecs,
+       |  (SELECT CAST(sum(c.c * c.c) AS BIGINT) FROM hcent$iterations c
+       |   WHERE c.coarse = a.coarse AND c.sub = a.sub) AS energy
+       |FROM hassign$iterations a
+       |GROUP BY a.coarse, a.sub ORDER BY 1 ASC""".stripMargin
   }
 
   // ---- oracle SQL ----

@@ -530,4 +530,34 @@ class Round8OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"vocab join:\n$plan")
   }
+
+  test("hierarchical k-means: conserves vectors, refines the coarse " +
+      "partition, and kmeansAuto routes by the driver bound") {
+    import operators.Clustering
+    val (k1, k2) = (4, 4)
+    val (assign, cent) = Clustering.fitHierarchical(spark, Sf0001, k1, k2)
+    val rows = assign.collect()
+    // every vector assigned exactly once, ids within the k1*k2 grid
+    assert(rows.length == Tables.embeddings(spark, Sf0001).count())
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("cluster"); c >= 0 && c < k1.toLong * k2
+    })
+    // level 2 refines level 1: each final cluster's members share ONE
+    // coarse cluster (cluster div k2 recovers it)
+    val (coarse, _) = Clustering.kmeansAuto(spark, Sf0001, k1)
+    val coarseOf = coarse.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster") / k2 ==
+        coarseOf(r.getAs[Long]("vec_id")))
+    }
+    // centroid frame covers only seeded (coarse, sub) cells, 64 dims each
+    val centRows = cent.collect()
+    assert(centRows.length % 64 == 0)
+    assert(centRows.length <= k1 * k2 * 64)
+    // routing arithmetic: flat under the bound, hierarchical above
+    assert(8L * 64 <= Clustering.MaxDriverCentroidCells)
+    assert(200000L * 64 > Clustering.MaxDriverCentroidCells)
+  }
 }
