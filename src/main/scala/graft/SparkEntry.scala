@@ -233,6 +233,10 @@ object SparkEntry {
     "alt_schema_documentation" -> ((s, d) =>
       LegacySchema.documentationView(s, d)),
     "s3_pagination" -> ((s, d) => Relational.paginateDocuments(s, d, 50, 100)),
+    // collection-scoped pagination off the partition-by-collection
+    // layout (PartitionFilters directory pruning, SURVEY §4.3)
+    "s3_pagination_scoped" -> ((s, d) =>
+      Relational.paginateCollection(s, d, "en", 50, 100)),
     "s3_pagination_ids" -> ((s, d) =>
       Relational.paginateDocumentsByIds(s, d, PaginationIds, 25, 5)),
     // keyset (seek) pagination — O(page) at any cursor depth vs OFFSET
@@ -738,6 +742,8 @@ object SparkEntry {
       LegacySchema.documentationViewOracleSql,
     "emb_client_retry" -> EmbeddingClient.retrySummaryOracleSql(),
     "s3_pagination" -> Relational.paginateOracleSql(50, 100),
+    "s3_pagination_scoped" ->
+      Relational.paginateCollectionOracleSql("en", 50, 100),
     "s3_pagination_ids" ->
       Relational.paginateByIdsOracleSql(PaginationIds, 25, 5),
     "s3_keyset" -> Relational.paginateKeysetOracleSql(240L, 25),

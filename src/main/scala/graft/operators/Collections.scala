@@ -39,6 +39,40 @@ object Collections {
       .select("collection_id", "name", "n_docs", "total_chars")
   }
 
+  /** The physical partition-by-collection layout SURVEY §4.3 promises:
+    * documents persisted once per corpus as a table PARTITIONED BY the
+    * collection column (`lang`), so collection-scoped reads prune at
+    * the DIRECTORY level — the scan plans `PartitionFilters` and lists
+    * only the target collection's files, rather than opening every
+    * file and relying on row-group PushedFilters. At 100 TB with
+    * thousands of collections this is the difference between listing
+    * one partition and footer-probing the whole corpus. Built once per
+    * dir (the [[graft.operators.Fts.ensureIndex]] build-once/probe-many
+    * discipline); collection-scoped operators read through
+    * [[scopedDocuments]]. */
+  def ensurePartitionedDocuments(spark: SparkSession,
+      dir: String): String = {
+    val name = s"graft_docs_part_${ScaleOps.dirHash(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(warehouse, name.toLowerCase))
+      Tables.documents(spark, dir).write.mode("overwrite")
+        .partitionBy("lang").format("parquet").saveAsTable(name)
+    }
+    name
+  }
+
+  /** One collection's documents off the partitioned layout — the
+    * filter lands in the scan's PartitionFilters (directory pruning),
+    * asserted by PartitionPruneSpec. */
+  def scopedDocuments(spark: SparkSession, dir: String,
+      lang: String): DataFrame =
+    spark.table(ensurePartitionedDocuments(spark, dir))
+      .filter(col("lang") === lit(lang))
+
   /** S1: point lookup by unique name (pushdown-friendly filter). */
   def lookup(spark: SparkSession, dir: String, name: String): DataFrame =
     collections(spark, dir).filter(col("name") === lit(name))

@@ -106,9 +106,11 @@ object Fts {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
     // explode(array(...)) barrier: materialize the token array once per
-    // row so the per-term filters don't re-run the tokenizer
-    val withToks = Tables.documents(spark, dir)
-      .filter(col("lang") === lit(lang))            // F6 — pushed down
+    // row so the per-term filters don't re-run the tokenizer.
+    // F6 scope reads the partition-by-collection layout: the lang
+    // filter is a PartitionFilter (directory pruning), not just a
+    // row-group PushedFilter — the SURVEY §4.3 physical contract.
+    val withToks = Collections.scopedDocuments(spark, dir, lang)
       .select(col("doc_id"),
         explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
     val tfCols = terms.indices.map(i =>

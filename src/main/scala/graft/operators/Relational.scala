@@ -390,6 +390,26 @@ object Relational {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |ORDER BY doc_id ASC LIMIT $limit OFFSET $offset""".stripMargin
 
+  /** S3 collection-scoped pagination — the reference's actual shape
+    * (list_documents takes a collection_id,
+    * /root/reference/src/core/vector_store.py:341): pages within ONE
+    * collection off the partition-by-collection layout, so the scan
+    * lists only that collection's directory (PartitionFilters) before
+    * the same TakeOrderedAndProject(limit+offset) pagination. */
+  def paginateCollection(spark: SparkSession, dir: String, lang: String,
+      limit: Int, offset: Int): DataFrame =
+    graft.operators.Collections.scopedDocuments(spark, dir, lang)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc)
+      .offset(offset)
+      .limit(limit)
+
+  def paginateCollectionOracleSql(lang: String, limit: Int,
+      offset: Int): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE lang = '$lang'
+       |ORDER BY doc_id ASC LIMIT $limit OFFSET $offset""".stripMargin
+
   /** S3 variant: the `document_ids` in-list filter composed with
     * pagination (`query.where(Document.document_id.in_(document_ids))`,
     * /root/reference/src/core/vector_store.py:344-348). The IN-list is
