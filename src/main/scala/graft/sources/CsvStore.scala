@@ -66,15 +66,10 @@ object CsvStore {
     * read-back; oracle = the same digests over the parquet original. */
   def roundTripDigest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val back = read(spark, docs.schema, ensureDocumentsCsv(spark, dir))
-    back.groupBy("lang")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("doc_id")).as("id_sum"),
-        sum(col("n_chars")).as("chars_sum"),
-        sum(conv(substring(md5(col("text")), 1, 13), 16, 10)
-          .cast("long")).as("text_digest"))
-      .orderBy(col("lang").asc)
+    // shared modular-digest aggregate (JsonlStore.DigestMod headroom
+    // note applies: Int64 sums of 52-bit terms overflow at sf1)
+    JsonlStore.digestAgg(
+      read(spark, docs.schema, ensureDocumentsCsv(spark, dir)))
   }
 
   val roundTripDigestOracleSql: String =

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -62,29 +62,46 @@ object JsonlStore {
       s"$base/documents"
     })
 
+  /** Digest modulus, 2⁶¹−1 (Mersenne prime). The digests are SUMS of
+    * 52-bit md5-prefix terms: a raw Int64 sum overflows past ~2·10³
+    * docs per group — the sf1 sweep caught exactly that (ANSI
+    * ARITHMETIC_OVERFLOW at 10⁴ docs/lang). The sums therefore
+    * accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB's native
+    * sum(BIGINT) type) and reduce mod 2⁶¹−1 — identity whenever the
+    * true sum is below the modulus, so fixture hashes at small sf are
+    * unchanged, and headroom is ~10²² rows per group at 100 TB. A
+    * modular sum still detects any single-row codec loss. */
+  val DigestMod = 2305843009213693951L
+
+  private[sources] def digestAgg(back: DataFrame): DataFrame = {
+    def modSum(c: Column) =
+      pmod(sum(c.cast("decimal(38,0)")),
+        lit(new java.math.BigDecimal(DigestMod))).cast("long")
+    back.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        modSum(col("doc_id")).as("id_sum"),
+        modSum(col("n_chars")).as("chars_sum"),
+        modSum(conv(substring(md5(col("text")), 1, 13), 16, 10)
+          .cast("long")).as("text_digest"))
+      .orderBy(col("lang").asc)
+  }
+
   /** The round-trip gate: per-language integral digests computed over
     * the JSONL read-back. Output (lang, n, id_sum, chars_sum,
     * text_digest). */
   def roundTripDigest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val back = read(spark, docs.schema, ensureDocumentsJsonl(spark, dir))
-    back.groupBy("lang")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("doc_id")).as("id_sum"),
-        sum(col("n_chars")).as("chars_sum"),
-        sum(conv(substring(md5(col("text")), 1, 13), 16, 10)
-          .cast("long")).as("text_digest"))
-      .orderBy(col("lang").asc)
+    digestAgg(read(spark, docs.schema, ensureDocumentsJsonl(spark, dir)))
   }
 
   /** Oracle: identical digests over the parquet original — the JSONL
     * leg exists only Spark-side, so any codec loss hash-mismatches. */
   val roundTripDigestOracleSql: String =
     s"""SELECT lang, count(*) AS n,
-       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-       |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(sum(doc_id) % $DigestMod AS BIGINT) AS id_sum,
+       |  CAST(sum(n_chars) % $DigestMod AS BIGINT) AS chars_sum,
        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT))
-       |    AS BIGINT) AS text_digest
+       |    % $DigestMod AS BIGINT) AS text_digest
        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin
 }
