@@ -508,9 +508,11 @@ object SparkEntry {
     "p4_metadata" -> ((s, d) => DocumentPipeline.extractMetadata(s, d)),
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "diversity_report" -> ((s, d) => TextOps.diversityReport(s, d)),
-    // deflate-ratio quality signal (no SQL-expressible oracle: DuckDB
-    // has no deflate → rows-only; TextOpsSpec carries semantics)
-    "quality_compress" -> ((s, d) => TextOps.compressionQuality(s, d)),
+    // compressibility quality signal: the owned LZ-novelty estimator
+    // (distinct-8-gram ratio) — fully oracle-replayable; the REAL
+    // zlib signal stays as TextOps.compressionQuality, spec-gated
+    // (WinnowSpec) and rank-correlated against this estimator
+    "quality_compress" -> ((s, d) => TextOps.compressionNovelty(s, d)),
     // PII redaction: planted emails scrubbed, post-redaction text
     // hash-gated
     "redact_pii" -> ((s, d) => TextOps.redactPii(s, d)),
@@ -925,10 +927,13 @@ object SparkEntry {
     "nb_confusion" -> Classifier.nbConfusionOracleSql,
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
+    "quality_compress" -> TextOps.compressionNoveltyOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
     //   emb_tfidf_ann — MLlib murmur3 hashing/IDF/LSH aren't reasonably
     //     SQL-expressible
-    //   quality_compress — DuckDB exposes no deflate
     //   s9_relation_size — engine-specific parquet footprints by design
+    // (quality_compress's REAL zlib signal has no SQL twin either —
+    //  the registered query is the owned LZ-novelty estimator, and
+    //  WinnowSpec rank-correlates the two)
   )
 }

@@ -448,6 +448,55 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Owned LZ-ish compressibility ESTIMATOR — the oracle-replayable
+    * companion to [[compressionQuality]]'s real zlib signal: the
+    * fraction of NOVEL character 8-grams per document,
+    * est_ratio = |distinct 8-grams| / |8-grams|. This is the LZ78
+    * dictionary-growth rate in miniature (every repeated substring of
+    * length ≥ 8 contributes non-novel grams, exactly the matches a
+    * deflate window would reuse), so repetitive/templated text scores
+    * low and prose scores high — the SAME ordering the codec produces,
+    * pinned by spec rank-correlation against zlib. Integer counts on
+    * both engines → exact hash parity; scan-local, zero shuffles
+    * before the output sort. (zlib itself has no ANSI-SQL twin —
+    * DuckDB exposes no deflate — which kept quality_compress
+    * rows-only for 12 rounds; this estimator closes the gate.) */
+  def compressionNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // dynamic-start substring needs the SQL form (the Column API's
+    // substring takes literal positions only)
+    val gramsExpr = expr(
+      "CASE WHEN length(text) >= 8 THEN " +
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    Tables.documentsDense(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_doc"),
+        gramsExpr.as("grams"))
+      .select(col("doc_id"), col("n_chars_doc"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_novel"))
+      .withColumn("est_ratio",
+        when(col("n_grams") > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 6)))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val compressionNoveltyOracleSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_doc,
+      |    CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_grams,
+      |    CAST(CASE WHEN length(text) >= 8 THEN len(list_distinct(
+      |      list_transform(range(1, length(text) - 6),
+      |        i -> substring(text, i, 8)))) ELSE 0 END AS BIGINT)
+      |      AS n_novel
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars_doc, n_grams, n_novel,
+      |  CASE WHEN n_grams > 0
+      |    THEN round(CAST(n_novel AS DOUBLE) / n_grams, 6) END
+      |    AS est_ratio
+      |FROM g ORDER BY doc_id ASC""".stripMargin
+
   /** Repetition quality signals (Gopher, Rae et al. 2021 §A1.1.2: "we
     * remove documents with excessive repetition" — duplicate-line/
     * n-gram fractions). Our single-line corpus gets the word-level

@@ -69,6 +69,34 @@ class CompressionQualitySpec extends SparkSpec {
     assert(out(0L) < out(1L) / 2,
       s"repetitive ${out(0L)} should compress far below diverse ${out(1L)}")
   }
+
+  test("LZ-novelty estimator tracks the real codec: positive rank " +
+      "correlation with zlib ratios over the corpus") {
+    val zlib = TextOps.compressionQuality(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("compress_ratio")).toMap
+    val est = TextOps.compressionNovelty(spark, Sf0001).collect()
+      .filter(_.getAs[Long]("n_grams") > 0)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("est_ratio"))
+    assert(est.nonEmpty)
+    est.foreach { case (_, r) => assert(r > 0.0 && r <= 1.0) }
+    // Spearman over the shared ids
+    val pairs = est.collect { case (id, e) if zlib.contains(id) =>
+      (e, zlib(id)) }
+    def ranks(xs: Seq[Double]): Map[Double, Double] =
+      xs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2).sum.toDouble / g.length }
+    val (es, zs) = (pairs.map(_._1).toSeq, pairs.map(_._2).toSeq)
+    val (re, rz) = (ranks(es), ranks(zs))
+    val n = pairs.length.toDouble
+    val mE = es.map(re).sum / n; val mZ = zs.map(rz).sum / n
+    val cov = pairs.map { case (e, z) => (re(e) - mE) * (rz(z) - mZ) }.sum
+    val vE = es.map(x => math.pow(re(x) - mE, 2)).sum
+    val vZ = zs.map(x => math.pow(rz(x) - mZ, 2)).sum
+    val rho = cov / math.sqrt(vE * vZ)
+    assert(rho > 0.3,
+      s"novelty estimator should rank-correlate with zlib, rho=$rho")
+  }
 }
 
 class RedactPiiSpec extends SparkSpec {
