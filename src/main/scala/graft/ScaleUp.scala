@@ -60,7 +60,14 @@ object ScaleUp {
     val sS = stride(supp, "s_suppkey"); val pS = stride(part, "p_partkey")
 
     def write(df: DataFrame, name: String): Unit = {
-      df.drop("_copy").write.mode(SaveMode.Overwrite)
+      // 32 files per table: the crossJoin-with-range build otherwise
+      // inherits the single-file source's ONE partition, and a 1-file/
+      // 1-row-group parquet table cannot be split — every scan in the
+      // sf1 sweep would run as one task regardless of cores (measured:
+      // cdc_chunks pinned a single core for 15+ min). Multi-file
+      // layout is also the realistic shape: production tables are
+      // written by many tasks.
+      df.drop("_copy").repartition(32).write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name written")
     }

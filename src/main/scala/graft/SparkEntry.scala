@@ -580,6 +580,10 @@ object SparkEntry {
     // duplicated verbatim 5-token spans across documents (fixed-n
     // approximation of exact-substring dedup)
     "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d, 100)),
+    // variable-length exact-substring dedup (suffix-grouping form):
+    // maximal cross-doc duplicated runs, levels 5..10, capped at 10
+    "dedup_substrings" -> ((s, d) =>
+      Dedup.maximalDuplicatedSubstrings(s, d, 5, 10, 100)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalByQuality(s, d, 0.5)),
     "source_leakage" -> ((s, d) => Dedup.sourceLeakage(s, d)),
@@ -909,6 +913,8 @@ object SparkEntry {
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
+    "dedup_substrings" ->
+      Dedup.maximalDuplicatedSubstringsOracleSql(5, 10, 100),
     "dedup_span_coverage" -> Dedup.spanCoverageOracleSql,
     "dedup_canonical" -> Dedup.canonicalByQualityOracleSql(0.5),
     "source_leakage" -> Dedup.sourceLeakageOracleSql,

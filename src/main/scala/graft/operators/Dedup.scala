@@ -799,6 +799,112 @@ object Dedup {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Variable-length exact-substring dedup — the suffix-array question
+    * (Lee et al. 2022 find all repeated substrings ≥ threshold via a
+    * corpus suffix array) answered with a LENGTH-CAPPED distributed
+    * gram-extension pass, the sorted-extension member of the
+    * suffix-grouping family: for each token length n in
+    * [minN, maxN], inventory the cross-doc duplicated n-grams (one
+    * partial-aggregable gram shuffle per level over the shared cached
+    * token stream), then keep a level-n gram only if NO duplicated
+    * (n+1)-gram contains it — containment checked relationally by
+    * decomposing each level-(n+1) gram into its two n-token children
+    * (drop-first-word / drop-last-word regexes, identical on both
+    * engines) and anti-joining. What survives is the set of MAXIMAL
+    * duplicated substrings (string-level inventory, like
+    * [[duplicatedSpans]]): extending any of them by one token in
+    * either direction is no longer a cross-doc duplicate. The maxN
+    * level reports as-is — runs ≥ maxN tokens are length-capped by
+    * construction (the cap is the suffix-array trade: bounded levels
+    * instead of unbounded LCP extension).
+    *
+    * Scale shape: maxN−minN+1 gram levels, each scan-local behind the
+    * cached tokenizer barrier with ONE map-side-combined shuffle;
+    * anti-joins are vocabulary-sized on both sides and gram-keyed.
+    * Total work is O(levels · corpus) — the suffix array's O(corpus ·
+    * log) with a bounded constant and no global sort. */
+  def maximalDuplicatedSubstrings(spark: SparkSession, dir: String,
+      minN: Int, maxN: Int, topK: Int): DataFrame = {
+    require(minN >= 2 && maxN > minN, "need a real level ladder")
+    val toks = Tables.documentsDense(spark, dir)
+      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
+      .transform(CacheScope.cached)
+    def dupGrams(n: Int): DataFrame = {
+      val idx = when(size(col("toks")) >= n,
+        sequence(lit(0), size(col("toks")) - n))
+        .otherwise(array().cast("array<int>"))
+      val grams = transform(idx,
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
+      toks.select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)
+        .withColumn("length", lit(n).cast("long"))
+    }
+    val levels = (minN to maxN).map(n => n -> dupGrams(n)).toMap
+    def children(next: DataFrame): DataFrame =
+      next.select(regexp_replace(col("gram"), " [^ ]+$", "").as("gram"))
+        .union(next
+          .select(regexp_replace(col("gram"), "^[^ ]+ ", "").as("gram")))
+        .distinct()
+    val maximal = (minN until maxN).map { n =>
+      levels(n).join(children(levels(n + 1)), Seq("gram"), "left_anti")
+    } :+ levels(maxN) // capped level: maximal-or-longer by construction
+    maximal.reduce(_.unionByName(_))
+      .select(col("length"), col("gram"), col("n_docs"),
+        col("n_occurrences"))
+      .orderBy(col("length").desc, col("n_docs").desc,
+        col("n_occurrences").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  def maximalDuplicatedSubstringsOracleSql(minN: Int, maxN: Int,
+      topK: Int): String = {
+    def gramExpr(n: Int) = (0 until n).map(j => s"tl[i + $j]")
+      .mkString(" || ' ' || ")
+    val dupCtes = (minN to maxN).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tl) - ${n - 1}, 0) + 1),
+         |    i -> ${gramExpr(n)})) AS gram
+         |  FROM toklists
+         |), dup$n AS MATERIALIZED (
+         |  SELECT gram, count(DISTINCT doc_id) AS n_docs,
+         |    count(*) AS n_occurrences
+         |  FROM g$n GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+         |)""".stripMargin
+    }.mkString(", ")
+    // children precomputed once per level (equi-keyed anti-join, not a
+    // per-pair regex nested loop)
+    val childCtes = (minN until maxN).map { n =>
+      s"""ch$n AS (
+         |  SELECT regexp_replace(gram, ' [^ ]+$$', '') AS gram
+         |  FROM dup${n + 1}
+         |  UNION
+         |  SELECT regexp_replace(gram, '^[^ ]+ ', '') FROM dup${n + 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val maximalSelects = (minN until maxN).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS length, gram, n_docs,
+         |  n_occurrences
+         |FROM dup$n d WHERE d.gram NOT IN (SELECT gram FROM ch$n)""".stripMargin
+    } :+
+      s"""SELECT CAST($maxN AS BIGINT) AS length, gram, n_docs,
+         |  n_occurrences
+         |FROM dup$maxN""".stripMargin
+    s"""WITH toklists AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), $dupCtes, $childCtes
+       |${maximalSelects.mkString("\nUNION ALL\n")}
+       |ORDER BY length DESC, n_docs DESC, n_occurrences DESC, gram ASC
+       |LIMIT $topK""".stripMargin
+  }
+
   /** Duplicated-span COVERAGE per source — the Lee et al. 2022 removal
     * criterion made queryable: for every document, the fraction of its
     * token positions covered by some `SpanGramSize`-token run that also

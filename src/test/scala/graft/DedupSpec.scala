@@ -116,4 +116,36 @@ class DedupSpec extends SparkSpec {
     assert(pp.nonEmpty)
     graft.operators.CacheScope.release(spark)
   }
+
+  test("maximal duplicated substrings: a planted exact-n run reports " +
+      "at exactly its length; >=cap runs land on the cap level") {
+    import spark.implicits._
+    // two docs share EXACTLY a 6-token run ("alpha bravo charlie delta
+    // echo foxtrot") with different surroundings, two more share a
+    // 14-token run (>= cap 10)
+    val six = "alpha bravo charlie delta echo foxtrot"
+    val long = (1 to 14).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, s"unique1 prefix1 $six suffix1 tailone"),
+      (2L, s"unique2 prefix2 $six suffix2 tailtwo"),
+      (3L, s"opena openb $long closea"),
+      (4L, s"openc opend $long closeb")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sub").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup
+      .maximalDuplicatedSubstrings(spark, tmp, 5, 10, 100)
+      .collect()
+      .map(r => (r.getAs[Long]("length"), r.getAs[String]("gram")))
+    // the 6-run is maximal at 6 — present at length 6, absent at 5
+    assert(out.contains((6L, six)))
+    assert(!out.exists { case (l, g) => l == 5L && six.contains(g) },
+      "a 5-token sub-run of the 6-run should be suppressed as non-maximal")
+    // the 14-run reports at the cap (10), not below
+    val capGrams = out.filter(_._1 == 10L).map(_._2)
+    assert(capGrams.exists(long.contains _))
+    assert(!out.exists { case (l, g) => l < 10L && long.contains(g) },
+      "sub-runs of the capped run should be suppressed below the cap")
+    graft.operators.CacheScope.release(spark)
+  }
 }
