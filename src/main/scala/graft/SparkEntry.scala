@@ -473,6 +473,9 @@ object SparkEntry {
       graft.streaming.StreamBridge.streamRunningTotals(s, d)),
     // salted two-stage aggregation: exact vs the plain GROUP BY oracle
     "agg_salted" -> ((s, d) => ScaleOps.saltedSuppAgg(s, d)),
+    // exact count-distinct with a salted combine — the skew case
+    // partial aggregation can't absorb (see SkewStress for the rung)
+    "agg_salted_distinct" -> ((s, d) => ScaleOps.saltedDistinctUsers(s, d)),
     // zero-exchange fact-fact join+agg over pre-bucketed tables
     "bucketed_revenue" -> ((s, d) => ScaleOps.bucketedRevenue(s, d, 10)),
     // order-independent multiset digests (dataset-versioning primitive)
@@ -857,6 +860,7 @@ object SparkEntry {
     "hybrid_linear" ->
       Hybrid.linearSearchOracleSql("hash join merge", "en", 0L, 20, 0.6, 10),
     "agg_salted" -> ScaleOps.saltedSuppAggOracleSql,
+    "agg_salted_distinct" -> ScaleOps.saltedDistinctUsersOracleSql,
     "bucketed_revenue" -> ScaleOps.bucketedRevenueOracleSql(10),
     "table_digest" -> ScaleOps.tableDigestsOracleSql,
     "skew_stats" -> ScaleOps.joinKeySkewOracleSql(10),

@@ -106,6 +106,44 @@ object ScaleOps {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
 
+  /** Exact per-key COUNT DISTINCT with a salted combine — the member
+    * of the skew family where salting genuinely pays. (For plain
+    * count/sum, hash partial aggregation already collapses each map
+    * task's hot-key rows to one row, so the hot reducer never sees the
+    * skew; [[saltedCountSum]] documents that pattern. COUNT DISTINCT
+    * defeats partial reduction: the final per-key aggregate receives
+    * ONE ROW PER DISTINCT VALUE of the hot key — a zipf head key with
+    * 10⁶ distinct values funnels 10⁶ rows into a single reducer.)
+    * Three exchanges, all balanced: (1) distinct on (key, value) —
+    * spread by the value component; (2) count per (key,
+    * hash(value) mod salts) — the hot key fans over `salts` reducers;
+    * (3) sum the salt-counts per key — `salts` rows per key, trivial.
+    * Exact because the salt partitions each key's distinct-value SET.
+    * graft.SkewStress measures the win on a zipf corpus; BENCHNOTES
+    * carries the rung. */
+  def saltedDistinctCount(df: DataFrame, key: String, value: String,
+      salts: Int): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key),
+        pmod(xxhash64(col(value)), lit(salts.toLong)).as("_salt"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n_distinct"))
+
+  /** Registered form: distinct users per event type — event_type is a
+    * NATURALLY skewed key (a handful of values over the whole fact
+    * table), so the unsalted plan's final agg would receive every
+    * distinct (type, user) pair of the hottest type in one task. */
+  def saltedDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    saltedDistinctCount(
+      graft.Tables.events(spark, dir), "event_type", "user_id", 32)
+      .select(col("event_type"), col("n_distinct"))
+      .orderBy(col("event_type").asc)
+
+  val saltedDistinctUsersOracleSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin
+
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative dimensions — x in even positions, y in odd. Rows
     * sorted by this key cluster 2-D-close rows into the same parquet
