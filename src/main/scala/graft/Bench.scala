@@ -241,8 +241,15 @@ object Bench {
         } yield s""","duckdb_paired":{"total":$d,"n":$n}""").getOrElse("")
       }
     }
+    // the one-time streaming-family engine run amortized by the bridge
+    // sinks (StreamBridge family runner): reported so the amortization
+    // is explicit in the artifact, not hidden in warm-up
+    val streamPart = {
+      val s = graft.streaming.StreamBridge.familyBuildSec
+      if (s > 0) s""","stream_family_build_sec":${r2(s)}""" else ""
+    }
     def envelope(queriesJson: String, extra: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart$duckPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart$duckPart$streamPart}"""
     val byCost = ok.sortBy(r => (-r._2, r._1))
     val fullLadder = Seq(3, 2, 1).iterator.map { digits =>
       val p = math.pow(10, digits)
