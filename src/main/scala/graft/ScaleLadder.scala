@@ -52,7 +52,16 @@ object ScaleLadder {
     // growth, not probe-path flatness), the one-job grouped
     // per-collection top-k (bucket-pruned — should stay FLAT), and the
     // xxhash64 bloom-pruned join (scan-bound, ~linear)
-    "quant_recall", "fts_by_collection", "join_bloom_prune")
+    "quant_recall", "fts_by_collection", "join_bloom_prune",
+    // round-13: variable-length substring dedup (levels × corpus, no
+    // global sort — expect ~linear), the two-level k-means route
+    // (distributed level 2, ~linear), the dispatch KNN kernels (one
+    // corpus scan each, knn_cosine-class), the salted exact distinct
+    // (three balanced exchanges, ~linear), the partitioned-layout
+    // scoped pagination (directory-pruned scan, ~flat), and the
+    // LZ-novelty estimator (scan-local, ~linear)
+    "dedup_substrings", "kmeans_hier", "knn_l2", "agg_salted_distinct",
+    "s3_pagination_scoped", "quality_compress")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -15,9 +15,10 @@ class Round7OpsSpec extends SparkSpec {
   test("every oracle key names a registered query (stray oracles never gate)") {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"oracles without queries: $stray")
-    // and the rows-only set stays the documented four
+    // and the rows-only set stays the documented three
+    // (quality_compress went oracled in r13 via the LZ-novelty form)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("emb_tfidf_ann", "quality_compress",
+    assert(rowsOnly == Set("emb_tfidf_ann",
       "s9_relation_size", "emb_client"),
       s"unexpected rows-only queries: $rowsOnly")
   }
