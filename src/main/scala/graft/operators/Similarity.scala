@@ -331,10 +331,128 @@ object Similarity {
 
   /** [[ensureIvfIndex]] with the corpus-relative [[autoNCentroids]]
     * policy — the form a deployment calls (the oracled fixture queries
-    * pass explicit counts so their DuckDB twins can replay them). */
-  def ensureIvfIndexAuto(spark: SparkSession, dir: String): String =
-    ensureIvfIndex(spark, dir,
-      autoNCentroids(Tables.embeddings(spark, dir).count()))
+    * pass explicit counts so their DuckDB twins can replay them).
+    * ROUTED (r12 verdict #2): while cells·dim fits the flat trainer's
+    * driver bound the flat build runs (and its oracle replays it); past
+    * it — the auto policy grows cells linearly with the corpus, so at
+    * ~10⁹ vectors the driver matrix is gone — the build goes through
+    * [[ensureIvfIndexHier]]'s centroids-over-centroids pass, whose
+    * training never materializes the centroid matrix anywhere. */
+  def ensureIvfIndexAuto(spark: SparkSession, dir: String): String = {
+    val cells = autoNCentroids(Tables.embeddings(spark, dir).count())
+    if (cells.toLong * 64 <= Clustering.MaxDriverCentroidCells)
+      ensureIvfIndex(spark, dir, cells)
+    else {
+      val k1 = math.ceil(math.sqrt(cells.toDouble)).toInt
+      ensureIvfIndexHier(spark, dir, k1,
+        math.ceil(cells.toDouble / k1).toInt)
+    }
+  }
+
+  private def ivfHierName(dir: String, k1: Int, k2: Int): String =
+    s"graft_ivfh_${k1}x${k2}_${ScaleOps.dirHash(dir)}"
+
+  /** Hierarchical IVF build — the past-the-driver-bound route: the
+    * coarse/sub centroid structure comes from
+    * [[Clustering.fitHierarchical]] (level 2 fully distributed, no
+    * k·dim driver matrix ever exists), the index rows REUSE the
+    * trainer's own final assignment (no re-assignment pass — at auto
+    * policy k ∝ n a flat re-assign would be the n·k quadratic this
+    * route exists to avoid), and THREE tables persist: the bucketed
+    * rows, the full cell-centroid frame (cv/cn per final cell, built
+    * relationally from the micro centroids), and a k1-row COARSE
+    * router (per-coarse mean of its sub-centroids) for the two-level
+    * probe. The training metric is the integer L2 of fitHierarchical —
+    * at this regime the coarse layer is a router, and the probe's
+    * exact cosine re-rank inside the probed cells is what recall rides
+    * on (spec-gated at fixture scale: a full-width probe reproduces
+    * exact KNN bit-for-bit). */
+  def ensureIvfIndexHier(spark: SparkSession, dir: String, k1: Int,
+      k2: Int): String = {
+    val name = ivfHierName(dir, k1, k2)
+    if (!spark.catalog.tableExists(name)) {
+      val (assign, centMicro) =
+        Clustering.fitHierarchical(spark, dir, k1, k2)
+      val cents = centMicro.groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c").cast("double") / 1e6).as("cv"))
+        .select(col("cluster").as("centroid_id"), col("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val coarse = centMicro
+        .groupBy((col("cluster") / k2).cast("long").as("coarse"),
+          col("dim"))
+        .agg(avg(col("c")).as("cm"))
+        .groupBy(col("coarse"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          x => x.getField("cm").cast("double") / 1e6).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .select(col("coarse").as("centroid_id"), col("cv"), col("cn"))
+      val rows = Tables.embeddings(spark, dir)
+        .join(assign, Seq("vec_id"))
+        .join(cents, col("cluster") === cents("centroid_id"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"),
+          col("cluster").as("centroid_id"),
+          round(cosineDistancePre(col("embedding"), col("cv"),
+            norm(col("embedding")), col("cn")), 6).as("cdist"))
+      ScaleOps.writeBucketed(rows, name, "centroid_id",
+        math.min(k1 * k2, 64))
+      ScaleOps.writeBucketed(cents, s"${name}_cents", "centroid_id", 1)
+      ScaleOps.writeBucketed(coarse, s"${name}_coarse", "centroid_id", 1)
+    }
+    name
+  }
+
+  /** Two-level ANN probe over the hierarchical index: (1) the query
+    * scores the k1-row COARSE router and keeps nProbe1 coarse groups —
+    * a √k-row scan with a bounded collect; (2) within those groups'
+    * cell-id RANGES (final cell ids are coarse·k2+sub, so the group is
+    * a pushable BETWEEN), the nProbe nearest cells — ≤ nProbe1·k2 rows
+    * scanned, bounded collect; (3) the standard bucket-pruned exact
+    * cosine re-rank inside the probed cells. Every driver collect is
+    * parameter-sized (nProbe1, then nProbe) — the flat probe's k-row
+    * centroid scan never happens. */
+  def ivfTopKHier(spark: SparkSession, dir: String, qid: Long, k: Int,
+      k1: Int, k2: Int, nProbe1: Int, nProbe: Int): DataFrame = {
+    val idx = ensureIvfIndexHier(spark, dir, k1, k2)
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    // (1) coarse routing: k1 rows, nProbe1 survivors
+    val coarseIds = spark.table(s"${idx}_coarse")
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe1)
+      .collect().map(_.getLong(0)).toSeq
+    // (2) cells within the routed groups: pushable id ranges
+    val inGroups = coarseIds.map(c =>
+      col("centroid_id").between(c * k2, c * k2 + k2 - 1))
+      .reduce(_ || _)
+    val cells = spark.table(s"${idx}_cents")
+      .filter(inGroups)
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    // (3) exact re-rank inside the probed (bucket-pruned) cells
+    spark.table(idx)
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(lit(1.0) - dot(col("embedding"), qvCol)
+          / (col("nrm") * lit(qn)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
 
   /** [[ivfTopK]] under the corpus-relative policy — the auto cell
     * count itself rides under the hash gate: the DuckDB twin derives

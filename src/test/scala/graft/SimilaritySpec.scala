@@ -274,6 +274,57 @@ class SimilaritySpec extends SparkSpec {
     assert(cos.schema.fieldNames.contains("dist"))
   }
 
+  test("hierarchical IVF: full-width probe reproduces exact KNN; " +
+      "narrow probe bucket-prunes; index conserves the corpus") {
+    import graft.operators.{Clustering, Similarity}
+    val (k1, k2) = (4, 4)
+    val idx = Similarity.ensureIvfIndexHier(spark, Sf0001, k1, k2)
+    // conservation: every corpus vector indexed exactly once, ids in
+    // the k1*k2 grid
+    val rows = spark.table(idx).collect()
+    assert(rows.length == Tables.embeddings(spark, Sf0001).count())
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("centroid_id"); c >= 0 && c < k1.toLong * k2
+    })
+    // full-width probe (all coarse groups, all cells) = brute force:
+    // must equal the exact scan's ranking bit-for-bit
+    val hier = Similarity.ivfTopKHier(spark, Sf0001, 42L, 10,
+      k1, k2, k1, k1 * k2)
+      .select("vec_id", "dist").collect().map(_.toString).toSeq
+    val exact = {
+      val emb = Tables.embeddings(spark, Sf0001)
+      val qv = emb.filter($"vec_id" === 42L)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0)
+      val qvCol = org.apache.spark.sql.functions.typedLit(qv)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      emb.filter($"vec_id" =!= 42L)
+        .select($"vec_id",
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.lit(1.0) -
+              Similarity.dot($"embedding", qvCol) /
+              (Similarity.norm($"embedding") *
+                org.apache.spark.sql.functions.lit(qn)), 6).as("dist"))
+        .orderBy($"dist".asc, $"vec_id".asc).limit(10)
+        .collect().map(_.toString).toSeq
+    }
+    assert(hier == exact, "full-width hier probe must equal exact KNN")
+    // narrow probe: the index scan is statically bucket-pruned
+    val narrow = Similarity.ivfTopKHier(spark, Sf0001, 42L, 10,
+      k1, k2, 1, 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"narrow hier probe should bucket-prune:\n$plan")
+    assert(narrow.collect().nonEmpty)
+    // routing arithmetic: the auto policy crosses to hier past the
+    // driver bound (cells*64 > 1e7 <=> cells > 156250 <=> n > ~1.5e8)
+    assert(Similarity.autoNCentroids(500L).toLong * 64 <=
+      Clustering.MaxDriverCentroidCells)
+    assert(Similarity.autoNCentroids(200000000L).toLong * 64 >
+      Clustering.MaxDriverCentroidCells)
+  }
+
   test("embedding-dimension gate flags mis-dimensioned vectors") {
     import graft.operators.DocumentPipeline
     val emb = Seq(
