@@ -1107,8 +1107,11 @@ object Relational {
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        // per-row decimal conversion before the sum (the q10 form):
+        // decimal addition is exact and order-independent — the plain
+        // double sum landed one cent apart between engines at sf1
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("supp_nation").asc, col("cust_nation").asc,
         col("l_year").asc)
@@ -1117,7 +1120,8 @@ object Relational {
   val q7OracleSql: String =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  year(l_shipdate) AS l_year,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON s_suppkey = l_suppkey
@@ -1381,7 +1385,8 @@ object Relational {
         .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name").asc)
+      .orderBy(col("numwait").desc, col("s_name").asc,
+        col("n_name").asc)
       .limit(20)
   }
 
@@ -1406,8 +1411,10 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM flagged g
       |                  WHERE g.l_orderkey = l.l_orderkey
       |                    AND g.l_suppkey <> l.l_suppkey)
-      |GROUP BY s_name, n_name
-      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+      |-- supplier-KEY grain: s_name is non-unique at sf1 (ScaleUp
+      |-- copies repeat names), and the engine groups by suppkey
+      |GROUP BY s_suppkey, s_name, n_name
+      |ORDER BY numwait DESC, s_name ASC, n_name ASC LIMIT 20""".stripMargin
 
   /** TPC-H Q11 shape (important stock): per-group value sums gated by a
     * HAVING against a fraction of the GLOBAL total — the global scalar
@@ -1802,7 +1809,11 @@ object Relational {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("n_parts"),
         col("qty_sum").cast("long").as("qty_long"))
-      .orderBy(col("n_parts").desc, col("s_name").asc)
+      // qty_long tiebreak: ScaleUp duplicates s_name across copies at
+      // sf1 (10k suppliers, 1k names), so (n_parts, s_name) alone
+      // leaves non-identical rows order-ambiguous
+      .orderBy(col("n_parts").desc, col("s_name").asc,
+        col("qty_long").asc)
       .limit(25)
   }
 
@@ -1822,8 +1833,10 @@ object Relational {
       |FROM ps JOIN p USING (l_partkey)
       |JOIN supplier ON s_suppkey = l_suppkey
       |WHERE q_ps > 0.5 * q_p
-      |GROUP BY s_name
-      |ORDER BY n_parts DESC, s_name ASC LIMIT 25""".stripMargin
+      |-- supplier-KEY grain: s_name is non-unique at sf1 (ScaleUp
+      |-- copies repeat names), and the engine groups by suppkey
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY n_parts DESC, s_name ASC, qty_long ASC LIMIT 25""".stripMargin
 
   /** TPC-H Q8 shape (national market share): one nation's share of the
     * line revenue inside one region's customer orders, per order year.

@@ -68,12 +68,24 @@ def run_budgeted(con, sql: str, budget: float):
         t.cancel()
 
 
-def main(sf_dir: str, out_dir: str, budget: float = 0.0,
-         json_out: str = "") -> None:
+def fresh_con(sf_dir: str):
+    """Per-query connection: an interrupted/heavy oracle cannot leak
+    allocations into later queries (the sf1 sweep OOM'd DuckDB after an
+    interrupt without this). Bounded memory with disk spill."""
     con = duckdb.connect()
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(sf_dir, t)}')")
+    return con
+
+
+def main(sf_dir: str, out_dir: str, budget: float = 0.0,
+         json_out: str = "", skip_file: str = "") -> None:
+    skip_names = set()
+    if skip_file:
+        skip_names = {l.strip() for l in open(skip_file) if l.strip()}
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     report = {}
@@ -83,75 +95,81 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0,
                         "secs": secs, "err": err}
 
     for name, sql in sorted(oracle.items()):
+        if name in skip_names:
+            continue
         t0 = time.time()
+        con = fresh_con(sf_dir)
         try:
-            df, timed_out = run_budgeted(con, sql, budget)
-            if timed_out:
-                print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
-                record(name, "skip_budget", secs=round(time.time() - t0, 1))
-                n_skip += 1
+            try:
+                df, timed_out = run_budgeted(con, sql, budget)
+                if timed_out:
+                    print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
+                    record(name, "skip_budget", secs=round(time.time() - t0, 1))
+                    n_skip += 1
+                    continue
+                expected = normalize(df)
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                record(name, "fail", err=f"oracle SQL error: {e}")
+                n_fail += 1
                 continue
-            expected = normalize(df)
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            record(name, "fail", err=f"oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        try:
-            actual = normalize(
-                duckdb.connect().execute(
-                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-                ).fetchdf())
-        except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
-            record(name, "fail", err=f"spark result unreadable: {e}")
-            n_fail += 1
-            continue
-        if list(expected.columns) != list(actual.columns):
-            print(f"FAIL {name}: columns {list(actual.columns)} vs oracle {list(expected.columns)}")
-            record(name, "fail", err="column mismatch")
-            n_fail += 1
-            continue
-        if len(expected) != len(actual):
-            print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
-            record(name, "fail", err=f"rows {len(actual)} vs {len(expected)}")
-            n_fail += 1
-            continue
-        ok = True
-        for c in expected.columns:
-            e, a = expected[c], actual[c]
-            ek, ak = e.dtype.kind, a.dtype.kind
-            # The driver hashes values exactly after sorting columns, so a
-            # DuckDB HUGEINT->float64 coercion (3 vs 3.0) is a real FAIL:
-            # never tolerance-compare across an int/float dtype mismatch.
-            if ("f" in (ek, ak)) and ek != ak:
-                print(f"FAIL {name}: col {c}: dtype mismatch spark={a.dtype} "
-                      f"oracle={e.dtype} (int-vs-float breaks the driver hash; "
-                      f"CAST the oracle sum to BIGINT or round both sides)")
-                ok = False
-                break
-            if ek == "f" and ak == "f":
-                import numpy as np
-                ev, av = e.astype(float).values, a.astype(float).values
-                both_nan = np.isnan(ev) & np.isnan(av)
-                # exact, like the driver's hash — both sides must round
-                # identically in the query SQL itself
-                bad = ~((av == ev) | both_nan)
+            try:
+                actual = normalize(
+                    duckdb.connect().execute(
+                        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                    ).fetchdf())
+            except Exception as e:
+                print(f"FAIL {name}: spark result unreadable: {e}")
+                record(name, "fail", err=f"spark result unreadable: {e}")
+                n_fail += 1
+                continue
+            if list(expected.columns) != list(actual.columns):
+                print(f"FAIL {name}: columns {list(actual.columns)} vs oracle {list(expected.columns)}")
+                record(name, "fail", err="column mismatch")
+                n_fail += 1
+                continue
+            if len(expected) != len(actual):
+                print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
+                record(name, "fail", err=f"rows {len(actual)} vs {len(expected)}")
+                n_fail += 1
+                continue
+            ok = True
+            for c in expected.columns:
+                e, a = expected[c], actual[c]
+                ek, ak = e.dtype.kind, a.dtype.kind
+                # The driver hashes values exactly after sorting columns, so a
+                # DuckDB HUGEINT->float64 coercion (3 vs 3.0) is a real FAIL:
+                # never tolerance-compare across an int/float dtype mismatch.
+                if ("f" in (ek, ak)) and ek != ak:
+                    print(f"FAIL {name}: col {c}: dtype mismatch spark={a.dtype} "
+                          f"oracle={e.dtype} (int-vs-float breaks the driver hash; "
+                          f"CAST the oracle sum to BIGINT or round both sides)")
+                    ok = False
+                    break
+                if ek == "f" and ak == "f":
+                    import numpy as np
+                    ev, av = e.astype(float).values, a.astype(float).values
+                    both_nan = np.isnan(ev) & np.isnan(av)
+                    # exact, like the driver's hash — both sides must round
+                    # identically in the query SQL itself
+                    bad = ~((av == ev) | both_nan)
+                else:
+                    bad = a.astype(str).values != e.astype(str).values
+                if bad.any():
+                    i = int(bad.argmax())
+                    print(f"FAIL {name}: col {c} row {i}: spark={a.iloc[i]!r} oracle={e.iloc[i]!r}")
+                    ok = False
+                    break
+            if ok:
+                secs = round(time.time() - t0, 1)
+                print(f"PASS {name} ({len(expected)} rows, {secs}s)")
+                record(name, "pass", rows=len(expected), secs=secs)
+                n_pass += 1
             else:
-                bad = a.astype(str).values != e.astype(str).values
-            if bad.any():
-                i = int(bad.argmax())
-                print(f"FAIL {name}: col {c} row {i}: spark={a.iloc[i]!r} oracle={e.iloc[i]!r}")
-                ok = False
-                break
-        if ok:
-            secs = round(time.time() - t0, 1)
-            print(f"PASS {name} ({len(expected)} rows, {secs}s)")
-            record(name, "pass", rows=len(expected), secs=secs)
-            n_pass += 1
-        else:
-            record(name, "fail", err="value/dtype mismatch (see log)")
-            n_fail += 1
+                record(name, "fail", err="value/dtype mismatch (see log)")
+                n_fail += 1
+        finally:
+            con.close()
     # surface builder-side query failures recorded by graft.Verify —
     # a query that threw has no result dir, so without this it would
     # silently vanish from the gate (the round-6 pq_scan failure mode)
@@ -174,12 +192,15 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0,
 if __name__ == "__main__":
     budget = 0.0
     json_out = ""
+    skip_file = ""
     rest = sys.argv[1:]
     for i, a in enumerate(rest):
         if a == "--budget":
             budget = float(rest[i + 1])
         elif a == "--json":
             json_out = rest[i + 1]
+        elif a == "--skip-file":
+            skip_file = rest[i + 1]
     # positional args exclude flag values
     pos = []
     skip = False
@@ -187,8 +208,8 @@ if __name__ == "__main__":
         if skip:
             skip = False
             continue
-        if a in ("--budget", "--json"):
+        if a in ("--budget", "--json", "--skip-file"):
             skip = True
             continue
         pos.append(a)
-    main(pos[0], pos[1], budget, json_out)
+    main(pos[0], pos[1], budget, json_out, skip_file)
