@@ -826,24 +826,37 @@ object Dedup {
   def maximalDuplicatedSubstrings(spark: SparkSession, dir: String,
       minN: Int, maxN: Int, topK: Int): DataFrame = {
     require(minN >= 2 && maxN > minN, "need a real level ladder")
+    // ONE scan, ONE shuffle for ALL levels: every (length, gram) pair
+    // is emitted from a single flattened per-row array and aggregated
+    // by (length, gram) in one map-side-combined exchange — the
+    // level-per-shuffle form paid (maxN−minN+1) scans+exchanges
+    // (measured 5.7 s at sf0.1; the gram stream is the same bytes
+    // either way). The dup frame is cached: per-level slices and
+    // child-decompositions below are vocabulary-sized filters over it.
     val toks = Tables.documentsDense(spark, dir)
-      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
-      .transform(CacheScope.cached)
-    def dupGrams(n: Int): DataFrame = {
+      .select(col("doc_id"),
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
+    def gramsFor(n: Int) = {
       val idx = when(size(col("toks")) >= n,
         sequence(lit(0), size(col("toks")) - n))
         .otherwise(array().cast("array<int>"))
-      val grams = transform(idx,
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
-      toks.select(col("doc_id"), explode(grams).as("gram"))
-        .groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occurrences"))
-        .filter(col("n_docs") > 1)
-        .withColumn("length", lit(n).cast("long"))
+      transform(idx, i => struct(
+        lit(n.toLong).as("length"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
+          .as("gram")))
     }
-    val levels = (minN to maxN).map(n => n -> dupGrams(n)).toMap
+    val allDups = toks
+      .select(col("doc_id"),
+        explode(flatten(array((minN to maxN).map(gramsFor): _*)))
+          .as("lg"))
+      .groupBy(col("lg.length").as("length"), col("lg.gram").as("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .transform(CacheScope.cached)
+    val levels = (minN to maxN).map(n =>
+      n -> allDups.filter(col("length") === n.toLong)).toMap
     def children(next: DataFrame): DataFrame =
       next.select(regexp_replace(col("gram"), " [^ ]+$", "").as("gram"))
         .union(next

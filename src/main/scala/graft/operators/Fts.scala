@@ -1126,10 +1126,15 @@ object Fts {
     val atoms = WebSearchQuery.atoms(ast)
     val pos = WebSearchQuery.positiveAtoms(ast)
     val name = atoms.zipWithIndex.map { case (a, i) => a -> s"m$i" }.toMap
+    // explode(array(...)) barrier (the search/phraseSearch trick):
+    // materialize the token array once per row — project collapse
+    // would otherwise inline the tokenizer into EVERY match column,
+    // and subexpression elimination is off inside HOF lambdas
+    // (measured: 2.1 s -> phrase-class without the barrier at sf0.1)
     val withToks = Tables.documents(spark, dir)
       .filter(col("lang") === lit(lang))
       .select(col("doc_id"),
-        TextAnalyzer.tokens(col("text")).as("toks"))
+        explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
     def phraseCount(ts: Seq[String]): Column = {
       val n = ts.length
       val idx = when(size(col("toks")) >= n,
