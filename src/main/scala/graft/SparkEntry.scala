@@ -396,6 +396,8 @@ object SparkEntry {
     "split_leakage" -> ((s, d) => Sampling.splitLeakage(s, d, 0.5)),
     // stratified quota sampling: exactly N rows per language stratum
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(s, d, 20)),
+    // coverage-guaranteed eval holdout: k docs from EVERY stratum
+    "eval_holdout" -> ((s, d) => Sampling.evalHoldout(s, d, 5)),
     // the same quota draw via BoundedTopK: map-side partial top-k
     // bounds the exchange to quota rows/stratum/task (no row window)
     "sample_quota_scale" ->
@@ -592,6 +594,8 @@ object SparkEntry {
     "source_leakage" -> ((s, d) => Dedup.sourceLeakage(s, d)),
     // ingestion-time dedup: new batch probed against the corpus index
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d, 0.5)),
+    // contrastive training triplets off the verified near-dup structure
+    "training_triplets" -> ((s, d) => Dedup.trainingTriplets(s, d, 0.5)),
     // integer-exact PageRank over the minhash candidate graph:
     // centrality-based canonical-doc selection
     "graph_triangles" -> ((s, d) =>
@@ -838,6 +842,7 @@ object SparkEntry {
     "split_assign" -> Sampling.splitAssignOracleSql(0.8, 0.1),
     "split_leakage" -> Sampling.splitLeakageOracleSql(0.5, 0.8, 0.1),
     "sample_stratified" -> Sampling.stratifiedQuotaOracleSql(20),
+    "eval_holdout" -> Sampling.evalHoldoutOracleSql(5),
     "sample_quota_scale" -> Sampling.stratifiedQuotaScaleOracleSql(20),
     "select_budget" -> Sampling.selectBudgetOracleSql(10000L),
     "merge_upsert" -> Cdc.mergeUpsertOracleSql,
@@ -923,6 +928,7 @@ object SparkEntry {
     "dedup_canonical" -> Dedup.canonicalByQualityOracleSql(0.5),
     "source_leakage" -> Dedup.sourceLeakageOracleSql,
     "dedup_incremental" -> Dedup.minhashIncrementalOracleSql(0.5),
+    "training_triplets" -> Dedup.trainingTripletsOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
     "kmeans_hier" -> Clustering.kmeansHierClustersOracleSql(4, 4),

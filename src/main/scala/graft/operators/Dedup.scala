@@ -799,6 +799,96 @@ object Dedup {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Hard-negative TRAINING-TRIPLET mining — the retrieval-training
+    * read over the dedup machinery (contrastive embedding training
+    * wants (anchor, positive, negative) triplets; the standard source
+    * of positives is exactly the near-duplicate structure a curation
+    * pass already computes, and negatives must be RANDOM-BUT-
+    * REPRODUCIBLE non-duplicates): for every document with a verified
+    * near-dup partner (minhash-banded, Jaccard ≥ threshold), the
+    * positive is its highest-Jaccard partner (min-id tiebreak) and the
+    * negative is drawn from the anchor's md5 HASH BUCKET — candidates
+    * share the anchor's first md5 hex digit (a 1/16 corpus slice; at
+    * 100 TB the prefix widens to keep the slice constant-sized), are
+    * not the anchor/positive, are not any verified partner (no false
+    * negatives in the training signal), and the winner minimizes
+    * md5(anchor||'_'||cand) — a per-anchor deterministic draw both
+    * engines replay. Per-anchor work is bounded by the bucket slice;
+    * the argmin runs in anchor-partitioned windows, never global. */
+  def trainingTriplets(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(spark, dir, threshold)
+      .transform(CacheScope.cached)
+    val partners = pairs
+      .select(col("a").as("anchor"), col("b").as("partner"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("b").as("anchor"),
+        col("a").as("partner"), col("jaccard")))
+      .transform(CacheScope.cached)
+    val wPos = Window.partitionBy("anchor")
+      .orderBy(col("jaccard").desc, col("partner").asc)
+    val pos = partners.withColumn("rn", row_number().over(wPos))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("partner").as("positive"),
+        col("jaccard"))
+    val bucketed = Tables.documentsDense(spark, dir)
+      .select(col("doc_id").as("cand"))
+      .withColumn("bkt",
+        substring(md5(col("cand").cast("string").cast("binary")), 1, 1))
+    val cands = pos
+      .withColumn("bkt",
+        substring(md5(col("anchor").cast("string").cast("binary")), 1, 1))
+      .join(bucketed, Seq("bkt"))
+      .filter(col("cand") =!= col("anchor") &&
+        col("cand") =!= col("positive"))
+      .join(partners.select(col("anchor"),
+        col("partner").as("cand")), Seq("anchor", "cand"), "left_anti")
+      .withColumn("nkey", md5(concat(col("anchor").cast("string"),
+        lit("_"), col("cand").cast("string")).cast("binary")))
+    val wNeg = Window.partitionBy("anchor")
+      .orderBy(col("nkey").asc, col("cand").asc)
+    cands.withColumn("rn", row_number().over(wNeg))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("positive"), col("jaccard"),
+        col("cand").as("negative"))
+      .orderBy(col("anchor").asc)
+  }
+
+  def trainingTripletsOracleSql(threshold: Double): String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  ${minhashPairsOracleSql(threshold)}
+       |), partners AS MATERIALIZED (
+       |  SELECT a AS anchor, b AS partner, jaccard FROM pairs
+       |  UNION ALL
+       |  SELECT b AS anchor, a AS partner, jaccard FROM pairs
+       |), pos AS (
+       |  SELECT anchor, partner AS positive, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor
+       |      ORDER BY jaccard DESC, partner ASC) AS rn
+       |    FROM partners) WHERE rn = 1
+       |), bucketed AS (
+       |  SELECT doc_id AS cand,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+       |  FROM documents
+       |), cands AS (
+       |  SELECT p.anchor, p.positive, p.jaccard, d.cand,
+       |    md5(CAST(p.anchor AS VARCHAR) || '_'
+       |        || CAST(d.cand AS VARCHAR)) AS nkey
+       |  FROM pos p
+       |  JOIN bucketed d
+       |    ON d.bkt = substr(md5(CAST(p.anchor AS VARCHAR)), 1, 1)
+       |  WHERE d.cand <> p.anchor AND d.cand <> p.positive
+       |    AND NOT EXISTS (SELECT 1 FROM partners pp
+       |                    WHERE pp.anchor = p.anchor
+       |                      AND pp.partner = d.cand)
+       |)
+       |SELECT anchor, positive, jaccard, cand AS negative FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor
+       |    ORDER BY nkey ASC, cand ASC) AS rn
+       |  FROM cands) WHERE rn = 1
+       |ORDER BY anchor ASC""".stripMargin
+
   /** Variable-length exact-substring dedup — the suffix-array question
     * (Lee et al. 2022 find all repeated substrings ≥ threshold via a
     * corpus suffix array) answered with a LENGTH-CAPPED distributed

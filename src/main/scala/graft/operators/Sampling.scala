@@ -510,4 +510,49 @@ object Sampling {
        |SELECT doc_id, n_chars, round(k, 6) AS aes_key
        |FROM keyed
        |ORDER BY k DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Stratified EVAL-HOLDOUT construction with coverage guarantees —
+    * the held-out set a training pipeline carves before any sampling
+    * or dedup touches the corpus: exactly `perStratum` documents from
+    * EVERY (language × length-decade) stratum, chosen by md5 order so
+    * membership is a pure function of the corpus (reproducible across
+    * reruns, shards, and engines — no seed state to lose). Where
+    * [[sampleStratified]] targets proportional representation, this
+    * guarantees COVERAGE: rare strata (a low-resource language at an
+    * unusual length) are never sampled away, which is what an eval set
+    * needs. Length strata use the digit-count decade (the string-exact
+    * engine-parity bucketing). One partitioned window over the corpus
+    * — no global funnel; the output is |strata|·perStratum rows. */
+  def evalHoldout(spark: SparkSession, dir: String,
+      perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("lang"), col("len_decade"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("n_chars").cast("string")).cast("long")
+          .as("len_decade"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("len_decade"), col("rk"), col("doc_id"))
+      .orderBy(col("lang").asc, col("len_decade").asc, col("rk").asc)
+  }
+
+  def evalHoldoutOracleSql(perStratum: Int): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT)
+       |      AS len_decade,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM documents
+       |)
+       |SELECT lang, len_decade, rk, doc_id FROM (
+       |  SELECT lang, len_decade, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang, len_decade
+       |      ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM keyed)
+       |WHERE rk <= $perStratum
+       |ORDER BY lang ASC, len_decade ASC, rk ASC""".stripMargin
 }

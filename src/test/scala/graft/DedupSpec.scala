@@ -148,4 +148,31 @@ class DedupSpec extends SparkSpec {
       "sub-runs of the capped run should be suppressed below the cap")
     graft.operators.CacheScope.release(spark)
   }
+
+  test("training triplets: positive is the best verified partner, " +
+      "negative is never a near-dup, draw is deterministic") {
+    val t = 0.5
+    val trips = Dedup.trainingTriplets(spark, Sf0001, t).collect()
+    assert(trips.nonEmpty)
+    val pairs = Dedup.minhashPairs(spark, Sf0001, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val partnerOf = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    trips.foreach { r =>
+      val (a, p, j, n) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))
+      val ps = partnerOf(a)
+      // positive = max jaccard, min id tiebreak
+      val best = ps.sortBy(x => (-x._2, x._1)).head
+      assert((p, j) == best, s"anchor $a positive $p/$j vs $best")
+      // negative: not self/positive/any partner
+      assert(n != a && n != p && !ps.exists(_._1 == n))
+    }
+    // one triplet per anchor, deterministic across runs
+    assert(trips.map(_.getLong(0)).distinct.length == trips.length)
+    val again = Dedup.trainingTriplets(spark, Sf0001, t).collect()
+    assert(trips.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    graft.operators.CacheScope.release(spark)
+  }
 }

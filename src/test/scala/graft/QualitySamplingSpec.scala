@@ -55,4 +55,33 @@ class QualitySamplingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("eval holdout: every stratum covered up to its size, " +
+      "membership reproducible") {
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val out = Sampling.evalHoldout(spark, Sf0001, k).collect()
+    assert(out.nonEmpty)
+    // stratum sizes from the corpus
+    val strata = Tables.documents(spark, Sf0001)
+      .groupBy(col("lang"),
+        length(col("n_chars").cast("string")).cast("long")
+          .as("len_decade"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = out.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("len_decade")))
+      .view.mapValues(_.length).toMap
+    // EVERY stratum contributes min(k, stratum size) — coverage, not
+    // proportionality
+    strata.foreach { case (s, n) =>
+      assert(got.getOrElse(s, 0) == math.min(k.toLong, n).toInt,
+        s"stratum $s: got ${got.getOrElse(s, 0)} of $n")
+    }
+    // ranks are 1..k and membership is a pure function of the corpus
+    assert(out.forall(r => r.getAs[Long]("rk") >= 1 &&
+      r.getAs[Long]("rk") <= k))
+    val again = Sampling.evalHoldout(spark, Sf0001, k).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
