@@ -589,6 +589,8 @@ object SparkEntry {
     // maximal cross-doc duplicated runs, levels 5..10, capped at 10
     "dedup_substrings" -> ((s, d) =>
       Dedup.maximalDuplicatedSubstrings(s, d, 5, 10, 100)),
+    // the Lee et al. REMOVAL transform: cleaned-corpus digests
+    "dedup_span_removal" -> ((s, d) => Dedup.removeDuplicatedSpans(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalByQuality(s, d, 0.5)),
     "source_leakage" -> ((s, d) => Dedup.sourceLeakage(s, d)),
@@ -924,6 +926,7 @@ object SparkEntry {
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_substrings" ->
       Dedup.maximalDuplicatedSubstringsOracleSql(5, 10, 100),
+    "dedup_span_removal" -> Dedup.removeDuplicatedSpansOracleSql,
     "dedup_span_coverage" -> Dedup.spanCoverageOracleSql,
     "dedup_canonical" -> Dedup.canonicalByQualityOracleSql(0.5),
     "source_leakage" -> Dedup.sourceLeakageOracleSql,

@@ -799,6 +799,112 @@ object Dedup {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Duplicated-span REMOVAL — the actual Lee et al. 2022 transform
+    * ([[duplicatedSpans]] inventories the offending grams,
+    * [[spanCoverage]] measures how much text they cover; this EMITS
+    * the cleaned corpus): every token position covered by some
+    * `SpanGramSize`-token run that also appears verbatim in another
+    * document is cut, and the surviving tokens rejoin in order. The
+    * cut set is computed relationally: dup-span start positions
+    * (gram-keyed semi-join against the >1-doc gram set, grams
+    * traveling as md5 digests) anti-join the exploded token stream on
+    * doc_id + a BETWEEN range — per-doc work ∝ tokens × that doc's
+    * dup spans, never corpus-quadratic. Output is doc-level and
+    * hash-gated: (n_tokens, n_kept, n_removed, md5 of the cleaned
+    * text) — the cleaned STRING itself is reproduced identically by
+    * both engines (same tokenizer, same order-preserving rejoin), so
+    * the md5 pins the transform byte-for-byte without shipping text.
+    * Fully-covered documents report the empty-string md5. */
+  def removeDuplicatedSpans(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documentsDense(spark, dir)
+      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
+      .transform(CacheScope.cached)
+    val idx = when(size(col("toks")) >= SpanGramSize,
+      sequence(lit(0), size(col("toks")) - SpanGramSize))
+      .otherwise(array().cast("array<int>"))
+    val pg = transform(idx, i => struct(
+      i.as("p"),
+      md5(concat_ws(" ",
+        (0 until SpanGramSize).map(j =>
+          element_at(col("toks"), i + j + 1)): _*)).as("g")))
+    val positions = docs
+      .select(col("doc_id"), explode(pg).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+      .transform(CacheScope.cached)
+    val dups = positions.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val dupPos = positions.join(dups, "g")
+      .select(col("doc_id").as("d2"), col("p"))
+    val tokens = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("ti", "token")))
+    val kept = tokens.join(dupPos,
+      col("doc_id") === col("d2") &&
+        col("ti") >= col("p") && col("ti") <= col("p") + (SpanGramSize - 1),
+      "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("ti"),
+            col("token")))), x => x.getField("token"))).cast("binary"))
+          .as("cleaned_md5"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long")
+        .as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("cleaned_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def removeDuplicatedSpansOracleSql: String = {
+    val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH toklists AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), pos AS MATERIALIZED (
+       |  SELECT doc_id, s['p'] AS p, s['g'] AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
+       |      i -> {'p': i, 'g': md5($gramExpr)})) AS s
+       |    FROM toklists)
+       |), dups AS (
+       |  SELECT g FROM pos GROUP BY g
+       |  HAVING count(DISTINCT doc_id) > 1
+       |), dp AS MATERIALIZED (
+       |  SELECT doc_id, p FROM pos JOIN dups USING (g)
+       |), toksidx AS (
+       |  SELECT doc_id, ti, tl[ti] AS token FROM (
+       |    SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS ti
+       |    FROM toklists)
+       |), kept AS (
+       |  SELECT t.doc_id, t.ti, t.token FROM toksidx t
+       |  WHERE NOT EXISTS (SELECT 1 FROM dp
+       |    WHERE dp.doc_id = t.doc_id
+       |      AND t.ti BETWEEN dp.p AND dp.p + ${SpanGramSize - 1})
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(token, ' ' ORDER BY ti)) AS cleaned_md5
+       |  FROM kept GROUP BY doc_id
+       |), base AS (
+       |  SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens
+       |  FROM toklists
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  coalesce(a.n_kept, 0) AS n_kept,
+       |  b.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
+       |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id ASC""".stripMargin
+  }
+
   /** Hard-negative TRAINING-TRIPLET mining — the retrieval-training
     * read over the dedup machinery (contrastive embedding training
     * wants (anchor, positive, negative) triplets; the standard source

@@ -149,6 +149,32 @@ class DedupSpec extends SparkSpec {
     graft.operators.CacheScope.release(spark)
   }
 
+  test("span removal: cross-doc runs are cut, unique text survives, " +
+      "fully-duplicated docs empty out") {
+    import spark.implicits._
+    val run = "alpha bravo charlie delta echo" // exactly 5 tokens
+    val df = Seq(
+      (1L, s"unique1 text1 $run tail1"),
+      (2L, s"unique2 text2 $run tail2"),
+      (3L, run),            // fully covered -> empties out
+      (4L, "lonely words without any duplicate content here")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rm").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup.removeDuplicatedSpans(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_md5"))).toMap
+    // docs 1/2: the 5-token run cut, 3 unique tokens kept
+    assert(out(1L)._1 == 3 && out(1L)._2 == 5)
+    assert(out(2L)._1 == 3 && out(2L)._2 == 5)
+    // doc 3: fully covered -> empty-string md5
+    assert(out(3L) == (0L, 5L, "d41d8cd98f00b204e9800998ecf8427e"))
+    // doc 4: untouched
+    assert(out(4L)._2 == 0 && out(4L)._1 > 0)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("training triplets: positive is the best verified partner, " +
       "negative is never a near-dup, draw is deterministic") {
     val t = 0.5
