@@ -499,6 +499,9 @@ object SparkEntry {
     "quality_ppl_buckets" -> ((s, d) => QualityLm.pplBuckets(s, d)),
     // per-(source,lang) training-mixture weights (sqrt-damped shares)
     "mix_weights" -> ((s, d) => Sampling.mixWeights(s, d)),
+    // the XLM-R/mT5 temperature ladder (T=1 proportional .. T=5)
+    "mix_weights_temp" -> ((s, d) =>
+      Sampling.mixWeightsTemp(s, d, Seq(1.0, 2.0, 5.0))),
     // §2.3 V2 metadata filter (string-coerced JSON equality)
     "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
     // numeric-coerced JSON range filter (the comparison sibling of V2)
@@ -879,6 +882,8 @@ object SparkEntry {
     "curation_report" -> QualityLm.curationReportOracleSql,
     "quality_ppl_buckets" -> QualityLm.pplBucketsOracleSql,
     "mix_weights" -> Sampling.mixWeightsOracleSql,
+    "mix_weights_temp" ->
+      Sampling.mixWeightsTempOracleSql(Seq(1.0, 2.0, 5.0)),
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "meta_filter_range" ->
       TextOps.metadataRangeFilterOracleSql("k", 25L, 75L),

@@ -312,6 +312,61 @@ object Sampling {
       .orderBy(col("source").asc, col("lang").asc)
   }
 
+  /** Temperature-scaled mixture weights — the generalization the
+    * multilingual-pretraining literature actually tunes (XLM-R / mT5
+    * sample language g with probability ∝ p_g^(1/T): T=1 is raw
+    * proportion, T→∞ is uniform; [[mixWeights]]' sqrt damping is the
+    * T=2 point). One scan, one stratum-sized aggregate; each
+    * temperature's normalizer Σ_g tokens^(1/T) aggregates the tiny
+    * grouped frame and rides back in the same 1-row broadcast. The
+    * weight LADDER in one frame is the tuning view: how much a
+    * temperature move shifts mass into the small strata. */
+  def mixWeightsTemp(spark: SparkSession, dir: String,
+      temps: Seq[Double]): DataFrame = {
+    def label(t: Double) = s"w_t${if (t == t.floor) t.toLong else t}"
+    val grouped = Tables.documentsDense(spark, dir)
+      .select(col("source"), col("lang"),
+        size(graft.functions.TextAnalyzer.tokens(col("text")))
+          .cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .transform(CacheScope.cached)
+    val zCols = temps.map(t => sum(pow(col("n_tokens").cast("double"),
+      lit(1.0 / t))).as(s"z_${label(t)}"))
+    val totals = grouped.agg(zCols.head, zCols.tail: _*)
+    grouped.crossJoin(broadcast(totals))
+      .select(Seq(col("source"), col("lang"), col("n_tokens")) ++
+        temps.map(t =>
+          round(pow(col("n_tokens").cast("double"), lit(1.0 / t)) /
+            col(s"z_${label(t)}"), 6).as(label(t))): _*)
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+
+  def mixWeightsTempOracleSql(temps: Seq[Double]): String = {
+    def label(t: Double) = s"w_t${if (t == t.floor) t.toLong else t}"
+    val zCols = temps.map(t =>
+      s"sum(pow(CAST(n_tokens AS DOUBLE), ${1.0 / t})) AS z_${label(t)}")
+      .mkString(",\n    ")
+    val wCols = temps.map(t =>
+      s"""round(pow(CAST(g.n_tokens AS DOUBLE), ${1.0 / t})
+         |    / tot.z_${label(t)}, 6) AS ${label(t)}""".stripMargin)
+      .mkString(",\n  ")
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |      t -> ${graft.functions.TextAnalyzer.sqlTermFilter("t")})))
+       |      AS n_tokens
+       |  FROM documents GROUP BY source, lang
+       |), tot AS (
+       |  SELECT $zCols
+       |  FROM g
+       |)
+       |SELECT g.source, g.lang, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       |  $wCols
+       |FROM g, tot
+       |ORDER BY g.source ASC, g.lang ASC""".stripMargin
+  }
+
   /** The mixture weights put to work: a reproducible weighted sampler.
     * Each (source, lang) stratum gets rate = min(1, base·w/share) —
     * strata whose sqrt-damped weight exceeds their raw share (small
