@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "mix_weights", "sample_weighted", "fts_bm25", "contamination_bm25",
     "select_budget", "pack_sequences", "token_accounting",
     "sketch_quantiles", "sketch_hdr_quantiles", "events_outliers", "skew_stats", "table_digest",
+    "mix_weights_temp", // 1-row normalizer frame riding the stratum agg
     "pmi_collocations", "win_ntile_scale", "q22_prospects",
     "q11_important", // global-total scalar gating the HAVING
     // query-vector / probe / codebook rides (k- or Q-row frames)
