@@ -919,11 +919,26 @@ object Dedup {
     * not the anchor/positive, are not any verified partner (no false
     * negatives in the training signal), and the winner minimizes
     * md5(anchor||'_'||cand) — a per-anchor deterministic draw both
-    * engines replay. Per-anchor work is bounded by the bucket slice;
-    * the argmin runs in anchor-partitioned windows, never global. */
+    * engines replay. Per-anchor work is bounded by the bucket slice,
+    * and the slice is CORPUS-RELATIVE: the md5 prefix length grows by
+    * exact integer thresholds (p hex digits while n ≤ 512·16^p — the
+    * same comparisons in both engines, no float log at a boundary) so
+    * the expected slice stays ≤ ~512 candidates however large the
+    * corpus; the argmin runs in anchor-partitioned windows, never
+    * global. A fixed prefix made the draw anchors×(n/16) —
+    * measured 6.3× at the 10× ladder rung before this. */
+
+  /** Smallest p (1..8) with n ≤ [[NegSliceTarget]]·16^p. */
+  val NegSliceTarget = 512L
+  private[operators] def negPrefixLen(n: Long): Int =
+    (1 to 8).find(p =>
+      n <= NegSliceTarget * math.pow(16.0, p).toLong).getOrElse(8)
+
   def trainingTriplets(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val pfx = negPrefixLen(
+      Tables.documentsDense(spark, dir).count()) // metadata-count job
     val pairs = minhashPairs(spark, dir, threshold)
       .transform(CacheScope.cached)
     val partners = pairs
@@ -941,10 +956,10 @@ object Dedup {
     val bucketed = Tables.documentsDense(spark, dir)
       .select(col("doc_id").as("cand"))
       .withColumn("bkt",
-        substring(md5(col("cand").cast("string").cast("binary")), 1, 1))
+        substring(md5(col("cand").cast("string").cast("binary")), 1, pfx))
     val cands = pos
       .withColumn("bkt",
-        substring(md5(col("anchor").cast("string").cast("binary")), 1, 1))
+        substring(md5(col("anchor").cast("string").cast("binary")), 1, pfx))
       .join(bucketed, Seq("bkt"))
       .filter(col("cand") =!= col("anchor") &&
         col("cand") =!= col("positive"))
@@ -973,9 +988,17 @@ object Dedup {
        |    SELECT *, row_number() OVER (PARTITION BY anchor
        |      ORDER BY jaccard DESC, partner ASC) AS rn
        |    FROM partners) WHERE rn = 1
+       |), plen AS (
+       |  -- corpus-relative prefix: same exact integer thresholds as
+       |  -- the engine's negPrefixLen
+       |  SELECT ${(1 to 8).map(p =>
+            s"WHEN count(*) <= ${NegSliceTarget * math.pow(16.0, p).toLong} THEN $p")
+            .mkString("CASE ", " ", " ELSE 8 END")} AS p
+       |  FROM documents
        |), bucketed AS (
        |  SELECT doc_id AS cand,
-       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT p FROM plen))
+       |      AS bkt
        |  FROM documents
        |), cands AS (
        |  SELECT p.anchor, p.positive, p.jaccard, d.cand,
@@ -983,7 +1006,8 @@ object Dedup {
        |        || CAST(d.cand AS VARCHAR)) AS nkey
        |  FROM pos p
        |  JOIN bucketed d
-       |    ON d.bkt = substr(md5(CAST(p.anchor AS VARCHAR)), 1, 1)
+       |    ON d.bkt = substr(md5(CAST(p.anchor AS VARCHAR)), 1,
+       |                      (SELECT p FROM plen))
        |  WHERE d.cand <> p.anchor AND d.cand <> p.positive
        |    AND NOT EXISTS (SELECT 1 FROM partners pp
        |                    WHERE pp.anchor = p.anchor
