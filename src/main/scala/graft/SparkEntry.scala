@@ -163,6 +163,10 @@ object SparkEntry {
     // beam walk from a fixed entry (B=16, R=4), oracle unrolls the walk
     "graph_ann" -> ((s, d) =>
       GraphAnn.beamSearch(s, d, 42L, 0L, 10, 12, 16, 4, 10)),
+    // batched graph ANN: Q walks in one distributed frontier frame —
+    // exchanges per round independent of Q, zero driver collects
+    "graph_ann_batch" -> ((s, d) =>
+      GraphAnn.batchBeamSearch(s, d, BatchKnnIds, 0L, 10, 12, 16, 4, 5)),
     "maxsim_topk" -> ((s, d) =>
       MultiVector.maxSimTopK(s, d, 3L, 50, 500L, 10)),
     "maxsim_pruned" -> ((s, d) =>
@@ -728,6 +732,8 @@ object SparkEntry {
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "graph_ann" ->
       GraphAnn.beamSearchOracleSql(42L, 0L, 10, 12, 16, 4, 10),
+    "graph_ann_batch" ->
+      GraphAnn.batchBeamSearchOracleSql(BatchKnnIds, 0L, 10, 12, 16, 4, 5),
     "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 500L, 10),
     "maxsim_pruned" ->
       MultiVector.maxSimPrunedOracleSql(3L, 50, 500L, 10, 10),

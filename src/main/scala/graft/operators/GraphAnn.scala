@@ -136,6 +136,145 @@ object GraphAnn {
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
+  /** Batched beam search — Q queries served by ONE walk ([[beamSearch]]
+    * amortized the way `knn_batch`/`ivf_batch`/`ivfpq_batch` amortize
+    * their families). The visited set lives as a DISTRIBUTED
+    * (q_id, vid, dist) frame instead of a driver map; each round is a
+    * fixed set of frame operations — per-q_id top-B window, one
+    * frontier⋈edges join, one anti-join against the visited set, one
+    * score join against the broadcast query frame — so the number of
+    * exchanges per round is INDEPENDENT of Q, and nothing is collected
+    * to the driver at any point. The frame is localCheckpoint'ed per
+    * round (the [[pagerankDups]] lesson: without it, Catalyst re-analyzes
+    * the whole R-deep tree each round).
+    *
+    * Fixed R rounds ≡ the single-query loop's early termination: once a
+    * query's frontier neighborhood is fully visited, its fresh set stays
+    * empty in every later round, so unrolling is semantics-preserving —
+    * which is also what lets the oracle replay the walk as R static CTEs.
+    * Output (q_id, vec_id, label, dist), bit-equal per query to
+    * [[beamSearch]] with the same parameters. */
+  def batchBeamSearch(spark: SparkSession, dir: String, qids: Seq[Long],
+      entry: Long, nCentroids: Int, m: Int, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    val edgesT = ensureGraphIndex(spark, dir, nCentroids, m)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id").as("vid"),
+          round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
+            / (Similarity.norm(col("embedding")) * col("qn")), 6)
+            .as("dist"))
+    val edges = spark.table(edgesT).select(col("src"), col("dst"))
+    // visited frame: bounded by Q·(1 + R·B·M) rows of 24 bytes — tiny
+    // relative to the corpus; checkpointed so each round's plan is flat
+    var scored = score(
+      queries.select(col("q_id"), lit(entry).as("vec_id")))
+      .localCheckpoint(true)
+    val wBeam = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("vid").asc)
+    for (_ <- 1 to rounds) {
+      val frontier = scored.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).select(col("q_id"), col("vid"))
+      val fresh = frontier
+        .join(edges, frontier("vid") === edges("src"))
+        .select(col("q_id"), col("dst").as("vid")).distinct()
+        .join(scored.select(col("q_id"), col("vid")),
+          Seq("q_id", "vid"), "left_anti")
+        .select(col("q_id"), col("vid").as("vec_id"))
+      scored = scored.union(score(fresh)).localCheckpoint(true)
+    }
+    scored.filter(col("vid") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= k)
+      .join(emb.select(col("vec_id").as("vid"), col("label")), "vid")
+      .select(col("q_id"), col("vid").as("vec_id"), col("label"),
+        col("dist"))
+      .orderBy(col("q_id").asc, col("dist").asc, col("vec_id").asc)
+  }
+
+  /** Oracle for [[batchBeamSearch]]: the single-query oracle's build
+    * chain verbatim, with every walk CTE keyed by q_id (windows become
+    * PARTITION BY q_id; the known-set check becomes a per-query
+    * anti-join). Each s$r is MATERIALIZED — inlined, the round
+    * recurrence would re-evaluate the edge build per round. */
+  def batchBeamSearchOracleSql(qids: Seq[Long], entry: Long,
+      nCentroids: Int, m: Int, beam: Int, rounds: Int, k: Int): String = {
+    val asgDist =
+      """round(1.0 - list_dot_product(v, cv)
+        | / (sqrt(list_dot_product(v, v))
+        |    * sqrt(list_dot_product(cv, cv))), 6)"""
+        .stripMargin.replace("\n", " ")
+    val inList = qids.mkString(", ")
+    val beamRounds = (1 to rounds).map { r =>
+      s"""f$r AS (
+         |  SELECT q_id, vid FROM (
+         |    SELECT q_id, vid, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist ASC, vid ASC) AS rn
+         |    FROM s${r - 1}) b WHERE rn <= $beam
+         |), n$r AS (
+         |  SELECT DISTINCT f.q_id, e.dst AS vid
+         |  FROM edges e JOIN f$r f ON e.src = f.vid
+         |  LEFT JOIN s${r - 1} s ON s.q_id = f.q_id AND s.vid = e.dst
+         |  WHERE s.vid IS NULL
+         |), s$r AS MATERIALIZED (
+         |  SELECT q_id, vid, dist FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT n$r.q_id, n$r.vid,
+         |    round(1.0 - list_dot_product(e2.v, q.qv)
+         |      / (sqrt(list_dot_product(e2.v, e2.v))
+         |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+         |  FROM n$r JOIN e e2 ON e2.vec_id = n$r.vid
+         |  JOIN q ON q.q_id = n$r.q_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${Similarity.centsCtes(nCentroids)}, asg2 AS MATERIALIZED (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT e.vec_id, e.v, centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $asgDist ASC, centroid_id ASC) AS rn
+       |    FROM e, cents) a
+       |  WHERE rn <= 2
+       |), edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY dist ASC, dst ASC) AS rn
+       |    FROM (
+       |      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+       |        round(1.0 - list_dot_product(x.v, y.v)
+       |          / (sqrt(list_dot_product(x.v, x.v))
+       |             * sqrt(list_dot_product(y.v, y.v))), 6) AS dist
+       |      FROM asg2 x JOIN asg2 y
+       |        ON x.centroid_id = y.centroid_id
+       |       AND x.vec_id <> y.vec_id) p
+       |  ) ranked WHERE rn <= $m
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($inList)
+       |), s0 AS (
+       |  SELECT q.q_id, e.vec_id AS vid,
+       |    round(1.0 - list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v))
+       |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |  FROM e, q WHERE e.vec_id = $entry
+       |),
+       |$beamRounds
+       |SELECT s.q_id, s.vid AS vec_id, e.label, s.dist FROM (
+       |  SELECT q_id, vid, dist, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist ASC, vid ASC) AS rn
+       |  FROM s$rounds WHERE vid <> q_id) s
+       |JOIN e ON e.vec_id = s.vid
+       |WHERE s.rn <= $k
+       |ORDER BY s.q_id ASC, s.dist ASC, vec_id ASC""".stripMargin
+  }
+
   /** Oracle: replay the trained-centroid chain, the 2-probe edge
     * build, and the SAME R beam rounds unrolled as CTEs. */
   def beamSearchOracleSql(qid: Long, entry: Long, nCentroids: Int,

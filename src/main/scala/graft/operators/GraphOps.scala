@@ -76,9 +76,16 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Every CTE is MATERIALIZED: DuckDB inlines CTEs per REFERENCE, and
+    * the unrolled recurrence references `edges`/`deg` once per round —
+    * inlined, the MinHash band-join would re-evaluate ~2·Iterations
+    * times and blow the driver's per-oracle budget at sf1 (the one
+    * skipped cell in the r13 sweep). Materialized, the pair build runs
+    * once and each round reads bounded intermediates — mirroring the
+    * engine side's localCheckpoint before the loop. */
   def pagerankDupsOracleSql(threshold: Double, topK: Int): String = {
     val iters = (1 to Iterations).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT e.dst AS id,
          |    150000000 + 85 * sum(r.rank // d.degree) // 100 AS rank
          |  FROM r${k - 1} r
@@ -87,12 +94,12 @@ object GraphOps {
          |  GROUP BY e.dst
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT a, b FROM (${Dedup.minhashPairsOracleSql(threshold)}) mh
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM pairs
        |  UNION ALL SELECT b, a FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1
        |), r0 AS (
        |  SELECT id, CAST($InitNano AS BIGINT) AS rank FROM deg
