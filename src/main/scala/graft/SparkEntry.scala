@@ -157,6 +157,10 @@ object SparkEntry {
     "ivf_batch" -> ((s, d) =>
       Similarity.ivfBatch(s, d, BatchKnnIds, 5, 10)),
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
+    // vector-index DELETE path: tombstone merge-on-read per-cell
+    // occupancy, no rebuild (mirrors fts_delete_termstats)
+    "ivf_delete_stats" -> ((s, d) =>
+      Similarity.ivfDeleteStats(s, d, 10, 7L)),
     // late-interaction (ColBERT MaxSim) retrieval over pseudo-docs of
     // vec_id % 50: exact baseline + PLAID-style IVF-cell-pruned path
     // graph ANN (NSW shape): M-NN graph over 2-probe IVF candidates,
@@ -730,6 +734,7 @@ object SparkEntry {
     "ivf_ann_auto" -> Similarity.ivfTopKAutoOracleSql(42L, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
+    "ivf_delete_stats" -> Similarity.ivfDeleteStatsOracleSql(10, 7L),
     "graph_ann" ->
       GraphAnn.beamSearchOracleSql(42L, 0L, 10, 12, 16, 4, 10),
     "graph_ann_batch" ->

@@ -107,17 +107,27 @@ object EventMining {
     * (PlanLint-allowlisted scalar pattern). */
   def basketRules(spark: SparkSession, dir: String,
       gapSec: Long): DataFrame = {
-    val items = sessionized(spark, dir, gapSec)
-      .select("user_id", "session_seq", "event_type").distinct()
-    val totals = items.select("user_id", "session_seq").distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val typeCounts = items.groupBy(col("event_type"))
+    // Baskets as per-session type-set ARRAYS: the groupBy runs on the
+    // sessionization window's own user_id partitioning
+    // (HashPartitioning(user_id) satisfies ClusteredDistribution(user,
+    // session)), so building baskets adds NO exchange — and pair
+    // generation becomes a row-local double explode over the ≤|types|
+    // array instead of the r13 self-join (which shuffled the item frame
+    // twice and re-ran sessionization per side). One cached frame feeds
+    // the pair counts, the per-type counts, and the basket total.
+    val baskets = sessionized(spark, dir, gapSec)
+      .groupBy("user_id", "session_seq")
+      .agg(collect_set(col("event_type")).as("basket"))
+      .select(col("basket"))
+      .transform(CacheScope.cached)
+    val totals = baskets.agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = baskets
+      .select(explode(col("basket")).as("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_type"))
-    val a = items.select(col("user_id"), col("session_seq"),
-      col("event_type").as("item_a"))
-    val b = items.select(col("user_id"), col("session_seq"),
-      col("event_type").as("item_b"))
-    a.join(b, Seq("user_id", "session_seq"))
+    baskets
+      .select(explode(col("basket")).as("item_a"), col("basket"))
+      .select(col("item_a"), explode(col("basket")).as("item_b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))

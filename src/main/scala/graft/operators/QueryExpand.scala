@@ -90,23 +90,51 @@ object QueryExpand {
       .limit(nExp)
   }
 
+  /** Driver-artifact bound for the mined expansion set: ≤ this many
+    * (term, w) rows are collected between the two retrieval stages. */
+  val MaxExpansions = 100
+
   /** PRF search: stage-2 OR-retrieval over originals (weight 1.0) plus
     * the mined expansions (weight [[ExpansionWeight]] · w/max_w), score
-    * Σ weight_t · log(1+tf). Output (doc_id, score) top-k. */
+    * Σ weight_t · log(1+tf). Output (doc_id, score) top-k.
+    *
+    * The mined (term, w) rows — ≤ nExp ≤ [[MaxExpansions]], the
+    * graph_ann bounded-collect pattern — are collected between the
+    * stages, which buys two things at once: stage 2 probes the
+    * TERM-BUCKETED index with a driver-known IN-list (static bucket
+    * prune, exactly like [[Fts.search]]'s original-terms probe) instead
+    * of scanning the full index against a data-driven broadcast, and
+    * the stage-1 mining subtree runs ONCE (the previous plan embedded
+    * it twice — under max_w's broadcast and under the weight
+    * projection — paying the action floor per copy). The weights are
+    * still computed BY THE ENGINE from the collected raw w values
+    * (same JVM arithmetic as the broadcast form), so the oracle hash is
+    * unchanged. */
   def prfSearch(spark: SparkSession, dir: String, query: String,
       lang: String, nFb: Int, nExp: Int, k: Int): DataFrame = {
+    require(nExp <= MaxExpansions,
+      s"nExp=$nExp: the inter-stage expansion set is a driver-side " +
+        s"artifact bounded by MaxExpansions=$MaxExpansions")
     val terms = TextAnalyzer.analyze(query).distinct
     val idx = CacheScope.cached(idxFor(spark, dir, lang))
-    val exp = prfTerms(spark, dir, query, lang, nFb, nExp)
-    val maxW = exp.agg(max(col("w")).as("max_w"))
-    val expW = exp.crossJoin(broadcast(maxW))
-      .select(col("term"),
-        round(lit(ExpansionWeight) * col("w") / col("max_w"), 6)
-          .as("weight"))
+    val expRows = prfTerms(spark, dir, query, lang, nFb, nExp)
+      .select(col("term"), col("w")).collect()
     import spark.implicits._
     val origW = terms.map(t => (t, 1.0)).toDF("term", "weight")
-    val tw = origW.unionAll(expW)
-    idx.join(broadcast(tw), "term")
+    val tw =
+      if (expRows.isEmpty) origW
+      else {
+        val maxW = expRows.map(_.getDouble(1)).max
+        origW.unionAll(
+          expRows.toSeq.map(r => (r.getString(0), r.getDouble(1)))
+            .toDF("term", "w")
+            .select(col("term"),
+              round(lit(ExpansionWeight) * col("w") / lit(maxW), 6)
+                .as("weight")))
+      }
+    val probeTerms = terms ++ expRows.map(_.getString(0))
+    idx.filter(col("term").isin(probeTerms: _*))
+      .join(broadcast(tw), "term")
       .groupBy("doc_id")
       .agg(sum(col("weight") * log(lit(1.0) + col("tf"))).as("s"))
       .select(col("doc_id"), round(col("s"), 6).as("score"))

@@ -575,6 +575,100 @@ object Similarity {
       .write.insertInto(name) // positional; respects the bucket spec
   }
 
+  /** Vector-index DELETE path — the tombstone merge-on-read story
+    * [[graft.operators.Fts.termStatsAfterDelete]] gives the FTS index,
+    * mirrored onto the persisted IVF table: deletes never rewrite the
+    * bucketed index (pgvector's ivfflat likewise leaves dead tuples to
+    * vacuum); readers anti-join the tombstone set at probe time. This
+    * is the per-cell occupancy report after such a delete — live/dead
+    * counts per cell straight off the STORED assignment, no
+    * re-clustering, no rebuild — the "how much garbage is each list
+    * carrying" introspection that schedules a real rebuild.
+    *
+    * Scale: the tombstone set rides as a broadcast (the delete-batch
+    * side, small by construction — same shape as the FTS delete);
+    * the index side stays a bucketed scan + vocabulary-sized aggregate.
+    * A SimilaritySpec gate asserts the probe path over survivors is
+    * unchanged: tombstoned [[ivfTopK]] == brute-force over the
+    * surviving corpus. Output (centroid_id, n_total, n_deleted,
+    * n_live). */
+  def ivfDeleteStats(spark: SparkSession, dir: String, nCentroids: Int,
+      mod: Long): DataFrame = {
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    val tomb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), lit(1L).as("dead"))
+    spark.table(idx)
+      .join(broadcast(tomb), Seq("vec_id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("dead").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("dead").isNull, 1L).otherwise(0L)).as("n_live"))
+      .orderBy(col("centroid_id").asc)
+  }
+
+  /** Oracle: replay the trained-centroid assignment, mark vec_id %
+    * mod = 0 dead, aggregate per cell. */
+  def ivfDeleteStatsOracleSql(nCentroids: Int, mod: Long): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${centsCtes(nCentroids)}, asg AS (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, centroid_id FROM asg WHERE rn = 1
+       |)
+       |SELECT centroid_id, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN vec_id % $mod = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_deleted,
+       |  CAST(sum(CASE WHEN vec_id % $mod = 0 THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_live
+       |FROM cells GROUP BY centroid_id
+       |ORDER BY centroid_id ASC""".stripMargin
+
+  /** [[ivfTopK]] under a tombstone set — the merge-on-read PROBE path
+    * of the delete story: the bucketed index and its centroids are
+    * untouched; the tombstone anti-join runs inside the probed
+    * (bucket-pruned) cells, so deleted vectors can never surface and
+    * the cost stays ∝ probed cells + |tombstones| (broadcast). The
+    * SimilaritySpec recall gate asserts this equals the probed-cell
+    * top-k over survivors computed independently. */
+  def ivfTopKDeleted(spark: SparkSession, dir: String, qid: Long, k: Int,
+      nCentroids: Int, mod: Long, nProbe: Int = 2): DataFrame = {
+    val idx = ensureIvfIndex(spark, dir, nCentroids)
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    val cells = spark.table(s"${idx}_cents")
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    val tomb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"))
+    spark.table(idx)
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("vec_id") =!= lit(qid))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(lit(1.0) - dot(col("embedding"), qvCol)
+          / (col("nrm") * lit(qn)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN search: probe the query's `nProbe` nearest IVF cells, exact
     * re-rank inside them — the standard ivfflat recall/latency trade
     * (probing more cells raises recall, touching nProbe/nCentroids of

@@ -78,6 +78,33 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.map(_.getAs[Long]("vec_id")).sameElements(unf))
   }
 
+  test("tombstoned probe: no deleted id surfaces; survivors rank " +
+      "exactly as the untombstoned probe minus the tombstones") {
+    val mod = 7L
+    val del = Similarity.ivfTopKDeleted(spark, Sf0001, 42L, 10, 10, mod, 3)
+      .collect()
+    assert(del.nonEmpty)
+    del.foreach(r => assert(r.getAs[Long]("vec_id") % mod != 0))
+    // recall-gate-unchanged-on-survivors: the tombstoned probe equals
+    // the untombstoned probe's ordering with deleted rows dropped
+    // (merge-on-read == filter semantics over the same probed cells)
+    val expect = Similarity.ivfTopK(spark, Sf0001, 42L, 10000, 10, 3)
+      .collect().filter(_.getAs[Long]("vec_id") % mod != 0)
+      .map(_.getAs[Long]("vec_id")).take(del.length)
+    assert(del.map(_.getAs[Long]("vec_id")).sameElements(expect))
+  }
+
+  test("ivfDeleteStats: per-cell totals reconcile and cover the corpus") {
+    val stats = Similarity.ivfDeleteStats(spark, Sf0001, 10, 7L).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_deleted") + r.getAs[Long]("n_live"))
+    }
+    val n = Tables.embeddings(spark, Sf0001).count()
+    assert(stats.map(_.getAs[Long]("n_total")).sum == n)
+  }
+
   test("autoNCentroids: corpus-relative with a floor of 8") {
     assert(Similarity.autoNCentroids(500) == 8)
     assert(Similarity.autoNCentroids(8000) == 8)
