@@ -245,7 +245,7 @@ object Bench {
     // sinks (StreamBridge family runner): reported so the amortization
     // is explicit in the artifact, not hidden in warm-up
     val streamPart = {
-      val s = graft.streaming.StreamBridge.familyBuildSec
+      val s = graft.streaming.StreamBridge.familyBuildSecFor(sfDir)
       if (s > 0) s""","stream_family_build_sec":${r2(s)}""" else ""
     }
     def envelope(queriesJson: String, extra: String): String =

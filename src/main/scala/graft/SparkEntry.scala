@@ -52,6 +52,10 @@ object SparkEntry {
       Fts.searchLang(s, d, "le merge et la table", "fr", 10)),
     "fts_topk_zh" -> ((s, d) =>
       Fts.searchLang(s, d, "the stream filter", "zh", 10)),
+    // analyzer-matrix round-trip: per-DETECTED-lang index ∘ per-lang
+    // query over the mixed corpus; misroutes visible via labeled_lang
+    "fts_lang_roundtrip" -> ((s, d) =>
+      Fts.searchLangRouted(s, d, "hash join", 3)),
     // ts_rank_cd normalization bitmask beyond the hardwired 32:
     // 33 = (1 | 32) → log-doc-length damping then rank/(rank+1)
     "fts_topk_norm" -> ((s, d) =>
@@ -658,6 +662,7 @@ object SparkEntry {
       Fts.searchLangOracleSql("le merge et la table", "fr", 10),
     "fts_topk_zh" ->
       Fts.searchLangOracleSql("the stream filter", "zh", 10),
+    "fts_lang_roundtrip" -> Fts.searchLangRoutedOracleSql("hash join", 3),
     "fts_topk_norm" ->
       Fts.searchNormalizedOracleSql("hash join merge", "en", 10, 33),
     "fts_topk_stemmed" -> Fts.searchStemmedOracleSql("merging streams", "en", 10),

@@ -218,8 +218,18 @@ object Clustering {
       targetClusterSize: Long, maxDistMicro2: Long): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(8L, n / targetClusterSize).toInt
-    // corpus-relative k grows with n: the auto route keeps the driver
-    // bound structural (flat ≤ MaxDriverCentroidCells, else two-level)
+    // This query is ORACLED against the FLAT fit (semdedupReportOracleSql
+    // replays fitSqlForExpr): past the driver bound kmeansAuto would
+    // route through fitHierarchical, whose output is NOT bit-equal to
+    // flat at the same k — the gate would diverge by construction in
+    // exactly the regime the routing targets. Fail loudly at the
+    // boundary instead (r13 ADVICE); the hierarchical regime has its
+    // own oracled entry (kmeans_hier / kmeansHierClustersOracleSql).
+    require(k.toLong * 64 <= MaxDriverCentroidCells,
+      s"semdedupReport k=$k crosses the flat-fit oracle boundary " +
+        s"(MaxDriverCentroidCells=$MaxDriverCentroidCells); its DuckDB " +
+        "oracle replays the flat fit only — use the hierarchical " +
+        "family (kmeansHierClusters) past this point")
     val (assign, _) = kmeansAuto(spark, dir, k)
     val comps = ivec(spark, dir).join(assign, Seq("vec_id"))
       .transform(CacheScope.cached)
@@ -282,44 +292,97 @@ object Clustering {
   def fitHierarchical(spark: SparkSession, dir: String, k1: Int, k2: Int,
       iterations: Int = Iterations): (DataFrame, DataFrame) = {
     val (coarseAssign, _) = fitRaw(spark, dir, k1)
-    val ivc = ivec(spark, dir)
+    // (vec_id, coarse, qa): ARRAY-form quantized vectors, repartitioned
+    // by coarse ONCE and cached. Every per-round stage rides this single
+    // partitioning: the cents join keys on coarse, and the update
+    // groupBy (coarse, sub, dim) is satisfied by HashPartitioning
+    // (coarse) — so after this one exchange, NO corpus-sized shuffle
+    // happens in any Lloyd round (the r13 long-format shape paid two
+    // n·dim·k2-row shuffles per round; bench kmeans_hier 2.9–3.2s was
+    // mostly that).
+    val ivcArr = Tables.embeddingsDense(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
       .join(coarseAssign.select(col("vec_id"),
         col("cluster").as("coarse")), Seq("vec_id"))
+      .repartition(col("coarse"))
       .transform(CacheScope.cached)
     val byCoarse = org.apache.spark.sql.expressions.Window
       .partitionBy(col("coarse"))
       .orderBy(col("h").asc, col("vec_id").asc)
-    val seeds = ivc.select(col("vec_id"), col("coarse")).distinct()
+    val seeds = ivcArr.select(col("vec_id"), col("coarse"))
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       .withColumn("rn", row_number().over(byCoarse))
       .filter(col("rn") <= k2)
       .select(col("vec_id"), col("coarse"),
         (col("rn") - 1).cast("long").as("sub"))
-    var cent: DataFrame = ivc.join(seeds, Seq("vec_id", "coarse"))
-      .select(col("coarse"), col("sub"), col("dim"), col("q").as("c"))
-      .transform(CacheScope.cached)
+    // centroid state stays DISTRIBUTED in long format (coarse, sub,
+    // dim, c) — k1·k2·dim rows, never on the driver; packed() derives
+    // the per-coarse array form each round for the scan-local argmin.
+    // Sub ids are contiguous 0..cellSeeds-1 per coarse cell and the
+    // left-join/coalesce update keeps that key set stable across
+    // rounds, so array position == sub id by construction.
+    // eager localCheckpoint per round (the pagerankDups lesson): the
+    // centroid frame is TINY (≤ k1·k2·dim rows), but left lazy the
+    // round recurrence nests packed()+join trees `iterations` deep and
+    // Catalyst pays seconds of analysis on the final action; a
+    // checkpoint makes each round's plan start from a flat leaf
+    var centLong: DataFrame = ivcArr.join(seeds, Seq("vec_id", "coarse"))
+      .select(col("coarse"), col("sub"),
+        posexplode(col("qa")).as(Seq("dim", "c")))
+      .localCheckpoint(true)
+    def packed(cl: DataFrame): DataFrame = cl
+      .groupBy(col("coarse"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .as("dc"))
+      .select(col("coarse"), col("sub"),
+        transform(col("dc"), s => s.getField("c")).as("carr"))
+      .groupBy(col("coarse"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("carr"))))
+        .as("sc"))
+      .select(col("coarse"),
+        transform(col("sc"), s => s.getField("carr")).as("cents"))
+    // scan-local argmin against the row's OWN coarse cell's centroids —
+    // same integer Σ(q−c)² distances and dist·k2+sub composite as the
+    // long-format join computed, so the oracle is untouched. The cents
+    // side is k1 rows: Catalyst broadcasts it while it is small and
+    // falls back to a shuffle join when k1·k2·dim outgrows the
+    // broadcast threshold — both keep the corpus side exchange-free
+    // (broadcast joins shuffle nothing; shuffle joins reuse ivcArr's
+    // coarse partitioning).
+    def assignFor(cl: DataFrame): DataFrame = {
+      val dists = transform(col("cents"),
+        carr => aggregate(
+          zip_with(col("qa"), carr, (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x))
+      val key = aggregate(
+        zip_with(dists,
+          sequence(lit(0L), size(col("cents")).cast("long") - 1),
+          (dd, cc) => dd * k2 + cc),
+        lit(Long.MaxValue), (m, v) => least(m, v))
+      ivcArr.join(packed(cl), Seq("coarse"))
+        .select(col("vec_id"), col("coarse"), col("qa"),
+          (key % k2).as("sub"))
+    }
     var assign: DataFrame = null
     for (_ <- 1 to iterations) {
-      val dist = ivc.join(cent, Seq("coarse", "dim"))
-        .groupBy(col("vec_id"), col("coarse"), col("sub"))
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
-          .as("dist"))
-      assign = dist.groupBy(col("vec_id"), col("coarse"))
-        .agg((min(col("dist") * lit(k2.toLong) + col("sub")) %
-          lit(k2.toLong)).as("sub"))
-        .transform(CacheScope.cached)
-      val sums = ivc.join(assign, Seq("vec_id", "coarse"))
+      val a = assignFor(centLong).transform(CacheScope.cached)
+      assign = a.select(col("vec_id"), col("coarse"), col("sub"))
+      val sums = a
+        .select(col("coarse"), col("sub"),
+          posexplode(col("qa")).as(Seq("dim", "q")))
         .groupBy(col("coarse"), col("sub"), col("dim"))
         .agg(expr("sum(q) div count(1)").as("c_new"))
-      cent = cent.as("p")
+      centLong = centLong.as("p")
         .join(sums.as("s"), Seq("coarse", "sub", "dim"), "left")
         .select(col("coarse"), col("sub"), col("dim"),
           coalesce(col("c_new"), col("c")).as("c"))
-        .transform(CacheScope.cached)
+        .localCheckpoint(true)
     }
     val a = assign.select(col("vec_id"),
       (col("coarse") * k2 + col("sub")).as("cluster"))
-    val c = cent.select((col("coarse") * k2 + col("sub")).as("cluster"),
+    val c = centLong.select((col("coarse") * k2 + col("sub")).as("cluster"),
       col("dim"), col("c"))
     (a, c)
   }

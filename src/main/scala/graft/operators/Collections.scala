@@ -52,7 +52,12 @@ object Collections {
     * [[scopedDocuments]]. */
   def ensurePartitionedDocuments(spark: SparkSession,
       dir: String): String = {
-    val name = s"graft_docs_part_${ScaleOps.dirHash(dir)}"
+    // keyed on a CONTENT fingerprint, not the dir path: regenerating a
+    // fixture in place (ScaleUp overwrites its out dir) changes the
+    // fingerprint and forces a rebuild, so fts_topk / s3_pagination_
+    // scoped can never silently serve the stale corpus (r13 ADVICE)
+    val name =
+      s"graft_docs_part_${ScaleOps.contentHash(dir, "documents")}"
     if (!spark.catalog.tableExists(name)) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")

@@ -72,7 +72,7 @@ object Embeddings {
   /** Deterministic catalog name for the persisted hashed-embedding
     * index of (dir, dim). */
   def embIndexName(dir: String, dim: Int): String =
-    s"graft_emb_${ScaleOps.dirHash(dir)}_d$dim"
+    s"graft_emb_${ScaleOps.contentHash(dir, "documents")}_d$dim"
 
   /** Build-once / probe-many: fit the TF-IDF pipeline and LSH model
     * once per (dir, dim), persist (doc_id, embedding, hashes) to the

@@ -59,7 +59,7 @@ object Fts {
     * buckets. Single ad-hoc searches keep the scan-local zero-exchange
     * path in `search` — strictly better when nothing is amortized. */
   def ensureIndex(spark: SparkSession, dir: String): String = {
-    val name = s"graft_fts_${ScaleOps.dirHash(dir)}"
+    val name = s"graft_fts_${ScaleOps.contentHash(dir, "documents")}"
     if (!spark.catalog.tableExists(name)) {
       ScaleOps.writeBucketed(
         invertedIndex(Tables.documents(spark, dir)), name, "term", 32)
@@ -198,6 +198,131 @@ object Fts {
        |SELECT doc_id, round(s / (1 + s), 6) AS score
        |FROM m WHERE nmatch = ${terms.length}
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** The analyzer-matrix ROUND-TRIP gate (r13 verdict #7): route every
+    * document by its DETECTED language (graft.functions.LangId), index
+    * it under that language's analyzer policy (en = stop+stem, fr =
+    * stop only, anything else = bare tokens), analyze the SAME query
+    * under each policy, and search each routed bucket — per-lang
+    * index ∘ per-lang query over the mixed corpus, one scan, one
+    * aggregate shuffle. A document the heuristic MISROUTES (detected ≠
+    * labeled lang — langid_confusion counts them) is indexed under the
+    * wrong analyzer and is served by its DETECTED bucket only; the
+    * output carries labeled_lang beside route_lang so the misroute is
+    * visible in the hash-gated result, and FtsSpec pins the behavior.
+    *
+    * Output (route_lang, doc_id, labeled_lang, score): AND-match,
+    * Σ ln(1+tf) score, top-k per route via a route-partitioned window
+    * (bounded by |langs|·k — never a global funnel). */
+  def searchLangRouted(spark: SparkSession, dir: String, query: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val routeLangs = Seq("en", "fr", "es", "de", "zh", "und")
+    val qterms = routeLangs.flatMap(l =>
+      TextAnalyzer.analyzeStemmedFor(query, l).distinct.map(t => (l, t)))
+    require(qterms.nonEmpty, "query analyzes to no terms")
+    val docs = graft.functions.LangId.withDetected(
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+      "text")
+    // policy dispatch on the detected lang; the explode(array(...))
+    // barrier materializes the token array once per row (HOF lambdas
+    // disable subexpression elimination — the fts_websearch lesson)
+    val toks = docs.select(col("doc_id"), col("lang"), col("detected"),
+      explode(array(
+        when(col("detected") === "en",
+          TextAnalyzer.stemmedTokens(col("text")))
+          .when(col("detected") === "fr",
+            TextAnalyzer.tokensFor(col("text"), "fr"))
+          .otherwise(TextAnalyzer.tokensFor(col("text"), "und"))))
+        .as("toks"))
+    val idx = toks.select(col("doc_id"), col("lang"), col("detected"),
+      explode(col("toks")).as("term"))
+      .groupBy(col("detected"), col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    import spark.implicits._
+    val qt = qterms.toDF("route_lang", "qterm")
+    val nt = routeLangs
+      .map(l => (l, TextAnalyzer.analyzeStemmedFor(query, l)
+        .distinct.length.toLong))
+      .toDF("nt_lang", "n_terms")
+    val m = idx
+      .join(broadcast(qt),
+        col("detected") === col("route_lang") &&
+          col("term") === col("qterm"))
+      .groupBy(col("detected"), col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nmatch"),
+        sum(log(lit(1.0) + col("tf"))).as("s"))
+      .join(broadcast(nt), col("detected") === col("nt_lang"))
+      .filter(col("nmatch") === col("n_terms"))
+      .select(col("detected").as("route_lang"), col("doc_id"),
+        col("lang").as("labeled_lang"), round(col("s"), 6).as("score"))
+    val w = Window.partitionBy("route_lang")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("route_lang", "doc_id", "labeled_lang", "score")
+      .orderBy(col("route_lang").asc, col("score").desc,
+        col("doc_id").asc)
+  }
+
+  /** Oracle for [[searchLangRouted]]: the detector via
+    * [[graft.functions.LangId.sqlDetectExpr]] (generated from the same
+    * Profiles), the per-policy term filter as a CASE on detected, the
+    * stem chain applied through plain-column CTE stages and selected
+    * only for detected='en'. */
+  def searchLangRoutedOracleSql(query: String, k: Int): String = {
+    val routeLangs = Seq("en", "fr", "es", "de", "zh", "und")
+    val qtRows = routeLangs.flatMap(l =>
+      TextAnalyzer.analyzeStemmedFor(query, l).distinct
+        .map(t => s"('$l', '$t')")).mkString(", ")
+    val ntRows = routeLangs.map(l =>
+      s"('$l', ${TextAnalyzer.analyzeStemmedFor(query, l).distinct.length})")
+      .mkString(", ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ${graft.functions.LangId.sqlDetectExpr("text")} AS detected,
+       |    text
+       |  FROM documents
+       |), tok0 AS (
+       |  SELECT doc_id, lang, detected,
+       |    ${TextAnalyzer.sqlTokenize("text")} AS t0
+       |  FROM d
+       |), f0 AS (
+       |  SELECT doc_id, lang, detected, t0 FROM tok0
+       |  WHERE CASE detected
+       |    WHEN 'en' THEN ${TextAnalyzer.sqlTermFilterFor("t0", "en")}
+       |    WHEN 'fr' THEN ${TextAnalyzer.sqlTermFilterFor("t0", "fr")}
+       |    ELSE ${TextAnalyzer.sqlTermFilterFor("t0", "und")} END
+       |), sa AS (
+       |  SELECT *, ${TextAnalyzer.sqlStemA("t0")} AS t1 FROM f0
+       |), sb AS (
+       |  SELECT *, ${TextAnalyzer.sqlStemB("t1")} AS t2 FROM sa
+       |), sc AS (
+       |  SELECT doc_id, lang, detected,
+       |    CASE WHEN detected = 'en'
+       |      THEN ${TextAnalyzer.sqlStemC("t2")} ELSE t0 END AS term
+       |  FROM sb
+       |), idx AS MATERIALIZED (
+       |  SELECT detected, doc_id, lang, term, count(*) AS tf
+       |  FROM sc GROUP BY 1, 2, 3, 4
+       |), qt(route_lang, qterm) AS (VALUES $qtRows),
+       |nt(nt_lang, n_terms) AS (VALUES $ntRows),
+       |m AS (
+       |  SELECT detected AS route_lang, doc_id, lang AS labeled_lang,
+       |    count(*) AS nmatch, round(sum(ln(1 + tf)), 6) AS score
+       |  FROM idx JOIN qt
+       |    ON qt.route_lang = idx.detected AND qt.qterm = idx.term
+       |  GROUP BY 1, 2, 3
+       |), r AS (
+       |  SELECT m.*, row_number() OVER (PARTITION BY route_lang
+       |    ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM m JOIN nt ON nt.nt_lang = m.route_lang
+       |  WHERE m.nmatch = nt.n_terms
+       |)
+       |SELECT route_lang, doc_id, labeled_lang, score FROM r
+       |WHERE rn <= $k
+       |ORDER BY route_lang ASC, score DESC, doc_id ASC""".stripMargin
   }
 
   /** F1+F2 stemmed variant: the reference's actual behavior — both the
@@ -877,7 +1002,7 @@ object Fts {
     * prefixSearch: docs matching ANY suffixed term by total matched
     * tf. */
   def ensureReverseIndex(spark: SparkSession, dir: String): String = {
-    val name = s"graft_fts_rev_${ScaleOps.dirHash(dir)}"
+    val name = s"graft_fts_rev_${ScaleOps.contentHash(dir, "documents")}"
     if (!spark.catalog.tableExists(name)) {
       ScaleOps.writeBucketed(
         spark.table(ensureIndex(spark, dir))

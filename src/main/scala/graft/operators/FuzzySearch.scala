@@ -65,7 +65,7 @@ object FuzzySearch {
     * containing the term (the expansion-ranking signal). */
   def ensureFuzzyIndex(spark: SparkSession, dir: String,
       lang: String): String = {
-    val name = s"graft_fuzzy_${lang}_${ScaleOps.dirHash(dir)}"
+    val name = s"graft_fuzzy_${lang}_${ScaleOps.contentHash(dir, "documents")}"
     if (!spark.catalog.tableExists(name)) {
       val vocab = spark.table(Fts.ensureIndex(spark, dir))
         .filter(col("lang") === lit(lang))

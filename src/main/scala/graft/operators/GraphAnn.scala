@@ -45,7 +45,7 @@ object GraphAnn {
   def ensureGraphIndex(spark: SparkSession, dir: String,
       nCentroids: Int, m: Int): String = {
     val name =
-      s"graft_gann_${nCentroids}_${m}_${ScaleOps.dirHash(dir)}"
+      s"graft_gann_${nCentroids}_${m}_${ScaleOps.contentHash(dir, "embeddings")}"
     if (!spark.catalog.tableExists(name)) {
       // probe-2 assignment against the SAME stored trained centroids
       // the IVF index uses (build once, share everywhere)

@@ -112,10 +112,10 @@ object IvfPq {
       ProductQuant.seedFrame(spark, dir))
 
   private def codebookName(dir: String, nCentroids: Int): String =
-    s"graft_ivfpqcb_${ScaleOps.dirHash(dir)}_c$nCentroids"
+    s"graft_ivfpqcb_${ScaleOps.contentHash(dir, "embeddings")}_c$nCentroids"
 
   private def codesName(dir: String, nCentroids: Int): String =
-    s"graft_ivfpq_${ScaleOps.dirHash(dir)}_c$nCentroids"
+    s"graft_ivfpq_${ScaleOps.contentHash(dir, "embeddings")}_c$nCentroids"
 
   private def ensureTable(spark: SparkSession, name: String)(
       build: => Unit): String = {

@@ -130,7 +130,7 @@ object ProductQuant {
     * Idempotent per (dir); same orphan-location handling as
     * ensurePqTable. */
   def ensureCodebook(spark: SparkSession, dir: String): String = {
-    val name = s"graft_pqcb_${ScaleOps.dirHash(dir)}"
+    val name = s"graft_pqcb_${ScaleOps.contentHash(dir, "embeddings")}"
     if (!spark.catalog.tableExists(name)) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -190,7 +190,7 @@ object ProductQuant {
     * orphaned location before writing (a bare saveAsTable would fail
     * with LOCATION_ALREADY_EXISTS on every session after the first). */
   def ensurePqTable(spark: SparkSession, dir: String): String = {
-    val name = s"graft_pq_${ScaleOps.dirHash(dir)}"
+    val name = s"graft_pq_${ScaleOps.contentHash(dir, "embeddings")}"
     if (!spark.catalog.tableExists(name)) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")

@@ -323,7 +323,13 @@ object Sampling {
     * temperature move shifts mass into the small strata. */
   def mixWeightsTemp(spark: SparkSession, dir: String,
       temps: Seq[Double]): DataFrame = {
-    def label(t: Double) = s"w_t${if (t == t.floor) t.toLong else t}"
+    // integral temps only (r13 ADVICE): a dotted label (w_t2.5) breaks
+    // col() resolution (dot parses as struct access), and pow(x, 1/T)
+    // at non-integral T has no bit-parity guarantee between JVM and
+    // DuckDB libm — the registered ladder points are 1/2/5
+    require(temps.forall(t => t == t.floor),
+      s"mixWeightsTemp requires integral temperatures, got $temps")
+    def label(t: Double) = s"w_t${t.toLong}"
     val grouped = Tables.documentsDense(spark, dir)
       .select(col("source"), col("lang"),
         size(graft.functions.TextAnalyzer.tokens(col("text")))
@@ -343,7 +349,9 @@ object Sampling {
   }
 
   def mixWeightsTempOracleSql(temps: Seq[Double]): String = {
-    def label(t: Double) = s"w_t${if (t == t.floor) t.toLong else t}"
+    require(temps.forall(t => t == t.floor),
+      s"mixWeightsTemp requires integral temperatures, got $temps")
+    def label(t: Double) = s"w_t${t.toLong}"
     val zCols = temps.map(t =>
       s"sum(pow(CAST(n_tokens AS DOUBLE), ${1.0 / t})) AS z_${label(t)}")
       .mkString(",\n    ")

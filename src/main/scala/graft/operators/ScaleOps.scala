@@ -16,6 +16,34 @@ object ScaleOps {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** Content fingerprint of one fixture table under `dir`: a digest
+    * over the path plus every data file's (name, size, mtime). Derived
+    * tables memoized by catalog name MUST key on this rather than
+    * [[dirHash]] alone when their consumers outlive a fixture
+    * regeneration — ScaleUp overwrites the same out dir, and a
+    * dir-only key would keep serving the STALE corpus from the session
+    * catalog (r13 ADVICE, ensurePartitionedDocuments). Handles both
+    * fixture layouts: single file `<t>.parquet` and Spark-written
+    * directories. */
+  def contentHash(dir: String, table: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, s"$table.parquet")
+    val files: Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+      else if (Files.exists(p)) Seq(p)
+      else Seq.empty
+    val sig = files.map(f =>
+      s"${f.getFileName}:${Files.size(f)}:" +
+        s"${Files.getLastModifiedTime(f).toMillis}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
   /** Write both sides of a fact-fact join bucketed+sorted by the join
     * key into the session catalog. A subsequent join of the two tables
     * on that key is a SortMergeJoin with NO shuffle exchange on either
@@ -48,8 +76,8 @@ object ScaleOps {
     * sides). Idempotent per (dir). */
   def ensureBucketedFacts(spark: SparkSession,
       dir: String): (String, String) = {
-    val bo = s"graft_bord_${dirHash(dir)}"
-    val bl = s"graft_blin_${dirHash(dir)}"
+    val bo = s"graft_bord_${contentHash(dir, "orders")}"
+    val bl = s"graft_blin_${contentHash(dir, "lineitem")}"
     if (!spark.catalog.tableExists(bo))
       writeBucketed(graft.Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_orderdate"), bo,

@@ -337,7 +337,17 @@ object Similarity {
     * it — the auto policy grows cells linearly with the corpus, so at
     * ~10⁹ vectors the driver matrix is gone — the build goes through
     * [[ensureIvfIndexHier]]'s centroids-over-centroids pass, whose
-    * training never materializes the centroid matrix anywhere. */
+    * training never materializes the centroid matrix anywhere.
+    *
+    * ORACLE-PARITY NOTE (r13 ADVICE): hierarchical output is NOT
+    * bit-equal to the flat fit at the same cell count, so a DuckDB
+    * oracle that replays the flat chain (fitSqlForExpr) must never sit
+    * behind this router — past the boundary it would diverge by
+    * construction. No registered oracle consumes this function
+    * (ivf_ann_auto probes the always-flat [[ensureIvfIndex]];
+    * semdedupReport now fails loudly at the boundary); an oracled
+    * routed query must mirror the routing in its SQL the way
+    * kmeansHierClustersOracleSql does. */
   def ensureIvfIndexAuto(spark: SparkSession, dir: String): String = {
     val cells = autoNCentroids(Tables.embeddings(spark, dir).count())
     if (cells.toLong * 64 <= Clustering.MaxDriverCentroidCells)
@@ -350,7 +360,7 @@ object Similarity {
   }
 
   private def ivfHierName(dir: String, k1: Int, k2: Int): String =
-    s"graft_ivfh_${k1}x${k2}_${ScaleOps.dirHash(dir)}"
+    s"graft_ivfh_${k1}x${k2}_${ScaleOps.contentHash(dir, "embeddings")}"
 
   /** Hierarchical IVF build — the past-the-driver-bound route: the
     * coarse/sub centroid structure comes from
@@ -462,7 +472,14 @@ object Similarity {
   def ivfTopKAuto(spark: SparkSession, dir: String, qid: Long, k: Int,
       nProbe: Int = 2, targetCellSize: Long = 1000L): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
-    ivfTopK(spark, dir, qid, k, autoNCentroids(n, targetCellSize), nProbe)
+    val cells = autoNCentroids(n, targetCellSize)
+    // oracled against the flat training chain: fail loudly rather than
+    // OOM the flat trainer (or silently diverge via a hier route) past
+    // the driver bound — see ensureIvfIndexAuto's oracle-parity note
+    require(cells.toLong * 64 <= Clustering.MaxDriverCentroidCells,
+      s"ivfTopKAuto cells=$cells crosses the flat-fit oracle boundary; " +
+        "use ivfTopKHier past this point")
+    ivfTopK(spark, dir, qid, k, cells, nProbe)
   }
 
   def ivfTopKAutoOracleSql(qid: Long, k: Int, nProbe: Int = 2,
@@ -533,7 +550,7 @@ object Similarity {
   /** Deterministic catalog name for the persisted IVF index of (dir,
     * nCentroids). */
   def ivfIndexName(dir: String, nCentroids: Int): String =
-    s"graft_ivf_${ScaleOps.dirHash(dir)}_c$nCentroids"
+    s"graft_ivf_${ScaleOps.contentHash(dir, "embeddings")}_c$nCentroids"
 
   /** Build-once / probe-many: persist the IVF assignment as a table
     * bucketed by centroid_id (vectors + norms in-row), plus a tiny
@@ -1169,6 +1186,11 @@ object Similarity {
     */
   def mmrRerank(spark: SparkSession, dir: String, qid: Long, nCand: Int,
       k: Int, lambda: Double): DataFrame = {
+    // the scaladoc's ~1k boundary, enforced (r13 verdict #8): past it
+    // the O(nCand²) driver matrix stops being a bounded artifact
+    require(nCand <= 1000,
+      s"mmrRerank nCand=$nCand exceeds the documented driver bound " +
+        "(1000); move the pairwise sims into a distributed pre-pass")
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === lit(qid))
       .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))

@@ -35,7 +35,7 @@ object StreamBridge {
   // including every timed bench rep — read the terminal sinks. That is
   // the ensureIndex build-once/probe-many discipline applied to the
   // engine run itself; the one-time family cost stays visible as
-  // [[familyBuildSec]] (Bench reports it), so the amortization is
+  // [[familyBuildSecFor]] (Bench reports it), so the amortization is
   // explicit, not hidden. Hashes are untouched: the same queries run
   // the same engine against the same staging. The documents- and
   // embeddings-sourced bridges (index maintenance) memoize
@@ -51,19 +51,29 @@ object StreamBridge {
         org.apache.spark.sql.streaming.StreamingQuery) => Unit =
         (_, _, _) => ())
 
-  private val familyDone =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // Keyed by (session, dir), NOT dir alone (r13 ADVICE): the artifacts
+  // the memo stands for are SESSION-scoped memory-sink temp views — a
+  // recreated session in the same JVM must re-run the family or every
+  // bridge read hits 'table not found' / stale tallies.
+  private val familyDone = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
 
-  /** Wall-clock seconds of the last events-family run (0 if none). */
-  @volatile var familyBuildSec: Double = 0.0
+  private val familyBuildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Wall-clock seconds of the events-family run for `dir` (0 if none
+    * ran in this JVM) — per-dir so a multi-fixture process reports each
+    * fixture's own build cost, not the last one that happened to run. */
+  def familyBuildSecFor(dir: String): Double =
+    Option(familyBuildSecs.get(dir)).map(_.doubleValue).getOrElse(0.0)
 
   private def ensureFamily(spark: SparkSession, dir: String): Unit = {
-    familyDone.computeIfAbsent(dir, _ => {
+    familyDone.computeIfAbsent((spark, dir), _ => {
       val t0 = System.nanoTime()
       val started = eventsBridges.map(b => (b, b.launch(spark, dir)))
       started.foreach { case (_, q) => runToCompletion(q) }
       started.foreach { case (b, q) => b.finish(spark, dir, q) }
-      familyBuildSec = (System.nanoTime() - t0) / 1e9
+      familyBuildSecs.put(dir, (System.nanoTime() - t0) / 1e9)
       java.lang.Boolean.TRUE
     })
     ()
@@ -275,7 +285,7 @@ object StreamBridge {
     * and replaying the stream against the shared directory is exact.
     * The engine run itself is likewise once-per-(session, dir) now —
     * the family runner's explicit amortization (see the family-runner
-    * note; [[familyBuildSec]] reports the cost). The shared dir is
+    * note; [[familyBuildSecFor]] reports the cost). The shared dir is
     * removed on JVM exit. */
   private val lateArrivalsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -666,7 +676,8 @@ object StreamBridge {
     * the late batch — both engines, by the same rule, so the contract
     * "late data shifts acquisition, never loses it" is hash-pinned. */
   private val growthTallies = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
+    (SparkSession, String),
+    java.util.concurrent.ConcurrentHashMap[Long, Long]]()
 
   private val userGrowthRun = BridgeRun("growth", (spark, dir) => {
     val arrivalsDir = ensureLateArrivals(spark, dir)
@@ -677,7 +688,7 @@ object StreamBridge {
       .parquet(arrivalsDir)
     val perBatch =
       new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    growthTallies.put(dir, perBatch)
+    growthTallies.put((spark, dir), perBatch)
     src.select(col("user_id")).dropDuplicates("user_id")
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -691,7 +702,7 @@ object StreamBridge {
 
   def streamUserGrowth(spark: SparkSession, dir: String): DataFrame = {
     ensureFamily(spark, dir)
-    val perBatch = growthTallies.get(dir)
+    val perBatch = growthTallies.get((spark, dir))
     import scala.jdk.CollectionConverters._
     val rows = (0 until LateB).map { i =>
       (i.toLong, perBatch.asScala.getOrElse(i.toLong, 0L))

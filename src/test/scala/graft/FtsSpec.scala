@@ -284,6 +284,35 @@ class ProximitySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("lang round-trip: every hit is served by its DETECTED bucket, " +
+      "and a misrouted doc is reachable ONLY via the detected analyzer") {
+    val rows = graft.operators.Fts
+      .searchLangRouted(spark, Sf0001, "hash join", 3).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // route_lang always equals the detector's own verdict on the text —
+    // the index side and the serving side cannot disagree on routing
+    rows.foreach { r =>
+      assert(graft.functions.LangId
+        .detectString(texts(r.getAs[Long]("doc_id"))) ==
+        r.getAs[String]("route_lang"))
+    }
+    // the fixture contains misroutes (detected != labeled lang — the
+    // langid_confusion off-diagonal); pin the behavior: such a doc is
+    // INDEXED under the detected analyzer, so its hits surface under
+    // route_lang == detected, never under its label
+    val mis = rows.filter(r =>
+      r.getAs[String]("route_lang") != r.getAs[String]("labeled_lang"))
+    mis.foreach { r =>
+      assert(!rows.exists(o =>
+        o.getAs[Long]("doc_id") == r.getAs[Long]("doc_id") &&
+          o.getAs[String]("route_lang") ==
+            r.getAs[String]("labeled_lang")))
+    }
+  }
+
   test("zipf fit: negative slope, r2 in (0,1], rank-1 intercept sane") {
     val row = graft.operators.Fts.zipfFit(spark, Sf0001).collect().head
     assert(row.getAs[Long]("n_terms") > 10)

@@ -114,10 +114,16 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0,
                 n_fail += 1
                 continue
             try:
+                # same bounded-memory settings as the oracle connection:
+                # a huge spark result must spill, not OOM the sweep
+                rcon = duckdb.connect()
+                rcon.execute("SET memory_limit='32GB'")
+                rcon.execute("SET temp_directory='/tmp/duckdb_spill'")
                 actual = normalize(
-                    duckdb.connect().execute(
+                    rcon.execute(
                         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
                     ).fetchdf())
+                rcon.close()
             except Exception as e:
                 print(f"FAIL {name}: spark result unreadable: {e}")
                 record(name, "fail", err=f"spark result unreadable: {e}")
@@ -190,26 +196,17 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0,
 
 
 if __name__ == "__main__":
-    budget = 0.0
-    json_out = ""
-    skip_file = ""
-    rest = sys.argv[1:]
-    for i, a in enumerate(rest):
-        if a == "--budget":
-            budget = float(rest[i + 1])
-        elif a == "--json":
-            json_out = rest[i + 1]
-        elif a == "--skip-file":
-            skip_file = rest[i + 1]
-    # positional args exclude flag values
-    pos = []
-    skip = False
-    for a in rest:
-        if skip:
-            skip = False
-            continue
-        if a in ("--budget", "--json", "--skip-file"):
-            skip = True
-            continue
-        pos.append(a)
-    main(pos[0], pos[1], budget, json_out, skip_file)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="DuckDB-oracle correctness gate (local emulation)")
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="per-oracle seconds before SKIP (0 = unbounded)")
+    ap.add_argument("--json", default="",
+                    help="write a CORRECTNESS-shaped artifact here")
+    ap.add_argument("--skip-file", default="",
+                    help="file of query names to skip (resume support)")
+    args = ap.parse_args()
+    main(args.sf_dir, args.out_dir, args.budget, args.json,
+         args.skip_file)
