@@ -165,6 +165,10 @@ object SparkEntry {
     // occupancy, no rebuild (mirrors fts_delete_termstats)
     "ivf_delete_stats" -> ((s, d) =>
       Similarity.ivfDeleteStats(s, d, 10, 7L)),
+    // the delete story's PROBE path under the hash gate: tombstone
+    // anti-join inside the probed cells, index untouched
+    "ivf_ann_deleted" -> ((s, d) =>
+      Similarity.ivfTopKDeleted(s, d, 42L, 10, 10, 7L, 2)),
     // late-interaction (ColBERT MaxSim) retrieval over pseudo-docs of
     // vec_id % 50: exact baseline + PLAID-style IVF-cell-pruned path
     // graph ANN (NSW shape): M-NN graph over 2-probe IVF candidates,
@@ -175,6 +179,10 @@ object SparkEntry {
     // exchanges per round independent of Q, zero driver collects
     "graph_ann_batch" -> ((s, d) =>
       GraphAnn.batchBeamSearch(s, d, BatchKnnIds, 0L, 10, 12, 16, 4, 5)),
+    // graph-ANN recall gate: beam walk vs exact KNN (completes the
+    // per-variant quality-gate matrix)
+    "gann_recall" -> ((s, d) =>
+      GraphAnn.beamRecall(s, d, BatchKnnIds, 0L, 10, 12, 16, 4, 5)),
     "maxsim_topk" -> ((s, d) =>
       MultiVector.maxSimTopK(s, d, 3L, 50, 500L, 10)),
     "maxsim_pruned" -> ((s, d) =>
@@ -740,10 +748,14 @@ object SparkEntry {
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
     "ivf_delete_stats" -> Similarity.ivfDeleteStatsOracleSql(10, 7L),
+    "ivf_ann_deleted" ->
+      Similarity.ivfTopKDeletedOracleSql(42L, 10, 10, 7L, 2),
     "graph_ann" ->
       GraphAnn.beamSearchOracleSql(42L, 0L, 10, 12, 16, 4, 10),
     "graph_ann_batch" ->
       GraphAnn.batchBeamSearchOracleSql(BatchKnnIds, 0L, 10, 12, 16, 4, 5),
+    "gann_recall" ->
+      GraphAnn.beamRecallOracleSql(BatchKnnIds, 0L, 10, 12, 16, 4, 5),
     "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 500L, 10),
     "maxsim_pruned" ->
       MultiVector.maxSimPrunedOracleSql(3L, 50, 500L, 10, 10),

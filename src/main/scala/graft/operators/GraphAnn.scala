@@ -275,6 +275,50 @@ object GraphAnn {
        |ORDER BY s.q_id ASC, s.dist ASC, vec_id ASC""".stripMargin
   }
 
+  /** Registered recall gate for the graph-ANN family — completes the
+    * per-variant quality-gate matrix (ann_recall / pq_recall /
+    * ivfpq_recall / bq_recall / quant_recall all gate their pruned
+    * form against exact KNN under the ORACLE hash; graph ANN was
+    * spec-gated only). Same shape as [[Similarity.annRecall]]: exact
+    * integral recall_micro so both engines agree bit-for-bit, composed
+    * from the already-oracled [[batchBeamSearch]] and
+    * [[Similarity.knnBatch]] chains. */
+  def beamRecall(spark: SparkSession, dir: String, qids: Seq[Long],
+      entry: Long, nCentroids: Int, m: Int, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    val ex = Similarity.knnBatch(spark, dir, qids, k)
+      .select(col("q_id"), col("vec_id"))
+    val ap = batchBeamSearch(spark, dir, qids, entry, nCentroids, m,
+      beam, rounds, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    ex.join(ap, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      .select(col("q_id"), col("n_exact"), col("n_common"),
+        expr(s"n_common * 1000000 div $k").as("recall_micro"))
+      .orderBy(col("q_id").asc)
+  }
+
+  def beamRecallOracleSql(qids: Seq[Long], entry: Long, nCentroids: Int,
+      m: Int, beam: Int, rounds: Int, k: Int): String =
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id
+       |  FROM (${Similarity.knnBatchOracleSql(qids, k)}) x
+       |), ap AS (
+       |  SELECT q_id, vec_id
+       |  FROM (${batchBeamSearchOracleSql(qids, entry, nCentroids, m,
+            beam, rounds, k)}) y
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS recall_micro
+       |FROM ex LEFT JOIN ap
+       |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
+
   /** Oracle: replay the trained-centroid chain, the 2-probe edge
     * build, and the SAME R beam rounds unrolled as CTEs. */
   def beamSearchOracleSql(qid: Long, entry: Long, nCentroids: Int,

@@ -649,6 +649,43 @@ object Similarity {
        |FROM cells GROUP BY centroid_id
        |ORDER BY centroid_id ASC""".stripMargin
 
+  /** Oracle for [[ivfTopKDeleted]]: [[ivfTopKOracleSql]]'s chain with
+    * the tombstone predicate applied inside the probed cells. */
+  def ivfTopKDeletedOracleSql(qid: Long, k: Int, nCentroids: Int,
+      mod: Long, nProbe: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${centsCtes(nCentroids)}, asg AS (
+       |  SELECT vec_id, label, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |), cells AS (
+       |  SELECT vec_id, label, centroid_id FROM asg WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcells AS (
+       |  SELECT centroid_id AS q_centroid FROM cents, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe
+       |)
+       |SELECT c.vec_id, c.label, c.centroid_id,
+       |  round(1.0 - list_dot_product(e.v, q.qv)
+       |    / (sqrt(list_dot_product(e.v, e.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |FROM cells c
+       |JOIN e ON e.vec_id = c.vec_id
+       |JOIN qcells ON c.centroid_id = qcells.q_centroid, q
+       |WHERE c.vec_id <> $qid AND c.vec_id % $mod <> 0
+       |ORDER BY dist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
   /** [[ivfTopK]] under a tombstone set — the merge-on-read PROBE path
     * of the delete story: the bucketed index and its centroids are
     * untouched; the tombstone anti-join runs inside the probed

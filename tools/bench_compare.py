@@ -20,14 +20,31 @@ DuckDB runs each oracle query N times (default 3, env BENCH_REPS) on 32
 threads and keeps the minimum — the same min-of-N steady-state rule
 graft.Bench applies, so both columns answer the same question.
 """
-import duckdb, json, os, sys, time
+import argparse, duckdb, json, os, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def table_glob(sf_dir, t):
+    # driver fixtures are single files; ScaleUp sf1 tables are
+    # Spark-written DIRECTORIES of part files — resolve both
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def main():
-    sf_dir, oracle_path, bench_path = sys.argv[1:4]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("oracle_path")
+    ap.add_argument("bench_path")
+    ap.add_argument("--out", default="bench_duckdb.json",
+                    help="pairing artifact path (default bench_duckdb"
+                         ".json — pass another for the sf1 sweep so the"
+                         " sf0.1 pairing isn't clobbered)")
+    args = ap.parse_args()
+    sf_dir, oracle_path, bench_path = \
+        args.sf_dir, args.oracle_path, args.bench_path
     reps = int(os.environ.get("BENCH_REPS", "3"))
     oracle = json.load(open(oracle_path))
     raw = open(bench_path).read()
@@ -39,7 +56,7 @@ def main():
     con.execute("SET threads TO 32")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{table_glob(sf_dir, t)}')")
 
     duck = {}
     for name, q in sorted(oracle.items()):
@@ -82,7 +99,7 @@ def main():
                      "ratio": round(spark_times[n] / duck[n], 3)
                               if duck[n] > 0 else None}
                  for n in common}
-    with open("bench_duckdb.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump({"sf": sf_dir, "n_paired": len(common),
                    "spark_total": round(s_tot, 3),
                    "duckdb_total": round(d_tot, 3),
