@@ -7,6 +7,26 @@ import graft.operators.ScaleOps
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contentHash: stable for unchanged files, changes when a table " +
+      "is regenerated in place, differs across dirs") {
+    val h1 = ScaleOps.contentHash(Sf0001, "documents")
+    assert(h1 == ScaleOps.contentHash(Sf0001, "documents"))
+    assert(h1 != ScaleOps.contentHash(Sf0001, "embeddings"))
+    // simulate an in-place fixture regeneration: same path, new bytes
+    val d = java.nio.file.Files.createTempDirectory("graft_chash_")
+    val f = d.resolve("documents.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val a = ScaleOps.contentHash(d.toString, "documents")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val b = ScaleOps.contentHash(d.toString, "documents")
+    assert(a != b,
+      "regenerating a table in place must change the fingerprint")
+    graft.sources.ParquetStore.deleteRecursively(d)
+  }
+
   test("bucketed fact-fact join plans with NO shuffle exchange") {
     val orders = Tables.orders(spark, Sf0001)
       .select("o_orderkey", "o_totalprice")
