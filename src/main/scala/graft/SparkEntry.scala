@@ -174,15 +174,15 @@ object SparkEntry {
     // graph ANN (NSW shape): M-NN graph over 2-probe IVF candidates,
     // beam walk from a fixed entry (B=16, R=4), oracle unrolls the walk
     "graph_ann" -> ((s, d) =>
-      GraphAnn.beamSearch(s, d, 42L, 0L, 10, 12, 16, 4, 10)),
+      GraphAnn.beamSearchAuto(s, d, 42L, 0L, 12, 16, 4, 10)),
     // batched graph ANN: Q walks in one distributed frontier frame —
     // exchanges per round independent of Q, zero driver collects
     "graph_ann_batch" -> ((s, d) =>
-      GraphAnn.batchBeamSearch(s, d, BatchKnnIds, 0L, 10, 12, 16, 4, 5)),
+      GraphAnn.batchBeamSearchAuto(s, d, BatchKnnIds, 0L, 12, 16, 4, 5)),
     // graph-ANN recall gate: beam walk vs exact KNN (completes the
     // per-variant quality-gate matrix)
     "gann_recall" -> ((s, d) =>
-      GraphAnn.beamRecall(s, d, BatchKnnIds, 0L, 10, 12, 16, 4, 5)),
+      GraphAnn.beamRecallAuto(s, d, BatchKnnIds, 0L, 12, 16, 4, 5)),
     "maxsim_topk" -> ((s, d) =>
       MultiVector.maxSimTopK(s, d, 3L, 50, 500L, 10)),
     "maxsim_pruned" -> ((s, d) =>
@@ -751,11 +751,11 @@ object SparkEntry {
     "ivf_ann_deleted" ->
       Similarity.ivfTopKDeletedOracleSql(42L, 10, 10, 7L, 2),
     "graph_ann" ->
-      GraphAnn.beamSearchOracleSql(42L, 0L, 10, 12, 16, 4, 10),
+      GraphAnn.beamSearchAutoOracleSql(42L, 0L, 12, 16, 4, 10),
     "graph_ann_batch" ->
-      GraphAnn.batchBeamSearchOracleSql(BatchKnnIds, 0L, 10, 12, 16, 4, 5),
+      GraphAnn.batchBeamSearchAutoOracleSql(BatchKnnIds, 0L, 12, 16, 4, 5),
     "gann_recall" ->
-      GraphAnn.beamRecallOracleSql(BatchKnnIds, 0L, 10, 12, 16, 4, 5),
+      GraphAnn.beamRecallAutoOracleSql(BatchKnnIds, 0L, 12, 16, 4, 5),
     "maxsim_topk" -> MultiVector.maxSimTopKOracleSql(3L, 50, 500L, 10),
     "maxsim_pruned" ->
       MultiVector.maxSimPrunedOracleSql(3L, 50, 500L, 10, 10),

@@ -339,9 +339,9 @@ object Dedup {
   /** Oracle: the same components via a recursive reachability CTE over
     * the identical MinHash pair SQL — component id = min reachable id. */
   def nearDupClustersOracleSql(threshold: Double): String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT a, b FROM (${minhashPairsOracleSql(threshold)}) mh
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM pairs
        |  UNION SELECT b, a FROM pairs
        |  UNION SELECT a, a FROM pairs

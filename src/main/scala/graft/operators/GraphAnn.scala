@@ -204,7 +204,13 @@ object GraphAnn {
     * anti-join). Each s$r is MATERIALIZED — inlined, the round
     * recurrence would re-evaluate the edge build per round. */
   def batchBeamSearchOracleSql(qids: Seq[Long], entry: Long,
-      nCentroids: Int, m: Int, beam: Int, rounds: Int, k: Int): String = {
+      nCentroids: Int, m: Int, beam: Int, rounds: Int, k: Int): String =
+    batchBeamSearchOracleCore(qids, entry, "", nCentroids.toString, m,
+      beam, rounds, k)
+
+  private def batchBeamSearchOracleCore(qids: Seq[Long], entry: Long,
+      kpick: String, kSql: String,
+      m: Int, beam: Int, rounds: Int, k: Int): String = {
     val asgDist =
       """round(1.0 - list_dot_product(v, cv)
         | / (sqrt(list_dot_product(v, v))
@@ -233,10 +239,10 @@ object GraphAnn {
          |  JOIN q ON q.q_id = n$r.q_id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH ${kpick}e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), ${Similarity.centsCtes(nCentroids)}, asg2 AS MATERIALIZED (
+       |), ${Similarity.centsCtesK(kSql)}, asg2 AS MATERIALIZED (
        |  SELECT vec_id, v, centroid_id FROM (
        |    SELECT e.vec_id, e.v, centroid_id,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -319,9 +325,84 @@ object GraphAnn {
        |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
        |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
 
+  /** Corpus-relative cell count for the graph build — the
+    * [[Similarity.autoNCentroids]] policy applied to the edge
+    * candidate generation: cells grow with the corpus so the bounded
+    * within-cell quadratic stays ~targetCellSize² per cell at any n
+    * (a FIXED cell count makes the pair join n²/k — the r14 sf1 sweep
+    * measured exactly that blowing the oracle budget). The oracle
+    * derives the SAME k from the table it scans (kpick), so the
+    * policy itself rides under the hash gate. */
+  def beamSearchAuto(spark: SparkSession, dir: String, qid: Long,
+      entry: Long, m: Int, beam: Int, rounds: Int, k: Int,
+      targetCellSize: Long = 1000L): DataFrame =
+    beamSearch(spark, dir, qid, entry,
+      Similarity.autoNCentroids(
+        Tables.embeddings(spark, dir).count(), targetCellSize),
+      m, beam, rounds, k)
+
+  def batchBeamSearchAuto(spark: SparkSession, dir: String,
+      qids: Seq[Long], entry: Long, m: Int, beam: Int, rounds: Int,
+      k: Int, targetCellSize: Long = 1000L): DataFrame =
+    batchBeamSearch(spark, dir, qids, entry,
+      Similarity.autoNCentroids(
+        Tables.embeddings(spark, dir).count(), targetCellSize),
+      m, beam, rounds, k)
+
+  def beamRecallAuto(spark: SparkSession, dir: String, qids: Seq[Long],
+      entry: Long, m: Int, beam: Int, rounds: Int, k: Int,
+      targetCellSize: Long = 1000L): DataFrame =
+    beamRecall(spark, dir, qids, entry,
+      Similarity.autoNCentroids(
+        Tables.embeddings(spark, dir).count(), targetCellSize),
+      m, beam, rounds, k)
+
+  private def kpickCte(targetCellSize: Long): String =
+    s"kpick AS (SELECT greatest(8, count(*) // $targetCellSize) " +
+      "AS kk FROM embeddings), "
+
+  private val AutoK = "(SELECT kk FROM kpick)"
+
+  def beamSearchAutoOracleSql(qid: Long, entry: Long, m: Int, beam: Int,
+      rounds: Int, k: Int, targetCellSize: Long = 1000L): String =
+    beamSearchOracleCore(qid, entry, kpickCte(targetCellSize), AutoK,
+      m, beam, rounds, k)
+
+  def batchBeamSearchAutoOracleSql(qids: Seq[Long], entry: Long, m: Int,
+      beam: Int, rounds: Int, k: Int,
+      targetCellSize: Long = 1000L): String =
+    batchBeamSearchOracleCore(qids, entry, kpickCte(targetCellSize),
+      AutoK, m, beam, rounds, k)
+
+  def beamRecallAutoOracleSql(qids: Seq[Long], entry: Long, m: Int,
+      beam: Int, rounds: Int, k: Int,
+      targetCellSize: Long = 1000L): String =
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id
+       |  FROM (${Similarity.knnBatchOracleSql(qids, k)}) x
+       |), ap AS (
+       |  SELECT q_id, vec_id
+       |  FROM (${batchBeamSearchAutoOracleSql(qids, entry, m, beam,
+            rounds, k, targetCellSize)}) y
+       |)
+       |SELECT ex.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // $k AS BIGINT) AS recall_micro
+       |FROM ex LEFT JOIN ap
+       |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id ASC""".stripMargin
+
   /** Oracle: replay the trained-centroid chain, the 2-probe edge
     * build, and the SAME R beam rounds unrolled as CTEs. */
   def beamSearchOracleSql(qid: Long, entry: Long, nCentroids: Int,
+      m: Int, beam: Int, rounds: Int, k: Int): String =
+    beamSearchOracleCore(qid, entry, "", nCentroids.toString, m, beam,
+      rounds, k)
+
+  private def beamSearchOracleCore(qid: Long, entry: Long,
+      kpick: String, kSql: String,
       m: Int, beam: Int, rounds: Int, k: Int): String = {
     val asgDist =
       """round(1.0 - list_dot_product(v, cv)
@@ -346,10 +427,10 @@ object GraphAnn {
          |  FROM n$r JOIN e e2 ON e2.vec_id = n$r.vid, q
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH ${kpick}e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings
-       |), ${Similarity.centsCtes(nCentroids)}, asg2 AS MATERIALIZED (
+       |), ${Similarity.centsCtesK(kSql)}, asg2 AS MATERIALIZED (
        |  SELECT vec_id, v, centroid_id FROM (
        |    SELECT e.vec_id, e.v, centroid_id,
        |      row_number() OVER (PARTITION BY e.vec_id
