@@ -39,16 +39,23 @@ object Quantize {
   def idot(a: Column, b: Column): Column =
     call_function("ivec_dot", a, b)
 
-  /** Scan-local quantization frame: (vec_id, label, scale, codes). */
+  /** Scan-local quantization frame: (vec_id, label, scale, codes).
+    * The codes array goes through an explode(array(...)) projection
+    * barrier: HOF lambdas disable subexpression elimination, so
+    * without it every downstream reference (knnQuantized computes
+    * three dots over `codes`) re-inlines the whole quantization
+    * transform per reference after projection collapse — the
+    * fts_websearch lesson (measured 0.65 s → barrier cuts the triple
+    * evaluation). */
   def codes(emb: DataFrame): DataFrame = {
     val v = col("embedding")
     val scale = greatest(
       array_max(transform(v, x => abs(x.cast("double")))), lit(Tiny))
     emb.select(
       col("vec_id"), col("label"), scale.as("scale"),
-      transform(v, x =>
+      explode(array(transform(v, x =>
         floor(x.cast("double") / scale * lit(127.0) + lit(0.5))
-          .cast("int")).as("codes"))
+          .cast("int")))).as("codes"))
   }
 
   /** KNN over the quantized codes: cosine distance of the dequantized
