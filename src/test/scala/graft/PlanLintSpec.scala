@@ -62,6 +62,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_l2", "knn_ip", "knn_dispatch_cos",
     "ann_recall", // composes knn_batch/ivf_batch (query-vector rides)
     "ann_recall_curve", // the same composition once per probe width
+    "gann_recall", // composes knn_batch's broadcast query ride too
     "pq_recall",  // Q-row query frame riding the codes/embeddings scans
     "ivfpq_recall", // Q·nProbe probe-pair frame riding the same scans
     "ivfpq_recall_curve", // same probe-pair frame, one row per pool width
