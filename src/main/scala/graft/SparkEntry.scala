@@ -629,6 +629,10 @@ object SparkEntry {
     // SemDeDup shape: integer k-means over embeddings + within-cluster
     // near-pair scan (bit-reproducible Lloyd iterations, no doubles)
     "kmeans_clusters" -> ((s, d) => Clustering.kmeansClusters(s, d, 8)),
+    // clustering-quality gate: integer simplified silhouette per
+    // cluster (the fit family's missing quality gate)
+    "kmeans_silhouette" -> ((s, d) =>
+      Clustering.kmeansSilhouette(s, d, 8)),
     // two-level k-means: the past-the-driver-bound route, exercised
     // at fixture scale under an explicit 4x4 factorization
     "kmeans_hier" -> ((s, d) => Clustering.kmeansHierClusters(s, d, 4, 4)),
@@ -967,6 +971,7 @@ object SparkEntry {
     "training_triplets" -> Dedup.trainingTripletsOracleSql(0.5),
     "pagerank_dups" -> GraphOps.pagerankDupsOracleSql(0.5, 20),
     "kmeans_clusters" -> Clustering.kmeansClustersOracleSql(8),
+    "kmeans_silhouette" -> Clustering.kmeansSilhouetteOracleSql(8),
     "kmeans_hier" -> Clustering.kmeansHierClustersOracleSql(4, 4),
     "bpe_merges" -> Bpe.bpeMergesOracleSql,
     "bpe_vocab" -> Bpe.bpeVocabOracleSql(20),

@@ -413,6 +413,97 @@ object Clustering {
       .orderBy(col("cluster").asc)
   }
 
+  /** Clustering-quality gate the family was missing (every ANN/dedup
+    * variant has a registered quality gate; the k-means fit had only
+    * size/energy checksums): per-cluster SIMPLIFIED SILHOUETTE on the
+    * integer squared micro distances — a = own-centroid dist², b =
+    * best other-centroid dist² (the second-smallest, since assignment
+    * IS the argmin), s = (b−a)/max(a,b) ∈ [−1, 1] in exact micro
+    * units. The squared-distance variant is documented (a monotone
+    * transform of the classic centroid silhouette — same sign, same
+    * ordering); everything stays BIGINT: distances are the fit's own
+    * integer sums, a and b are pre-scaled `div 1024` for 64-bit
+    * headroom ((b−a)·10⁶ at 64-dim micro-unit magnitudes would
+    * overflow), the ratio is one integral division, the per-cluster
+    * mean is sum-div-count — bit-identical across engines, no floats
+    * anywhere.
+    *
+    * Scale shape: distances are scan-local against the k·dim literal
+    * (the fitRaw broadcastability bound, guarded), staged through
+    * explode(array(...)) barriers so the k-distance HOF evaluates
+    * once per row; one vocabulary-sized groupBy. Output
+    * (cluster, n_vecs, mean_silhouette_micro). */
+  def kmeansSilhouette(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "silhouette needs a second cluster")
+    require(k.toLong * 64 <= MaxDriverCentroidCells,
+      s"kmeansSilhouette k=$k crosses the flat-fit oracle boundary")
+    val cm = trainedCentroidsMicro(spark, dir, k)
+    val centLit = typedLit(cm.map(_.toSeq).toSeq)
+    val qarr = Tables.embeddingsDense(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
+    val dists = transform(sequence(lit(0), lit(k - 1)),
+      c => aggregate(
+        zip_with(col("qa"), element_at(centLit, c + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x))
+    val key = aggregate(
+      zip_with(col("dists"),
+        sequence(lit(0L), lit((k - 1).toLong)),
+        (dd, cc) => dd * k + cc),
+      lit(Long.MaxValue), (m, v) => least(m, v))
+    val withD = qarr
+      .select(col("vec_id"), explode(array(dists)).as("dists"))
+      .select(col("vec_id"), col("dists"), (key % k).as("cluster"))
+    val bExpr = array_min(zip_with(col("dists"),
+      sequence(lit(0L), lit((k - 1).toLong)),
+      (dd, cc) => when(cc === col("cluster"), lit(Long.MaxValue))
+        .otherwise(dd)))
+    withD
+      .select(col("cluster"),
+        expr("element_at(dists, cast(cluster + 1 as int)) div 1024")
+          .as("a"),
+        bExpr.as("b0"))
+      .select(col("cluster"), col("a"), expr("b0 div 1024").as("b_raw"))
+      .select(col("cluster"),
+        expr("(b_raw - a) * 1000000 div greatest(a, b_raw, 1)")
+          .as("s_micro"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_micro) div count(1)").as("mean_silhouette_micro"))
+      .orderBy(col("cluster").asc)
+  }
+
+  def kmeansSilhouetteOracleSql(k: Int,
+      iterations: Int = Iterations): String =
+    s"""WITH ${fitSqlFor(k)}, d AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cluster,
+       |    sum((v.q - c.c) * (v.q - c.c)) AS dist
+       |  FROM ivec v JOIN cent$iterations c ON c.dim = v.dim
+       |  GROUP BY 1, 2
+       |), pick AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(min(dist * $k + cluster) % $k AS BIGINT) AS cluster,
+       |    min(dist) // 1024 AS a
+       |  FROM d GROUP BY vec_id
+       |), bb AS (
+       |  SELECT d.vec_id, min(d.dist) // 1024 AS b_raw
+       |  FROM d JOIN pick p
+       |    ON p.vec_id = d.vec_id AND d.cluster <> p.cluster
+       |  GROUP BY 1
+       |), s AS (
+       |  SELECT p.cluster,
+       |    (bb.b_raw - p.a) * 1000000 // greatest(p.a, bb.b_raw, 1)
+       |      AS s_micro
+       |  FROM pick p JOIN bb ON bb.vec_id = p.vec_id
+       |)
+       |SELECT cluster, count(*) AS n_vecs,
+       |  CAST(sum(s_micro) // count(*) AS BIGINT)
+       |    AS mean_silhouette_micro
+       |FROM s GROUP BY cluster ORDER BY cluster ASC""".stripMargin
+
   def kmeansHierClustersOracleSql(k1: Int, k2: Int,
       iterations: Int = Iterations): String = {
     val iters = (1 to iterations).map { i =>
