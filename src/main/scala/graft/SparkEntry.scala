@@ -588,6 +588,11 @@ object SparkEntry {
     // dedup suite (training-data ops)
     "dedup_embcos" -> ((s, d) => Similarity.embCosinePairs(s, d, 0.6, 32)),
     "dedup_exact" -> ((s, d) => Dedup.exactNormalized(s, d)),
+    // the curation VERDICT: one decision per doc under the fixed
+    // precedence exact_dup > near_dup > quality > keep, rolled up per
+    // (source, decision)
+    "curation_decisions" -> ((s, d) =>
+      Dedup.curationDecisions(s, d, 0.5)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
@@ -952,6 +957,7 @@ object SparkEntry {
     "pipeline_e2e" -> DocumentPipeline.ingestLineageOracleSql(120, 30),
     "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 32),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
+    "curation_decisions" -> Dedup.curationDecisionsOracleSql(0.5),
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),

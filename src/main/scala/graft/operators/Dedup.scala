@@ -410,6 +410,88 @@ object Dedup {
        |  CAST(k // 8589934592 AS BIGINT) AS keeper_q
        |FROM mx ORDER BY cluster_id ASC""".stripMargin
 
+  /** Doc-grain curation VERDICT rolled up per (source, decision) — the
+    * decision table a production pass materializes before writing the
+    * training set. Every document gets exactly one decision under a
+    * fixed reason PRECEDENCE:
+    *   `exact_dup` (a non-minimal copy of an identical normalized
+    *   token set) > `near_dup` (a non-canonical member of a verified
+    *   MinHash cluster) > `quality` (fails the Gopher gate) > `keep`.
+    * Composes three already-oracled chains ([[exactNormalized]]'s
+    * signatures, [[nearDupClusters]]'s keeper flags,
+    * [[TextOps.gopherQuality]]'s pass bit); the SQL twin replays the
+    * identical precedence, so the verdict itself — not just its
+    * ingredients — rides under the hash gate.
+    *
+    * Scale shape: signatures and the quality bit are scan-local; the
+    * exact-keeper map aggregates to the signature grain; the cluster
+    * side holds only docs WITH a near-dup (broadcastable against the
+    * corpus scan at 100 TB); output is bounded by sources × 4
+    * decisions. */
+  def curationDecisions(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val sigs = Tables.documentsDense(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(array_join(array_sort(array_distinct(
+          TextAnalyzer.tokens(col("text")))), " ")).as("sig"))
+    val keepers = sigs.groupBy("sig")
+      .agg(min(col("doc_id")).as("keep_id"))
+    val nd = nearDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("is_keeper"))
+    val gq = TextOps.gopherQuality(spark, dir)
+      .select(col("doc_id"), col("pass"))
+    sigs.join(keepers, Seq("sig"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(gq, Seq("doc_id"))
+      .select(col("source"), col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("is_keeper").isNotNull && !col("is_keeper"),
+            lit("near_dup"))
+          .when(!col("pass"), lit("quality"))
+          .otherwise(lit("keep")).as("decision"))
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("sample_doc"))
+      .orderBy(col("source").asc, col("decision").asc)
+  }
+
+  def curationDecisionsOracleSql(threshold: Double): String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (wc >= 30 AND wc <= 10000)
+       |      AND (meanwl >= 3.0 AND meanwl <= 5.0)
+       |      AND symratio <= 0.1 AND nstop >= 1 AND dfrac >= 0.5
+       |      AS pass
+       |  FROM (
+       |  ${TextOps.gopherSignalsSql}
+       |  ) sgn
+       |), exsigs AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(list_sort(list_distinct(list_filter(
+       |      string_split_regex(lower(text), '\\W+'),
+       |      t -> ${TextAnalyzer.sqlTermFilter("t")}))), ' ')) AS sig
+       |  FROM documents
+       |), keepers AS (
+       |  SELECT sig, min(doc_id) AS keep_id FROM exsigs GROUP BY 1
+       |), nd AS MATERIALIZED (
+       |  SELECT doc_id, is_keeper
+       |  FROM (${nearDupClustersOracleSql(threshold)}) c
+       |), dec AS (
+       |  SELECT s.source, s.doc_id,
+       |    CASE WHEN s.doc_id <> k.keep_id THEN 'exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL AND NOT nd.is_keeper
+       |           THEN 'near_dup'
+       |         WHEN NOT g.pass THEN 'quality'
+       |         ELSE 'keep' END AS decision
+       |  FROM exsigs s JOIN keepers k ON k.sig = s.sig
+       |  LEFT JOIN nd ON nd.doc_id = s.doc_id
+       |  JOIN g ON g.doc_id = s.doc_id
+       |)
+       |SELECT source, decision, count(*) AS n_docs,
+       |  min(doc_id) AS sample_doc
+       |FROM dec GROUP BY 1, 2
+       |ORDER BY source ASC, decision ASC""".stripMargin
+
   /** Corpus-reduction report — the number a dedup pass is actually run
     * to produce: per source, how many documents (and characters) survive
     * near-dup removal. Composes [[nearDupClusters]] (keeper flags) with
