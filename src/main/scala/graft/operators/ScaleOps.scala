@@ -30,11 +30,17 @@ object ScaleOps {
     import scala.jdk.CollectionConverters._
     val p = Paths.get(dir, s"$table.parquet")
     val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq
-          .filter(f => f.getFileName.toString.endsWith(".parquet"))
-          .sortBy(_.getFileName.toString)
-      else if (Files.exists(p)) Seq(p)
+      if (Files.isDirectory(p)) {
+        // close the listing stream deterministically: this runs once per
+        // index-name lookup per query, and a leaked directory fd per call
+        // exhausts the fd table over a long bench sweep
+        val listing = Files.list(p)
+        try
+          listing.iterator().asScala.toSeq
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+        finally listing.close()
+      } else if (Files.exists(p)) Seq(p)
       else Seq.empty
     val sig = files.map(f =>
       s"${f.getFileName}:${Files.size(f)}:" +

@@ -602,9 +602,14 @@ object Similarity {
     * re-clustering, no rebuild — the "how much garbage is each list
     * carrying" introspection that schedules a real rebuild.
     *
-    * Scale: the tombstone set rides as a broadcast (the delete-batch
-    * side, small by construction — same shape as the FTS delete);
-    * the index side stays a bucketed scan + vocabulary-sized aggregate.
+    * Scale: the tombstone set here is DERIVED as vec_id % mod == 0 —
+    * n/mod rows, i.e. corpus-PROPORTIONAL, so it must NOT be forced
+    * through a broadcast (at 100 TB a 1/mod-of-corpus broadcast OOMs
+    * the driver); the join carries no hint and AQE picks the strategy
+    * (broadcast when the runtime size is actually small, shuffle join
+    * otherwise). A real delete batch (bounded request payload) could
+    * safely hint broadcast; a derived predicate set cannot.
+    * The index side stays a bucketed scan + vocabulary-sized aggregate.
     * A SimilaritySpec gate asserts the probe path over survivors is
     * unchanged: tombstoned [[ivfTopK]] == brute-force over the
     * surviving corpus. Output (centroid_id, n_total, n_deleted,
@@ -616,7 +621,7 @@ object Similarity {
       .filter(col("vec_id") % mod === 0)
       .select(col("vec_id"), lit(1L).as("dead"))
     spark.table(idx)
-      .join(broadcast(tomb), Seq("vec_id"), "left")
+      .join(tomb, Seq("vec_id"), "left")
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("dead").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
@@ -690,7 +695,10 @@ object Similarity {
     * of the delete story: the bucketed index and its centroids are
     * untouched; the tombstone anti-join runs inside the probed
     * (bucket-pruned) cells, so deleted vectors can never surface and
-    * the cost stays ∝ probed cells + |tombstones| (broadcast). The
+    * the cost stays ∝ probed cells + |tombstones|. The tombstone side
+    * is mod-derived (corpus-proportional, see [[ivfDeleteStats]]) so
+    * the anti-join is unhinted — AQE broadcasts it only when its
+    * runtime size is genuinely small. The
     * SimilaritySpec recall gate asserts this equals the probed-cell
     * top-k over survivors computed independently. */
   def ivfTopKDeleted(spark: SparkSession, dir: String, qid: Long, k: Int,
@@ -715,7 +723,7 @@ object Similarity {
     spark.table(idx)
       .filter(col("centroid_id").isin(cells: _*))
       .filter(col("vec_id") =!= lit(qid))
-      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .join(tomb, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"), col("centroid_id"),
         round(lit(1.0) - dot(col("embedding"), qvCol)
           / (col("nrm") * lit(qn)), 6).as("dist"))

@@ -51,12 +51,22 @@ object StreamBridge {
         org.apache.spark.sql.streaming.StreamingQuery) => Unit =
         (_, _, _) => ())
 
-  // Keyed by (session, dir), NOT dir alone (r13 ADVICE): the artifacts
-  // the memo stands for are SESSION-scoped memory-sink temp views — a
-  // recreated session in the same JVM must re-run the family or every
-  // bridge read hits 'table not found' / stale tallies.
+  // Keyed by (sessionUUID, dir), NOT dir alone (r13 ADVICE): the
+  // artifacts the memo stands for are SESSION-scoped memory-sink temp
+  // views — a recreated session in the same JVM must re-run the family
+  // or every bridge read hits 'table not found' / stale tallies. The
+  // key is the session's UUID STRING, not the SparkSession itself
+  // (r14 ADVICE): a static map holding SparkSession keys would strongly
+  // retain every recreated session's whole object graph for the JVM's
+  // lifetime — the exact long-lived-JVM scenario the re-keying targets.
   private val familyDone = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Boolean]()
+    (String, String), java.lang.Boolean]()
+
+  /** Stable per-session string key for JVM-static memo maps — the
+    * classic session's `private[sql]` UUID via the plan bridge, so the
+    * maps never strongly retain a SparkSession object graph. */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftPlanBridge.sessionUuid(spark)
 
   private val familyBuildSecs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
@@ -68,7 +78,7 @@ object StreamBridge {
     Option(familyBuildSecs.get(dir)).map(_.doubleValue).getOrElse(0.0)
 
   private def ensureFamily(spark: SparkSession, dir: String): Unit = {
-    familyDone.computeIfAbsent((spark, dir), _ => {
+    familyDone.computeIfAbsent((sessionKey(spark), dir), _ => {
       val t0 = System.nanoTime()
       val started = eventsBridges.map(b => (b, b.launch(spark, dir)))
       started.foreach { case (_, q) => runToCompletion(q) }
@@ -675,8 +685,10 @@ object StreamBridge {
     * A user first seen only via a DISPLACED (late) event is credited to
     * the late batch — both engines, by the same rule, so the contract
     * "late data shifts acquisition, never loses it" is hash-pinned. */
+  // sessionUUID-keyed for the same no-strong-session-retention reason
+  // as familyDone; the inner tally map is small (LateB entries).
   private val growthTallies = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
+    (String, String),
     java.util.concurrent.ConcurrentHashMap[Long, Long]]()
 
   private val userGrowthRun = BridgeRun("growth", (spark, dir) => {
@@ -688,7 +700,7 @@ object StreamBridge {
       .parquet(arrivalsDir)
     val perBatch =
       new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    growthTallies.put((spark, dir), perBatch)
+    growthTallies.put((sessionKey(spark), dir), perBatch)
     src.select(col("user_id")).dropDuplicates("user_id")
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -702,7 +714,7 @@ object StreamBridge {
 
   def streamUserGrowth(spark: SparkSession, dir: String): DataFrame = {
     ensureFamily(spark, dir)
-    val perBatch = growthTallies.get((spark, dir))
+    val perBatch = growthTallies.get((sessionKey(spark), dir))
     import scala.jdk.CollectionConverters._
     val rows = (0 until LateB).map { i =>
       (i.toLong, perBatch.asScala.getOrElse(i.toLong, 0L))

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object GraftPlanBridge {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** The session's `private[sql]` UUID — a stable string identity for
+    * JVM-static memo maps (StreamBridge) that must be keyed per session
+    * WITHOUT strongly retaining the SparkSession object graph. */
+  def sessionUuid(spark: SparkSession): String =
+    spark.asInstanceOf[ClassicSession].sessionUUID
 }

@@ -603,4 +603,31 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bridge memos are session-scoped: a SECOND session in the same " +
+      "JVM re-runs the family and reads correct tallies/sinks") {
+    // r13/r14 ADVICE: the family memo caches SparkSession-scoped
+    // memory-sink temp views keyed JVM-statically. A dir-keyed memo
+    // gives a recreated session 'table not found'; a SparkSession-keyed
+    // strong map retains the session graph forever. The contract: a new
+    // session transparently re-runs the family and gets the same rows.
+    val first = graft.streaming.StreamBridge
+      .streamUserGrowth(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    graft.functions.NativeFunctions.registerAll(s2)
+    val second = graft.streaming.StreamBridge
+      .streamUserGrowth(s2, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(second == first && first.nonEmpty,
+      "second session must rebuild its own tallies, same values")
+    // and a memory-sink bridge resolves against the NEW session's
+    // catalog (its temp views are invisible across sessions)
+    val tumbling = graft.streaming.StreamBridge
+      .eventsTumblingStream(s2, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(tumbling ==
+      graft.streaming.StreamBridge.eventsTumblingStream(spark, Sf0001)
+        .collect().map(_.toString).toSeq)
+  }
 }

@@ -60,4 +60,48 @@ class PartitionPruneSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(df.collect().map(_.toString).toSeq == viaFlat)
   }
+
+  test("in-place fixture regeneration serves FRESH rows through the " +
+      "partitioned layout (content-fingerprint memo key)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_regen_")
+    def writeDocs(texts: Seq[(Long, String)]): Unit = {
+      val tmp = d.resolve("documents_stage")
+      texts.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang",
+          "'unit' AS source", "CAST(length(text) AS BIGINT) AS n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // single-file layout like the driver fixture: move the part file
+      // to <dir>/documents.parquet (a FILE), replacing the old one
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(tmp)
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      val dst = d.resolve("documents.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // force a distinct mtime even on coarse filesystem clocks
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + scala.util.Random.nextInt(5000)))
+      graft.sources.ParquetStore.deleteRecursively(tmp)
+      Tables.invalidateDir(d.toString)
+    }
+    writeDocs(Seq((1L, "first corpus")))
+    val t1 = Collections.ensurePartitionedDocuments(spark, d.toString)
+    assert(spark.table(t1).select("text").as[String].collect().toSeq ==
+      Seq("first corpus"))
+    // regenerate IN PLACE (the ScaleUp overwrite scenario), then read
+    // through the same entry point: the fingerprint key must force a
+    // rebuild — a dir-keyed memo would keep serving "first corpus"
+    writeDocs(Seq((1L, "second corpus"), (2L, "regenerated")))
+    val t2 = Collections.ensurePartitionedDocuments(spark, d.toString)
+    assert(t2 != t1, "regeneration must produce a new memo key")
+    assert(spark.table(t2).select("text").as[String].collect().sorted
+      .toSeq == Seq("regenerated", "second corpus"))
+    graft.sources.ParquetStore.deleteRecursively(d)
+  }
 }

@@ -115,15 +115,18 @@ def main(sf_dir: str, out_dir: str, budget: float = 0.0,
                 continue
             try:
                 # same bounded-memory settings as the oracle connection:
-                # a huge spark result must spill, not OOM the sweep
-                rcon = duckdb.connect()
-                rcon.execute("SET memory_limit='32GB'")
-                rcon.execute("SET temp_directory='/tmp/duckdb_spill'")
-                actual = normalize(
-                    rcon.execute(
-                        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-                    ).fetchdf())
-                rcon.close()
+                # a huge spark result must spill, not OOM the sweep.
+                # closing-in-finally so a read_parquet/fetchdf error can't
+                # leak the connection (and its buffers) for the rest of
+                # the sweep (r14 ADVICE).
+                from contextlib import closing
+                with closing(duckdb.connect()) as rcon:
+                    rcon.execute("SET memory_limit='32GB'")
+                    rcon.execute("SET temp_directory='/tmp/duckdb_spill'")
+                    actual = normalize(
+                        rcon.execute(
+                            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                        ).fetchdf())
             except Exception as e:
                 print(f"FAIL {name}: spark result unreadable: {e}")
                 record(name, "fail", err=f"spark result unreadable: {e}")
