@@ -593,6 +593,14 @@ object SparkEntry {
     // (source, decision)
     "curation_decisions" -> ((s, d) =>
       Dedup.curationDecisions(s, d, 0.5)),
+    // the curation APPLY: the surviving curated corpus itself —
+    // keep-decision docs with duplicated spans re-mined and removed
+    // among survivors, each doc's cleaned text pinned by md5
+    "curation_apply" -> ((s, d) => Dedup.curationApply(s, d, 0.5)),
+    // per-source reconciliation (counts must equal curation_decisions)
+    // + one md5 over the whole cleaned curated corpus
+    "curation_apply_digest" -> ((s, d) =>
+      Dedup.curationApplyDigest(s, d, 0.5)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_shingles" -> ((s, d) => Dedup.shingleJaccardPairs(s, d, 0.05)),
@@ -958,6 +966,8 @@ object SparkEntry {
     "dedup_embcos" -> Similarity.embCosinePairsOracleSql(0.6, 32),
     "dedup_exact" -> Dedup.exactNormalizedOracleSql,
     "curation_decisions" -> Dedup.curationDecisionsOracleSql(0.5),
+    "curation_apply" -> Dedup.curationApplyOracleSql(0.5),
+    "curation_apply_digest" -> Dedup.curationApplyDigestOracleSql(0.5),
     "dedup_minhash" -> Dedup.minhashPairsOracleSql(0.5),
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_shingles" -> Dedup.shingleJaccardOracleSql(0.05),

@@ -429,6 +429,20 @@ object Dedup {
     * corpus scan at 100 TB); output is bounded by sources × 4
     * decisions. */
   def curationDecisions(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    curationDocDecisions(spark, dir, threshold)
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("sample_doc"))
+      .orderBy(col("source").asc, col("decision").asc)
+
+  /** The doc-grain verdict frame behind [[curationDecisions]] — one
+    * (source, doc_id, decision) row per document under the documented
+    * precedence. Exposed so [[curationApply]] can select the survivor
+    * set from the SAME chain the rolled-up verdict table is oracled
+    * on (any drift between "what we reported" and "what we shipped"
+    * is structurally impossible). */
+  def curationDocDecisions(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val sigs = Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -449,10 +463,6 @@ object Dedup {
             lit("near_dup"))
           .when(!col("pass"), lit("quality"))
           .otherwise(lit("keep")).as("decision"))
-      .groupBy(col("source"), col("decision"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("sample_doc"))
-      .orderBy(col("source").asc, col("decision").asc)
   }
 
   def curationDecisionsOracleSql(threshold: Double): String =
@@ -898,10 +908,20 @@ object Dedup {
     * the md5 pins the transform byte-for-byte without shipping text.
     * Fully-covered documents report the empty-string md5. */
   def removeDuplicatedSpans(spark: SparkSession,
-      dir: String): DataFrame = {
-    val docs = Tables.documentsDense(spark, dir)
-      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
-      .transform(CacheScope.cached)
+      dir: String): DataFrame =
+    spanRemovalStats(
+      Tables.documentsDense(spark, dir)
+        .select(col("doc_id"),
+          TextAnalyzer.tokens(col("text")).as("toks"))
+        .transform(CacheScope.cached))
+
+  /** The span-removal kernel over any (doc_id, toks) frame — the dup
+    * grams are mined WITHIN the given frame (so running it over a
+    * deduplicated survivor set, as [[curationApply]] does, cuts only
+    * spans still duplicated AMONG survivors, the honest post-dedup
+    * semantics). Same relational shape as documented on
+    * [[removeDuplicatedSpans]]. */
+  private def spanRemovalStats(docs: DataFrame): DataFrame = {
     val idx = when(size(col("toks")) >= SpanGramSize,
       sequence(lit(0), size(col("toks")) - SpanGramSize))
       .otherwise(array().cast("array<int>"))
@@ -986,6 +1006,202 @@ object Dedup {
        |FROM base b LEFT JOIN agg a USING (doc_id)
        |ORDER BY b.doc_id ASC""".stripMargin
   }
+
+  // ---- curated-corpus materialization (r14 verdict #3) ------------------
+
+  /** CURATION APPLY — the artifact a training run actually consumes:
+    * the surviving corpus after the full curation pipeline.
+    * [[curationDecisions]] issues the verdicts; this materializes
+    * them — documents whose decision is `keep` (exact dups, near
+    * dups and quality failures dropped), then duplicated-SPAN removal
+    * re-mined over the SURVIVOR set only (post-dedup semantics: a
+    * span that was duplicated solely because a since-removed copy
+    * carried it is no longer duplicated, so it survives — dedup first,
+    * substring-dedup second, the production ordering of Lee et al.
+    * 2022). Output is doc-grain and hash-gated like
+    * [[removeDuplicatedSpans]]: (doc_id, source, n_tokens, n_kept,
+    * n_removed, cleaned_md5) with the cleaned text pinned
+    * byte-for-byte by md5, never shipped.
+    *
+    * Scale shape: the decision chain is [[curationDocDecisions]]
+    * (scan-local signatures + the banded cluster side); the survivor
+    * filter is a doc_id equi-join; the span chain runs the
+    * [[spanRemovalStats]] kernel over survivors (per-doc work ∝
+    * tokens × own dup spans). Nothing new shuffles at corpus grain
+    * beyond the chains already oracled individually. */
+  def curationApply(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val kept = curationDocDecisions(spark, dir, threshold)
+      .filter(col("decision") === lit("keep"))
+      .select(col("doc_id"), col("source"))
+      .transform(CacheScope.cached)
+    val docs = Tables.documentsDense(spark, dir)
+      .join(kept.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
+      .transform(CacheScope.cached)
+    spanRemovalStats(docs)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_kept"), col("n_removed"), col("cleaned_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Shared oracle text: the doc-grain decision chain (dec) plus the
+    * survivor span-removal chain ending in a per-kept-doc frame
+    * `perdoc(doc_id, source, n_tokens, n_kept, n_removed,
+    * cleaned_md5)`. Both curation_apply oracles append their own
+    * final SELECT. */
+  private def curationApplyCtes(threshold: Double): String = {
+    val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (wc >= 30 AND wc <= 10000)
+       |      AND (meanwl >= 3.0 AND meanwl <= 5.0)
+       |      AND symratio <= 0.1 AND nstop >= 1 AND dfrac >= 0.5
+       |      AS pass
+       |  FROM (
+       |  ${TextOps.gopherSignalsSql}
+       |  ) sgn
+       |), exsigs AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(list_sort(list_distinct(list_filter(
+       |      string_split_regex(lower(text), '\\W+'),
+       |      t -> ${TextAnalyzer.sqlTermFilter("t")}))), ' ')) AS sig
+       |  FROM documents
+       |), keepers AS (
+       |  SELECT sig, min(doc_id) AS keep_id FROM exsigs GROUP BY 1
+       |), nd AS MATERIALIZED (
+       |  SELECT doc_id, is_keeper
+       |  FROM (${nearDupClustersOracleSql(threshold)}) c
+       |), dec AS MATERIALIZED (
+       |  SELECT s.source, s.doc_id,
+       |    CASE WHEN s.doc_id <> k.keep_id THEN 'exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL AND NOT nd.is_keeper
+       |           THEN 'near_dup'
+       |         WHEN NOT g.pass THEN 'quality'
+       |         ELSE 'keep' END AS decision
+       |  FROM exsigs s JOIN keepers k ON k.sig = s.sig
+       |  LEFT JOIN nd ON nd.doc_id = s.doc_id
+       |  JOIN g ON g.doc_id = s.doc_id
+       |), keptdocs AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN dec ON dec.doc_id = d.doc_id
+       |  WHERE dec.decision = 'keep'
+       |), toklists AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM keptdocs
+       |), pos AS MATERIALIZED (
+       |  SELECT doc_id, s['p'] AS p, s['g'] AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(tl) - ${SpanGramSize - 1}, 0) + 1),
+       |      i -> {'p': i, 'g': md5($gramExpr)})) AS s
+       |    FROM toklists)
+       |), dups AS (
+       |  SELECT g FROM pos GROUP BY g
+       |  HAVING count(DISTINCT doc_id) > 1
+       |), dp AS MATERIALIZED (
+       |  SELECT doc_id, p FROM pos JOIN dups USING (g)
+       |), toksidx AS (
+       |  SELECT doc_id, ti, tl[ti] AS token FROM (
+       |    SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS ti
+       |    FROM toklists)
+       |), keptt AS (
+       |  SELECT t.doc_id, t.ti, t.token FROM toksidx t
+       |  WHERE NOT EXISTS (SELECT 1 FROM dp
+       |    WHERE dp.doc_id = t.doc_id
+       |      AND t.ti BETWEEN dp.p AND dp.p + ${SpanGramSize - 1})
+       |), sagg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(token, ' ' ORDER BY ti)) AS cleaned_md5
+       |  FROM keptt GROUP BY doc_id
+       |), perdoc AS MATERIALIZED (
+       |  SELECT kd.doc_id, kd.source,
+       |    CAST(len(tl.tl) AS BIGINT) AS n_tokens,
+       |    coalesce(sagg.n_kept, 0) AS n_kept,
+       |    CAST(len(tl.tl) AS BIGINT) - coalesce(sagg.n_kept, 0)
+       |      AS n_removed,
+       |    coalesce(sagg.cleaned_md5, md5('')) AS cleaned_md5
+       |  FROM keptdocs kd
+       |  JOIN toklists tl ON tl.doc_id = kd.doc_id
+       |  LEFT JOIN sagg ON sagg.doc_id = kd.doc_id
+       |)""".stripMargin
+  }
+
+  def curationApplyOracleSql(threshold: Double): String =
+    s"""${curationApplyCtes(threshold)}
+       |SELECT doc_id, source, n_tokens, n_kept, n_removed, cleaned_md5
+       |FROM perdoc ORDER BY doc_id ASC""".stripMargin
+
+  /** Per-source reconciliation + corpus digest of the curated set:
+    * every decision count (must match [[curationDecisions]] row for
+    * row — asserted by DedupSpec AND replayed by the oracle), the
+    * kept-side token totals, and `corpus_md5` = md5 over the kept
+    * docs' cleaned_md5 digests concatenated in doc_id order — ONE
+    * hash that pins the entire curated corpus byte-for-byte. Output
+    * is nSources rows. */
+  def curationApplyDigest(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val counts = curationDocDecisions(spark, dir, threshold)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decision") === "exact_dup", 1L).otherwise(0L))
+          .as("n_exact_dup"),
+        sum(when(col("decision") === "near_dup", 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum(when(col("decision") === "quality", 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("decision") === "keep", 1L).otherwise(0L))
+          .as("n_keep"))
+    val dig = curationApply(spark, dir, threshold)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens_kept_docs"),
+        sum(col("n_kept")).as("n_tokens_clean"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("cleaned_md5")))), x => x.getField("cleaned_md5")))
+          .cast("binary")).as("corpus_md5"))
+    counts.join(dig, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"), col("n_quality"), col("n_keep"),
+        coalesce(col("n_tokens_kept_docs"), lit(0L))
+          .as("n_tokens_kept_docs"),
+        coalesce(col("n_tokens_clean"), lit(0L)).as("n_tokens_clean"),
+        coalesce(col("corpus_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("corpus_md5"))
+      .orderBy(col("source").asc)
+  }
+
+  def curationApplyDigestOracleSql(threshold: Double): String =
+    s"""${curationApplyCtes(threshold)}, counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_exact_dup,
+       |    CAST(sum(CASE WHEN decision = 'near_dup' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_near_dup,
+       |    CAST(sum(CASE WHEN decision = 'quality' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_keep
+       |  FROM dec GROUP BY source
+       |), dig AS (
+       |  SELECT source,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept_docs,
+       |    CAST(sum(n_kept) AS BIGINT) AS n_tokens_clean,
+       |    md5(string_agg(cleaned_md5, '' ORDER BY doc_id))
+       |      AS corpus_md5
+       |  FROM perdoc GROUP BY source
+       |)
+       |SELECT c.source, c.n_docs, c.n_exact_dup, c.n_near_dup,
+       |  c.n_quality, c.n_keep,
+       |  coalesce(d.n_tokens_kept_docs, 0) AS n_tokens_kept_docs,
+       |  coalesce(d.n_tokens_clean, 0) AS n_tokens_clean,
+       |  coalesce(d.corpus_md5, md5('')) AS corpus_md5
+       |FROM counts c LEFT JOIN dig d ON d.source = c.source
+       |ORDER BY c.source ASC""".stripMargin
 
   /** Hard-negative TRAINING-TRIPLET mining — the retrieval-training
     * read over the dedup machinery (contrastive embedding training

@@ -201,4 +201,48 @@ class DedupSpec extends SparkSpec {
     assert(trips.map(_.toString).toSeq == again.map(_.toString).toSeq)
     graft.operators.CacheScope.release(spark)
   }
+
+  test("curation_apply: survivor set equals the keep decisions, " +
+      "digest reconciles count-for-count with curation_decisions") {
+    val t = 0.5
+    val applied = Dedup.curationApply(spark, Sf0001, t).collect()
+    val keepIds = Dedup.curationDocDecisions(spark, Sf0001, t)
+      .filter(org.apache.spark.sql.functions.col("decision") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // exactly the keep-decision docs survive, one row each
+    assert(applied.map(_.getLong(0)).sorted.toSeq == keepIds)
+    // token accounting holds per doc
+    applied.foreach { r =>
+      val (nt, nk, nr) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nk >= 0 && nk <= nt && nr == nt - nk, r.toString)
+    }
+    // the digest table's decision counts equal curation_decisions'
+    val dec = Dedup.curationDecisions(spark, Sf0001, t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val dig = Dedup.curationApplyDigest(spark, Sf0001, t).collect()
+    dig.foreach { r =>
+      val src = r.getString(0)
+      def cnt(d: String) = dec.getOrElse((src, d), 0L)
+      assert(r.getLong(2) == cnt("exact_dup"), s"$src exact_dup")
+      assert(r.getLong(3) == cnt("near_dup"), s"$src near_dup")
+      assert(r.getLong(4) == cnt("quality"), s"$src quality")
+      assert(r.getLong(5) == cnt("keep"), s"$src keep")
+      assert(r.getLong(1) ==
+        cnt("exact_dup") + cnt("near_dup") + cnt("quality") + cnt("keep"))
+    }
+    // n_docs totals cover the whole corpus
+    assert(dig.map(_.getLong(1)).sum ==
+      Tables.documents(spark, Sf0001).count())
+    // post-dedup semantics: a span duplicated only via a removed copy
+    // survives, so survivor docs can only keep MORE tokens than the
+    // full-corpus span pass would leave them
+    val fullPass = Dedup.removeDuplicatedSpans(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    applied.foreach { r =>
+      assert(r.getLong(3) >= fullPass(r.getLong(0)),
+        s"doc ${r.getLong(0)}: survivor pass kept fewer tokens than " +
+          "the full-corpus pass")
+    }
+    graft.operators.CacheScope.release(spark)
+  }
 }
