@@ -18,5 +18,6 @@ object NativeFunctions {
     WinnowFps.register(spark)
     BqPack.register(spark)
     BqAsymScore.register(spark)
+    QuantizeI8.register(spark)
   }
 }

@@ -105,7 +105,12 @@ object Classifier {
     * (true_lang, pred_lang). The one number a pipeline owner reads
     * before trusting the classifier as a filter. */
   def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val counts = termCounts(spark, dir)
+    // ONE tokenize+count pass: cstat, vocab and the model broadcast all
+    // derive from `counts`, and each broadcast build is its own job —
+    // uncached, the corpus re-tokenized once per subtree (3×; the
+    // dominant cost of this query's bench entry). The cached frame is
+    // vocab-bounded (distinct (class, term) pairs), not token-grain.
+    val counts = CacheScope.cached(termCounts(spark, dir))
     // per-class stats: token total, doc count, nano prior — a
     // classes-sized frame, broadcast into the scoring scan
     val train = trainDocs(spark, dir)

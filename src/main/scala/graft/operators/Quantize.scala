@@ -39,23 +39,21 @@ object Quantize {
   def idot(a: Column, b: Column): Column =
     call_function("ivec_dot", a, b)
 
-  /** Scan-local quantization frame: (vec_id, label, scale, codes).
-    * The codes array goes through an explode(array(...)) projection
-    * barrier: HOF lambdas disable subexpression elimination, so
-    * without it every downstream reference (knnQuantized computes
-    * three dots over `codes`) re-inlines the whole quantization
-    * transform per reference after projection collapse — the
-    * fts_websearch lesson (measured 0.65 s → barrier cuts the triple
-    * evaluation). */
+  /** Scan-local quantization frame: (vec_id, label, scale, codes),
+    * computed by the native codegen'd
+    * [[graft.functions.QuantizeI8]] kernel — one generated loop per
+    * row instead of ~128 interpreted HOF closures (the quantization
+    * chain dominated knn_quantized/quant_stats bench time; the former
+    * explode(array(...)) barrier against HOF re-evaluation is obsolete
+    * because the struct-returning native call is subexpression-
+    * eliminated by codegen like any deterministic expression). Same
+    * arithmetic bit-for-bit; oracles unchanged. */
   def codes(emb: DataFrame): DataFrame = {
-    val v = col("embedding")
-    val scale = greatest(
-      array_max(transform(v, x => abs(x.cast("double")))), lit(Tiny))
+    val q = call_function("quantize_i8", col("embedding"))
     emb.select(
-      col("vec_id"), col("label"), scale.as("scale"),
-      explode(array(transform(v, x =>
-        floor(x.cast("double") / scale * lit(127.0) + lit(0.5))
-          .cast("int")))).as("codes"))
+      col("vec_id"), col("label"),
+      q.getField("scale").as("scale"),
+      q.getField("codes").as("codes"))
   }
 
   /** KNN over the quantized codes: cosine distance of the dequantized
@@ -187,13 +185,9 @@ object Quantize {
     // codes + coarse prefix (a codes(emb) ⋈ emb self-join would pay a
     // corpus shuffle for columns the same scan already has in-row)
     val ev = col("embedding")
-    val scale = greatest(
-      array_max(transform(ev, x => abs(x.cast("double")))), lit(Tiny))
     val corpus = emb.select(
       col("vec_id"), ev.cast("array<double>").as("v"),
-      transform(ev, x =>
-        floor(x.cast("double") / scale * lit(127.0) + lit(0.5))
-          .cast("int")).as("codes"),
+      call_function("quantize_i8", ev).getField("codes").as("codes"),
       slice(ev.cast("array<double>"), 1, dCoarse).as("vc"))
     val q = corpus.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),

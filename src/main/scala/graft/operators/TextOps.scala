@@ -612,9 +612,13 @@ object TextOps {
     * counts — exact. */
   def packSequences(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
-    val toks = Tables.documentsDense(spark, dir)
+    // cached: prefixSummed reads this frame THREE times (the quantile
+    // probe, the per-bucket offsets build, the local-window side), and
+    // uncached each read re-tokenizes the corpus — the dominant cost of
+    // this query's bench entry. The cached frame is two longs per doc.
+    val toks = CacheScope.cached(Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
-        size(TextAnalyzer.tokens(col("text"))).cast("long").as("toks"))
+        size(TextAnalyzer.tokens(col("text"))).cast("long").as("toks")))
     ScaleOps.prefixSummed(toks, "doc_id", "toks", 32)
       .select(col("doc_id"), col("toks"),
         expr(s"cum_before div ${budget}L").as("bin")) // integer div,

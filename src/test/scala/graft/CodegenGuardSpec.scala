@@ -34,10 +34,11 @@ class CodegenGuardSpec extends SparkSpec {
     logger.addAppender(guard)
     try {
       // one query per native kernel family (bq_pack/bq_asym, vec_dot,
-      // ivec_dot, pq_encode, winnow_fps, light_stem, cover_density)
+      // ivec_dot, pq_encode, winnow_fps, light_stem, cover_density,
+      // quantize_i8 via knn_quantized/quant_stats)
       val names = Seq("bq_ann", "bq_recall", "fingerprint_winnow",
-        "knn_cosine", "knn_quantized", "pq_scan", "ivfpq_ann",
-        "fts_topk_cd", "fts_topk_stemmed")
+        "knn_cosine", "knn_quantized", "quant_stats", "pq_scan",
+        "ivfpq_ann", "fts_topk_cd", "fts_topk_stemmed")
       names.foreach { n =>
         SparkEntry.queries(n)(spark, Sf0001).count()
         graft.operators.CacheScope.release(spark)
