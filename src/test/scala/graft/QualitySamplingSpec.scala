@@ -84,4 +84,25 @@ class QualitySamplingSpec extends SparkSpec {
     val again = Sampling.evalHoldout(spark, Sf0001, k).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("mixWeightsTemp rejects non-integral temperatures (T=2.5) with " +
+      "a clear require, on both the query and its oracle") {
+    // r14 verdict #6: a dotted label (w_t2.5) silently broke col()
+    // resolution, and pow(x, 1/2.5) has no JVM/libm bit-parity
+    // guarantee — the contract is an explicit rejection, not a latent
+    // analysis error
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.mixWeightsTemp(spark, Sf0001, Seq(1.0, 2.5))
+    }
+    assert(e1.getMessage.contains("integral temperatures"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixWeightsTempOracleSql(Seq(2.5))
+    }
+    assert(e2.getMessage.contains("integral temperatures"))
+    // and the integral ladder still works
+    val ok = Sampling.mixWeightsTemp(spark, Sf0001, Seq(1.0, 2.0, 5.0))
+    assert(ok.columns.takeRight(3).toSeq ==
+      Seq("w_t1", "w_t2", "w_t5"))
+    assert(ok.count() > 0)
+  }
 }
