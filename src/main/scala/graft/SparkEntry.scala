@@ -615,6 +615,11 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d, 1)),
     // benchmark-contamination screen: n-gram overlap vs a held-out slice
     "contamination_ngram" -> ((s, d) => Contamination.screen(s, d, 97L)),
+    // the training-set RELEASE: curated survivors minus the benchmark
+    // slice and anything sharing a verbatim n-gram with it, one
+    // release_md5 per source pinning the shipped corpus
+    "release_manifest" -> ((s, d) =>
+      Contamination.releaseManifest(s, d, 0.5, 97L)),
     // char-level confirmation of the Jaccard-verified near-dup pairs
     "dedup_editdist" -> ((s, d) =>
       Dedup.editDistancePairs(s, d, 0.5, 240, 60)),
@@ -975,6 +980,8 @@ object SparkEntry {
     "dedup_reduction" -> Dedup.dedupReductionOracleSql(0.5),
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracleSql(1),
     "contamination_ngram" -> Contamination.screenOracleSql(97L),
+    "release_manifest" ->
+      Contamination.releaseManifestOracleSql(0.5, 97L),
     "dedup_editdist" -> Dedup.editDistancePairsOracleSql(0.5, 240, 60),
     "dedup_spans" -> Dedup.duplicatedSpansOracleSql(100),
     "dedup_substrings" ->

@@ -102,4 +102,121 @@ object Contamination {
        |FROM shared s JOIN counts c ON c.doc_id = s.doc_id
        |ORDER BY s.shared_grams DESC, s.doc_id ASC""".stripMargin
   }
+
+  /** TRAINING-SET RELEASE MANIFEST — the last table a pipeline writes
+    * before handing a corpus to a training run, composing the two
+    * halves this engine already oracles separately:
+    * [[graft.operators.Dedup.curationApply]] (the curated survivor
+    * set, span-cleaned, md5-pinned) and this screen's benchmark
+    * decontamination. Every CURATED doc lands in exactly one bucket:
+    *   `eval_slice`    — the benchmark slice itself (doc_id ≡ 0 mod
+    *                     `mod`): eval text never ships in a train set;
+    *   `contaminated`  — shares ≥1 verbatim n-gram with the benchmark
+    *                     slice (the GPT-3 appendix-C drop rule, strict
+    *                     form: ANY overlap drops — no float threshold
+    *                     to disagree over);
+    *   `released`      — everything else: the shipped training corpus.
+    * Output per source: the three bucket counts (reconciling to the
+    * curated count by construction), released token totals, and
+    * `release_md5` — md5 over the released docs' cleaned_md5 digests
+    * in doc_id order, ONE hash a training job can pin its data lineage
+    * to.
+    *
+    * Scale shape: nothing new at corpus grain — the curated side is
+    * the oracled curationApply chain; the hit set is the screen's
+    * broadcast semi-probe (the benchmark gram set is eval-suite-sized,
+    * fixed); buckets resolve in one left join; output is nSources
+    * rows. */
+  def releaseManifest(spark: SparkSession, dir: String,
+      threshold: Double, mod: Long): DataFrame = {
+    val curated = Dedup.curationApply(spark, dir, threshold)
+    val grams = docGrams(Tables.documentsDense(spark, dir))
+    val bench = grams.filter(col("doc_id") % mod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val hits = grams.filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    val bucketed = curated
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_kept"),
+        col("cleaned_md5"),
+        when(col("doc_id") % mod === 0, lit("eval_slice"))
+          .when(col("hit").isNotNull, lit("contaminated"))
+          .otherwise(lit("released")).as("bucket"))
+      .transform(CacheScope.cached)
+    val counts = bucketed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_curated"),
+        sum(when(col("bucket") === "eval_slice", 1L).otherwise(0L))
+          .as("n_eval_slice"),
+        sum(when(col("bucket") === "contaminated", 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("bucket") === "released", 1L).otherwise(0L))
+          .as("n_released"))
+    val dig = bucketed.filter(col("bucket") === "released")
+      .groupBy(col("source"))
+      .agg(sum(col("n_kept")).as("n_tokens_released"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("cleaned_md5")))), x => x.getField("cleaned_md5")))
+          .cast("binary")).as("release_md5"))
+    counts.join(dig, Seq("source"), "left")
+      .select(col("source"), col("n_curated"), col("n_eval_slice"),
+        col("n_contaminated"), col("n_released"),
+        coalesce(col("n_tokens_released"), lit(0L))
+          .as("n_tokens_released"),
+        coalesce(col("release_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("release_md5"))
+      .orderBy(col("source").asc)
+  }
+
+  def releaseManifestOracleSql(threshold: Double, mod: Long): String = {
+    val gramExpr = (1 to GramSize).map(j => s"tl[i + ${j - 1}]")
+      .mkString(" || ' ' || ")
+    s"""${Dedup.curationApplyCtes(threshold)}, ctl AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\W+'),
+       |    t -> ${TextAnalyzer.sqlTermFilter("t")}) AS tl
+       |  FROM documents
+       |), cgrams AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tl) - ${GramSize - 1}, 0) + 1),
+       |    i -> $gramExpr))) AS gram
+       |  FROM ctl
+       |), cbench AS MATERIALIZED (
+       |  SELECT DISTINCT gram FROM cgrams WHERE doc_id % $mod = 0
+       |), hitdocs AS (
+       |  SELECT DISTINCT g.doc_id
+       |  FROM cgrams g JOIN cbench b ON b.gram = g.gram
+       |  WHERE g.doc_id % $mod <> 0
+       |), bucketed AS MATERIALIZED (
+       |  SELECT p.doc_id, p.source, p.n_kept, p.cleaned_md5,
+       |    CASE WHEN p.doc_id % $mod = 0 THEN 'eval_slice'
+       |         WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+       |         ELSE 'released' END AS bucket
+       |  FROM perdoc p LEFT JOIN hitdocs h ON h.doc_id = p.doc_id
+       |), cnt AS (
+       |  SELECT source, count(*) AS n_curated,
+       |    CAST(sum(CASE WHEN bucket = 'eval_slice' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_eval_slice,
+       |    CAST(sum(CASE WHEN bucket = 'contaminated' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_contaminated,
+       |    CAST(sum(CASE WHEN bucket = 'released' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_released
+       |  FROM bucketed GROUP BY source
+       |), dig AS (
+       |  SELECT source,
+       |    CAST(sum(n_kept) AS BIGINT) AS n_tokens_released,
+       |    md5(string_agg(cleaned_md5, '' ORDER BY doc_id))
+       |      AS release_md5
+       |  FROM bucketed WHERE bucket = 'released' GROUP BY source
+       |)
+       |SELECT c.source, c.n_curated, c.n_eval_slice, c.n_contaminated,
+       |  c.n_released,
+       |  coalesce(d.n_tokens_released, 0) AS n_tokens_released,
+       |  coalesce(d.release_md5, md5('')) AS release_md5
+       |FROM cnt c LEFT JOIN dig d ON d.source = c.source
+       |ORDER BY c.source ASC""".stripMargin
+  }
 }

@@ -1051,7 +1051,7 @@ object Dedup {
     * `perdoc(doc_id, source, n_tokens, n_kept, n_removed,
     * cleaned_md5)`. Both curation_apply oracles append their own
     * final SELECT. */
-  private def curationApplyCtes(threshold: Double): String = {
+  private[operators] def curationApplyCtes(threshold: Double): String = {
     val gramExpr = (1 to SpanGramSize).map(j => s"tl[i + ${j - 1}]")
       .mkString(" || ' ' || ")
     s"""WITH g AS MATERIALIZED (

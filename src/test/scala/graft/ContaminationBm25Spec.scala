@@ -177,4 +177,36 @@ class ContaminationBm25Spec extends SparkSpec {
       assert(r.getAs[Long]("editdist") >= 0L)
     }
   }
+
+  test("release_manifest: buckets partition the curated set exactly, " +
+      "and no released doc shares a gram with the benchmark slice") {
+    import org.apache.spark.sql.functions.col
+    val (t, mod) = (0.5, 97L)
+    val man = graft.operators.Contamination
+      .releaseManifest(spark, Sf0001, t, mod).collect()
+    // reconciliation per source: curated = eval + contaminated + released
+    man.foreach { r =>
+      assert(r.getAs[Long]("n_curated") ==
+        r.getAs[Long]("n_eval_slice") +
+          r.getAs[Long]("n_contaminated") + r.getAs[Long]("n_released"),
+        r.toString)
+    }
+    // curated totals equal curation_apply's survivor count
+    val nCurated = graft.operators.Dedup
+      .curationApply(spark, Sf0001, t).count()
+    assert(man.map(_.getAs[Long]("n_curated")).sum == nCurated)
+    // strictness: recompute the contaminated doc set independently via
+    // the screen — a released doc must never appear in it, and the
+    // eval slice never releases
+    val screenHits = graft.operators.Contamination
+      .screen(spark, Sf0001, mod)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curatedDocs = graft.operators.Dedup
+      .curationApply(spark, Sf0001, t)
+      .select("doc_id").collect().map(_.getLong(0))
+    val releasedCount = curatedDocs.count(d =>
+      d % mod != 0 && !screenHits.contains(d))
+    assert(man.map(_.getAs[Long]("n_released")).sum == releasedCount)
+    graft.operators.CacheScope.release(spark)
+  }
 }
