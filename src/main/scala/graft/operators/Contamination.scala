@@ -130,7 +130,10 @@ object Contamination {
   def releaseManifest(spark: SparkSession, dir: String,
       threshold: Double, mod: Long): DataFrame = {
     val curated = Dedup.curationApply(spark, dir, threshold)
-    val grams = docGrams(Tables.documentsDense(spark, dir))
+    // cached: the gram frame feeds BOTH the benchmark-set build and the
+    // train-side probe — uncached each side re-tokenizes the corpus
+    val grams = CacheScope.cached(
+      docGrams(Tables.documentsDense(spark, dir)))
     val bench = grams.filter(col("doc_id") % mod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     val hits = grams.filter(col("doc_id") % mod =!= 0)

@@ -430,11 +430,55 @@ object Dedup {
     * decisions. */
   def curationDecisions(spark: SparkSession, dir: String,
       threshold: Double): DataFrame =
-    curationDocDecisions(spark, dir, threshold)
+    spark.table(ensureCurationTable(spark, dir, threshold))
       .groupBy(col("source"), col("decision"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("sample_doc"))
       .orderBy(col("source").asc, col("decision").asc)
+
+  /** Build-once/probe-many for the WHOLE curation pass (the ensureIndex
+    * discipline applied to the pipeline artifact itself): ONE persisted
+    * doc-grain table
+    *   (doc_id, source, decision, n_tokens, n_kept, n_removed,
+    *    cleaned_md5)
+    * carrying every doc's verdict plus — for keep-decision docs — the
+    * survivor-set span-removal stats. A real curation pass materializes
+    * exactly this table once and every consumer (the verdict rollup,
+    * the curated corpus, the release manifest) READS it; re-deriving
+    * the MinHash/Gopher/span chains per consumer query would be four
+    * full corpus passes for one artifact. Keyed on the documents
+    * content fingerprint (the [[graft.operators.Collections
+    * .ensurePartitionedDocuments]] staleness contract: an in-place
+    * fixture regeneration forces a rebuild). Span columns are NULL for
+    * dropped docs — the spans are mined among SURVIVORS (post-dedup
+    * semantics, see [[curationApply]]). */
+  def ensureCurationTable(spark: SparkSession, dir: String,
+      threshold: Double): String = {
+    val name = s"graft_cur_${math.round(threshold * 100)}_" +
+      ScaleOps.contentHash(dir, "documents")
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      graft.sources.ParquetStore.deleteRecursively(
+        java.nio.file.Paths.get(warehouse, name.toLowerCase))
+      val dec = curationDocDecisions(spark, dir, threshold)
+        .transform(CacheScope.cached)
+      val keptDocs = Tables.documentsDense(spark, dir)
+        .join(dec.filter(col("decision") === lit("keep"))
+          .select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextAnalyzer.tokens(col("text")).as("toks"))
+        .transform(CacheScope.cached)
+      dec.join(spanRemovalStats(keptDocs), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("decision"),
+          col("n_tokens"), col("n_kept"), col("n_removed"),
+          col("cleaned_md5"))
+        .write.mode("overwrite").format("parquet").saveAsTable(name)
+      CacheScope.release(spark)
+    }
+    name
+  }
 
   /** The doc-grain verdict frame behind [[curationDecisions]] — one
     * (source, doc_id, decision) row per document under the documented
@@ -1023,28 +1067,17 @@ object Dedup {
     * n_removed, cleaned_md5) with the cleaned text pinned
     * byte-for-byte by md5, never shipped.
     *
-    * Scale shape: the decision chain is [[curationDocDecisions]]
-    * (scan-local signatures + the banded cluster side); the survivor
-    * filter is a doc_id equi-join; the span chain runs the
-    * [[spanRemovalStats]] kernel over survivors (per-doc work ∝
-    * tokens × own dup spans). Nothing new shuffles at corpus grain
-    * beyond the chains already oracled individually. */
+    * Scale shape: a PROBE of the persisted [[ensureCurationTable]]
+    * artifact (build-once/probe-many — the decision chain and the
+    * survivor span pass run once per corpus fingerprint); this query
+    * is then one filtered scan + ordered emit. */
   def curationApply(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
-    val kept = curationDocDecisions(spark, dir, threshold)
+      threshold: Double): DataFrame =
+    spark.table(ensureCurationTable(spark, dir, threshold))
       .filter(col("decision") === lit("keep"))
-      .select(col("doc_id"), col("source"))
-      .transform(CacheScope.cached)
-    val docs = Tables.documentsDense(spark, dir)
-      .join(kept.select("doc_id"), Seq("doc_id"))
-      .select(col("doc_id"), TextAnalyzer.tokens(col("text")).as("toks"))
-      .transform(CacheScope.cached)
-    spanRemovalStats(docs)
-      .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("n_kept"), col("n_removed"), col("cleaned_md5"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** Shared oracle text: the doc-grain decision chain (dec) plus the
     * survivor span-removal chain ending in a per-kept-doc frame
@@ -1145,7 +1178,7 @@ object Dedup {
     * is nSources rows. */
   def curationApplyDigest(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val counts = curationDocDecisions(spark, dir, threshold)
+    val counts = spark.table(ensureCurationTable(spark, dir, threshold))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("decision") === "exact_dup", 1L).otherwise(0L))
