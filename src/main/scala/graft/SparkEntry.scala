@@ -161,6 +161,11 @@ object SparkEntry {
     "ivf_batch" -> ((s, d) =>
       Similarity.ivfBatch(s, d, BatchKnnIds, 5, 10)),
     "ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d, 42L, 10, 10)),
+    // the past-the-driver-bound route under the full hash gate: the
+    // two-level (coarse router -> cells -> exact re-rank) probe over
+    // the hierarchical index, trained by the kmeans_hier chain
+    "ivf_ann_hier" -> ((s, d) =>
+      Similarity.ivfTopKHier(s, d, 42L, 10, 4, 4, 2, 2)),
     // vector-index DELETE path: tombstone merge-on-read per-cell
     // occupancy, no rebuild (mirrors fts_delete_termstats)
     "ivf_delete_stats" -> ((s, d) =>
@@ -769,6 +774,8 @@ object SparkEntry {
     "ivf_ann_auto" -> Similarity.ivfTopKAutoOracleSql(42L, 10),
     "ivf_batch" -> Similarity.ivfBatchOracleSql(BatchKnnIds, 5, 10),
     "ivf_ann" -> Similarity.ivfTopKOracleSql(42L, 10, 10),
+    "ivf_ann_hier" ->
+      Similarity.ivfTopKHierOracleSql(42L, 10, 4, 4, 2, 2),
     "ivf_delete_stats" -> Similarity.ivfDeleteStatsOracleSql(10, 7L),
     "ivf_ann_deleted" ->
       Similarity.ivfTopKDeletedOracleSql(42L, 10, 10, 7L, 2),

@@ -505,6 +505,22 @@ object Clustering {
        |FROM s GROUP BY cluster ORDER BY cluster ASC""".stripMargin
 
   def kmeansHierClustersOracleSql(k1: Int, k2: Int,
+      iterations: Int = Iterations): String =
+    s"""WITH ${hierFitSql(k1, k2, iterations)}
+       |SELECT a.coarse * $k2 + a.sub AS cluster, count(*) AS n_vecs,
+       |  (SELECT CAST(sum(c.c * c.c) AS BIGINT) FROM hcent$iterations c
+       |   WHERE c.coarse = a.coarse AND c.sub = a.sub) AS energy
+       |FROM hassign$iterations a
+       |GROUP BY a.coarse, a.sub ORDER BY 1 ASC""".stripMargin
+
+  /** The full two-level fit as a CTE chain — exposes
+    * `hassign$iterations` (vec_id, coarse, sub) and `hcent$iterations`
+    * (coarse, sub, dim, c in micro units). Shared by the kmeans_hier
+    * gate and the hierarchical-IVF probe oracle
+    * (Similarity.ivfTopKHierOracleSql), so the trained structure the
+    * index persists and the structure the oracle replays can never
+    * drift. */
+  private[operators] def hierFitSql(k1: Int, k2: Int,
       iterations: Int = Iterations): String = {
     val iters = (1 to iterations).map { i =>
       s"""hdist$i AS (
@@ -528,7 +544,7 @@ object Clustering {
          |    ON s.coarse = p.coarse AND s.sub = p.sub AND s.dim = p.dim
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH ${fitSql(k1.toString)}, ivc AS MATERIALIZED (
+    s"""${fitSql(k1.toString)}, ivc AS MATERIALIZED (
        |  SELECT v.vec_id, v.dim, v.q, a.cluster AS coarse
        |  FROM ivec v JOIN assign$iterations a ON a.vec_id = v.vec_id
        |), hseeds AS (
@@ -542,12 +558,7 @@ object Clustering {
        |), hcent0 AS MATERIALIZED (
        |  SELECT s.coarse, s.sub, v.dim, v.q AS c
        |  FROM ivc v JOIN hseeds s ON s.vec_id = v.vec_id
-       |), $iters
-       |SELECT a.coarse * $k2 + a.sub AS cluster, count(*) AS n_vecs,
-       |  (SELECT CAST(sum(c.c * c.c) AS BIGINT) FROM hcent$iterations c
-       |   WHERE c.coarse = a.coarse AND c.sub = a.sub) AS energy
-       |FROM hassign$iterations a
-       |GROUP BY a.coarse, a.sub ORDER BY 1 ASC""".stripMargin
+       |), $iters""".stripMargin
   }
 
   // ---- oracle SQL ----

@@ -464,6 +464,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** DuckDB twin of [[ivfTopKHier]] — the hierarchical regime's probe
+    * under the full hash gate (r14 verdict theme: the past-the-driver-
+    * bound route must be oracled, not only spec-gated). Replays the
+    * two-level fit via [[Clustering.hierFitSql]] (the SAME chain the
+    * kmeans_hier gate rides), rebuilds the cell/coarse centroid frames
+    * exactly as [[ensureIvfIndexHier]] persists them (cells = final
+    * micro centroids /1e6; coarse router = per-coarse AVG of its sub-
+    * centroids), reuses the trainer's own final assignment for the
+    * index rows (no re-assignment — mirroring the build), then the
+    * two-level probe: nProbe1 coarse groups, nProbe cells within them,
+    * exact cosine re-rank inside the probed cells. */
+  def ivfTopKHierOracleSql(qid: Long, k: Int, k1: Int, k2: Int,
+      nProbe1: Int, nProbe: Int): String = {
+    val I = Clustering.Iterations
+    s"""WITH ${Clustering.hierFitSql(k1, k2)}, e AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), hcells AS MATERIALIZED (
+       |  SELECT coarse * $k2 + sub AS centroid_id,
+       |    list(c / 1e6 ORDER BY dim) AS cv
+       |  FROM hcent$I GROUP BY coarse, sub
+       |), hrouter AS MATERIALIZED (
+       |  SELECT coarse AS centroid_id, list(cm / 1e6 ORDER BY dim) AS cv
+       |  FROM (
+       |    SELECT coarse, dim, avg(c) AS cm
+       |    FROM hcent$I GROUP BY coarse, dim
+       |  ) GROUP BY coarse
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = $qid
+       |), qcoarse AS (
+       |  SELECT centroid_id FROM hrouter, q
+       |  ORDER BY round(1.0 - list_dot_product(cv, qv)
+       |    / (sqrt(list_dot_product(cv, cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    centroid_id ASC
+       |  LIMIT $nProbe1
+       |), qcells AS (
+       |  SELECT c.centroid_id FROM hcells c
+       |  JOIN qcoarse g ON c.centroid_id // $k2 = g.centroid_id, q
+       |  ORDER BY round(1.0 - list_dot_product(c.cv, qv)
+       |    / (sqrt(list_dot_product(c.cv, c.cv))
+       |       * sqrt(list_dot_product(qv, qv))), 6) ASC,
+       |    c.centroid_id ASC
+       |  LIMIT $nProbe
+       |), fassign AS (
+       |  SELECT vec_id, coarse * $k2 + sub AS centroid_id
+       |  FROM hassign$I
+       |)
+       |SELECT e.vec_id, e.label, f.centroid_id,
+       |  round(1.0 - list_dot_product(e.v, q.qv)
+       |    / (sqrt(list_dot_product(e.v, e.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dist
+       |FROM fassign f
+       |JOIN e ON e.vec_id = f.vec_id
+       |JOIN qcells ON f.centroid_id = qcells.centroid_id, q
+       |WHERE e.vec_id <> $qid
+       |ORDER BY dist ASC, e.vec_id ASC LIMIT $k""".stripMargin
+  }
+
   /** [[ivfTopK]] under the corpus-relative policy — the auto cell
     * count itself rides under the hash gate: the DuckDB twin derives
     * the SAME k = greatest(8, n // target) from the table it scans
