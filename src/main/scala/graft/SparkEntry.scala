@@ -97,6 +97,11 @@ object SparkEntry {
     // index DELETE path: anti-join tombstones, no rebuild
     "fts_delete_termstats" -> ((s, d) =>
       Fts.termStatsAfterDelete(s, d, 7L)),
+    // index VACUUM: tombstones folded into a rewritten generation;
+    // oracled against the SAME SQL as the merge-on-read form — the
+    // hash gate holds vacuum ≡ anti-join every round
+    "fts_vacuum_termstats" -> ((s, d) =>
+      Fts.termStatsVacuumed(s, d, 7L)),
     // posting-length decade histogram (index health introspection)
     "fts_df_histogram" -> ((s, d) => Fts.dfHistogram(s, d)),
     // facet panel: (lang, source) doc counts over the AND-match set
@@ -174,6 +179,14 @@ object SparkEntry {
     // anti-join inside the probed cells, index untouched
     "ivf_ann_deleted" -> ((s, d) =>
       Similarity.ivfTopKDeleted(s, d, 42L, 10, 10, 7L, 2)),
+    // index COMPACTION (vacuum): dead rows rewritten out, centroids
+    // untouched — per-cell occupancy of the compacted generation
+    "ivf_compact_stats" -> ((s, d) =>
+      Similarity.ivfCompactStats(s, d, 10, 7L)),
+    // probe over the compacted generation, NO anti-join — oracled
+    // against the SAME SQL as ivf_ann_deleted (vacuum ≡ merge-on-read)
+    "ivf_ann_compacted" -> ((s, d) =>
+      Similarity.ivfTopKCompacted(s, d, 42L, 10, 10, 7L, 2)),
     // late-interaction (ColBERT MaxSim) retrieval over pseudo-docs of
     // vec_id % 50: exact baseline + PLAID-style IVF-cell-pruned path
     // graph ANN (NSW shape): M-NN graph over 2-probe IVF candidates,
@@ -720,6 +733,8 @@ object SparkEntry {
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
     "fts_delete_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
+    // vacuum ≡ merge-on-read: the SAME oracle SQL as the delete form
+    "fts_vacuum_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
     "fts_df_histogram" -> Fts.dfHistogramOracleSql,
     "emb_pca_power" -> PcaPower.topComponentOracleSql,
     "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
@@ -777,7 +792,12 @@ object SparkEntry {
     "ivf_ann_hier" ->
       Similarity.ivfTopKHierOracleSql(42L, 10, 4, 4, 2, 2),
     "ivf_delete_stats" -> Similarity.ivfDeleteStatsOracleSql(10, 7L),
+    "ivf_compact_stats" -> Similarity.ivfCompactStatsOracleSql(10, 7L),
     "ivf_ann_deleted" ->
+      Similarity.ivfTopKDeletedOracleSql(42L, 10, 10, 7L, 2),
+    // compaction ≡ merge-on-read: the SAME oracle SQL as the tombstone
+    // probe — the hash gate holds the equivalence every round
+    "ivf_ann_compacted" ->
       Similarity.ivfTopKDeletedOracleSql(42L, 10, 10, 7L, 2),
     "graph_ann" ->
       GraphAnn.beamSearchAutoOracleSql(42L, 0L, 12, 16, 4, 10),

@@ -189,8 +189,8 @@ object BinaryQuant {
         .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id"), lit(1L).as(s"${rank}_hit"))
     }
-    val ex = Similarity.knnBatch(spark, dir, qids, k)
-      .select(col("q_id"), col("vec_id"))
+    // persisted exact ground truth (EvalCache — built once per corpus)
+    val ex = Similarity.knnBatchGt(spark, dir, qids, k)
     ex.join(topk("sym"), Seq("q_id", "vec_id"), "left")
       .join(topk("asym"), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")

@@ -115,16 +115,61 @@ object Clustering {
       else cs.map(c => roundHalfAway(c.toDouble / nrm * 1e6))
     }
 
+  /** Driver-side memo of the trained centroid matrices, keyed by
+    * (corpus content fingerprint, k, iterations, spherical). The fit is
+    * deterministic, so the matrices — NOT the assignment frame — are a
+    * pure function of the key; a hit replays the final assignment as
+    * ONE lazy scan-local pass instead of re-running `iterations` Lloyd
+    * actions. Entry size is 2·k·dim longs, bounded by the
+    * [[MaxDriverCentroidCells]] contract that gates every flat-fit
+    * caller, so the memo can never outgrow what fitRaw itself holds
+    * live. Content-fingerprint keying means an in-place fixture
+    * regeneration starts a fresh entry (the ensureIndex discipline). */
+  private val fitRawMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Boolean),
+    (Array[Array[Long]], Array[Array[Long]])]
+
   private def fitRaw(spark: SparkSession, dir: String, k: Int,
       iterations: Int = Iterations,
       spherical: Boolean = false): (DataFrame, Array[Array[Long]]) = {
-    // (vec_id, qa): quantized embedding as one array column, cached for
-    // the Iterations+1 passes (assignment rounds + final consumers)
-    val qarr = Tables.embeddingsDense(spark, dir)
+    val memoKey = (ScaleOps.contentHash(dir, "embeddings"), k,
+      iterations, spherical)
+
+    def assignFor(qarr: DataFrame,
+        cm: Array[Array[Long]]): DataFrame = {
+      val centLit = typedLit(cm.map(_.toSeq).toSeq)
+      // dists[c] = Σ_j (qa[j] − cent[c][j])²  — scan-local
+      val dists = transform(sequence(lit(0), lit(k - 1)),
+        c => aggregate(
+          zip_with(col("qa"), element_at(centLit, c + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x))
+      // argmin via the same exact composite key: min(dist·k + cluster)
+      val key = aggregate(
+        zip_with(dists, sequence(lit(0L), lit((k - 1).toLong)),
+          (dd, cc) => dd * k + cc),
+        lit(Long.MaxValue), (m, v) => least(m, v))
+      qarr.select(col("vec_id"), (key % k).as("cluster"), col("qa"))
+    }
+
+    // (vec_id, qa): quantized embedding as one array column
+    def quantized(): DataFrame = Tables.embeddingsDense(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
-      .transform(CacheScope.cached)
+
+    val hit = fitRawMemo.get(memoKey)
+    if (hit != null) {
+      // replay: the returned assignment is BY CONVENTION the one
+      // computed from the PRE-update centroids of the final round
+      // (fitSql's convention) — a single lazy scan, no actions here
+      val (centPre, centFinal) = hit
+      return (assignFor(quantized(), centPre)
+        .select(col("vec_id"), col("cluster")), centFinal)
+    }
+
+    // cached for the Iterations+1 passes (rounds + final consumers)
+    val qarr = quantized().transform(CacheScope.cached)
     val seedIds = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
@@ -142,25 +187,11 @@ object Clustering {
         .sortBy(_.getLong(0))
         .map(_.getAs[scala.collection.Seq[Long]]("qa").toArray)
 
-    def assignFor(cm: Array[Array[Long]]): DataFrame = {
-      val centLit = typedLit(cm.map(_.toSeq).toSeq)
-      // dists[c] = Σ_j (qa[j] − cent[c][j])²  — scan-local
-      val dists = transform(sequence(lit(0), lit(k - 1)),
-        c => aggregate(
-          zip_with(col("qa"), element_at(centLit, c + 1),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x))
-      // argmin via the same exact composite key: min(dist·k + cluster)
-      val key = aggregate(
-        zip_with(dists, sequence(lit(0L), lit((k - 1).toLong)),
-          (dd, cc) => dd * k + cc),
-        lit(Long.MaxValue), (m, v) => least(m, v))
-      qarr.select(col("vec_id"), (key % k).as("cluster"), col("qa"))
-    }
-
     var assign: DataFrame = null
+    var centPre: Array[Array[Long]] = centM
     for (_ <- 1 to iterations) {
-      val a = assignFor(centM)
+      centPre = centM
+      val a = assignFor(qarr, centM)
       assign = a.select(col("vec_id"), col("cluster"))
       // integral-mean update; clusters that lost every vector keep
       // their previous centroid (fold over the collected k·dim sums).
@@ -176,6 +207,7 @@ object Clustering {
       }
       centM = if (spherical) renormalized(next) else next
     }
+    fitRawMemo.put(memoKey, (centPre, centM))
     (assign, centM)
   }
 
@@ -387,6 +419,32 @@ object Clustering {
     (a, c)
   }
 
+  private def hierFitName(dir: String, k1: Int, k2: Int): String =
+    s"graft_hfit_${k1}x${k2}_${ScaleOps.contentHash(dir, "embeddings")}"
+
+  /** Build-once / probe-many for the hierarchical fit: persist the
+    * final (assignment, centroid) frames of [[fitHierarchical]] as
+    * catalog tables keyed by corpus content fingerprint — the same
+    * discipline every index family uses (the fit is deterministic, so
+    * the tables are a pure function of the key). The level-2 Lloyd
+    * rounds — the only corpus-scale work in the family — run ONCE per
+    * corpus generation; every consumer (the kmeans_hier gate, the
+    * hierarchical IVF build) is a probe over the stored frames.
+    * Returns the table-name prefix (`_assign`: vec_id → cluster,
+    * bucketed by vec_id for the index build's join back to the corpus;
+    * `_cent`: (cluster, dim, c) long-format micro centroids, k1·k2·dim
+    * rows — one file). */
+  def ensureHierFit(spark: SparkSession, dir: String, k1: Int,
+      k2: Int): String = {
+    val name = hierFitName(dir, k1, k2)
+    if (!spark.catalog.tableExists(s"${name}_assign")) {
+      val (assign, cent) = fitHierarchical(spark, dir, k1, k2)
+      ScaleOps.writeBucketed(assign, s"${name}_assign", "vec_id", 8)
+      ScaleOps.writeBucketed(cent, s"${name}_cent", "cluster", 1)
+    }
+    name
+  }
+
   /** Routed fit: flat kernel while the driver centroid matrix fits the
     * documented bound, hierarchical k1·k2 factorization past it. */
   def kmeansAuto(spark: SparkSession, dir: String, k: Int,
@@ -403,7 +461,9 @@ object Clustering {
     * oracled fixture-scale exercise of the [[fitHierarchical]] path. */
   def kmeansHierClusters(spark: SparkSession, dir: String, k1: Int,
       k2: Int): DataFrame = {
-    val (assign, cent) = fitHierarchical(spark, dir, k1, k2)
+    val fitTbl = ensureHierFit(spark, dir, k1, k2)
+    val assign = spark.table(s"${fitTbl}_assign")
+    val cent = spark.table(s"${fitTbl}_cent")
     val sizes = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
     val energy = cent.groupBy(col("cluster"))

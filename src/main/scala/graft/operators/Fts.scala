@@ -1163,6 +1163,46 @@ object Fts {
        |FROM idx GROUP BY term
        |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Index VACUUM — [[termStatsAfterDelete]]'s merge-on-read tombstones
+    * folded in: rewrite the term-bucketed index WITHOUT the deleted
+    * docs' postings into a new generation (the PostgreSQL GIN VACUUM /
+    * Lucene segment-merge analog — the reference deletes rows
+    * (/root/reference/src/core/vector_store.py:360-385) and the
+    * database's vacuum reclaims the index entries). One bucketed-scan
+    * → anti-join → bucketed-write job, cost ∝ live postings, off the
+    * serving path; probe-side consumers then drop the per-query
+    * anti-join. Keyed by (corpus fingerprint, mod). */
+  def ensureVacuumedIndex(spark: SparkSession, dir: String,
+      mod: Long): String = {
+    val base = ensureIndex(spark, dir)
+    val name = s"${base}_vac$mod"
+    if (!spark.catalog.tableExists(name)) {
+      val deletes = Tables.documents(spark, dir)
+        .filter(col("doc_id") % mod === 0).select("doc_id")
+      ScaleOps.writeBucketed(
+        spark.table(base)
+          .join(broadcast(deletes), Seq("doc_id"), "left_anti"),
+        name, "term", 32)
+    }
+    name
+  }
+
+  /** Term statistics over the VACUUMED index — no anti-join anywhere
+    * in the query: the rewrite already dropped the tombstoned docs'
+    * postings. Registered against [[termStatsAfterDeleteOracleSql]]
+    * VERBATIM: vacuum must be invisible to results (merge-on-read ≡
+    * rewrite), and the hash gate holds that equivalence every round.
+    * Same vocabulary-sized aggregate as [[termStats]]. */
+  def termStatsVacuumed(spark: SparkSession, dir: String,
+      mod: Long): DataFrame =
+    spark.table(ensureVacuumedIndex(spark, dir, mod))
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(100)
+
   /** Posting-list length histogram — index HEALTH introspection (the
     * `pg_stats`/Lucene-segment-info analog): how many terms fall in
     * each document-frequency magnitude bucket, and how much total tf

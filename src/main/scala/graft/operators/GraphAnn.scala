@@ -292,8 +292,8 @@ object GraphAnn {
   def beamRecall(spark: SparkSession, dir: String, qids: Seq[Long],
       entry: Long, nCentroids: Int, m: Int, beam: Int, rounds: Int,
       k: Int): DataFrame = {
-    val ex = Similarity.knnBatch(spark, dir, qids, k)
-      .select(col("q_id"), col("vec_id"))
+    // persisted exact ground truth (EvalCache — built once per corpus)
+    val ex = Similarity.knnBatchGt(spark, dir, qids, k)
     val ap = batchBeamSearch(spark, dir, qids, entry, nCentroids, m,
       beam, rounds, k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))

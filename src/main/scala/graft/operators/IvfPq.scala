@@ -487,21 +487,13 @@ object IvfPq {
     val cm = centroidMicro(spark, dir, nCentroids)
     val fetched = qids.map(q =>
       q -> ProductQuant.fetchQuery(spark, dir, q)).toMap
-    // exact side: full-corpus top-k by rounded double L2²
     val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
     val qdf = broadcast(spark.createDataFrame(
         qids.zipWithIndex.map { case (q, i) => (q, i) })
       .toDF("q_id", "qx"))
-    val emb = Tables.embeddings(spark, dir)
     val w = Window.partitionBy(col("q_id"))
-    val exact = emb.join(qdf, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(ProductQuant.l2sq(col("embedding").cast("array<double>"),
-          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("dist").asc, col("vec_id").asc)))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"))
+    // exact side: persisted ground truth (EvalCache, built once)
+    val exact = ProductQuant.exactL2Gt(spark, dir, qids, k)
     // approximate side: ADC within each query's nProbe cells only.
     // Flatten (query, probed cell) into one pair list; ppos indexes
     // the 3-level LUT literal.
@@ -571,17 +563,10 @@ object IvfPq {
     val qdf = broadcast(spark.createDataFrame(
         qids.zipWithIndex.map { case (q, i) => (q, i) })
       .toDF("q_id", "qx"))
-    val emb = Tables.embeddings(spark, dir)
     val w = Window.partitionBy(col("q_id"))
-    val exact = CacheScope.cached(
-      emb.join(qdf, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(ProductQuant.l2sq(col("embedding").cast("array<double>"),
-            element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("dist").asc, col("vec_id").asc)))
-        .filter(col("rn") <= k)
-        .select(col("q_id"), col("vec_id")))
+    // exact side: persisted ground truth (EvalCache, built once) —
+    // read per width directly off the one-bucket table, no cache needed
+    val exact = ProductQuant.exactL2Gt(spark, dir, qids, k)
     val pairs = qids.flatMap { q =>
       probeCells(spark, idx, fetched(q)._2.toSeq, nProbe)
         .map(cell => (q, cell))

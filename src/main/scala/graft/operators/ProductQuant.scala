@@ -268,26 +268,44 @@ object ProductQuant {
     * One job ranks all Q queries: the codes scan fans out over a
     * broadcast query frame; both rankings use q_id-partitioned windows.
     */
+  /** Exact L2 ground truth (q_id, vec_id) for a fixed evaluation query
+    * set — full-corpus top-k by rounded double L2², tiebreak vec_id —
+    * persisted once per corpus fingerprint ([[EvalCache]]). Shared by
+    * the PQ codebook gate and the IVF-PQ serving gates: the exact side
+    * is the per-evaluation full-corpus scan, and it never changes
+    * while the quantization parameters are being tuned. */
+  private[operators] def exactL2Gt(spark: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): DataFrame =
+    EvalCache.ensure(spark, dir, "embeddings",
+      s"l2_${EvalCache.keyOf(qids, k)}", "q_id") {
+      val fetched = qids.map(q => q -> fetchQuery(spark, dir, q)).toMap
+      val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
+      val qdf = broadcast(spark.createDataFrame(
+          qids.zipWithIndex.map { case (q, i) => (q, i) })
+        .toDF("q_id", "qx"))
+      val w = Window.partitionBy(col("q_id"))
+      Tables.embeddings(spark, dir)
+        .join(qdf, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(l2sq(col("embedding").cast("array<double>"),
+            element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dist").asc, col("vec_id").asc)))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+
   def pqRecall(spark: SparkSession, dir: String, qids: Seq[Long],
       k: Int): DataFrame = {
     val table = ensurePqTable(spark, dir)
     val cb = loadCodebook(spark, dir)
     val fetched = qids.map(q => q -> fetchQuery(spark, dir, q)).toMap
-    // exact side: top-k by rounded double L2² (tiebreak vec_id)
-    val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
     val qdf = broadcast(spark.createDataFrame(
         qids.zipWithIndex.map { case (q, i) => (q, i) })
       .toDF("q_id", "qx"))
-    val emb = Tables.embeddings(spark, dir)
     val w = Window.partitionBy(col("q_id"))
-    val exact = emb.join(qdf, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(l2sq(col("embedding").cast("array<double>"),
-          element_at(qvsLit, col("qx") + 1)), 6).as("dist"))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("dist").asc, col("vec_id").asc)))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"))
+    // exact side: persisted ground truth (EvalCache, built once)
+    val exact = exactL2Gt(spark, dir, qids, k)
     // approximate side: top-k by integer ADC distance
     val lutsLit = typedLit(
       qids.map(q => buildLut(fetched(q)._1, cb).toSeq.map(_.toSeq)))

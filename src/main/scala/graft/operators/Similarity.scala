@@ -381,8 +381,11 @@ object Similarity {
       k2: Int): String = {
     val name = ivfHierName(dir, k1, k2)
     if (!spark.catalog.tableExists(name)) {
-      val (assign, centMicro) =
-        Clustering.fitHierarchical(spark, dir, k1, k2)
+      // the fit itself is its own build-once artifact (shared with the
+      // kmeans_hier gate) — this build is a probe over its tables
+      val fitTbl = Clustering.ensureHierFit(spark, dir, k1, k2)
+      val assign = spark.table(s"${fitTbl}_assign")
+      val centMicro = spark.table(s"${fitTbl}_cent")
       val cents = centMicro.groupBy(col("cluster"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("c")))),
@@ -790,6 +793,99 @@ object Similarity {
       .limit(k)
   }
 
+  /** Index COMPACTION (vacuum) — the maintenance step that closes the
+    * tombstone story: rewrite the bucketed index WITHOUT the tombstoned
+    * rows into a new index GENERATION, leaving centroids untouched (no
+    * re-clustering — pgvector's VACUUM likewise reclaims ivfflat dead
+    * tuples without retraining lists;
+    * /root/reference/src/core/vector_store.py:360-385 deletes rows and
+    * relies on the database's vacuum for space). Probes over the
+    * compacted generation drop the per-probe tombstone anti-join
+    * ([[ivfTopKDeleted]]) — the serving-path win compaction buys.
+    * One bucketed-scan → filter → bucketed-write job, cost ∝ live
+    * rows, schedulable off the serving path; the old generation stays
+    * readable until swapped. Keyed by (corpus fingerprint, mod) like
+    * every derived artifact. */
+  def ensureCompactedIvfIndex(spark: SparkSession, dir: String,
+      nCentroids: Int, mod: Long): String = {
+    val base = ensureIvfIndex(spark, dir, nCentroids)
+    val name = s"${base}_vac$mod"
+    if (!spark.catalog.tableExists(name)) {
+      ScaleOps.writeBucketed(
+        spark.table(base).filter(col("vec_id") % mod =!= 0),
+        name, "centroid_id", nCentroids)
+    }
+    name
+  }
+
+  /** Per-cell occupancy AFTER compaction — the introspection that
+    * confirms the vacuum reclaimed what [[ivfDeleteStats]] reported as
+    * dead: survivors only, straight off the compacted generation's
+    * bucketed scan (cells whose every vector was tombstoned vanish
+    * from the index entirely). Output (centroid_id, n_live). */
+  def ivfCompactStats(spark: SparkSession, dir: String,
+      nCentroids: Int, mod: Long): DataFrame =
+    spark.table(ensureCompactedIvfIndex(spark, dir, nCentroids, mod))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_live"))
+      .orderBy(col("centroid_id").asc)
+
+  /** Oracle: the [[ivfDeleteStatsOracleSql]] assignment chain with the
+    * tombstones dropped before the per-cell aggregate. */
+  def ivfCompactStatsOracleSql(nCentroids: Int, mod: Long): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), ${centsCtes(nCentroids)}, asg AS (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      round(1.0 - list_dot_product(v, cv)
+       |        / (sqrt(list_dot_product(v, v))
+       |           * sqrt(list_dot_product(cv, cv))), 6) ASC,
+       |      centroid_id ASC) AS rn
+       |  FROM e, cents
+       |)
+       |SELECT centroid_id, count(*) AS n_live
+       |FROM asg WHERE rn = 1 AND vec_id % $mod <> 0
+       |GROUP BY centroid_id
+       |ORDER BY centroid_id ASC""".stripMargin
+
+  /** [[ivfTopK]] over the COMPACTED generation — no tombstone
+    * anti-join anywhere in the probe: the vacuum already removed the
+    * dead rows, so the plan is exactly the plain probe's
+    * bucket-pruned scan + TakeOrderedAndProject. Registered against
+    * [[ivfTopKDeletedOracleSql]] VERBATIM: compaction must be
+    * invisible to results (merge-on-read ≡ rewrite), and the hash
+    * gate holds that equivalence every round. */
+  def ivfTopKCompacted(spark: SparkSession, dir: String, qid: Long,
+      k: Int, nCentroids: Int, mod: Long,
+      nProbe: Int = 2): DataFrame = {
+    val base = ensureIvfIndex(spark, dir, nCentroids)
+    val vac = ensureCompactedIvfIndex(spark, dir, nCentroids, mod)
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === lit(qid))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qvCol = typedLit(qv)
+    val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+    // centroids are the BASE generation's — compaction never retrains
+    val cells = spark.table(s"${base}_cents")
+      .select(col("centroid_id"),
+        round(lit(1.0) - dot(col("cv"), qvCol) / (col("cn") * lit(qn)), 6)
+          .as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.table(vac)
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(lit(1.0) - dot(col("embedding"), qvCol)
+          / (col("nrm") * lit(qn)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN search: probe the query's `nProbe` nearest IVF cells, exact
     * re-rank inside them — the standard ivfflat recall/latency trade
     * (probing more cells raises recall, touching nProbe/nCentroids of
@@ -1017,9 +1113,21 @@ object Similarity {
     * (q_id, vec_id)-keyed join; per-query recall in integral
     * micro-units. With nProbe = nCentroids the probe is exhaustive and
     * recall is provably 10⁶ everywhere (spec-gated). */
+  /** Exact cosine-KNN ground truth for a fixed evaluation query set,
+    * persisted once per corpus fingerprint ([[EvalCache]]) — the
+    * reference list every cosine recall gate (IVF, binary-quant,
+    * graph-ANN) scores against. The truth is [[knnBatch]]'s own
+    * already-oracled output, so a cache hit serves bit-identical rows
+    * to the inline computation. */
+  def knnBatchGt(spark: SparkSession, dir: String, qids: Seq[Long],
+      k: Int): DataFrame =
+    EvalCache.ensure(spark, dir, "embeddings",
+      s"cos_${EvalCache.keyOf(qids, k)}", "q_id")(
+      knnBatch(spark, dir, qids, k).select(col("q_id"), col("vec_id")))
+
   def annRecall(spark: SparkSession, dir: String, qids: Seq[Long],
       k: Int, nCentroids: Int, nProbe: Int = 2): DataFrame = {
-    val ex = knnBatch(spark, dir, qids, k).select(col("q_id"), col("vec_id"))
+    val ex = knnBatchGt(spark, dir, qids, k)
     val ap = ivfBatch(spark, dir, qids, k, nCentroids, nProbe)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     ex.join(ap, Seq("q_id", "vec_id"), "left")

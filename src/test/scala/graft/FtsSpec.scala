@@ -313,6 +313,24 @@ class ProximitySpec extends SparkSpec {
     }
   }
 
+  test("index vacuum: vacuumed term stats == merge-on-read delete " +
+      "stats bit-for-bit; no tombstoned doc's postings remain") {
+    val mod = 7L
+    val vac = graft.operators.Fts.termStatsVacuumed(spark, Sf0001, mod)
+      .collect()
+    val del = graft.operators.Fts
+      .termStatsAfterDelete(spark, Sf0001, mod).collect()
+    assert(vac.nonEmpty)
+    assert(vac.map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Long]("total_tf"))).sameElements(
+      del.map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Long]("total_tf")))))
+    val tbl = graft.operators.Fts.ensureVacuumedIndex(spark, Sf0001, mod)
+    assert(spark.table(tbl)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % mod === 0)
+      .count() == 0)
+  }
+
   test("zipf fit: negative slope, r2 in (0,1], rank-1 intercept sane") {
     val row = graft.operators.Fts.zipfFit(spark, Sf0001).collect().head
     assert(row.getAs[Long]("n_terms") > 10)

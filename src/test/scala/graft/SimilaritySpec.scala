@@ -105,6 +105,31 @@ class SimilaritySpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_total")).sum == n)
   }
 
+  test("compaction: vacuumed probe == tombstoned probe bit-for-bit; " +
+      "compacted stats == delete-stats live counts; no dead row remains") {
+    val mod = 7L
+    // probe equivalence: vacuum must be invisible to results
+    val vac = Similarity.ivfTopKCompacted(spark, Sf0001, 42L, 10, 10,
+      mod, 3).collect()
+    val del = Similarity.ivfTopKDeleted(spark, Sf0001, 42L, 10, 10,
+      mod, 3).collect()
+    assert(vac.nonEmpty)
+    assert(vac.map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("dist"))).sameElements(
+      del.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))))
+    // occupancy reconciliation: compacted cells == delete-stats n_live
+    val live = Similarity.ivfDeleteStats(spark, Sf0001, 10, mod)
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[Long]("n_live")).filter(_._2 > 0).toMap
+    val vacStats = Similarity.ivfCompactStats(spark, Sf0001, 10, mod)
+      .collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[Long]("n_live")).toMap
+    assert(vacStats == live)
+    // physical: the compacted generation holds zero tombstoned rows
+    val tbl = Similarity.ensureCompactedIvfIndex(spark, Sf0001, 10, mod)
+    assert(spark.table(tbl).filter($"vec_id" % mod === 0).count() == 0)
+  }
+
   test("autoNCentroids: corpus-relative with a floor of 8") {
     assert(Similarity.autoNCentroids(500) == 8)
     assert(Similarity.autoNCentroids(8000) == 8)
