@@ -25,6 +25,10 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.NativeFunctions.registerAll(spark)
     val fn = SparkEntry.queries(name)
+    // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan once
+    // (after any builder-side ensure calls) before the timed reps
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     (0 until reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -141,28 +141,32 @@ object Dedup {
     val idx = ensureLshIndex(spark, dir)
     val docs = spark.table(s"${idx}_sets")
     val bands = spark.table(idx)
-    // co-located self-join over the bkey-bucketed index: same-bkey rows
-    // share a bucket, so no exchange on either side (the former
-    // SHUFFLE_HASH exchange pair is gone with the per-query band build)
+    // SHUFFLE_HASH pinned on the self-join: the band table is
+    // corpus-PROPORTIONAL, and planning-time parquet stats (small at
+    // bench sf) would otherwise BROADCAST one side — the scale hazard
+    // the hint forbids regardless of static size. On the bkey-bucketed
+    // layout both sides are already co-partitioned, so the hash join
+    // runs exchange-free where the former per-query band build paid a
+    // shuffle pair.
     val candidates = bands.as("x")
-      .join(bands.as("y"),
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .transform(CacheScope.cached)
     // exact verification: set intersection on the candidates' arrays.
-    // Both hops are plain equi-joins — `candidates` is bare id pairs
-    // (AQE broadcasts it when it's small, shuffles when dup density
-    // makes it large; no fixed 8 GB driver bound baked in), and the
-    // second hop MUST NOT broadcast: `withA` CARRIES the shingle
-    // arrays, and an array-laden driver table scales as |candidates| ×
-    // avg set size — the exact shape that OOM'd ppjoinPairs' sf1
-    // ladder rung before its verify was fixed to this same pattern.
+    // SHUFFLE_HASH pinned on the CANDIDATE side of both hops (bare id
+    // pairs — the bounded build side): with the sets now a TABLE,
+    // planning-time stats would otherwise broadcast the array-carrying
+    // sets side, which scales as corpus × avg set size — the exact
+    // shape that OOM'd ppjoinPairs' sf1 ladder rung before its verify
+    // was fixed. The hint keeps the arrays streaming on the probe side
+    // at every scale.
     val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(candidates, Seq("a"))
+      .join(candidates.hint("SHUFFLE_HASH"), Seq("a"))
     val withB = docs.select(col("doc_id").as("b"), col("sh_set").as("set_b"))
-      .join(withA, Seq("b"))
+      .join(withA.hint("SHUFFLE_HASH"), Seq("b"))
     withB
       .select(col("a"), col("b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
@@ -194,20 +198,23 @@ object Dedup {
     val docs = spark.table(s"${idx}_sets")
     val bands = spark.table(idx)
     val isNew = col("doc_id") % mod === lit(newRem)
+    // SHUFFLE_HASH on the corpus band side: corpus-proportional, must
+    // never broadcast (same rationale as minhashPairs' self-join); on
+    // the bkey-bucketed layout the probe is co-partitioned anyway
     val candidates = bands.filter(isNew).as("x")
-      .join(bands.filter(!isNew).as("y"),
+      .join(bands.filter(!isNew).as("y").hint("SHUFFLE_HASH"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    // Verify hops mirror minhashPairs/ppjoinPairs: plain equi-joins so
-    // AQE sizes the bare-pair candidate side, and the array-carrying
-    // `withN` frame is never broadcast (it grows as |candidates| × avg
-    // shingle-set size — unbounded on a dup-heavy corpus).
+    // Verify hops mirror minhashPairs: SHUFFLE_HASH pinned on the
+    // candidate-bounded build side so the array-carrying sets table
+    // streams on the probe side at every scale (planning-time stats
+    // would otherwise broadcast it).
     val withN = docs
       .select(col("doc_id").as("new_id"), col("sh_set").as("set_n"))
-      .join(candidates, Seq("new_id"))
+      .join(candidates.hint("SHUFFLE_HASH"), Seq("new_id"))
     docs.select(col("doc_id").as("corpus_id"), col("sh_set").as("set_c"))
-      .join(withN, Seq("corpus_id"))
+      .join(withN.hint("SHUFFLE_HASH"), Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         size(array_intersect(col("set_n"), col("set_c"))).as("inter"),
         size(col("set_n")).as("szn"), size(col("set_c")).as("szc"))
@@ -1699,15 +1706,17 @@ object Dedup {
   def shingleJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // probe the persisted shingle-bucketed posting index
-    // ([[ensurePpjoinIndex]]): the self-join below is then a
-    // ZERO-EXCHANGE co-located SortMergeJoin (both sides the same
-    // bucketed+sorted table — no shuffle, no sort), replacing the
-    // per-query tokenize+explode corpus pass AND the former
-    // SHUFFLE_HASH exchange pair.
+    // ([[ensurePpjoinIndex]]), replacing the per-query tokenize+explode
+    // corpus pass. SHUFFLE_HASH pinned: the posting frame is
+    // corpus-proportional and planning-time stats would otherwise
+    // BROADCAST one side (the 100 TB hazard); on the shingle-bucketed
+    // layout both sides are co-partitioned, so the hash join runs
+    // exchange-free — the former per-query build's shuffle pair AND
+    // its sorts are both gone.
     val sh = spark.table(ensurePpjoinIndex(spark, dir))
       .select(col("doc_id"), col("sz"), col("shingle"))
     sh.as("x")
-      .join(sh.as("y"),
+      .join(sh.as("y").hint("SHUFFLE_HASH"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -1807,8 +1816,12 @@ object Dedup {
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz"))
         + lit(1))
       .select(col("doc_id"), col("shingle"))
+    // SHUFFLE_HASH pinned: the prefix posting frame is
+    // corpus-proportional; planning-time stats must never broadcast a
+    // side. On the shingle-bucketed layout both sides are
+    // co-partitioned, so the hash join runs exchange-free.
     val candidates = prefix.as("x")
-      .join(prefix.as("y"),
+      .join(prefix.as("y").hint("SHUFFLE_HASH"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -1817,22 +1830,20 @@ object Dedup {
     // equi-join the per-doc set arrays and the intersection is a
     // scan-local array_intersect — no posting re-join (the earlier
     // postings-based verify paid two more corpus-keyed shuffles and
-    // benched 5x its oracle). No broadcast hint: bare long pairs are
-    // broadcast-sized when dup density is low and AQE does that on its
-    // own; when a dup-heavy corpus makes the pair count explode, AQE
-    // shuffles instead of hitting the 8 GB driver broadcast bound.
+    // benched 5x its oracle). SHUFFLE_HASH pinned on the
+    // candidate-bounded build side of both hops: with the sets a
+    // TABLE, planning-time stats would otherwise BROADCAST the
+    // array-carrying sets side — per-driver memory scaling as corpus ×
+    // avg set size, the exact shape that OOM'd the sf1 ladder rung
+    // before. A shuffled-hash build of the candidate side is
+    // executor-partitioned, never a driver table.
     val sets = spark.table(s"${idx}_sets")
     val withA = sets
       .select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(candidates, Seq("a"))
-    // second hop stays a plain equi-join: withA CARRIES the shingle
-    // arrays, so broadcasting it builds an array-laden driver table
-    // that stops fitting once candidates × set size grows (it OOM'd
-    // at the sf1 ladder rung) — let the planner shuffle the
-    // candidate-bounded side instead
+      .join(candidates.hint("SHUFFLE_HASH"), Seq("a"))
     val withB = sets
       .select(col("doc_id").as("b"), col("sh_set").as("set_b"))
-      .join(withA, Seq("b"))
+      .join(withA.hint("SHUFFLE_HASH"), Seq("b"))
     withB
       .select(col("a"), col("b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("inter"),

@@ -66,7 +66,14 @@ object ScaleOps {
       .stripPrefix("file:")
     val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
     graft.sources.ParquetStore.deleteRecursively(loc)
-    df.write.mode("overwrite")
+    // repartition on the bucket key FIRST: without it every input task
+    // writes its own file per bucket (N_tasks × buckets small files —
+    // a 20k-row band table measured 4071 files and 1.4 s per bare
+    // scan), with it each bucket is exactly one file and probe-side
+    // scans open `buckets` footers. One extra exchange on the
+    // build-once path buys every probe's scan cost down.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)

@@ -72,9 +72,12 @@ class PlanFactsSpec extends SparkSpec {
     // brute-force cosine top-k: one broadcast (query-vector ride),
     // zero shuffles (TakeOrderedAndProject)
     "knn_cosine" -> Facts(0, 1, false),
-    // MinHash+LSH banding: ONE corpus-grain exchange (the banded
-    // bucket self-join); the verify side rides a broadcast
-    "dedup_minhash" -> Facts(1, 1, false),
+    // MinHash+LSH banding over the PERSISTED band index (r15): the
+    // band self-join and both verify hops are SHUFFLE_HASH-pinned
+    // (corpus-proportional sides must never broadcast — planning-time
+    // parquet stats would; the 3 exchanges are the band-key pair +
+    // candidate distribution, all bounded), zero broadcasts by design
+    "dedup_minhash" -> Facts(3, 0, false),
     // TPC-H Q3 shape: both dims broadcast, one aggregate exchange,
     // top-k via TakeOrderedAndProject (no sort exchange)
     "q3_shipping" -> Facts(1, 2, false),
@@ -83,7 +86,20 @@ class PlanFactsSpec extends SparkSpec {
     "events_tumbling" -> Facts(2, 0, false),
     // Gopher gate rollup: scan-local signals, source-grain aggregate
     // exchange + ordered output
-    "quality_gopher" -> Facts(2, 0, false))
+    "quality_gopher" -> Facts(2, 0, false),
+    // compacted-generation probe: identical plan shape to ivf_ann —
+    // static bucket pruning, TakeOrderedAndProject, NO tombstone
+    // anti-join anywhere (that absence is the compaction win)
+    "ivf_ann_compacted" -> Facts(0, 0, false),
+    // vacuumed index stats: term-bucketed scan satisfies the groupBy
+    // distribution — vocabulary aggregate with zero exchanges
+    "fts_vacuum_termstats" -> Facts(0, 0, false),
+    // hierarchical-fit gate as a PROBE over the persisted fit tables:
+    // sizes aggregate off the assign table (1 exchange) + energy off
+    // the cluster-bucketed cent table (0 — bucketing satisfies the
+    // groupBy) + ordered output; the k1·k2-row energy side broadcasts
+    // into the join — no Lloyd rounds in the plan at all
+    "kmeans_hier" -> Facts(2, 1, false))
 
   test("headline queries keep their pinned (shuffles, broadcasts, " +
       "pruned-scan) plan facts") {
