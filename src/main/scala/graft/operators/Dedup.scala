@@ -141,32 +141,36 @@ object Dedup {
     val idx = ensureLshIndex(spark, dir)
     val docs = spark.table(s"${idx}_sets")
     val bands = spark.table(idx)
-    // SHUFFLE_HASH pinned on the self-join: the band table is
-    // corpus-PROPORTIONAL, and planning-time parquet stats (small at
-    // bench sf) would otherwise BROADCAST one side — the scale hazard
-    // the hint forbids regardless of static size. On the bkey-bucketed
-    // layout both sides are already co-partitioned, so the hash join
-    // runs exchange-free where the former per-query band build paid a
-    // shuffle pair.
+    // UNHINTED self-join over the persisted table: parquet stats are
+    // REAL sizes that grow with the corpus, so a planning-time
+    // broadcast only happens when the band table is genuinely small
+    // and disappears at scale on its own; past the threshold the
+    // planner exchanges and AQE sizes the build. (Pinning was tried
+    // and measured worse both ways: SHUFFLE_HASH on the co-located
+    // bucketed layout builds a whole corpus-growing bucket per task —
+    // the sf1 rung failed at 1 GB; SHUFFLE_MERGE paid corpus-side
+    // sorts every query.)
     val candidates = bands.as("x")
-      .join(bands.as("y").hint("SHUFFLE_HASH"),
+      .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .transform(CacheScope.cached)
     // exact verification: set intersection on the candidates' arrays.
-    // SHUFFLE_HASH pinned on the CANDIDATE side of both hops (bare id
-    // pairs — the bounded build side): with the sets now a TABLE,
-    // planning-time stats would otherwise broadcast the array-carrying
-    // sets side, which scales as corpus × avg set size — the exact
-    // shape that OOM'd ppjoinPairs' sf1 ladder rung before its verify
-    // was fixed. The hint keeps the arrays streaming on the probe side
-    // at every scale.
+    // Both hops stay UNHINTED: the candidate side's true volume is
+    // dup-density-scaled and only known at RUNTIME, so AQE must pick —
+    // it broadcasts the bare pairs when genuinely small and falls back
+    // to a spillable merge join when a dup-heavy corpus explodes them
+    // (a pinned hash build of either side OOM'd the sf1 rung at 1 GB;
+    // a pinned merge paid corpus-side sorts everywhere). The only
+    // static-stats quirk is a planning-time broadcast of the sets
+    // TABLE at tiny sf, harmless at that size and impossible once the
+    // table outgrows the threshold.
     val withA = docs.select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(candidates.hint("SHUFFLE_HASH"), Seq("a"))
+      .join(candidates, Seq("a"))
     val withB = docs.select(col("doc_id").as("b"), col("sh_set").as("set_b"))
-      .join(withA.hint("SHUFFLE_HASH"), Seq("b"))
+      .join(withA, Seq("b"))
     withB
       .select(col("a"), col("b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
@@ -198,23 +202,20 @@ object Dedup {
     val docs = spark.table(s"${idx}_sets")
     val bands = spark.table(idx)
     val isNew = col("doc_id") % mod === lit(newRem)
-    // SHUFFLE_HASH on the corpus band side: corpus-proportional, must
-    // never broadcast (same rationale as minhashPairs' self-join); on
-    // the bkey-bucketed layout the probe is co-partitioned anyway
+    // unhinted corpus band side — real table stats self-correct the
+    // join strategy with scale (see minhashPairs' self-join note)
     val candidates = bands.filter(isNew).as("x")
-      .join(bands.filter(!isNew).as("y").hint("SHUFFLE_HASH"),
+      .join(bands.filter(!isNew).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    // Verify hops mirror minhashPairs: SHUFFLE_HASH pinned on the
-    // candidate-bounded build side so the array-carrying sets table
-    // streams on the probe side at every scale (planning-time stats
-    // would otherwise broadcast it).
+    // Verify hops mirror minhashPairs: unhinted, AQE runtime-sizes
+    // the dup-density-scaled candidate side (see minhashPairs).
     val withN = docs
       .select(col("doc_id").as("new_id"), col("sh_set").as("set_n"))
-      .join(candidates.hint("SHUFFLE_HASH"), Seq("new_id"))
+      .join(candidates, Seq("new_id"))
     docs.select(col("doc_id").as("corpus_id"), col("sh_set").as("set_c"))
-      .join(withN.hint("SHUFFLE_HASH"), Seq("corpus_id"))
+      .join(withN, Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         size(array_intersect(col("set_n"), col("set_c"))).as("inter"),
         size(col("set_n")).as("szn"), size(col("set_c")).as("szc"))
@@ -1707,16 +1708,12 @@ object Dedup {
       spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // probe the persisted shingle-bucketed posting index
     // ([[ensurePpjoinIndex]]), replacing the per-query tokenize+explode
-    // corpus pass. SHUFFLE_HASH pinned: the posting frame is
-    // corpus-proportional and planning-time stats would otherwise
-    // BROADCAST one side (the 100 TB hazard); on the shingle-bucketed
-    // layout both sides are co-partitioned, so the hash join runs
-    // exchange-free — the former per-query build's shuffle pair AND
-    // its sorts are both gone.
+    // corpus pass. The self-join stays unhinted: real table stats
+    // self-correct the strategy with scale (see minhashPairs).
     val sh = spark.table(ensurePpjoinIndex(spark, dir))
       .select(col("doc_id"), col("sz"), col("shingle"))
     sh.as("x")
-      .join(sh.as("y").hint("SHUFFLE_HASH"),
+      .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -1812,38 +1809,56 @@ object Dedup {
       threshold: Double): DataFrame = {
     val idx = ensurePpjoinIndex(spark, dir)
     val ranked = spark.table(idx)
-    val prefix = ranked
+    // the threshold-filtered prefix frame feeds BOTH self-join sides —
+    // cache it (per query, released by the caller) so the posting scan
+    // and the pos-filter run once. sz and pos are carried through for
+    // the positional filter below.
+    val prefix = CacheScope.cached(ranked
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz"))
         + lit(1))
-      .select(col("doc_id"), col("shingle"))
-    // SHUFFLE_HASH pinned: the prefix posting frame is
-    // corpus-proportional; planning-time stats must never broadcast a
-    // side. On the shingle-bucketed layout both sides are
-    // co-partitioned, so the hash join runs exchange-free.
+      .select(col("doc_id"), col("shingle"), col("sz"), col("pos")))
+    // Candidate generation with the FULL PPJoin filter stack (Xiao et
+    // al. 2008), not prefix-only. Both extra filters are UPPER-BOUND
+    // SOUND — they can only drop pairs whose Jaccard provably cannot
+    // reach t, so the verified result is identical (and the oracle, the
+    // brute posting join, holds that equivalence under the hash gate):
+    //  - LENGTH: jaccard ≥ t ⟹ min(sz)/max(sz) ≥ t;
+    //  - POSITIONAL: a true pair's FIRST shared token at prefix
+    //    positions (px, py) bounds the overlap o ≤ 1 + min(szx−px,
+    //    szy−py), and jaccard ≥ t ⟺ o ≥ t/(1+t)·(szx+szy); a pair
+    //    survives if ANY shared-token row passes, and the first-match
+    //    row always passes for a true pair. The 1e-9 slack only ever
+    //    RELAXES a float bound (never drops a boundary pair).
+    // At the sf1 rung these cut the candidate set 4.1M → the verified
+    // neighborhood's scale, which is what makes the array-carrying
+    // verify hops affordable — candidate volume, not join strategy,
+    // was the cost (strategy pinning was tried both ways and measured
+    // worse; unhinted, real table stats self-correct with scale).
+    val overlapLb = (col("x.sz") + col("y.sz")) * lit(threshold) /
+      lit(1.0 + threshold) - lit(1e-9)
     val candidates = prefix.as("x")
-      .join(prefix.as("y").hint("SHUFFLE_HASH"),
+      .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")) - lit(1e-9) &&
+          (lit(1) + least(col("x.sz") - col("x.pos"),
+            col("y.sz") - col("y.pos"))) >= overlapLb)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact verification: the THRESHOLD-bounded candidate id pairs
     // equi-join the per-doc set arrays and the intersection is a
     // scan-local array_intersect — no posting re-join (the earlier
     // postings-based verify paid two more corpus-keyed shuffles and
-    // benched 5x its oracle). SHUFFLE_HASH pinned on the
-    // candidate-bounded build side of both hops: with the sets a
-    // TABLE, planning-time stats would otherwise BROADCAST the
-    // array-carrying sets side — per-driver memory scaling as corpus ×
-    // avg set size, the exact shape that OOM'd the sf1 ladder rung
-    // before. A shuffled-hash build of the candidate side is
-    // executor-partitioned, never a driver table.
+    // benched 5x its oracle). Hops unhinted: AQE runtime-sizes the
+    // dup-density-scaled candidate side.
     val sets = spark.table(s"${idx}_sets")
     val withA = sets
       .select(col("doc_id").as("a"), col("sh_set").as("set_a"))
-      .join(candidates.hint("SHUFFLE_HASH"), Seq("a"))
+      .join(candidates, Seq("a"))
     val withB = sets
       .select(col("doc_id").as("b"), col("sh_set").as("set_b"))
-      .join(withA.hint("SHUFFLE_HASH"), Seq("b"))
+      .join(withA, Seq("b"))
     withB
       .select(col("a"), col("b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("inter"),
