@@ -1133,15 +1133,18 @@ object Fts {
     * The merge-on-read dual of [[compactStreamedIndex]]'s upsert side —
     * together they close the index maintenance lifecycle.
     *
-    * At 100 TB the delete list is the small side (a broadcast anti-
-    * join over the bucketed index scan, no shuffle of the postings);
-    * a compaction job folds tombstones in off the serving path. */
+    * A real API delete batch is the bounded-broadcast side; the
+    * mod-DERIVED stand-in here is corpus-proportional, so the
+    * anti-join carries no hint and AQE broadcasts only when the
+    * runtime size is genuinely small (the ivfDeleteStats lesson).
+    * [[ensureVacuumedIndex]] folds tombstones in off the serving
+    * path. */
   def termStatsAfterDelete(spark: SparkSession, dir: String,
       mod: Long): DataFrame = {
     val deletes = Tables.documents(spark, dir)
       .filter(col("doc_id") % mod === 0).select("doc_id")
     spark.table(ensureIndex(spark, dir))
-      .join(broadcast(deletes), Seq("doc_id"), "left_anti")
+      .join(deletes, Seq("doc_id"), "left_anti")
       .groupBy("term")
       .agg(
         countDistinct(col("doc_id")).as("df"),
@@ -1177,11 +1180,15 @@ object Fts {
     val base = ensureIndex(spark, dir)
     val name = s"${base}_vac$mod"
     if (!spark.catalog.tableExists(name)) {
+      // the mod-DERIVED delete set is corpus-proportional, so no
+      // broadcast hint (the ivfDeleteStats lesson): AQE broadcasts it
+      // only when its runtime size is genuinely small. A real API
+      // delete batch (bounded payload) could safely hint.
       val deletes = Tables.documents(spark, dir)
         .filter(col("doc_id") % mod === 0).select("doc_id")
       ScaleOps.writeBucketed(
         spark.table(base)
-          .join(broadcast(deletes), Seq("doc_id"), "left_anti"),
+          .join(deletes, Seq("doc_id"), "left_anti"),
         name, "term", 32)
     }
     name
