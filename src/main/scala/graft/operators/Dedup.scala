@@ -1836,6 +1836,9 @@ object Dedup {
     // worse; unhinted, real table stats self-correct with scale).
     val overlapLb = (col("x.sz") + col("y.sz")) * lit(threshold) /
       lit(1.0 + threshold) - lit(1e-9)
+    // self-join unhinted (every pinning was A/B'd at both scales and
+    // measured equal or worse; real table stats self-correct the
+    // strategy as the corpus grows)
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
