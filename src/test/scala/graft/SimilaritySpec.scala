@@ -130,6 +130,23 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.table(tbl).filter($"vec_id" % mod === 0).count() == 0)
   }
 
+  test("EvalCache ground truth == inline exact computation bit-for-bit" +
+      " (a divergent cache would poison every recall gate)") {
+    val qids = Seq(0L, 25L, 50L)
+    val cached = Similarity.knnBatchGt(spark, Sf0001, qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val inline = Similarity.knnBatch(spark, Sf0001, qids, 5)
+      .select($"q_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(cached.nonEmpty)
+    assert(cached.sameElements(inline))
+    // second read serves the SAME persisted table (no rebuild): the
+    // catalog table exists and the rows are stable
+    val again = Similarity.knnBatchGt(spark, Sf0001, qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.sameElements(cached))
+  }
+
   test("autoNCentroids: corpus-relative with a floor of 8") {
     assert(Similarity.autoNCentroids(500) == 8)
     assert(Similarity.autoNCentroids(8000) == 8)
