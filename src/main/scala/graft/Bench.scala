@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   *     pays regardless of data volume.
   *   - "floor_noop": min-of-N seconds for `spark.range(1).count` — pure
   *     job-dispatch cost, the irreducible per-job scheduling overhead.
+  *     Also on the stdout contract line: it moves with HOST LOAD, not
+  *     with HEAD, so two runs whose noop floors differ are not
+  *     comparable rep-for-rep.
+  *   - "rep_max" (detail) / "contended_n" + "spread_max" (stdout):
+  *     per-query max-rep seconds and the count/worst of queries whose
+  *     max/min spread exceeds 2× — measured under contention. A noisy
+  *     session is thereby SELF-IDENTIFYING (r15 verdict #2: same-HEAD
+  *     totals swung 36% between driver and builder sessions; per-query
+  *     mins are the bankable numbers, and these fields say when a
+  *     session's mins were squeezed by outside load).
   *   - "reps": N.
   *
   * Tuning for the sf0.1 local[32] regime (all env-overridable):
@@ -146,7 +156,11 @@ object Bench {
       "hybrid_rrf",
       // round-12: the rarest-first rewrite collects its |terms|-row df
       // probe in the builder
-      "fts_rarest_first")
+      "fts_rarest_first",
+      // round-16: the TF-IDF recall gate counts the corpus for idf N
+      // in the builder; ppjoin runs its candidate-volume estimate (one
+      // tiny agg over the cached prefix) to pick its filter stack
+      "emb_tfidf_recall", "dedup_ppjoin")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>
@@ -191,22 +205,35 @@ object Bench {
       spark.catalog.clearCache()
       (name,
         if (runs.nonEmpty) runs.min else -1.0,
-        if (plans.nonEmpty) plans.min else -1.0)
+        if (plans.nonEmpty) plans.min else -1.0,
+        if (runs.nonEmpty) runs.max else -1.0)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a query that failed every rep must not shrink the headline total
     // (summing its -1 sentinel would make failures look like speedups)
     val ok = results.filter(_._2 >= 0)
-    val failed = results.collect { case (n, t, _) if t < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case (n, t, _, _) if t < 0 => "\"" + n + "\"" }
     val total = ok.map(_._2).sum
+    // Contention self-identification (r15 verdict #2: a 36% same-HEAD
+    // total swing can hide a real 2× regression): a query whose max/min
+    // rep spread exceeds 2× was measured under host contention — its
+    // min is still the steady-state number (that is min-of-N's point),
+    // but the artifact flags HOW MANY measurements were contended and
+    // the worst spread, so a noisy run is self-identifying instead of
+    // masquerading as a regression. The noop floor rides the stdout
+    // line for the same reason: it moves with host load, not with HEAD.
+    val spreads = ok.map(r => (r._1, if (r._2 > 0) r._4 / r._2 else 1.0))
+    val contended = spreads.filter(_._2 > 2.0)
+    val worstSpread =
+      if (spreads.isEmpty) 1.0 else spreads.map(_._2).max
     // Full-precision detail (plan floor, noop floor) goes to a file; the
     // stdout contract line must stay SHORT — the driver keeps only the
     // last 2000 chars of stdout, and rounds 5/6 proved a ~4.6k line is
     // silently truncated into an unparseable tail. Per-query seconds are
     // rounded to 3 decimals (1 ms) on stdout; full precision is in the
     // detail file.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"rep_max":${jmap(results.map(r => (r._1, r._4)))},"contended":[${contended.map("\"" + _._1 + "\"").mkString(",")}],"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -249,7 +276,7 @@ object Bench {
       if (s > 0) s""","stream_family_build_sec":${r2(s)}""" else ""
     }
     def envelope(queriesJson: String, extra: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps$extra$failedPart$duckPart$streamPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps,"floor_noop":${r3(floorNoop)},"contended_n":${contended.length},"spread_max":${r2(worstSpread)}$extra$failedPart$duckPart$streamPart}"""
     val byCost = ok.sortBy(r => (-r._2, r._1))
     val fullLadder = Seq(3, 2, 1).iterator.map { digits =>
       val p = math.pow(10, digits)

@@ -32,6 +32,10 @@ object SparkEntry {
     * while the old 5-id sample ranked them the other way round). */
   val RecallIds: Seq[Long] = (0L until 500L by 25L)
 
+  /** Query DOC ids for the TF-IDF recall gate — present at every sf
+    * (doc_id 0..499 at the smallest fixture). */
+  val TfidfRecallIds: Seq[Long] = (0L until 480L by 60L)
+
   /** Bloom probe ids: three present users, two absent. */
   val BloomProbeIds: Seq[Long] = Seq(3L, 77L, 149L, 500000L, 999999L)
 
@@ -45,7 +49,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 full-text search
-    "fts_topk" -> ((s, d) => Fts.search(s, d, "hash join merge", "en", 10)),
+    // ROUTED (r15 verdict #1): probes the persisted term-bucketed index
+    // when built or past the corpus threshold — the reference's GIN
+    // plan shape — else the zero-exchange scan; identical frames
+    "fts_topk" -> ((s, d) => Fts.searchAuto(s, d, "hash join merge", "en", 10)),
     // language-keyed analysis: French stopwords strip the query's
     // function words; zh runs the bare-tokenization (PG `simple`) path
     "fts_topk_fr" -> ((s, d) =>
@@ -80,7 +87,7 @@ object SparkEntry {
     "fts_phrase_dist" -> ((s, d) =>
       Fts.phraseDistSearch(s, d, "hash", "merge", 2, "en", 10)),
     // Okapi BM25 (k1=1.2, b=0.75), OR-match — the ts_rank alternative
-    "fts_bm25" -> ((s, d) => Fts.searchBm25(s, d, "hash join merge", "en", 10)),
+    "fts_bm25" -> ((s, d) => Fts.searchBm25Auto(s, d, "hash join merge", "en", 10)),
     // the full endpoint parameter surface composed in one query:
     // collection scope + string-coerced metadata filter + min_score
     "fts_endpoint" -> ((s, d) =>
@@ -280,6 +287,9 @@ object SparkEntry {
     // keyset (seek) pagination — O(page) at any cursor depth vs OFFSET
     "s3_keyset" -> ((s, d) => Relational.paginateKeyset(s, d, 240L, 25)),
     "s5_delete_antijoin" -> ((s, d) => Relational.deleteSurvivors(s, d)),
+    // S4/P8 sinks under the hash gate: append-if-absent + auto-create,
+    // observed through the post-append state digest (r15 verdict #8)
+    "s4_append_state" -> ((s, d) => Collections.appendStateDigest(s, d)),
     "s6_cascade_delete" -> ((s, d) =>
       Collections.cascadeDeleteSurvivors(s, d, "de")),
     // S7/S8 ServiceNow XML source: deterministic fixture round-trip,
@@ -696,6 +706,11 @@ object SparkEntry {
     // MLlib TF-IDF embedding generation + LSH ANN (not SQL-expressible
     // → rows-only check; EmbeddingsSpec carries semantics)
     "emb_tfidf_ann" -> ((s, d) => Embeddings.annSearch(s, d, 0L, 10)),
+    // the family's HARD gate (r15 verdict #5): oracle-expressible
+    // TF-IDF (explicit vocab, integer milli-unit weights) + SimHash
+    // LSH candidates vs exact cosine re-rank — recall@10 per query doc
+    "emb_tfidf_recall" -> ((s, d) =>
+      Embeddings.tfidfSimhashRecall(s, d, TfidfRecallIds, 10)),
     // rows-only by design: batch-grain remote→local fallback semantics
     // are spec-gated (Round9OpsSpec); no SQL analog for a client stub
     "emb_client" -> ((s, d) => EmbeddingClient.embedSummary(s, d)),
@@ -843,6 +858,7 @@ object SparkEntry {
       Relational.paginateByIdsOracleSql(PaginationIds, 25, 5),
     "s3_keyset" -> Relational.paginateKeysetOracleSql(240L, 25),
     "s5_delete_antijoin" -> Relational.deleteSurvivorsOracleSql,
+    "s4_append_state" -> Collections.appendStateDigestOracleSql,
     "s7_servicenow_xml" -> graft.sources.ServiceNowXml.roundTripOracleSql,
     "jsonl_roundtrip" ->
       graft.sources.JsonlStore.roundTripDigestOracleSql,
@@ -1034,6 +1050,8 @@ object SparkEntry {
     "nb_confusion" -> Classifier.nbConfusionOracleSql,
     "mm_dimensions" -> Multimodal.dimensionsOracleSql,
     "mm_features" -> Multimodal.featureStatsOracleSql,
+    "emb_tfidf_recall" ->
+      Embeddings.tfidfSimhashRecallOracleSql(TfidfRecallIds, 10),
     "quality_compress" -> TextOps.compressionNoveltyOracleSql,
     // Omitted (rows-only checks, semantics carried by ScalaTest):
     //   emb_tfidf_ann — MLlib murmur3 hashing/IDF/LSH aren't reasonably

@@ -125,15 +125,22 @@ object Clustering {
     * caller, so the memo can never outgrow what fitRaw itself holds
     * live. Content-fingerprint keying means an in-place fixture
     * regeneration starts a fresh entry (the ensureIndex discipline). */
+  // Keyed by PARAMETERS only, with the corpus fingerprint stored in the
+  // value and checked on lookup: a fixture regeneration (new
+  // fingerprint) REPLACES the entry for its parameter set instead of
+  // accumulating beside it, so a long session holds at most one live
+  // centroid matrix per (k, iterations, spherical) — bounded eviction
+  // instead of the unbounded fingerprint-keyed map (r15 ADVICE; each
+  // dead entry held up to ~160 MB of k×dim longs at the driver bound).
   private val fitRawMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Boolean),
-    (Array[Array[Long]], Array[Array[Long]])]
+    (Int, Int, Boolean),
+    (String, (Array[Array[Long]], Array[Array[Long]]))]
 
   private def fitRaw(spark: SparkSession, dir: String, k: Int,
       iterations: Int = Iterations,
       spherical: Boolean = false): (DataFrame, Array[Array[Long]]) = {
-    val memoKey = (ScaleOps.contentHash(dir, "embeddings"), k,
-      iterations, spherical)
+    val fp = ScaleOps.contentHash(dir, "embeddings")
+    val memoKey = (k, iterations, spherical)
 
     def assignFor(qarr: DataFrame,
         cm: Array[Array[Long]]): DataFrame = {
@@ -159,11 +166,11 @@ object Clustering {
           x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
 
     val hit = fitRawMemo.get(memoKey)
-    if (hit != null) {
+    if (hit != null && hit._1 == fp) {
       // replay: the returned assignment is BY CONVENTION the one
       // computed from the PRE-update centroids of the final round
       // (fitSql's convention) — a single lazy scan, no actions here
-      val (centPre, centFinal) = hit
+      val (centPre, centFinal) = hit._2
       return (assignFor(quantized(), centPre)
         .select(col("vec_id"), col("cluster")), centFinal)
     }
@@ -207,7 +214,7 @@ object Clustering {
       }
       centM = if (spherical) renormalized(next) else next
     }
-    fitRawMemo.put(memoKey, (centPre, centM))
+    fitRawMemo.put(memoKey, (fp, (centPre, centM)))
     (assign, centM)
   }
 
@@ -439,8 +446,11 @@ object Clustering {
     val name = hierFitName(dir, k1, k2)
     if (!spark.catalog.tableExists(s"${name}_assign")) {
       val (assign, cent) = fitHierarchical(spark, dir, k1, k2)
-      ScaleOps.writeBucketed(assign, s"${name}_assign", "vec_id", 8)
+      // guard table (`_assign`) written LAST so an aborted build —
+      // died between the two writes — re-runs instead of serving a
+      // fit with no `_cent` companion (r15 ADVICE)
       ScaleOps.writeBucketed(cent, s"${name}_cent", "cluster", 1)
+      ScaleOps.writeBucketed(assign, s"${name}_assign", "vec_id", 8)
     }
     name
   }

@@ -139,4 +139,74 @@ object Collections {
     }
     rows.toDF("table_name", "size_bytes").orderBy(col("table_name"))
   }
+
+  /** S4/P8 write path under the HASH GATE (r15 verdict #8): the sinks
+    * were spec-gated only; this registers their OBSERVABLE OUTCOME as
+    * an oracled query. Two stores under a content-fingerprinted scratch
+    * root:
+    *
+    *   - `col_a` is pre-seeded with the doc_id%3==0 slice, then
+    *     [[graft.sources.ParquetStore.appendIfAbsent]] appends the
+    *     doc_id%2==0 batch — the absent-key filter must admit exactly
+    *     the even ids NOT divisible by 3 (S4 batched insert,
+    *     /root/reference/src/core/vector_store.py:92-174);
+    *   - `col_b` does not exist, so the same call exercises the
+    *     auto-create branch (P8, documents.py:111-126) with the `fr`
+    *     slice.
+    *
+    * The result is a per-(store, collection) digest of the POST-APPEND
+    * state read back from disk: row count, id sum, and an additive text
+    * hash (the tableDigests fold) — any wrong/missing/duplicated row
+    * shifts it. The oracle recomputes the expected state from the input
+    * table with pure set algebra: after append-if-absent,
+    * col_a ≡ {doc_id%3==0 ∨ doc_id%2==0}. Idempotent per corpus
+    * generation: re-invocations append 0 fresh rows (the anti-join
+    * finds every key present), so bench reps and verify see the same
+    * state — which is itself the upsert semantics under test. */
+  def appendStateDigest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val fp = ScaleOps.contentHash(dir, "documents")
+    val root = Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_s4_$fp")
+    val storeA = root.resolve("col_a").toString
+    val storeB = root.resolve("col_b").toString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "text")
+    if (!Files.exists(Paths.get(storeA)))
+      docs.filter(col("doc_id") % 3 === 0).write.parquet(storeA)
+    graft.sources.ParquetStore.appendIfAbsent(spark, storeA,
+      docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+    graft.sources.ParquetStore.appendIfAbsent(spark, storeB,
+      docs.filter(col("lang") === lit("fr")), Seq("doc_id"))
+    val textHash = conv(substring(md5(col("text")), 1, 7), 16, 10)
+      .cast("long")
+    spark.read.parquet(storeA)
+      .select(lit("col_a").as("store"), col("lang"), col("doc_id"),
+        textHash.as("h"))
+      .unionByName(spark.read.parquet(storeB)
+        .select(lit("col_b").as("store"), col("lang"), col("doc_id"),
+          textHash.as("h")))
+      .groupBy(col("store"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        sum(col("h")).as("text_hash_sum"))
+      .orderBy(col("store").asc, col("lang").asc)
+  }
+
+  val appendStateDigestOracleSql: String =
+    """WITH a AS (
+      |  SELECT * FROM documents WHERE doc_id % 3 = 0 OR doc_id % 2 = 0
+      |), b AS (
+      |  SELECT * FROM documents WHERE lang = 'fr'
+      |), u AS (
+      |  SELECT 'col_a' AS store, lang, doc_id,
+      |    CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS h FROM a
+      |  UNION ALL
+      |  SELECT 'col_b' AS store, lang, doc_id,
+      |    CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS h FROM b
+      |)
+      |SELECT store, lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(h) AS BIGINT) AS text_hash_sum
+      |FROM u GROUP BY store, lang
+      |ORDER BY store ASC, lang ASC""".stripMargin
 }

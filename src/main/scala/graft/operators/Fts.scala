@@ -58,8 +58,13 @@ object Fts {
     * probe it, and a term IN-list probe statically prunes to the terms'
     * buckets. Single ad-hoc searches keep the scan-local zero-exchange
     * path in `search` — strictly better when nothing is amortized. */
+  /** Catalog name of the persisted index for `dir` — computable
+    * without building (the routing policy checks existence). */
+  def indexName(dir: String): String =
+    s"graft_fts_${ScaleOps.contentHash(dir, "documents")}"
+
   def ensureIndex(spark: SparkSession, dir: String): String = {
-    val name = s"graft_fts_${ScaleOps.contentHash(dir, "documents")}"
+    val name = indexName(dir)
     if (!spark.catalog.tableExists(name)) {
       ScaleOps.writeBucketed(
         invertedIndex(Tables.documents(spark, dir)), name, "term", 32)
@@ -146,6 +151,181 @@ object Fts {
        |FROM m WHERE nmatch = ${terms.length}
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
+
+  // --- Corpus-size routing for the flagship search path ----------------
+  //
+  // The reference IS an index-probe service (GIN bitmap scan over a
+  // trigger-maintained tsvector, /root/reference/src/db/models.py:61-63);
+  // a per-query full-collection tokenize is the one plan PG itself would
+  // never pick at 100 TB. The scan-local zero-exchange shape in `search`
+  // still wins for small/one-shot corpora (nothing amortized, one task),
+  // so the flagship entry points route — the kmeansAuto discipline:
+  //
+  //   probe the persisted term-bucketed index when the corpus exceeds
+  //   `graft.fts.indexRouteMinBytes` (default 4 MiB): below it the
+  //   whole corpus is a couple of scan partitions and the zero-exchange
+  //   scan is one cheap task wave (measured: 0.27 s scan vs 0.58 s
+  //   probe at the 0.6 MB fixture — the probe's fixed stage overhead
+  //   loses when the scan is nearly free); past it the per-query scan
+  //   cost grows linearly with the corpus while the probe stays bounded
+  //   by the query terms' posting lists, so the one-time build
+  //   amortizes within a handful of queries. A PURE size threshold (not
+  //   catalog state) keeps the route deterministic — which plan is
+  //   cheaper at a given corpus size does not depend on whether some
+  //   other workload happened to build the index first.
+  //
+  // Both routes return BIT-IDENTICAL frames (FtsRouteSpec pins this and
+  // the switch point): the indexed paths pivot postings to the same
+  // per-term tf columns the scan path computes, so every double is
+  // produced by the same expression in the same left-to-right order.
+
+  /** Routing threshold in bytes (session-overridable). */
+  def indexRouteMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.fts.indexRouteMinBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+
+  /** The routing predicate: corpus past the size threshold.
+    * Metadata-only — no Spark job. `graft.fts.route` = scan|index pins
+    * a route explicitly (plan-fact tests and operators that must
+    * compare both routes); anything else is auto. */
+  def routeToIndex(spark: SparkSession, dir: String): Boolean =
+    spark.conf.getOption("graft.fts.route") match {
+      case Some("scan") => false
+      case Some("index") => true
+      case _ =>
+        ScaleOps.tableBytes(dir, "documents") >= indexRouteMinBytes(spark)
+    }
+
+  /** `search` as an index probe: the term IN-list statically prunes to
+    * the query terms' buckets of the persisted index (cost = the terms'
+    * posting lists, not the corpus), one doc-keyed partial-aggregated
+    * pivot turns postings into the scan path's tf columns, and the same
+    * fixed-order score expression + TakeOrderedAndProject finish. This
+    * is the GIN-probe plan shape of the reference at any corpus size. */
+  def searchIndexed(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    // pivot to per-term tf columns: score doubles are then summed in
+    // the SAME left-to-right term order as `search`'s reduce — the two
+    // routes are bit-identical by construction, not by luck of
+    // aggregation order
+    val tfAggs = terms.indices.map(i =>
+      max(when(col("term") === lit(terms(i)), col("tf"))).as(s"tf$i"))
+    val pivoted = postings.groupBy(col("doc_id"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    pivoted
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The ROUTED flagship entry point (registered as `fts_topk`). */
+  def searchAuto(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir)) searchIndexed(spark, dir, query, lang, k)
+    else search(spark, dir, query, lang, k)
+
+  /** BM25 side tables for the index route, built once per corpus
+    * generation: `_dl` (doc_id, lang, dl) bucketed by doc_id — doc
+    * length INCLUDING zero-token docs, which the index itself cannot
+    * represent but the corpus stats must count — and `_cs`
+    * (lang, n, sumdl), the per-language scalar stats. At 100 TB these
+    * are the posting-index sidecar every BM25 service stores (Lucene's
+    * norms file + the segment's docCount/sumTotalTermFreq). */
+  def ensureBm25Stats(spark: SparkSession, dir: String): String = {
+    val name = s"graft_ftsbm_${ScaleOps.contentHash(dir, "documents")}"
+    if (!spark.catalog.tableExists(s"${name}_dl")) {
+      val dl = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalyzer.tokens(col("text"))).as("dl"))
+        .transform(CacheScope.cached)
+      // guard table (`_dl`) written LAST — aborted builds re-run
+      ScaleOps.writeBucketed(
+        dl.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")),
+        s"${name}_cs", "lang", 1)
+      ScaleOps.writeBucketed(dl, s"${name}_dl", "doc_id", 8)
+    }
+    name
+  }
+
+  /** [[bm25Scored]] as an index probe, bit-identical by construction:
+    * postings pruned to the query terms' buckets pivot to the scan
+    * path's tf columns; dl rides in from the bucketed `_dl` sidecar;
+    * (n, sumdl) and the per-term dfs are two ONE-ROW broadcast frames
+    * (the df aggregate runs over the already-pruned postings — cost
+    * bounded by the posting lists). The contrib/grade expressions are
+    * the same column formulas as the scan path, so every double is the
+    * same IEEE value. */
+  def bm25ScoredIndexed(spark: SparkSession, dir: String, query: String,
+      lang: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val stats = ensureBm25Stats(spark, dir)
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+      .transform(CacheScope.cached)
+    val tfAggs = terms.indices.map(i =>
+      coalesce(max(when(col("term") === lit(terms(i)), col("tf"))), lit(0L))
+        .as(s"tf$i"))
+    val pivoted = postings.groupBy(col("doc_id"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col("term") === lit(terms(i)), 1L).otherwise(0L))
+        .as(s"df$i"))
+    val dfRow = postings.agg(dfAggs.head, dfAggs.tail: _*)
+    val cs = spark.table(s"${stats}_cs")
+      .filter(col("lang") === lit(lang)).select(col("n"), col("sumdl"))
+    val dl = spark.table(s"${stats}_dl")
+      .filter(col("lang") === lit(lang)).select(col("doc_id"), col("dl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val contrib = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      when(col(s"tf$i") > 0,
+        idf * (col(s"tf$i") * lit(k1 + 1.0)) /
+          (col(s"tf$i") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val grade = terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    pivoted
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(dfRow))
+      .crossJoin(broadcast(cs))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(contrib.reduce(_ + _), 6).as("score"),
+        grade.as("grade"))
+  }
+
+  def searchBm25Indexed(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25ScoredIndexed(spark, dir, query, lang, k1, b)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The ROUTED BM25 entry point (registered as `fts_bm25`). */
+  def searchBm25Auto(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchBm25Indexed(spark, dir, query, lang, k, k1, b)
+    else searchBm25(spark, dir, query, lang, k, k1, b)
 
   /** `search` with language-keyed analysis (reference surface: the FTS
     * language is a deployment parameter, settings.py:21) — both the

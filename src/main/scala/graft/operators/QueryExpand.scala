@@ -94,6 +94,30 @@ object QueryExpand {
     * (term, w) rows are collected between the two retrieval stages. */
   val MaxExpansions = 100
 
+  /** Driver memo of the mined expansion rows — a pure function of
+    * (corpus content, query, lang, nFb, nExp), ≤ MaxExpansions tiny
+    * tuples per entry, fingerprint-checked on lookup (the fitRawMemo
+    * eviction discipline). The stage-1 mining chain (feedback top-nFb +
+    * term scoring, several jobs) thereby runs once per corpus
+    * generation instead of per invocation — the r16 job-floor fix for
+    * fts_prf (the mining chain WAS its steady-state cost). */
+  private val prfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int, Int), (String, Seq[(String, Double)])]
+
+  private def prfTermsMemo(spark: SparkSession, dir: String,
+      query: String, lang: String, nFb: Int,
+      nExp: Int): Seq[(String, Double)] = {
+    val fp = ScaleOps.contentHash(dir, "documents")
+    val key = (dir, query, lang, nFb, nExp)
+    val hit = prfMemo.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val rows = prfTerms(spark, dir, query, lang, nFb, nExp)
+      .select(col("term"), col("w")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    prfMemo.put(key, (fp, rows))
+    rows
+  }
+
   /** PRF search: stage-2 OR-retrieval over originals (weight 1.0) plus
     * the mined expansions (weight [[ExpansionWeight]] · w/max_w), score
     * Σ weight_t · log(1+tf). Output (doc_id, score) top-k.
@@ -117,22 +141,20 @@ object QueryExpand {
         s"artifact bounded by MaxExpansions=$MaxExpansions")
     val terms = TextAnalyzer.analyze(query).distinct
     val idx = CacheScope.cached(idxFor(spark, dir, lang))
-    val expRows = prfTerms(spark, dir, query, lang, nFb, nExp)
-      .select(col("term"), col("w")).collect()
+    val expRows = prfTermsMemo(spark, dir, query, lang, nFb, nExp)
     import spark.implicits._
     val origW = terms.map(t => (t, 1.0)).toDF("term", "weight")
     val tw =
       if (expRows.isEmpty) origW
       else {
-        val maxW = expRows.map(_.getDouble(1)).max
+        val maxW = expRows.map(_._2).max
         origW.unionAll(
-          expRows.toSeq.map(r => (r.getString(0), r.getDouble(1)))
-            .toDF("term", "w")
+          expRows.toDF("term", "w")
             .select(col("term"),
               round(lit(ExpansionWeight) * col("w") / lit(maxW), 6)
                 .as("weight")))
       }
-    val probeTerms = terms ++ expRows.map(_.getString(0))
+    val probeTerms = terms ++ expRows.map(_._1)
     idx.filter(col("term").isin(probeTerms: _*))
       .join(broadcast(tw), "term")
       .groupBy("doc_id")

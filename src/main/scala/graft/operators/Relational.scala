@@ -1361,9 +1361,12 @@ object Relational {
     val fOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === lit("F"))
       .select("o_orderkey")
-    val pairs = Tables.lineitem(spark, dir)
+    // cached: the joined pair frame feeds both the all-suppliers and
+    // the flagged-suppliers distincts (r16 job-floor fix — uncached,
+    // the lineitem⋈orders subtree evaluated twice)
+    val pairs = CacheScope.cached(Tables.lineitem(spark, dir)
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
-      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .select("l_orderkey", "l_suppkey", "l_returnflag"))
     val all = pairs.select("l_orderkey", "l_suppkey").distinct()
     val flagged = pairs.filter(col("l_returnflag") === lit("R"))
       .select("l_orderkey", "l_suppkey").distinct()
@@ -1676,19 +1679,25 @@ object Relational {
     * derive boundaries from identical exact inputs, so bucket
     * comparisons agree everywhere including ties. */
   def customerRfm(spark: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(spark, dir)
+    // cached: the per-customer aggregate feeds THREE consumers
+    // (frontier, the bucket pass, and through rfm the boundary
+    // aggregate) — uncached, the orders scan + groupBy subtree
+    // re-evaluated once per consumer and the query paid 4 full job
+    // chains of pure re-computation (the r15 job-floor weak list's
+    // worst entry, 0.58 s for what DuckDB does in 33 ms)
+    val perCust = CacheScope.cached(Tables.orders(spark, dir)
       .select(col("o_custkey"),
         unix_timestamp(col("o_orderdate")).as("osec"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .groupBy("o_custkey")
       .agg(max(col("osec")).as("last_sec"),
         count(lit(1)).as("freq"),
-        sum(col("price")).cast("double").as("monetary"))
+        sum(col("price")).cast("double").as("monetary")))
     val frontier = perCust.agg(max(col("last_sec")).as("hi"))
-    val rfm = perCust.crossJoin(broadcast(frontier))
+    val rfm = CacheScope.cached(perCust.crossJoin(broadcast(frontier))
       .select(
         expr("(hi - last_sec) div 86400").as("recency"),
-        col("freq"), col("monetary"))
+        col("freq"), col("monetary")))
     val bounds = rfm.agg(
       expr("percentile(recency, 0.25)").as("r1"),
       expr("percentile(recency, 0.5)").as("r2"),

@@ -39,7 +39,10 @@ object RetrievalEval {
   def ndcg(spark: SparkSession, dir: String, query: String, lang: String,
       k: Int): DataFrame = {
     val nTerms = TextAnalyzer.analyze(query).distinct.length
-    val scored = Fts.bm25Scored(spark, dir, query, lang)
+    // cached: the scored frame feeds BOTH bounded collects below (the
+    // top-k and the grade histogram) — uncached, each re-ran the whole
+    // corpus tokenize+score subtree (r16 job-floor fix)
+    val scored = CacheScope.cached(Fts.bm25Scored(spark, dir, query, lang))
 
     // engine ranking: bounded top-k collect (k ≤ 10, same regime as
     // Hybrid's RRF rank fold — documented driver-side bound)

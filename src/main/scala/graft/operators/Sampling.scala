@@ -47,15 +47,21 @@ object Sampling {
   def dsirWeights(spark: SparkSession, dir: String, targetSource: String,
       k: Int): DataFrame = {
     import graft.functions.TextAnalyzer
-    val toks = Tables.documentsDense(spark, dir)
+    // cached: the token stream feeds the corpus LM, the target LM, and
+    // the scoring join — uncached, the corpus tokenized three times
+    // per invocation (r16 job-floor fix; at warehouse scale the LM
+    // side would be a persisted vocab table instead)
+    val toks = CacheScope.cached(Tables.documentsDense(spark, dir)
       .select(col("doc_id"), col("source"),
-        explode(TextAnalyzer.tokens(col("text"))).as("term"))
+        explode(TextAnalyzer.tokens(col("text"))).as("term")))
     val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("n_c"))
     val target = toks.filter(col("source") === targetSource)
       .groupBy(col("term").as("t_term")).agg(count(lit(1)).as("n_t"))
-    val lm = corpus.join(target, col("term") === col("t_term"), "left")
-      .select(col("term"), col("n_c"),
-        coalesce(col("n_t"), lit(0L)).as("n_t"))
+    // lm feeds the scoring broadcast AND the totals aggregate
+    val lm = CacheScope.cached(
+      corpus.join(target, col("term") === col("t_term"), "left")
+        .select(col("term"), col("n_c"),
+          coalesce(col("n_t"), lit(0L)).as("n_t")))
     val totals = lm.agg(sum(col("n_c")).as("tot_c"),
       sum(col("n_t")).as("tot_t"), count(lit(1)).as("v"))
     val scored = toks

@@ -50,6 +50,25 @@ object ScaleOps {
       .take(4).map("%02x".format(_)).mkString
   }
 
+  /** Driver-side size in bytes of one fixture table under `dir` —
+    * metadata only (no Spark job), the cheap corpus-size signal
+    * routing policies key on (Fts.routeToIndex). Handles both fixture
+    * layouts like [[contentHash]]. */
+  def tableBytes(dir: String, table: String): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, s"$table.parquet")
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try
+        listing.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+      finally listing.close()
+    } else if (Files.exists(p)) Files.size(p)
+    else 0L
+  }
+
   /** Write both sides of a fact-fact join bucketed+sorted by the join
     * key into the session catalog. A subsequent join of the two tables
     * on that key is a SortMergeJoin with NO shuffle exchange on either

@@ -410,10 +410,12 @@ object Similarity {
           col("cluster").as("centroid_id"),
           round(cosineDistancePre(col("embedding"), col("cv"),
             norm(col("embedding")), col("cn")), 6).as("cdist"))
-      ScaleOps.writeBucketed(rows, name, "centroid_id",
-        math.min(k1 * k2, 64))
+      // guard table (`name`) written LAST so an aborted build re-runs
+      // instead of serving an index missing its companions (r15 ADVICE)
       ScaleOps.writeBucketed(cents, s"${name}_cents", "centroid_id", 1)
       ScaleOps.writeBucketed(coarse, s"${name}_coarse", "centroid_id", 1)
+      ScaleOps.writeBucketed(rows, name, "centroid_id",
+        math.min(k1 * k2, 64))
     }
     name
   }
@@ -632,9 +634,10 @@ object Similarity {
       // a driver-local frame (nCentroids rows) — no caching needed for
       // the two writes below
       val cents = trainedCents(spark, dir, nCentroids)
+      // guard table last — aborted builds re-run (r15 ADVICE)
+      ScaleOps.writeBucketed(cents, s"${name}_cents", "centroid_id", 1)
       ScaleOps.writeBucketed(ivfAssignTo(emb, cents), name,
         "centroid_id", nCentroids)
-      ScaleOps.writeBucketed(cents, s"${name}_cents", "centroid_id", 1)
     }
     name
   }

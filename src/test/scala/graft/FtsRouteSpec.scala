@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{CacheScope, Fts, ScaleOps}
+
+/** Pins the flagship-search routing policy (r15 verdict #1): the switch
+  * point between the zero-exchange corpus-scan plan and the persisted
+  * term-bucketed index probe, and the bit-identity of the two routes'
+  * results. The routed entry points (`fts_topk` → [[Fts.searchAuto]],
+  * `fts_bm25` → [[Fts.searchBm25Auto]]) must be free to flip routes
+  * with catalog/corpus state without any observable difference — that
+  * is what lets ONE oracle SQL gate both physical plans. */
+class FtsRouteSpec extends SparkSpec {
+
+  private val query = "hash join merge"
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("switch point: sub-threshold corpus scans; larger corpus probes") {
+    // fresh conf state for the routing predicate
+    spark.conf.unset("graft.fts.indexRouteMinBytes")
+    spark.conf.unset("graft.fts.route")
+    val bytes = ScaleOps.tableBytes(Sf0001, "documents")
+    assert(bytes > 0)
+    // (a) below the default 4 MiB threshold → scan route, regardless
+    // of whether the index happens to exist (pure-size policy)
+    assert(!Fts.routeToIndex(spark, Sf0001))
+    Fts.ensureIndex(spark, Sf0001)
+    assert(!Fts.routeToIndex(spark, Sf0001))
+    // (b) threshold at/below corpus size → index route
+    spark.conf.set("graft.fts.indexRouteMinBytes", bytes.toString)
+    assert(Fts.routeToIndex(spark, Sf0001))
+    spark.conf.unset("graft.fts.indexRouteMinBytes")
+    // (c) explicit route conf overrides the size policy both ways
+    spark.conf.set("graft.fts.route", "index")
+    assert(Fts.routeToIndex(spark, Sf0001))
+    spark.conf.set("graft.fts.route", "scan")
+    assert(!Fts.routeToIndex(spark, Sf0001))
+    spark.conf.unset("graft.fts.route")
+  }
+
+  test("fts_topk: index probe is bit-identical to the scan route") {
+    val scan = rows(Fts.search(spark, Sf0001, query, "en", 10))
+    val probe = rows(Fts.searchIndexed(spark, Sf0001, query, "en", 10))
+    assert(probe == scan)
+    assert(scan.nonEmpty)
+  }
+
+  test("fts_bm25: index probe is bit-identical to the scan route") {
+    val scan = rows(Fts.searchBm25(spark, Sf0001, query, "en", 10))
+    val probe = rows(Fts.searchBm25Indexed(spark, Sf0001, query, "en", 10))
+    CacheScope.release(spark)
+    assert(probe == scan)
+    assert(scan.nonEmpty)
+  }
+
+  test("bm25 corpus stats sidecar counts zero-token docs in n") {
+    // n must be the number of docs in the language, not the number of
+    // docs with postings — the idf denominator the scan path uses
+    val stats = Fts.ensureBm25Stats(spark, Sf0001)
+    val n = spark.table(s"${stats}_cs")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect()(0).getAs[Long]("n")
+    val nDocs = Tables.documents(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .count()
+    assert(n == nDocs)
+  }
+
+  test("probe plan: term IN-list prunes to the query terms' buckets") {
+    // the probe must not scan all 32 buckets of the index — static
+    // bucket pruning via the IN-list is the point of the route
+    val probe = Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+  }
+
+  test("routed entry points dispatch by the predicate") {
+    // force the probe route: searchAuto's plan must read the catalog
+    // table, not documents
+    spark.conf.set("graft.fts.route", "index")
+    try {
+      val auto = Fts.searchAuto(spark, Sf0001, query, "en", 10)
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_fts_"))
+      assert(!plan.contains("documents.parquet"))
+    } finally spark.conf.unset("graft.fts.route")
+    // and the default at this fixture size is the scan route
+    val scanPlan = Fts.searchAuto(spark, Sf0001, query, "en", 10)
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("graft_docs_part_") ||
+      scanPlan.contains("documents.parquet"))
+  }
+}

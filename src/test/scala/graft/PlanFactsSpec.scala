@@ -26,15 +26,17 @@ class PlanFactsSpec extends SparkSpec {
   private def all(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(all)) ++ p.subqueries.flatMap(all)
 
-  private def factsOf(name: String): Facts = {
+  private def factsOf(name: String,
+      confs: Map[String, String] = Map.empty): Facts = {
     // exchanges are inserted by the EnsureRequirements preparation, so
     // count on executedPlan; AQE is disabled for the probe so the plan
     // is the deterministic planning-time one (AdaptiveSparkPlanExec
     // hides its inner plan from children traversal and re-plans at
     // runtime — the opposite of a pinnable fact)
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    val overrides = confs + ("spark.sql.adaptive.enabled" -> "false")
+    val prev = overrides.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val qe = SparkEntry.queries(name)(spark, Sf0001).queryExecution
       val nodes = all(qe.executedPlan)
@@ -45,17 +47,17 @@ class PlanFactsSpec extends SparkSpec {
           case s: FileSourceScanExec => s.partitionFilters.nonEmpty
           case _ => false
         })
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   // The pinned contract: query -> (shuffles, broadcasts, pruned scan).
   // Derived from the r15 plans; rationale for each lives in PLANS.md.
   private val pinned: Map[String, Facts] = Map(
-    // F5/F6 flagship: term-bucketed index probe + rarest-first all-terms
-    // join rides the BUCKETED layout (no exchange, no broadcast needed),
-    // scoped documents read prunes at the directory level,
-    // TakeOrderedAndProject for the top-k — ZERO exchanges end to end
-    "fts_topk" -> Facts(0, 0, true),
+    // (fts_topk moved to pinnedWithConf below: routed since round 16,
+    // both routes pinned with the route conf forced)
     // collection-scoped keyset pagination rides the partitioned layout;
     // offset+limit fold into the ordered take — zero exchanges
     "s3_pagination_scoped" -> Facts(0, 0, true),
@@ -101,6 +103,40 @@ class PlanFactsSpec extends SparkSpec {
     // into the join — no Lloyd rounds in the plan at all
     "kmeans_hier" -> Facts(2, 1, false))
 
+  // r15 verdict #7: the top bench entries not yet covered, plus BOTH
+  // routes of the round-16 routed flagships (conf-forced so the pin is
+  // independent of catalog state / test order). Placeholders measured
+  // and rationale in PLANS.md.
+  private val routeScan = Map("graft.fts.route" -> "scan")
+  private val routeIndex = Map("graft.fts.route" -> "index")
+  private val pinnedWithConf
+      : Seq[(String, Map[String, String], Facts)] = Seq(
+    // scan route: zero exchanges, partition-pruned documents scan
+    ("fts_topk", routeScan, Facts(0, 0, true)),
+    // index probe: one doc-keyed pivot exchange over the pruned
+    // postings, TakeOrderedAndProject — corpus never rescanned
+    ("fts_topk", routeIndex, Facts(1, 0, false)),
+    // BM25 scan route: one 1-row stats aggregate exchange + its
+    // broadcast ride, TakeOrderedAndProject
+    ("fts_bm25", routeScan, Facts(1, 1, false)),
+    // BM25 probe: postings pivot exchange + its re-partition into the
+    // bucketed dl-sidecar join; broadcasts = the two 1-row stats
+    // frames (dfs, corpus n/sumdl) + the planner's fixture-size choice
+    // on the dl join
+    ("fts_bm25", routeIndex, Facts(2, 3, false)),
+    // sessionization window partitioning REUSED by the lead/transition
+    // windows — the exchange set is the sessionize + ordered output
+    ("events_transitions", Map.empty[String, String], Facts(4, 0, false)),
+    // routed PPJoin at fixture volume → the BRUTE posting-join
+    // formulation: zero-exchange co-located self-join on the bucketed
+    // index, pair-grain count aggregate + ordered output; one
+    // planner-chosen broadcast at fixture size
+    ("dedup_ppjoin", Map.empty[String, String], Facts(2, 1, false)),
+    // recall curve: ADC rank + refine cached once; per-width bounded
+    // windows + exact-side joins re-read the cache — exchanges are
+    // width-bounded, broadcasts all fold into the cached frame
+    ("ivfpq_recall_curve", Map.empty[String, String], Facts(7, 0, false)))
+
   test("headline queries keep their pinned (shuffles, broadcasts, " +
       "pruned-scan) plan facts") {
     val diffs = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
@@ -108,6 +144,19 @@ class PlanFactsSpec extends SparkSpec {
       graft.operators.CacheScope.release(spark)
       if (got != want)
         Some(s"$name: pinned $want, planned $got")
+      else None
+    }
+    assert(diffs.isEmpty,
+      s"plan-fact regressions (update PLANS.md + the pin if " +
+        s"intentional):\n${diffs.mkString("\n")}")
+  }
+
+  test("routed flagships + top bench entries keep their pinned facts") {
+    val diffs = pinnedWithConf.flatMap { case (name, confs, want) =>
+      val got = factsOf(name, confs)
+      graft.operators.CacheScope.release(spark)
+      if (got != want)
+        Some(s"$name$confs: pinned $want, planned $got")
       else None
     }
     assert(diffs.isEmpty,
