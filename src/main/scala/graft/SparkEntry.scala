@@ -66,13 +66,13 @@ object SparkEntry {
     // ts_rank_cd normalization bitmask beyond the hardwired 32:
     // 33 = (1 | 32) → log-doc-length damping then rank/(rank+1)
     "fts_topk_norm" -> ((s, d) =>
-      Fts.searchNormalized(s, d, "hash join merge", "en", 10, 33)),
+      Fts.searchNormalizedAuto(s, d, "hash join merge", "en", 10, 33)),
     "fts_topk_cd" -> ((s, d) =>
-      Fts.searchCoverDensity(s, d, "hash join merge", "en", 10)),
+      Fts.searchCoverDensityAuto(s, d, "hash join merge", "en", 10)),
     // stemmed search: "merging streams" matches docs containing the base
     // forms "merge"/"stream" (the reference's plainto_tsquery behavior)
     "fts_topk_stemmed" -> ((s, d) =>
-      Fts.searchStemmed(s, d, "merging streams", "en", 10)),
+      Fts.searchStemmedAuto(s, d, "merging streams", "en", 10)),
     "fts_phrase" -> ((s, d) => Fts.phraseSearch(s, d, "hash join", "en", 10)),
     // full boolean algebra (& | ! parens) — one AST emits both engines
     "fts_boolean" -> ((s, d) =>

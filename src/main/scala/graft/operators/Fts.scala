@@ -94,16 +94,18 @@ object Fts {
     table
   }
 
-  /** F2–F7: AND-match + rank + top-k, scoped to one language.
+  /** F2–F7: AND-match + rank + top-k, scoped to one language — the
+    * SMALL-CORPUS route of [[searchAuto]].
     *
     * Shuffle-free formulation: with the query terms known up front, each
     * document's per-term tf is computable scan-locally (array filter over
     * the analyzed tokens) — the plan is scan → project → filter →
-    * TakeOrderedAndProject with ZERO exchanges, vs. two shuffles through
-    * the inverted-index build. The persisted-index path (probing posting
-    * lists via `invertedIndex`) wins when the index is materialized once
-    * and queried many times; for on-the-fly search over raw documents
-    * this one-pass shape is strictly better at any scale.
+    * TakeOrderedAndProject with ZERO exchanges. This wins while the
+    * corpus is small enough that the scan is a task wave; past the
+    * routing threshold a per-query corpus tokenize loses to the
+    * posting-list probe ([[searchIndexed]]) at an ever-growing rate —
+    * the reference's own GIN plan is the probe, and [[searchAuto]]
+    * routes accordingly (r15 verdict #1).
     */
   def search(
       spark: SparkSession, dir: String, query: String, lang: String,
@@ -213,19 +215,7 @@ object Fts {
     // the SAME left-to-right term order as `search`'s reduce — the two
     // routes are bit-identical by construction, not by luck of
     // aggregation order
-    val tfAggs = terms.indices.map(i =>
-      max(when(col("term") === lit(terms(i)), col("tf"))).as(s"tf$i"))
-    val pivoted = postings.groupBy(col("doc_id"))
-      .agg(tfAggs.head, tfAggs.tail: _*)
-    val s = terms.indices
-      .map(i => log(lit(1.0) + col(s"tf$i")))
-      .reduce(_ + _)
-    pivoted
-      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
-      .select(col("doc_id"),
-        round(s / (lit(1.0) + s), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    scoredTopK(pivotedTfs(postings, terms), terms.length, k)
   }
 
   /** The ROUTED flagship entry point (registered as `fts_topk`). */
@@ -234,19 +224,25 @@ object Fts {
     if (routeToIndex(spark, dir)) searchIndexed(spark, dir, query, lang, k)
     else search(spark, dir, query, lang, k)
 
-  /** BM25 side tables for the index route, built once per corpus
-    * generation: `_dl` (doc_id, lang, dl) bucketed by doc_id — doc
-    * length INCLUDING zero-token docs, which the index itself cannot
-    * represent but the corpus stats must count — and `_cs`
-    * (lang, n, sumdl), the per-language scalar stats. At 100 TB these
-    * are the posting-index sidecar every BM25 service stores (Lucene's
-    * norms file + the segment's docCount/sumTotalTermFreq). */
+  /** Doc-stats side tables for the index routes, built once per corpus
+    * generation: `_dl` (doc_id, lang, dl, nuniq) bucketed by doc_id —
+    * doc length and distinct-token count INCLUDING zero-token docs,
+    * which the index itself cannot represent but the corpus stats must
+    * count — and `_cs` (lang, n, sumdl), the per-language scalar
+    * stats. BM25 consumes (dl, n, sumdl); the ts_rank normalization
+    * cascade consumes (dl, nuniq). At 100 TB these are the
+    * posting-index sidecar every ranked-search service stores
+    * (Lucene's norms file + the segment's docCount/sumTotalTermFreq).
+    * Name versioned `ftsb2` — the r16 schema added nuniq, and a fresh
+    * name ignores any `_dl` sidecar persisted under the old shape. */
   def ensureBm25Stats(spark: SparkSession, dir: String): String = {
-    val name = s"graft_ftsbm_${ScaleOps.contentHash(dir, "documents")}"
+    val name = s"graft_ftsb2_${ScaleOps.contentHash(dir, "documents")}"
     if (!spark.catalog.tableExists(s"${name}_dl")) {
       val dl = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
-          size(TextAnalyzer.tokens(col("text"))).as("dl"))
+          size(TextAnalyzer.tokens(col("text"))).as("dl"),
+          size(array_distinct(TextAnalyzer.tokens(col("text"))))
+            .as("nuniq"))
         .transform(CacheScope.cached)
       // guard table (`_dl`) written LAST — aborted builds re-run
       ScaleOps.writeBucketed(
@@ -257,6 +253,144 @@ object Fts {
     }
     name
   }
+
+  /** Build-once STEMMED index — [[ensureIndex]] with the LightStem
+    * chain applied at index time, the `to_tsvector('english', ...)`
+    * layout the reference's trigger actually maintains
+    * (/root/reference/src/db/models.py:58-63 stores stemmed lexemes).
+    * Probed by [[searchStemmedIndexed]]. */
+  def ensureStemmedIndex(spark: SparkSession, dir: String): String = {
+    val name = s"graft_fts_stem_${ScaleOps.contentHash(dir, "documents")}"
+    if (!spark.catalog.tableExists(name)) {
+      ScaleOps.writeBucketed(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(TextAnalyzer.stemmedTokens(col("text"))).as("term"))
+          .groupBy("doc_id", "lang", "term")
+          .agg(count(lit(1)).as("tf")),
+        name, "term", 32)
+    }
+    name
+  }
+
+  /** Shared probe pivot: pruned postings → one row per doc with the
+    * query terms' tf columns (fixed column order = the scan paths'
+    * expression order, so downstream score math is bit-identical). */
+  private def pivotedTfs(postings: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val tfAggs = terms.indices.map(i =>
+      max(when(col("term") === lit(terms(i)), col("tf"))).as(s"tf$i"))
+    postings.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+  }
+
+  /** AND-match + ln(1+tf) score + top-k over a pivoted tf frame — the
+    * shared tail of the search/searchStemmed index probes. */
+  private def scoredTopK(pivoted: DataFrame, nTerms: Int,
+      k: Int): DataFrame = {
+    val s = (0 until nTerms)
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    pivoted
+      .filter((0 until nTerms).map(i => col(s"tf$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[searchStemmed]] as a probe of the persisted stemmed index —
+    * bit-identical by the pivot construction. */
+  def searchStemmedIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyzeStemmed(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureStemmedIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    scoredTopK(pivotedTfs(postings, terms), terms.length, k)
+  }
+
+  def searchStemmedAuto(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchStemmedIndexed(spark, dir, query, lang, k)
+    else searchStemmed(spark, dir, query, lang, k)
+
+  /** [[searchNormalized]] as an index probe: tf columns from the
+    * pruned postings pivot, (doclen, nuniq) from the `_dl` sidecar —
+    * the identical normalization cascade over identical values. */
+  def searchNormalizedIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int,
+      normalization: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val stats = ensureBm25Stats(spark, dir)
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    val dl = spark.table(s"${stats}_dl")
+      .filter(col("lang") === lit(lang))
+      .select(col("doc_id"), col("dl").cast("double").as("doclen"),
+        col("nuniq").cast("double").as("nuniq"))
+    var s: Column = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    if ((normalization & 1) != 0) s = s / (lit(1.0) + log(col("doclen")))
+    if ((normalization & 2) != 0) s = s / col("doclen")
+    if ((normalization & 8) != 0) s = s / col("nuniq")
+    if ((normalization & 16) != 0) s = s / (lit(1.0) + log(col("nuniq")))
+    if ((normalization & 32) != 0) s = s / (lit(1.0) + s)
+    pivotedTfs(postings, terms)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull)
+        .reduce(_ && _))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), round(s, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def searchNormalizedAuto(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int,
+      normalization: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchNormalizedIndexed(spark, dir, query, lang, k, normalization)
+    else searchNormalized(spark, dir, query, lang, k, normalization)
+
+  /** [[searchCoverDensity]] as an index probe: the index row's SORTED
+    * position list per (doc, term) — collected ascending at build, the
+    * same order the scan path's transform/filter emits — pivots to the
+    * per-term position-array argument of the native
+    * cover_density_score expression. Docs missing a query term
+    * coalesce to an empty array (the scan path's shape for an
+    * unmatched term); the score>0 filter then drops them identically. */
+  def searchCoverDensityIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    val posAggs = terms.indices.map(i =>
+      coalesce(
+        max(when(col("term") === lit(terms(i)), col("positions"))),
+        array().cast("array<int>")).as(s"p$i"))
+    postings.groupBy(col("doc_id"))
+      .agg(posAggs.head, posAggs.tail: _*)
+      .select(col("doc_id"),
+        array(terms.indices.map(i => col(s"p$i")): _*).as("pos_arrays"))
+      .select(col("doc_id"),
+        round(expr("cover_density_score(pos_arrays)"), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def searchCoverDensityAuto(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchCoverDensityIndexed(spark, dir, query, lang, k)
+    else searchCoverDensity(spark, dir, query, lang, k)
 
   /** [[bm25Scored]] as an index probe, bit-identical by construction:
     * postings pruned to the query terms' buckets pivot to the scan

@@ -56,6 +56,31 @@ class FtsRouteSpec extends SparkSpec {
     assert(scan.nonEmpty)
   }
 
+  test("stemmed/normalized/cover-density probes are bit-identical to scans") {
+    val stemScan = rows(Fts.searchStemmed(spark, Sf0001,
+      "merging streams", "en", 10))
+    val stemProbe = rows(Fts.searchStemmedIndexed(spark, Sf0001,
+      "merging streams", "en", 10))
+    assert(stemProbe == stemScan && stemScan.nonEmpty)
+    val normScan = rows(Fts.searchNormalized(spark, Sf0001,
+      query, "en", 10, 33))
+    val normProbe = rows(Fts.searchNormalizedIndexed(spark, Sf0001,
+      query, "en", 10, 33))
+    assert(normProbe == normScan && normScan.nonEmpty)
+    // exercise the non-default cascade bits over the sidecar too
+    val norm3Scan = rows(Fts.searchNormalized(spark, Sf0001,
+      query, "en", 10, 1 | 2 | 8 | 16))
+    val norm3Probe = rows(Fts.searchNormalizedIndexed(spark, Sf0001,
+      query, "en", 10, 1 | 2 | 8 | 16))
+    assert(norm3Probe == norm3Scan && norm3Scan.nonEmpty)
+    val cdScan = rows(Fts.searchCoverDensity(spark, Sf0001,
+      query, "en", 10))
+    val cdProbe = rows(Fts.searchCoverDensityIndexed(spark, Sf0001,
+      query, "en", 10))
+    assert(cdProbe == cdScan && cdScan.nonEmpty)
+    graft.operators.CacheScope.release(spark)
+  }
+
   test("bm25 corpus stats sidecar counts zero-token docs in n") {
     // n must be the number of docs in the language, not the number of
     // docs with postings — the idf denominator the scan path uses
