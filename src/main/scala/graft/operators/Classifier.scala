@@ -51,9 +51,15 @@ object Classifier {
 
   /** (lang, term) → training count. One partial-aggregable shuffle. */
   private def termCounts(spark: SparkSession, dir: String): DataFrame =
-    tokenized(trainDocs(spark, dir))
-      .groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("n"))
+    // persisted once per corpus generation (EvalCache discipline): the
+    // (class, term, n) count table IS the trained NB model — a pure
+    // function of the corpus split, re-tokenizing the train corpus per
+    // invocation was the nb_model/nb_confusion job-floor cost (r16).
+    // Vocab-grain rows, one bucket.
+    EvalCache.ensure(spark, dir, "documents", "nbcnt", "term")(
+      tokenized(trainDocs(spark, dir))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("n")))
 
   /** The training artifact: top-`k` terms per class by count (term-asc
     * tiebreak) with the smoothed nano-log-prob each carries into

@@ -225,7 +225,14 @@ object Clustering {
     // routed: flat kernel under the driver bound, hierarchical past it
     // (at fixture k this takes the flat route, which the oracle replays;
     // the hierarchical route has its own oracle, kmeans_hier)
-    val (assign, cent) = kmeansAuto(spark, dir, k)
+    val (assignInline, cent) = kmeansAuto(spark, dir, k)
+    // the assignment is a pure function of (corpus, k) — persist it
+    // once per corpus generation (EvalCache discipline, the flat
+    // sibling of ensureHierFit's `_assign` table) so the per-invocation
+    // k×dim interpreted-lambda argmin scan becomes a one-time build and
+    // every later call is a table probe (r16 job-floor pass)
+    val assign = EvalCache.ensure(spark, dir, "embeddings",
+      s"kasg$k", "cluster")(assignInline)
     val sizes = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
     val energy = cent.groupBy(col("cluster"))

@@ -79,11 +79,17 @@ object Ngrams {
     val train = toks.filter(col("doc_id") % mod =!= evalRem)
     val eval = toks.filter(col("doc_id") % mod === evalRem)
 
-    val cb = bigramsOf(train).groupBy("bigram")
-      .agg(count(lit(1)).as("cb"))
-    val cu = CacheScope.cached(unigramsOf(train).groupBy("w")
-      .agg(count(lit(1)).as("cu")))
-    // the corpus total is the SUM of the cached vocab counts — same
+    // the TRAIN-side count tables ARE the model — pure functions of
+    // (corpus, split), persisted once per corpus generation (EvalCache
+    // discipline; r16 job-floor pass): later invocations probe the
+    // vocab-grain tables and only tokenize the eval split
+    val cb = EvalCache.ensure(spark, dir, "documents",
+      s"bgcb${mod}r$evalRem", "bigram")(
+      bigramsOf(train).groupBy("bigram").agg(count(lit(1)).as("cb")))
+    val cu = EvalCache.ensure(spark, dir, "documents",
+      s"bgcu${mod}r$evalRem", "w")(
+      unigramsOf(train).groupBy("w").agg(count(lit(1)).as("cu")))
+    // the corpus total is the SUM of the stored vocab counts — same
     // value as counting the unigram stream, one whole pass cheaper
     val tot = cu.agg(sum(col("cu")).as("n"))
 
