@@ -125,22 +125,26 @@ object Clustering {
     * caller, so the memo can never outgrow what fitRaw itself holds
     * live. Content-fingerprint keying means an in-place fixture
     * regeneration starts a fresh entry (the ensureIndex discipline). */
-  // Keyed by PARAMETERS only, with the corpus fingerprint stored in the
-  // value and checked on lookup: a fixture regeneration (new
-  // fingerprint) REPLACES the entry for its parameter set instead of
-  // accumulating beside it, so a long session holds at most one live
-  // centroid matrix per (k, iterations, spherical) — bounded eviction
-  // instead of the unbounded fingerprint-keyed map (r15 ADVICE; each
-  // dead entry held up to ~160 MB of k×dim longs at the driver bound).
+  // Keyed by (dir, parameters), with the corpus fingerprint stored in
+  // the value and checked on lookup: an IN-PLACE fixture regeneration
+  // (same dir, new fingerprint) REPLACES the entry instead of
+  // accumulating beside it — bounded eviction instead of the unbounded
+  // fingerprint-keyed map (r15 ADVICE) — while a session alternating
+  // between two fixture DIRS with the same parameters (sf0.1 then sf1
+  // verify/bench in one JVM) keeps both entries live instead of
+  // evicting each other on every call (r16 ADVICE; each refit is
+  // `iterations` Lloyd actions). Live entries stay bounded by the
+  // number of distinct fixture dirs a session touches (≤3 in practice),
+  // each ≤ the MaxDriverCentroidCells contract.
   private val fitRawMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Boolean),
+    (String, Int, Int, Boolean),
     (String, (Array[Array[Long]], Array[Array[Long]]))]
 
   private def fitRaw(spark: SparkSession, dir: String, k: Int,
       iterations: Int = Iterations,
       spherical: Boolean = false): (DataFrame, Array[Array[Long]]) = {
     val fp = ScaleOps.contentHash(dir, "embeddings")
-    val memoKey = (k, iterations, spherical)
+    val memoKey = (dir, k, iterations, spherical)
 
     def assignFor(qarr: DataFrame,
         cm: Array[Array[Long]]): DataFrame = {

@@ -166,14 +166,33 @@ object Collections {
   def appendStateDigest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val fp = ScaleOps.contentHash(dir, "documents")
-    val root = Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_s4_$fp")
+    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    val root = tmpRoot.resolve(s"graft_s4_$fp")
+    // scratch-generation GC (r16 verdict #6 / ADVICE): a NEW corpus
+    // generation vacuums every other fingerprint's graft_s4_* root, so
+    // fixture regenerations leave exactly one live scratch generation
+    // instead of accumulating dead stores across sessions (the
+    // fitRawMemo problem, on disk). Idempotent re-runs on the SAME
+    // generation skip the listing entirely.
+    if (!Files.exists(root) && Files.isDirectory(tmpRoot)) {
+      val stale = Files.list(tmpRoot)
+      try stale.forEach { p =>
+        if (p.getFileName.toString.startsWith("graft_s4_") && p != root)
+          graft.sources.ParquetStore.deleteRecursively(p)
+      } finally stale.close()
+    }
     val storeA = root.resolve("col_a").toString
     val storeB = root.resolve("col_b").toString
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "source", "text")
+    // atomic seed (r16 ADVICE): the tmp+rename swap means col_a either
+    // fully exists or not at all — a run killed mid-seed can never
+    // leave a partial store that later invocations serve for this
+    // corpus fingerprint (a leftover .tmp- sibling is invisible to the
+    // exists-check and reaped with its root by the generation GC)
     if (!Files.exists(Paths.get(storeA)))
-      docs.filter(col("doc_id") % 3 === 0).write.parquet(storeA)
+      graft.sources.ParquetStore.overwriteAtomic(
+        docs.filter(col("doc_id") % 3 === 0), storeA)
     graft.sources.ParquetStore.appendIfAbsent(spark, storeA,
       docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
     graft.sources.ParquetStore.appendIfAbsent(spark, storeB,

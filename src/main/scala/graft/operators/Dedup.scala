@@ -1859,7 +1859,12 @@ object Dedup {
     val idx = ensurePpjoinIndex(spark, dir)
     val route = spark.conf.getOption("graft.ppjoin.route") match {
       case Some(r @ ("brute" | "prefix")) => r
-      case _ =>
+      case Some(other) =>
+        // a typo'd pin must fail loudly, not silently bench/test the
+        // auto-chosen plan (ADVICE r16)
+        throw new IllegalArgumentException(
+          s"graft.ppjoin.route must be brute|prefix, got '$other'")
+      case None =>
         if (ppjoinBruteVolume(spark, idx) < PpjoinBruteMaxPairs) "brute"
         else "prefix"
     }

@@ -194,7 +194,12 @@ object Fts {
     spark.conf.getOption("graft.fts.route") match {
       case Some("scan") => false
       case Some("index") => true
-      case _ =>
+      case Some(other) =>
+        // a typo'd pin must fail loudly, not silently bench/test the
+        // auto-chosen plan (ADVICE r16)
+        throw new IllegalArgumentException(
+          s"graft.fts.route must be scan|index, got '$other'")
+      case None =>
         ScaleOps.tableBytes(dir, "documents") >= indexRouteMinBytes(spark)
     }
 

@@ -61,8 +61,12 @@ object ParquetStore {
   def appendIfAbsent(spark: SparkSession, dir: String, rows: DataFrame,
       keyCols: Seq[String]): Long = {
     if (!Files.exists(Paths.get(dir))) {
-      rows.write.parquet(dir)
-      rows.count()
+      // atomic create: a direct write.parquet(dir) makes the directory
+      // visible before the job finishes, so a killed run would leave a
+      // partial store that every later exists-check happily serves
+      // (r16 ADVICE) — route the create through the tmp+rename swap
+      overwriteAtomic(rows, dir)
+      spark.read.parquet(dir).count()
     } else {
       val current = spark.read.parquet(dir)
       val fresh = rows.join(current.select(keyCols.map(

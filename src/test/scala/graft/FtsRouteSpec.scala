@@ -19,26 +19,37 @@ class FtsRouteSpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("switch point: sub-threshold corpus scans; larger corpus probes") {
-    // fresh conf state for the routing predicate
+    // fresh conf state for the routing predicate; try/finally so an
+    // assertion failure can't leak the confs into the shared session
+    // and cascade into other routing-sensitive suites (r16 ADVICE)
     spark.conf.unset("graft.fts.indexRouteMinBytes")
     spark.conf.unset("graft.fts.route")
-    val bytes = ScaleOps.tableBytes(Sf0001, "documents")
-    assert(bytes > 0)
-    // (a) below the default 4 MiB threshold → scan route, regardless
-    // of whether the index happens to exist (pure-size policy)
-    assert(!Fts.routeToIndex(spark, Sf0001))
-    Fts.ensureIndex(spark, Sf0001)
-    assert(!Fts.routeToIndex(spark, Sf0001))
-    // (b) threshold at/below corpus size → index route
-    spark.conf.set("graft.fts.indexRouteMinBytes", bytes.toString)
-    assert(Fts.routeToIndex(spark, Sf0001))
-    spark.conf.unset("graft.fts.indexRouteMinBytes")
-    // (c) explicit route conf overrides the size policy both ways
-    spark.conf.set("graft.fts.route", "index")
-    assert(Fts.routeToIndex(spark, Sf0001))
-    spark.conf.set("graft.fts.route", "scan")
-    assert(!Fts.routeToIndex(spark, Sf0001))
-    spark.conf.unset("graft.fts.route")
+    try {
+      val bytes = ScaleOps.tableBytes(Sf0001, "documents")
+      assert(bytes > 0)
+      // (a) below the default 4 MiB threshold → scan route, regardless
+      // of whether the index happens to exist (pure-size policy)
+      assert(!Fts.routeToIndex(spark, Sf0001))
+      Fts.ensureIndex(spark, Sf0001)
+      assert(!Fts.routeToIndex(spark, Sf0001))
+      // (b) threshold at/below corpus size → index route
+      spark.conf.set("graft.fts.indexRouteMinBytes", bytes.toString)
+      assert(Fts.routeToIndex(spark, Sf0001))
+      spark.conf.unset("graft.fts.indexRouteMinBytes")
+      // (c) explicit route conf overrides the size policy both ways
+      spark.conf.set("graft.fts.route", "index")
+      assert(Fts.routeToIndex(spark, Sf0001))
+      spark.conf.set("graft.fts.route", "scan")
+      assert(!Fts.routeToIndex(spark, Sf0001))
+      // (d) a typo'd pin fails loudly instead of silently going auto
+      spark.conf.set("graft.fts.route", "bruteforce")
+      intercept[IllegalArgumentException] {
+        Fts.routeToIndex(spark, Sf0001)
+      }
+    } finally {
+      spark.conf.unset("graft.fts.indexRouteMinBytes")
+      spark.conf.unset("graft.fts.route")
+    }
   }
 
   test("fts_topk: index probe is bit-identical to the scan route") {

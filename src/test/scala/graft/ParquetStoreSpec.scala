@@ -49,6 +49,38 @@ class ParquetStoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("s4 scratch GC: a new corpus generation leaves exactly one live root") {
+    // r16 verdict #6: fixture regenerations must not accumulate dead
+    // graft_s4_* stores — creating a generation vacuums every other
+    // fingerprint's root
+    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    def s4Roots(): List[String] = {
+      val s = Files.list(tmpRoot)
+      try {
+        val it = s.iterator()
+        var out = List.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("graft_s4_")) out ::= n
+        }
+        out
+      } finally s.close()
+    }
+    // clear all s4 roots so the next call takes the CREATE path, then
+    // plant a stale generation that the create must reap
+    s4Roots().foreach(n => ParquetStore.deleteRecursively(tmpRoot.resolve(n)))
+    val stale = tmpRoot.resolve("graft_s4_stalegen")
+    Files.createDirectories(stale.resolve("col_a"))
+    val digest = graft.operators.Collections.appendStateDigest(spark, Sf0001)
+    assert(digest.count() > 0)
+    val roots = s4Roots()
+    assert(!roots.contains("graft_s4_stalegen"), s"stale root survived: $roots")
+    assert(roots.size == 1, s"expected exactly one live root, got $roots")
+    // idempotent re-run on the SAME generation: no re-seed, same state
+    assert(graft.operators.Collections.appendStateDigest(spark, Sf0001)
+      .count() == digest.count())
+  }
+
   test("cascade delete: coordinated rewrite of collections + documents") {
     val colls = freshDir()
     val docs = freshDir()
