@@ -19,5 +19,6 @@ object NativeFunctions {
     BqPack.register(spark)
     BqAsymScore.register(spark)
     QuantizeI8.register(spark)
+    KMeansAssign.register(spark)
   }
 }

@@ -149,18 +149,16 @@ object Clustering {
     def assignFor(qarr: DataFrame,
         cm: Array[Array[Long]]): DataFrame = {
       val centLit = typedLit(cm.map(_.toSeq).toSeq)
-      // dists[c] = Σ_j (qa[j] − cent[c][j])²  — scan-local
-      val dists = transform(sequence(lit(0), lit(k - 1)),
-        c => aggregate(
-          zip_with(col("qa"), element_at(centLit, c + 1),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x))
-      // argmin via the same exact composite key: min(dist·k + cluster)
-      val key = aggregate(
-        zip_with(dists, sequence(lit(0L), lit((k - 1).toLong)),
-          (dd, cc) => dd * k + cc),
-        lit(Long.MaxValue), (m, v) => least(m, v))
-      qarr.select(col("vec_id"), (key % k).as("cluster"), col("qa"))
+      // scan-local distances + composite-key argmin fused in the native
+      // kmeans_assign kernel (graft.functions.KMeansAssign) — the former
+      // transform∘aggregate∘zip_with columns evaluated ~k·dim
+      // interpreted closures per row and dominated the bench entry
+      // (r16 verdict #4); the kernel replicates the exact integer math
+      // and the dist·k+c tie-break, so assignments are bit-identical
+      qarr.select(col("vec_id"),
+        call_function("kmeans_assign", col("qa"), centLit)
+          .getField("cluster").as("cluster"),
+        col("qa"))
     }
 
     // (vec_id, qa): quantized embedding as one array column
@@ -402,18 +400,15 @@ object Clustering {
     // (broadcast joins shuffle nothing; shuffle joins reuse ivcArr's
     // coarse partitioning).
     def assignFor(cl: DataFrame): DataFrame = {
-      val dists = transform(col("cents"),
-        carr => aggregate(
-          zip_with(col("qa"), carr, (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x))
-      val key = aggregate(
-        zip_with(dists,
-          sequence(lit(0L), size(col("cents")).cast("long") - 1),
-          (dd, cc) => dd * k2 + cc),
-        lit(Long.MaxValue), (m, v) => least(m, v))
+      // native kmeans_assign kernel over the row's OWN cents array —
+      // the argmin index is the same whether the composite key
+      // multiplies by k2 or by size(cents) (both exceed every tie
+      // index), so this is the exact former dist·k2+sub assignment
+      // without the interpreted per-element closures
       ivcArr.join(packed(cl), Seq("coarse"))
         .select(col("vec_id"), col("coarse"), col("qa"),
-          (key % k2).as("sub"))
+          call_function("kmeans_assign", col("qa"), col("cents"))
+            .getField("cluster").as("sub"))
     }
     var assign: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -525,19 +520,15 @@ object Clustering {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
-    val dists = transform(sequence(lit(0), lit(k - 1)),
-      c => aggregate(
-        zip_with(col("qa"), element_at(centLit, c + 1),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (s, x) => s + x))
-    val key = aggregate(
-      zip_with(col("dists"),
-        sequence(lit(0L), lit((k - 1).toLong)),
-        (dd, cc) => dd * k + cc),
-      lit(Long.MaxValue), (m, v) => least(m, v))
+    // distances + argmin in ONE native kmeans_assign pass (the same
+    // kernel the fit uses — identical integer math and tie-break); the
+    // explode(array(...)) barrier materializes the struct once per row
     val withD = qarr
-      .select(col("vec_id"), explode(array(dists)).as("dists"))
-      .select(col("vec_id"), col("dists"), (key % k).as("cluster"))
+      .select(col("vec_id"),
+        explode(array(
+          call_function("kmeans_assign", col("qa"), centLit))).as("asg"))
+      .select(col("vec_id"), col("asg").getField("dists").as("dists"),
+        col("asg").getField("cluster").as("cluster"))
     val bExpr = array_min(zip_with(col("dists"),
       sequence(lit(0L), lit((k - 1).toLong)),
       (dd, cc) => when(cc === col("cluster"), lit(Long.MaxValue))
