@@ -25,6 +25,11 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.NativeFunctions.registerAll(spark)
+    // optional route pins for A/B plan timing (scan|index, brute|prefix)
+    sys.env.get("SPARK_GRAFT_FTS_ROUTE")
+      .foreach(spark.conf.set("graft.fts.route", _))
+    sys.env.get("SPARK_GRAFT_PPJOIN_ROUTE")
+      .foreach(spark.conf.set("graft.ppjoin.route", _))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, sfDir).count() }

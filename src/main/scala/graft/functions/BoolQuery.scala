@@ -88,6 +88,18 @@ object BoolQuery {
       case Not(e) => positiveTerms(e, !neg)
     }).distinct
 
+  /** Driver-side evaluation under a fixed presence assignment — the
+    * index-route probe asking "does a document containing NONE of the
+    * query's terms match?" (a pure-negation query matches the all-
+    * absent row, so the probe must start from the doc universe instead
+    * of the postings). Same connective semantics as [[predicate]]. */
+  def matches(n: Node, present: String => Boolean): Boolean = n match {
+    case Term(t) => present(t)
+    case And(l, r) => matches(l, present) && matches(r, present)
+    case Or(l, r) => matches(l, present) || matches(r, present)
+    case Not(e) => !matches(e, present)
+  }
+
   /** Spark predicate over per-term presence columns `present(t)`. */
   def predicate(n: Node,
       present: String => org.apache.spark.sql.Column)

@@ -125,6 +125,17 @@ object WebSearchQuery {
       case Not(e)    => positiveAtoms(e, !neg)
     }).distinct
 
+  /** Driver-side evaluation under a fixed per-atom hit assignment —
+    * the [[graft.functions.BoolQuery.matches]] twin for the index
+    * route's all-absent probe. */
+  def matches(n: Node, hit: Node => Boolean): Boolean = n match {
+    case t: Term   => hit(t)
+    case p: Phrase => hit(p)
+    case And(l, r) => matches(l, hit) && matches(r, hit)
+    case Or(l, r)  => matches(l, hit) || matches(r, hit)
+    case Not(e)    => !matches(e, hit)
+  }
+
   /** Spark predicate over per-atom match-count columns. */
   def predicate(n: Node,
       hits: Node => org.apache.spark.sql.Column)

@@ -397,6 +397,371 @@ object Fts {
       searchCoverDensityIndexed(spark, dir, query, lang, k)
     else searchCoverDensity(spark, dir, query, lang, k)
 
+  // --- r17: positional / boolean / facet / endpoint probes -------------
+  //
+  // The last per-query corpus-tokenize plan class (r16 verdict #1).
+  // phrase/near/dist matching needs only the per-(doc, term) SORTED
+  // position lists the index already stores (the data a GIN tsvector
+  // entry carries, /root/reference/src/db/models.py:61-63);
+  // boolean/websearch additionally handle NOT terms over postings (a
+  // doc absent from a term's posting list coalesces to tf 0, and a
+  // PURE-NEGATION query — one that matches the all-absent row — starts
+  // from the `_dl` doc universe instead); the endpoint's metadata
+  // coercion and the facet panel read the (doc_id, lang, source, wc)
+  // attrs sidecar. Every probe pivots the pruned postings into exactly
+  // the scan path's per-term columns, so both routes are bit-identical
+  // and ONE oracle gates both physical plans (FtsRouteSpec).
+
+  /** Shared probe pivot for POSITION lists: pruned postings → one row
+    * per doc with the query terms' sorted position arrays. Missing
+    * terms stay null — callers AND-require all terms non-null (the
+    * positional queries) or coalesce to empty (websearch phrases). */
+  private def pivotedPositions(postings: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val aggs = terms.indices.map(i =>
+      max(when(col("term") === lit(terms(i)), col("positions")))
+        .as(s"pos$i"))
+    postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build-once (doc_id, lang, source, wc) attrs sidecar — the
+    * non-analyzed row attributes probe-side consumers join back by
+    * doc_id: `wc` is the P4-extracted whitespace word count
+    * [[searchEndpoint]] string-coerces against, (lang, source) are the
+    * facet keys. At 100 TB this is the doc-values/attribute store every
+    * search engine keeps beside its inverted index (Lucene docvalues),
+    * bucketed by doc_id to co-partition with the `_dl` sidecar. */
+  def ensureDocAttrs(spark: SparkSession, dir: String): String = {
+    val name = s"graft_ftsat_${ScaleOps.contentHash(dir, "documents")}"
+    if (!spark.catalog.tableExists(name)) {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+      ScaleOps.writeBucketed(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(words).as("wc")),
+        name, "doc_id", 8)
+    }
+    name
+  }
+
+  /** [[phraseSearch]] as an index probe: an occurrence at analyzed
+    * position p is p ∈ positions(term₀) with p+j ∈ positions(termⱼ)
+    * for every later phrase slot — the scan path's k-gram window count
+    * over the SAME analyzed position space (the index's posexplode
+    * positions and the scan's window starts are both 0-based offsets
+    * into the analyzed token stream, and a full match can never run
+    * past the end because its last slot's position exists). */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+      phrase: String, lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(phrase)
+    require(terms.length >= 2, "phrase needs at least 2 analyzed terms")
+    val uniq = terms.distinct
+    val slot = terms.map(uniq.indexOf) // phrase slot j → pivot column
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(uniq.map(t => t: Any): _*))
+    val matches = filter(col(s"pos${slot.head}"),
+      p => terms.indices.tail
+        .map(j => array_contains(col(s"pos${slot(j)}"), p + j))
+        .reduce(_ && _))
+    pivotedPositions(postings, uniq)
+      .filter(uniq.indices.map(i => col(s"pos$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("doc_id"),
+        size(matches).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def phraseSearchAuto(spark: SparkSession, dir: String, phrase: String,
+      lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      phraseSearchIndexed(spark, dir, phrase, lang, k)
+    else phraseSearch(spark, dir, phrase, lang, k)
+
+  /** [[nearSearch]] as an index probe: the pair-gap set is computed
+    * from the two terms' pivoted position lists — |y − x| is invariant
+    * to the position base (the scan path counts 1-based, the index
+    * 0-based), and both lists are ascending (the index sorts at build;
+    * the scan's filter(sequence) emits in order), so even the gaps
+    * array's element ORDER matches the scan route element-for-element. */
+  def nearSearchIndexed(spark: SparkSession, dir: String, a: String,
+      b: String, w: Int, lang: String, k: Int): DataFrame = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    val uniq = Seq(ta, tb).distinct
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(uniq.map(t => t: Any): _*))
+    val posA = col(s"pos${uniq.indexOf(ta)}")
+    val posB = col(s"pos${uniq.indexOf(tb)}")
+    val gaps = flatten(transform(posA,
+      x => transform(posB, y => abs(y - x))))
+    pivotedPositions(postings, uniq)
+      .filter(uniq.indices.map(i => col(s"pos$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("doc_id"),
+        size(filter(gaps, d => d <= lit(w))).cast("long").as("n_pairs"),
+        array_min(gaps).as("min_gap"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("min_gap").asc, col("n_pairs").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def nearSearchAuto(spark: SparkSession, dir: String, a: String,
+      b: String, w: Int, lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      nearSearchIndexed(spark, dir, a, b, w, lang, k)
+    else nearSearch(spark, dir, a, b, w, lang, k)
+
+  /** [[phraseDistSearch]] (`a <N> b`) as an index probe: occurrences
+    * are positions p ∈ positions(a) with p+n ∈ positions(b). */
+  def phraseDistSearchIndexed(spark: SparkSession, dir: String,
+      a: String, b: String, n: Int, lang: String, k: Int): DataFrame = {
+    val Seq(ta, tb) = TextAnalyzer.analyze(s"$a $b").take(2)
+    val uniq = Seq(ta, tb).distinct
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(uniq.map(t => t: Any): _*))
+    val posA = col(s"pos${uniq.indexOf(ta)}")
+    val posB = col(s"pos${uniq.indexOf(tb)}")
+    val hits = filter(posA, p => array_contains(posB, p + lit(n)))
+    pivotedPositions(postings, uniq)
+      .filter(uniq.indices.map(i => col(s"pos$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("doc_id"),
+        size(hits).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def phraseDistSearchAuto(spark: SparkSession, dir: String, a: String,
+      b: String, n: Int, lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      phraseDistSearchIndexed(spark, dir, a, b, n, lang, k)
+    else phraseDistSearch(spark, dir, a, b, n, lang, k)
+
+  /** [[booleanSearch]] as an index probe. NOT terms need no special
+    * plan: a doc absent from a term's posting list pivots to null and
+    * coalesces to tf 0, exactly the scan path's zero count. The one
+    * case postings alone cannot serve is a PURE-NEGATION query — one
+    * whose predicate is true with every term absent (e.g. `!sort`):
+    * its matches include docs with NO query-term postings at all, so
+    * the probe starts from the `_dl` doc universe (which counts even
+    * zero-token docs) and left-joins the pivot. The driver-side
+    * all-absent evaluation picks the branch per QUERY, not per row. */
+  def booleanSearchIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame = {
+    import graft.functions.BoolQuery
+    val ast = BoolQuery.parse(query)
+    val terms = BoolQuery.terms(ast)
+    val pos = BoolQuery.positiveTerms(ast)
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    val tfAggs = terms.map(t =>
+      coalesce(max(when(col("term") === lit(t), col("tf"))), lit(0L))
+        .as(s"tf_$t"))
+    var piv = postings.groupBy(col("doc_id"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    if (BoolQuery.matches(ast, _ => false)) {
+      val universe = spark.table(s"${ensureBm25Stats(spark, dir)}_dl")
+        .filter(col("lang") === lit(lang)).select("doc_id")
+      piv = universe.join(piv, Seq("doc_id"), "left")
+        .select(col("doc_id") +: terms.map(t =>
+          coalesce(col(s"tf_$t"), lit(0L)).as(s"tf_$t")): _*)
+    }
+    val pred = BoolQuery.predicate(ast, t => col(s"tf_$t") > 0)
+    val rank =
+      if (pos.isEmpty) lit(0L)
+      else pos.map(t => col(s"tf_$t").cast("long")).reduce(_ + _)
+    piv.filter(pred)
+      .select(col("doc_id"), rank.as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def booleanSearchAuto(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      booleanSearchIndexed(spark, dir, query, lang, k)
+    else booleanSearch(spark, dir, query, lang, k)
+
+  /** [[websearchSearch]] as an index probe: term atoms count via the
+    * tf pivot, phrase atoms via the position pivot (the
+    * [[phraseSearchIndexed]] rule with missing constituents coalesced
+    * to empty lists → count 0, the scan path's shape), and the
+    * pure-negation universe branch mirrors [[booleanSearchIndexed]]. */
+  def websearchSearchIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame = {
+    import graft.functions.WebSearchQuery
+    import graft.functions.WebSearchQuery.{Term => WTerm, Phrase => WPhrase}
+    val ast = WebSearchQuery.parse(query)
+    val atoms = WebSearchQuery.atoms(ast)
+    val posAtoms = WebSearchQuery.positiveAtoms(ast)
+    val name = atoms.zipWithIndex.map { case (a, i) => a -> s"m$i" }.toMap
+    val fetch = atoms.flatMap {
+      case WTerm(t) => Seq(t)
+      case WPhrase(ts) => ts
+      case other => throw new IllegalStateException(s"non-leaf $other")
+    }.distinct
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(fetch.map(t => t: Any): _*))
+    // one pivot carrying BOTH tf and positions per fetched term
+    val aggs = fetch.indices.flatMap(i => Seq(
+      coalesce(max(when(col("term") === lit(fetch(i)), col("tf"))),
+        lit(0L)).as(s"tf$i"),
+      coalesce(max(when(col("term") === lit(fetch(i)), col("positions"))),
+        array().cast("array<int>")).as(s"pos$i")))
+    val piv = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    def posOf(t: String) = col(s"pos${fetch.indexOf(t)}")
+    def phraseCount(ts: Seq[String]): Column =
+      if (ts.length == 1) size(posOf(ts.head))
+      else size(filter(posOf(ts.head),
+        p => ts.indices.tail
+          .map(j => array_contains(posOf(ts(j)), p + j))
+          .reduce(_ && _)))
+    val mCols = atoms.map {
+      case a @ WTerm(t) => col(s"tf${fetch.indexOf(t)}").as(name(a))
+      case a @ WPhrase(ts) => phraseCount(ts).as(name(a))
+      case other => throw new IllegalStateException(s"non-leaf $other")
+    }
+    var matched = piv.select(col("doc_id") +: mCols: _*)
+    if (WebSearchQuery.matches(ast, _ => false)) {
+      val universe = spark.table(s"${ensureBm25Stats(spark, dir)}_dl")
+        .filter(col("lang") === lit(lang)).select("doc_id")
+      matched = universe.join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id") +: atoms.map(a =>
+          coalesce(col(name(a)), lit(0L)).as(name(a))): _*)
+    }
+    val pred = WebSearchQuery.predicate(ast, a => col(name(a)))
+    val rank =
+      if (posAtoms.isEmpty) lit(0L)
+      else posAtoms.map(a => col(name(a)).cast("long")).reduce(_ + _)
+    matched.filter(pred)
+      .select(col("doc_id"), rank.as("matched_tf"))
+      .orderBy(col("matched_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def websearchSearchAuto(spark: SparkSession, dir: String,
+      query: String, lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      websearchSearchIndexed(spark, dir, query, lang, k)
+    else websearchSearch(spark, dir, query, lang, k)
+
+  /** [[searchEndpoint]] as an index probe: the tf pivot carries the
+    * match + score, the attrs sidecar carries the string-coerced
+    * word-count metadata filter (an inner join — predicate order
+    * against the scan route is immaterial because both are pure
+    * filters on the same doc set), min_score compares on the same
+    * ROUNDED score. */
+  def searchEndpointIndexed(spark: SparkSession, dir: String,
+      query: String, lang: String, metaWordCount: String,
+      minScore: Double, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("term").isin(terms.map(t => t: Any): _*))
+    val attrs = spark.table(ensureDocAttrs(spark, dir))
+      .filter(col("lang") === lit(lang) &&
+        col("wc").cast("string") === lit(metaWordCount))
+      .select("doc_id")
+    val s = terms.indices
+      .map(i => log(lit(1.0) + col(s"tf$i")))
+      .reduce(_ + _)
+    pivotedTfs(postings, terms)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull)
+        .reduce(_ && _))
+      .join(attrs, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(s / (lit(1.0) + s), 6).as("score"))
+      .filter(col("score") >= lit(minScore))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def searchEndpointAuto(spark: SparkSession, dir: String,
+      query: String, lang: String, metaWordCount: String,
+      minScore: Double, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchEndpointIndexed(spark, dir, query, lang, metaWordCount,
+        minScore, k)
+    else searchEndpoint(spark, dir, query, lang, metaWordCount,
+      minScore, k)
+
+  /** [[facetedSearch]] as an index probe: the AND-matched doc set from
+    * the pruned (all-language) postings pivot, facet keys joined in
+    * from the attrs sidecar, one partial-aggregated groupBy — the
+    * facet panel's cost is the posting lists plus a |matches|-row
+    * join, never a corpus tokenize. */
+  def facetedSearchIndexed(spark: SparkSession, dir: String,
+      query: String): DataFrame = {
+    val terms = TextAnalyzer.analyze(query).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureIndex(spark, dir))
+      .filter(col("term").isin(terms.map(t => t: Any): _*))
+    val attrs = spark.table(ensureDocAttrs(spark, dir))
+      .select("doc_id", "lang", "source")
+    pivotedTfs(postings, terms)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull)
+        .reduce(_ && _))
+      .join(attrs, Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(terms.indices.map(i => col(s"tf$i")).reduce(_ + _))
+          .cast("long").as("matched_tf"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  def facetedSearchAuto(spark: SparkSession, dir: String,
+      query: String): DataFrame =
+    if (routeToIndex(spark, dir)) facetedSearchIndexed(spark, dir, query)
+    else facetedSearch(spark, dir, query)
+
+  /** Build-once per-(corpus, LANGUAGE) index under that language's
+    * analyzer policy — what PG's trigger maintains when the deployment
+    * parameter picks a non-English config (settings.py:21): the `fr`
+    * index stores stop-filtered French tokens, a no-stopword language
+    * stores bare tokens. Keyed by (lang, corpus fingerprint); probed
+    * by [[searchLangIndexed]]. */
+  def ensureLangIndex(spark: SparkSession, dir: String,
+      lang: String): String = {
+    val name =
+      s"graft_ftsl_${lang}_${ScaleOps.contentHash(dir, "documents")}"
+    if (!spark.catalog.tableExists(name)) {
+      ScaleOps.writeBucketed(
+        Tables.documents(spark, dir)
+          .filter(col("lang") === lit(lang))
+          .select(col("doc_id"),
+            explode(TextAnalyzer.tokensFor(col("text"), lang)).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf")),
+        name, "term", 32)
+    }
+    name
+  }
+
+  /** [[searchLang]] as a probe of the per-language index —
+    * bit-identical by the shared pivot + score tail. */
+  def searchLangIndexed(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val terms = TextAnalyzer.analyzeFor(query, lang).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val postings = spark.table(ensureLangIndex(spark, dir, lang))
+      .filter(col("term").isin(terms.map(t => t: Any): _*))
+    scoredTopK(pivotedTfs(postings, terms), terms.length, k)
+  }
+
+  def searchLangAuto(spark: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame =
+    if (routeToIndex(spark, dir))
+      searchLangIndexed(spark, dir, query, lang, k)
+    else searchLang(spark, dir, query, lang, k)
+
   /** [[bm25Scored]] as an index probe, bit-identical by construction:
     * postings pruned to the query terms' buckets pivot to the scan
     * path's tf columns; dl rides in from the bucketed `_dl` sidecar;

@@ -117,6 +117,88 @@ class FtsRouteSpec extends SparkSpec {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
   }
 
+  test("positional/boolean/websearch probes are bit-identical to scans") {
+    def all(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq
+    val pScan = all(Fts.phraseSearch(spark, Sf0001, "hash join", "en", 10))
+    val pProbe = all(
+      Fts.phraseSearchIndexed(spark, Sf0001, "hash join", "en", 10))
+    assert(pProbe == pScan && pScan.nonEmpty)
+    val nScan = all(
+      Fts.nearSearch(spark, Sf0001, "hash", "merge", 8, "en", 10))
+    val nProbe = all(
+      Fts.nearSearchIndexed(spark, Sf0001, "hash", "merge", 8, "en", 10))
+    assert(nProbe == nScan && nScan.nonEmpty)
+    val dScan = all(
+      Fts.phraseDistSearch(spark, Sf0001, "hash", "merge", 2, "en", 10))
+    val dProbe = all(
+      Fts.phraseDistSearchIndexed(spark, Sf0001, "hash", "merge", 2,
+        "en", 10))
+    assert(dProbe == dScan)
+    val bScan = all(Fts.booleanSearch(spark, Sf0001,
+      "(hash | merge) & !sort", "en", 10))
+    val bProbe = all(Fts.booleanSearchIndexed(spark, Sf0001,
+      "(hash | merge) & !sort", "en", 10))
+    assert(bProbe == bScan && bScan.nonEmpty)
+    val wScan = all(Fts.websearchSearch(spark, Sf0001,
+      "\"hash join\" OR merge -sort", "en", 10))
+    val wProbe = all(Fts.websearchSearchIndexed(spark, Sf0001,
+      "\"hash join\" OR merge -sort", "en", 10))
+    assert(wProbe == wScan && wScan.nonEmpty)
+  }
+
+  test("pure-negation queries take the doc-universe branch identically") {
+    def all(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq
+    // matches(all-absent) is true for these → probe must start from the
+    // `_dl` universe, and still equal the scan route row-for-row
+    val bScan = all(Fts.booleanSearch(spark, Sf0001, "!hash", "en", 10))
+    val bProbe = all(
+      Fts.booleanSearchIndexed(spark, Sf0001, "!hash", "en", 10))
+    assert(bProbe == bScan && bScan.nonEmpty)
+    val wScan = all(
+      Fts.websearchSearch(spark, Sf0001, "-hash", "en", 10))
+    val wProbe = all(
+      Fts.websearchSearchIndexed(spark, Sf0001, "-hash", "en", 10))
+    assert(wProbe == wScan && wScan.nonEmpty)
+  }
+
+  test("endpoint/facet/lang probes are bit-identical to scans") {
+    def all(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq
+    val eScan = all(Fts.searchEndpoint(spark, Sf0001,
+      "hash join merge", "en", "80", 0.0, 10))
+    val eProbe = all(Fts.searchEndpointIndexed(spark, Sf0001,
+      "hash join merge", "en", "80", 0.0, 10))
+    assert(eProbe == eScan)
+    val fScan = all(Fts.facetedSearch(spark, Sf0001, "hash join"))
+    val fProbe = all(Fts.facetedSearchIndexed(spark, Sf0001, "hash join"))
+    assert(fProbe == fScan && fScan.nonEmpty)
+    val lScan = all(Fts.searchLang(spark, Sf0001,
+      "le merge et la table", "fr", 10))
+    val lProbe = all(Fts.searchLangIndexed(spark, Sf0001,
+      "le merge et la table", "fr", 10))
+    assert(lProbe == lScan && lScan.nonEmpty)
+    graft.operators.CacheScope.release(spark)
+  }
+
+  test("positional probe plans prune to the query terms' buckets") {
+    // the positional family must inherit the IN-list static bucket
+    // pruning — cost bounded by the terms' posting lists, not the index
+    for (probe <- Seq(
+        Fts.phraseSearchIndexed(spark, Sf0001, "hash join", "en", 10),
+        Fts.nearSearchIndexed(spark, Sf0001, "hash", "merge", 8, "en", 10),
+        Fts.booleanSearchIndexed(spark, Sf0001,
+          "(hash | merge) & !sort", "en", 10))) {
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+      assert(!plan.contains("documents.parquet"))
+    }
+  }
+
   test("routed entry points dispatch by the predicate") {
     // force the probe route: searchAuto's plan must read the catalog
     // table, not documents
