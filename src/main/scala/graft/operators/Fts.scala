@@ -203,17 +203,85 @@ object Fts {
         ScaleOps.tableBytes(dir, "documents") >= indexRouteMinBytes(spark)
     }
 
+  /** minDf/maxDf at or below this share routes the AND probe to the
+    * rarest-first join chain (session-overridable). Below it the query
+    * mixes a rare term with a frequent one, so the IN-list pivot would
+    * shuffle a posting volume dominated by the frequent term while the
+    * chain bounds every intermediate frame by the rare df; above it the
+    * lists are comparably sized and the single-aggregate pivot's fewer
+    * stages win. */
+  def rarestMaxDfShare(spark: SparkSession): Double =
+    spark.conf.getOption("graft.fts.rarestMaxDfShare")
+      .map(_.toDouble).getOrElse(0.125)
+
+  /** Driver memo of per-term document frequencies keyed by
+    * (lang, terms), the index generation checked on lookup (the
+    * probeMemo replace-on-mismatch discipline). The probe when it runs
+    * is |terms| rows out of the terms' pruned buckets — the
+    * `gincostestimate` statistics read PG performs before picking its
+    * GIN plan, and the same bounded-collect class as the ppjoin volume
+    * scalar. */
+  private val dfProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String]), (String, Map[String, Long])]
+
+  def termDfs(spark: SparkSession, idxName: String,
+      terms: Seq[String], lang: String): Map[String, Long] =
+    dfProbeMemo.compute((lang, terms.sorted), (_, prev) => {
+      if (prev != null && prev._1 == idxName) prev
+      else {
+        val dfs = spark.table(idxName)
+          .filter(col("lang") === lit(lang) &&
+            col("term").isin(terms.map(t => t: Any): _*))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (idxName, dfs)
+      }
+    })._2
+
   /** `search` as an index probe: the term IN-list statically prunes to
     * the query terms' buckets of the persisted index (cost = the terms'
     * posting lists, not the corpus), one doc-keyed partial-aggregated
     * pivot turns postings into the scan path's tf columns, and the same
     * fixed-order score expression + TakeOrderedAndProject finish. This
-    * is the GIN-probe plan shape of the reference at any corpus size. */
+    * is the GIN-probe plan shape of the reference at any corpus size.
+    *
+    * ADAPTIVE AND-intersection (r16 verdict #3): the pivot reads the
+    * FULL posting list of every query term — with one frequent term at
+    * 100 TB that list is the corpus. When the memoized df probe shows
+    * the rare/frequent skew past [[rarestMaxDfShare]], the probe
+    * routes to the rarest-first join chain instead, whose intermediate
+    * frames are bounded by the rarest df (the frequent list is only
+    * ever the streamed probe side of a candidate-bounded join). Both
+    * formulations produce bit-identical frames — the chain collects tf
+    * columns join-order-free and replays the same fixed-order score
+    * tree (see [[searchRarestFirst]]) — so the route is free to flip
+    * with corpus statistics under ONE oracle (FtsRouteSpec).
+    * `graft.fts.andRoute` = pivot|chain pins it for plan tests. */
   def searchIndexed(spark: SparkSession, dir: String, query: String,
       lang: String, k: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
-    val postings = spark.table(ensureIndex(spark, dir))
+    val idxName = ensureIndex(spark, dir)
+    val route = spark.conf.getOption("graft.fts.andRoute") match {
+      case Some(r @ ("pivot" | "chain")) => r
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"graft.fts.andRoute must be pivot|chain, got '$other'")
+      case None =>
+        val dfs = termDfs(spark, idxName, terms, lang)
+        // absent term → AND-match provably empty; the pivot's AND
+        // filter expresses that without any join
+        if (terms.length < 2 || terms.exists(t => !dfs.contains(t)))
+          "pivot"
+        else {
+          val ds = terms.map(dfs)
+          if (ds.min <= rarestMaxDfShare(spark) * ds.max) "chain"
+          else "pivot"
+        }
+    }
+    if (route == "chain")
+      return rarestFirstChain(spark, idxName, terms, lang, k)
+    val postings = spark.table(idxName)
       .filter(col("lang") === lit(lang) &&
         col("term").isin(terms.map(t => t: Any): _*))
     // pivot to per-term tf columns: score doubles are then summed in
@@ -2545,12 +2613,17 @@ object Fts {
       lang: String, k: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
-    val idx = spark.table(ensureIndex(spark, dir))
-      .filter(col("lang") === lit(lang))
-    // driver-side df probe: |terms| rows out of the terms' buckets
-    val dfs = idx.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rarestFirstChain(spark, ensureIndex(spark, dir), terms, lang, k)
+  }
+
+  /** The chain itself, shared by [[searchRarestFirst]] (always-chain,
+    * the registered rewrite) and [[searchIndexed]]'s adaptive route.
+    * The df probe rides the [[termDfs]] memo, so steady-state repeats
+    * of a query skip the statistics job entirely. */
+  private def rarestFirstChain(spark: SparkSession, idxName: String,
+      terms: Seq[String], lang: String, k: Int): DataFrame = {
+    val idx = spark.table(idxName).filter(col("lang") === lit(lang))
+    val dfs = termDfs(spark, idxName, terms, lang)
     // an absent term makes the AND-match provably empty — skip the
     // joins entirely (the posting engine's same short-circuit)
     if (terms.exists(t => !dfs.contains(t)))

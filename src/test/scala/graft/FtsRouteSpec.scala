@@ -199,6 +199,43 @@ class FtsRouteSpec extends SparkSpec {
     }
   }
 
+  test("adaptive AND-intersection: chain and pivot are bit-identical") {
+    try {
+      spark.conf.set("graft.fts.andRoute", "pivot")
+      val pivot = rows(Fts.searchIndexed(spark, Sf0001, query, "en", 10))
+      val pivotPlan = Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+        .queryExecution.executedPlan.toString
+      spark.conf.set("graft.fts.andRoute", "chain")
+      val chain = rows(Fts.searchIndexed(spark, Sf0001, query, "en", 10))
+      val chainPlan = Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+        .queryExecution.executedPlan.toString
+      assert(chain == pivot && pivot.nonEmpty)
+      // plan shapes really differ: the chain joins posting lists, the
+      // pivot is a single doc-keyed aggregate
+      assert(chainPlan.contains("Join"), chainPlan)
+      assert(!pivotPlan.contains("Join"), pivotPlan)
+      // a typo'd pin fails loudly (the route-conf contract)
+      spark.conf.set("graft.fts.andRoute", "rarest")
+      intercept[IllegalArgumentException] {
+        Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+      }
+    } finally spark.conf.unset("graft.fts.andRoute")
+  }
+
+  test("adaptive AND route switches on the df-share threshold") {
+    try {
+      // share 1.0: minDf <= maxDf always holds → every multi-term query
+      // takes the chain
+      spark.conf.set("graft.fts.rarestMaxDfShare", "1.0")
+      assert(Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+        .queryExecution.executedPlan.toString.contains("Join"))
+      // share 0.0: minDf <= 0 never holds → pivot
+      spark.conf.set("graft.fts.rarestMaxDfShare", "0.0")
+      assert(!Fts.searchIndexed(spark, Sf0001, query, "en", 10)
+        .queryExecution.executedPlan.toString.contains("Join"))
+    } finally spark.conf.unset("graft.fts.rarestMaxDfShare")
+  }
+
   test("routed entry points dispatch by the predicate") {
     // force the probe route: searchAuto's plan must read the catalog
     // table, not documents
