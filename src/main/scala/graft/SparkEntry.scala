@@ -97,7 +97,7 @@ object SparkEntry {
     "fts_prefix" -> ((s, d) => Fts.prefixSearch(s, d, "ha", 10)),
     // LIKE-pattern family completed: suffix via the reversed-term
     // index, infix via the vocab scan + postings probe
-    "fts_suffix" -> ((s, d) => Fts.suffixSearch(s, d, "ing", 10)),
+    "fts_suffix" -> ((s, d) => Fts.suffixSearch(s, d, "er", 10)),
     "fts_infix" -> ((s, d) => Fts.infixSearch(s, d, "as", 10)),
     // suggest-as-you-type: top df-ranked vocabulary completions
     "fts_complete" -> ((s, d) => Fts.completeTerms(s, d, "s", 10)),
@@ -109,6 +109,20 @@ object SparkEntry {
     // hash gate holds vacuum ≡ anti-join every round
     "fts_vacuum_termstats" -> ((s, d) =>
       Fts.termStatsVacuumed(s, d, 7L)),
+    // r17: the vacuum discipline extended to EVERY persisted index
+    // family (stemmed, reverse, lang-routed, bm25 sidecars, attrs) —
+    // each observable reads only its vacuumed generation; each oracle
+    // recomputes from the surviving corpus
+    "fts_vacuum_stemstats" -> ((s, d) =>
+      Fts.stemmedTermStatsVacuumed(s, d, 7L)),
+    "fts_vacuum_suffix" -> ((s, d) =>
+      Fts.suffixSearchVacuumed(s, d, "er", 7L, 10)),
+    "fts_vacuum_langstats" -> ((s, d) =>
+      Fts.langRoutedStatsVacuumed(s, d, 7L)),
+    "fts_vacuum_bm25stats" -> ((s, d) =>
+      Fts.bm25StatsVacuumed(s, d, 7L)),
+    "fts_vacuum_facets" -> ((s, d) =>
+      Fts.facetedSearchVacuumed(s, d, "hash join", 7L)),
     // posting-length decade histogram (index health introspection)
     "fts_df_histogram" -> ((s, d) => Fts.dfHistogram(s, d)),
     // facet panel: (lang, source) doc counts over the AND-match set
@@ -744,12 +758,18 @@ object SparkEntry {
       Fts.searchPerCollectionOracleSql("hash join", 5),
     // same semantics as fts_topk — the rewrite only changes join order
     "fts_rarest_first" -> Fts.searchOracleSql("hash join merge", "en", 10),
-    "fts_suffix" -> Fts.suffixSearchOracleSql("ing", 10),
+    "fts_suffix" -> Fts.suffixSearchOracleSql("er", 10),
     "fts_infix" -> Fts.infixSearchOracleSql("as", 10),
     "fts_complete" -> Fts.completeTermsOracleSql("s", 10),
     "fts_delete_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
     // vacuum ≡ merge-on-read: the SAME oracle SQL as the delete form
     "fts_vacuum_termstats" -> Fts.termStatsAfterDeleteOracleSql(7L),
+    "fts_vacuum_stemstats" -> Fts.stemmedTermStatsVacuumedOracleSql(7L),
+    "fts_vacuum_suffix" -> Fts.suffixSearchVacuumedOracleSql("er", 7L, 10),
+    "fts_vacuum_langstats" -> Fts.langRoutedStatsVacuumedOracleSql(7L),
+    "fts_vacuum_bm25stats" -> Fts.bm25StatsVacuumedOracleSql(7L),
+    "fts_vacuum_facets" ->
+      Fts.facetedSearchVacuumedOracleSql("hash join", 7L),
     "fts_df_histogram" -> Fts.dfHistogramOracleSql,
     "emb_pca_power" -> PcaPower.topComponentOracleSql,
     "emb_label_margin" -> Similarity.labelCentroidMarginsOracleSql,
