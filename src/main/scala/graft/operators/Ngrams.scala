@@ -178,12 +178,19 @@ object Ngrams {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Long = 5L, k: Int = 50): DataFrame = {
-    val toks = CacheScope.cached(docToks(Tables.documentsDense(spark, dir)))
-    val cbAll = CacheScope.cached(bigramsOf(toks).groupBy("bigram")
-      .agg(count(lit(1)).as("n")))
+    // the full-corpus bigram/unigram count tables are pure functions
+    // of the corpus — persisted once per generation (the bigramNll
+    // model-table discipline, r16): later invocations are vocab-grain
+    // probes, never a corpus re-tokenize
+    val cbAll = EvalCache.ensure(spark, dir, "documents",
+      "pmicb", "bigram")(
+      bigramsOf(docToks(Tables.documentsDense(spark, dir)))
+        .groupBy("bigram").agg(count(lit(1)).as("n")))
     val cb = cbAll.filter(col("n") >= minCount)
-    val cu = CacheScope.cached(unigramsOf(toks).groupBy("w")
-      .agg(count(lit(1)).as("cu")))
+    val cu = EvalCache.ensure(spark, dir, "documents",
+      "pmicu", "w")(
+      unigramsOf(docToks(Tables.documentsDense(spark, dir)))
+        .groupBy("w").agg(count(lit(1)).as("cu")))
     // corpus totals derived from the cached vocab-grain counts (same
     // values as counting the raw streams, two whole passes cheaper)
     val nb = cbAll.agg(sum(col("n")).as("nb"))

@@ -1361,25 +1361,32 @@ object Relational {
     val fOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === lit("F"))
       .select("o_orderkey")
-    // cached: the joined pair frame feeds both the all-suppliers and
-    // the flagged-suppliers distincts (r16 job-floor fix — uncached,
-    // the lineitem⋈orders subtree evaluated twice)
-    val pairs = CacheScope.cached(Tables.lineitem(spark, dir)
+    // ONE per-order aggregate replaces the distinct + semi/anti
+    // self-join pair (r17): a flagged (order, supplier) survives the
+    // SEMI iff its order has ≥2 distinct suppliers (the pair's own
+    // supplier is always in the all-set, so "∃ another" ⟺ count ≥ 2)
+    // and survives the ANTI iff the order has exactly ONE distinct
+    // flagged supplier — which is then max(when(flagged, suppkey)).
+    // The whole sole-blame set falls out of a single l_orderkey-keyed
+    // aggregation: one exchange of the filtered fact table instead of
+    // a distinct plus two order-keyed self-joins (set-identical
+    // output; the oracle's EXISTS/NOT-EXISTS form is unchanged).
+    // pair grain first (one map-side-combined shuffle of the filtered
+    // fact table, no multi-distinct Expand doubling the exchange), then
+    // the per-order tally over the already-tiny distinct-pair frame
+    val perPair = Tables.lineitem(spark, dir)
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
-      .select("l_orderkey", "l_suppkey", "l_returnflag"))
-    val all = pairs.select("l_orderkey", "l_suppkey").distinct()
-    val flagged = pairs.filter(col("l_returnflag") === lit("R"))
-      .select("l_orderkey", "l_suppkey").distinct()
-    val others = all.select(col("l_orderkey").as("x_orderkey"),
-      col("l_suppkey").as("x_suppkey"))
-    val flaggedOthers = flagged.select(col("l_orderkey").as("y_orderkey"),
-      col("l_suppkey").as("y_suppkey"))
-    val sole = flagged
-      .join(others, col("l_orderkey") === col("x_orderkey") &&
-        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-      .join(flaggedOthers, col("l_orderkey") === col("y_orderkey") &&
-        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
-    sole.groupBy("l_suppkey")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_returnflag") === lit("R")).as("flg"))
+    val perOrder = perPair
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        sum(col("flg").cast("int")).as("n_flagged"),
+        max(when(col("flg"), col("l_suppkey"))).as("l_suppkey"))
+    perOrder
+      .filter(col("n_all") >= 2 && col("n_flagged") === 1)
+      .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir)
         .select("s_suppkey", "s_name", "s_nationkey")),

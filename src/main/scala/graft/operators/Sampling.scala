@@ -46,33 +46,43 @@ object Sampling {
     */
   def dsirWeights(spark: SparkSession, dir: String, targetSource: String,
       k: Int): DataFrame = {
-    import graft.functions.TextAnalyzer
-    // cached: the token stream feeds the corpus LM, the target LM, and
-    // the scoring join — uncached, the corpus tokenized three times
-    // per invocation (r16 job-floor fix; at warehouse scale the LM
-    // side would be a persisted vocab table instead)
-    val toks = CacheScope.cached(Tables.documentsDense(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(TextAnalyzer.tokens(col("text"))).as("term")))
-    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("n_c"))
-    val target = toks.filter(col("source") === targetSource)
-      .groupBy(col("term").as("t_term")).agg(count(lit(1)).as("n_t"))
-    // lm feeds the scoring broadcast AND the totals aggregate
-    val lm = CacheScope.cached(
-      corpus.join(target, col("term") === col("t_term"), "left")
-        .select(col("term"), col("n_c"),
-          coalesce(col("n_t"), lit(0L)).as("n_t")))
+    // INDEX-PROBE formulation (r17): every quantity here is a pure
+    // function of (doc, term, tf) plus the doc→source attribute, so
+    // the whole computation runs off the persisted inverted index and
+    // the attrs sidecar — no corpus tokenize per invocation. The
+    // per-occurrence nano-rounding commutes with tf-weighting
+    // (k occurrences of one term contribute tf × round(lr·1e9)
+    // either way), so every value is bit-identical to the former
+    // token-stream formulation and the oracle is unchanged.
+    val idx = spark.table(Fts.ensureIndex(spark, dir))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val attrs = spark.table(Fts.ensureDocAttrs(spark, dir))
+      .select(col("doc_id"), col("source"))
+    // the two unigram LMs as ONE persisted vocab-grain table
+    // (term, n_c, n_t), built once per corpus generation
+    val lm = EvalCache.ensure(spark, dir, "documents",
+      s"dsir_$targetSource", "term")(
+      idx.join(attrs, Seq("doc_id"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("n_c"),
+          sum(when(col("source") === targetSource, col("tf"))
+            .otherwise(lit(0L))).as("n_t")))
     val totals = lm.agg(sum(col("n_c")).as("tot_c"),
       sum(col("n_t")).as("tot_t"), count(lit(1)).as("v"))
-    val scored = toks
+    val lrNano =
+      round((log((col("n_t") + 1).cast("double") / (col("tot_t") + col("v"))) -
+        log((col("n_c") + 1).cast("double") / (col("tot_c") + col("v"))))
+        * 1e9).cast("long")
+    spark.table(Fts.ensureIndex(spark, dir))
+      .select(col("doc_id"), col("term"), col("tf"))
       .join(broadcast(lm), Seq("term"))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("source"),
-        round((log((col("n_t") + 1).cast("double") / (col("tot_t") + col("v"))) -
-          log((col("n_c") + 1).cast("double") / (col("tot_c") + col("v"))))
-          * 1e9).cast("long").as("lr_nano"))
-    scored.groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("lr_nano")).as("imp_nano"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * lrNano).as("imp_nano"))
+      .join(attrs, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("imp_nano"))
       .orderBy(col("imp_nano").desc, col("doc_id").asc)
       .limit(k)
   }
