@@ -674,14 +674,20 @@ object Relational {
       .orderBy(col("event_id").asc)
   }
 
-  /** Banded range self-join: ordered pairs of same-user events at most
-    * windowSec apart (a follows b). The scale shape is bucketization —
-    * the left row lands in the (at most two) coarse buckets its window
-    * overlaps, the join is an EQUI-join on (user, bucket), and the
-    * precise range predicate filters after — never an unbounded
-    * inequality join that would explode to |events|² per user before
-    * filtering. Aggregated to per-user pair counts.
-    */
+  /** Banded range self-join COUNTS: per-user tallies of ordered event
+    * pairs at most windowSec apart (b strictly after a). Because only
+    * COUNTS leave the operator, the pairs never need to be
+    * materialized at all (r17 — the previous bucketized equi-join
+    * still enumerated every qualifying pair before counting, and the
+    * pair volume IS the cost at scale): a per-user RANGE frame
+    * [t+1, t+windowSec] counts each event's successors in one pass —
+    * one key shuffle + per-partition sort, pair-volume-free. The
+    * value-based frame bounds give strict `>` and `≤ t+W` exactly, so
+    * the tallies match the oracle's inequality join bit-for-bit
+    * (n_pairs = Σ per-head successor counts; n_heads = heads with a
+    * non-empty frame — event_id is unique, so "rows with cnt>0" and
+    * "count(DISTINCT a_id)" agree). Pair-PRODUCING range joins keep
+    * the bucketized equi-join shape (see sessionized/funnel ops). */
   def rangeJoinCounts(spark: SparkSession, dir: String,
       windowSec: Long): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -691,24 +697,14 @@ object Relational {
     }
     val base = ev.select(col("event_id"), col("user_id"),
       evTs.cast("long").as("t"))
-    val left = base
-      .select(col("user_id"), col("event_id").as("a_id"),
-        col("t").as("ta"))
-      // a window of length W overlaps at most two W-sized buckets
-      .withColumn("bucket",
-        explode(array_distinct(array(expr(s"ta div $windowSec"),
-          expr(s"(ta + $windowSec) div $windowSec")))))
-    val right = base
-      .select(col("user_id"), col("event_id").as("b_id"),
-        col("t").as("tb"))
-      .withColumn("bucket", expr(s"tb div $windowSec"))
-    left
-      .join(right, Seq("user_id", "bucket"))
-      .filter(col("tb") > col("ta") &&
-        col("tb") <= col("ta") + windowSec)
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(1L, windowSec)
+    base
+      .withColumn("cnt", count(lit(1)).over(w))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("a_id")).as("n_heads"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_heads"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("user_id").asc)
   }
 
