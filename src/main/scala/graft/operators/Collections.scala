@@ -163,23 +163,49 @@ object Collections {
     * generation: re-invocations append 0 fresh rows (the anti-join
     * finds every key present), so bench reps and verify see the same
     * state — which is itself the upsert semantics under test. */
+  /** Name of the provenance marker written inside every scratch root:
+    * it records WHICH fixture dir the generation derives from, and the
+    * GC only ever reaps roots whose marker matches the current fixture
+    * (r17 ADVICE: the unscoped reap could delete a CONCURRENT session's
+    * live store for a different corpus — parallel sf0.1/sf1 runs — or
+    * thrash delete/recreate when one JVM alternates fixture dirs). */
+  private val S4Marker = "SOURCE_DIR"
+
+  /** Scratch-root parent for the s4 append-state stores — session-conf
+    * overridable so tests (and co-hosted sessions) can isolate their
+    * scratch namespace instead of mutating the machine-wide tmpdir. */
+  private def s4ScratchParent(spark: SparkSession): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.conf.getOption("graft.s4.scratchRoot")
+        .getOrElse(sys.props("java.io.tmpdir")))
+
   def appendStateDigest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
     val fp = ScaleOps.contentHash(dir, "documents")
-    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    val tmpRoot = s4ScratchParent(spark)
     val root = tmpRoot.resolve(s"graft_s4_$fp")
     // scratch-generation GC (r16 verdict #6 / ADVICE): a NEW corpus
-    // generation vacuums every other fingerprint's graft_s4_* root, so
-    // fixture regenerations leave exactly one live scratch generation
-    // instead of accumulating dead stores across sessions (the
-    // fitRawMemo problem, on disk). Idempotent re-runs on the SAME
-    // generation skip the listing entirely.
+    // generation vacuums the DEAD generations of the SAME fixture dir
+    // (marker match), so regenerations leave exactly one live scratch
+    // generation per fixture instead of accumulating dead stores
+    // across sessions (the fitRawMemo problem, on disk). Scoped by the
+    // provenance marker (r17 ADVICE): roots of OTHER fixture dirs —
+    // a concurrent session's live store — and markerless roots we
+    // cannot attribute are never touched. Idempotent re-runs on the
+    // SAME generation skip the listing entirely.
     if (!Files.exists(root) && Files.isDirectory(tmpRoot)) {
+      def markerOf(p: java.nio.file.Path): Option[String] =
+        try Some(new String(Files.readAllBytes(p.resolve(S4Marker)), UTF_8))
+        catch { case _: java.io.IOException => None }
       val stale = Files.list(tmpRoot)
       try stale.forEach { p =>
-        if (p.getFileName.toString.startsWith("graft_s4_") && p != root)
+        if (p.getFileName.toString.startsWith("graft_s4_") && p != root &&
+            markerOf(p).contains(dir))
           graft.sources.ParquetStore.deleteRecursively(p)
       } finally stale.close()
+      Files.createDirectories(root)
+      Files.write(root.resolve(S4Marker), dir.getBytes(UTF_8))
     }
     val storeA = root.resolve("col_a").toString
     val storeB = root.resolve("col_b").toString

@@ -1841,18 +1841,20 @@ object Dedup {
     * generation. */
   val PpjoinBruteMaxPairs = 50000000L
 
-  private val ppjoinVolMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]
+  private val ppjoinVolMemo = new DriverMemo[String, Long](16)
 
   /** Brute pair volume Σ_s C(df_s, 2) of the persisted posting index —
     * the routing signal, memoized per index name (which carries the
-    * corpus content fingerprint). */
+    * corpus content fingerprint; dead generations age out of the
+    * [[DriverMemo]] LRU instead of accumulating one scalar per
+    * regeneration forever). */
   def ppjoinBruteVolume(spark: SparkSession, idx: String): Long =
-    ppjoinVolMemo.computeIfAbsent(idx, _ =>
+    ppjoinVolMemo.getOrCompute(idx, idx) {
       Option(spark.table(idx).groupBy(col("shingle"))
         .agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) div 2")).as("c"))
-        .collect()(0).get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+        .collect()(0).get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
 
   def ppjoinPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {

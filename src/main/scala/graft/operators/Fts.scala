@@ -215,28 +215,29 @@ object Fts {
       .map(_.toDouble).getOrElse(0.125)
 
   /** Driver memo of per-term document frequencies keyed by
-    * (lang, terms), the index generation checked on lookup (the
-    * probeMemo replace-on-mismatch discipline). The probe when it runs
-    * is |terms| rows out of the terms' pruned buckets — the
-    * `gincostestimate` statistics read PG performs before picking its
-    * GIN plan, and the same bounded-collect class as the ppjoin volume
-    * scalar. */
-  private val dfProbeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[String]), (String, Map[String, Long])]
+    * (index generation, lang, terms) under the [[DriverMemo]] bound
+    * (r17 verdict #2: the former (lang, terms) map grew with every
+    * distinct query of a long session; the generation-bearing key also
+    * keeps a session alternating two fixture dirs from evicting each
+    * other's entries). The probe when it runs is |terms| rows out of
+    * the terms' pruned buckets — the `gincostestimate` statistics read
+    * PG performs before picking its GIN plan, and the same
+    * bounded-collect class as the ppjoin volume scalar. */
+  private val dfProbeMemo =
+    new DriverMemo[(String, String, Seq[String]), Map[String, Long]](256)
+
+  /** Live df-memo entries (MemoBoundSpec hook). */
+  private[graft] def dfProbeMemoSize: Int = dfProbeMemo.size
 
   def termDfs(spark: SparkSession, idxName: String,
       terms: Seq[String], lang: String): Map[String, Long] =
-    dfProbeMemo.compute((lang, terms.sorted), (_, prev) => {
-      if (prev != null && prev._1 == idxName) prev
-      else {
-        val dfs = spark.table(idxName)
-          .filter(col("lang") === lit(lang) &&
-            col("term").isin(terms.map(t => t: Any): _*))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        (idxName, dfs)
-      }
-    })._2
+    dfProbeMemo.getOrCompute((idxName, lang, terms.sorted), idxName) {
+      spark.table(idxName)
+        .filter(col("lang") === lit(lang) &&
+          col("term").isin(terms.map(t => t: Any): _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
 
   /** `search` as an index probe: the term IN-list statically prunes to
     * the query terms' buckets of the persisted index (cost = the terms'
@@ -268,15 +269,21 @@ object Fts {
         throw new IllegalArgumentException(
           s"graft.fts.andRoute must be pivot|chain, got '$other'")
       case None =>
-        val dfs = termDfs(spark, idxName, terms, lang)
-        // absent term → AND-match provably empty; the pivot's AND
-        // filter expresses that without any join
-        if (terms.length < 2 || terms.exists(t => !dfs.contains(t)))
-          "pivot"
+        // single-term queries take the pivot unconditionally, BEFORE
+        // the df probe — the statistics job cannot affect a one-term
+        // route, so paying it would be a wasted job per novel query
+        // (r17 ADVICE)
+        if (terms.length < 2) "pivot"
         else {
-          val ds = terms.map(dfs)
-          if (ds.min <= rarestMaxDfShare(spark) * ds.max) "chain"
-          else "pivot"
+          val dfs = termDfs(spark, idxName, terms, lang)
+          // absent term → AND-match provably empty; the pivot's AND
+          // filter expresses that without any join
+          if (terms.exists(t => !dfs.contains(t))) "pivot"
+          else {
+            val ds = terms.map(dfs)
+            if (ds.min <= rarestMaxDfShare(spark) * ds.max) "chain"
+            else "pivot"
+          }
         }
     }
     if (route == "chain")

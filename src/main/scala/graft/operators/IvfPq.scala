@@ -262,37 +262,34 @@ object IvfPq {
 
   /** The query's nProbe nearest cells by round-6 cosine against the
     * stored centroids — the [[Similarity.ivfTopK]] probe rule. */
-  /** Driver memo of probe-cell selections keyed by (qid vector,
-    * nProbe), with the INDEX TABLE NAME stored in the value and checked
-    * on lookup — the index name embeds the corpus content fingerprint,
-    * so a fixture regeneration REPLACES the entry for its (qv, nProbe)
-    * instead of accumulating dead-generation keys over a long session
-    * (the fitRawMemo replace-on-mismatch discipline, r16 ADVICE).
-    * Values are nProbe longs per query — negligible. The selection job
-    * (a tiny cents-table top-k) is UNCHANGED when it runs — the memo
-    * only stops it re-running per invocation (r15 bench: the recall
+  /** Driver memo of probe-cell selections keyed by (INDEX TABLE NAME,
+    * qid vector, nProbe) under the [[DriverMemo]] bound. The index name
+    * embeds the corpus content fingerprint, so the generation-bearing
+    * key fixes the r17 ADVICE alternation eviction — a session
+    * alternating two fixture dirs keeps BOTH entries live instead of
+    * evicting each other per call — while a fixture regeneration mints
+    * a new key whose dead predecessors age out of the LRU. Values are
+    * nProbe longs per query — negligible. The selection job (a tiny
+    * cents-table top-k) is UNCHANGED when it runs — the memo only
+    * stops it re-running per invocation (r15 bench: the recall
     * families' steady-state seconds were mostly these per-qid driver
     * jobs, not the distributed probe). */
-  private val probeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Seq[Double], Int), (String, Seq[Long])]
+  private val probeMemo =
+    new DriverMemo[(String, Seq[Double], Int), Seq[Long]](512)
 
   private def probeCells(spark: SparkSession, idx: String,
       qv: Seq[Double], nProbe: Int): Seq[Long] =
-    probeMemo.compute((qv, nProbe), (_, prev) => {
-      if (prev != null && prev._1 == idx) prev
-      else {
-        val qvCol = typedLit(qv)
-        val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
-        val cells = spark.table(s"${idx}_cents")
-          .select(col("centroid_id"),
-            round(lit(1.0) - Similarity.dot(col("cv"), qvCol)
-              / (col("cn") * lit(qn)), 6).as("qdist"))
-          .orderBy(col("qdist").asc, col("centroid_id").asc)
-          .limit(nProbe)
-          .collect().map(_.getLong(0)).toSeq
-        (idx, cells)
-      }
-    })._2
+    probeMemo.getOrCompute((idx, qv, nProbe), idx) {
+      val qvCol = typedLit(qv)
+      val qn = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+      spark.table(s"${idx}_cents")
+        .select(col("centroid_id"),
+          round(lit(1.0) - Similarity.dot(col("cv"), qvCol)
+            / (col("cn") * lit(qn)), 6).as("qdist"))
+        .orderBy(col("qdist").asc, col("centroid_id").asc)
+        .limit(nProbe)
+        .collect().map(_.getLong(0)).toSeq
+    }
 
   /** Per-probed-cell ADC LUTs: lut(cellpos)(s)(c) = integer
     * |(q − centroid)_s − cw_sc|² — the query's residual is taken

@@ -215,18 +215,23 @@ object ProductQuant {
     * the recall families spending most of their steady-state seconds
     * on these point lookups. Entries are Q·dim scalars — bounded by
     * the registered gates' own parameters. */
-  private val fetchMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[Long]), (String, Map[Long, (Array[Long], Array[Double])])]
+  private val fetchMemo = new DriverMemo[
+    (String, Seq[Long]), Map[Long, (Array[Long], Array[Double])]](64)
 
   /** Batched fetch: ONE `isin` job for the whole qid set (not one per
-    * qid), memoized. Raw stored rows only — no arithmetic, so the
-    * values are trivially those of the former per-qid lookups. */
+    * qid), memoized under the [[DriverMemo]] bound (fingerprint checked
+    * on lookup — the fitRawMemo replace-on-regeneration discipline;
+    * the LRU cap bounds a long stream of distinct qid sets). Raw
+    * stored rows only — no arithmetic, so the values are trivially
+    * those of the former per-qid lookups. */
   private[operators] def fetchQueries(spark: SparkSession, dir: String,
       qids: Seq[Long]): Map[Long, (Array[Long], Array[Double])] = {
     val fp = ScaleOps.contentHash(dir, "embeddings")
-    val key = (dir, qids.sorted)
-    val hit = fetchMemo.get(key)
-    if (hit != null && hit._1 == fp) return hit._2
+    fetchMemo.getOrCompute((dir, qids.sorted), fp) { fetchRun(spark, dir, qids) }
+  }
+
+  private def fetchRun(spark: SparkSession, dir: String,
+      qids: Seq[Long]): Map[Long, (Array[Long], Array[Double])] = {
     val m = Tables.embeddings(spark, dir)
       .filter(col("vec_id").isin(qids.map(q => q: Any): _*))
       .select(col("vec_id"),
@@ -237,7 +242,6 @@ object ProductQuant {
       .map(r => r.getLong(0) ->
         (r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
       .toMap
-    fetchMemo.put(key, (fp, m))
     m
   }
 

@@ -97,25 +97,24 @@ object QueryExpand {
   /** Driver memo of the mined expansion rows — a pure function of
     * (corpus content, query, lang, nFb, nExp), ≤ MaxExpansions tiny
     * tuples per entry, fingerprint-checked on lookup (the fitRawMemo
-    * eviction discipline). The stage-1 mining chain (feedback top-nFb +
+    * eviction discipline) and LRU-bounded by [[DriverMemo]] so a long
+    * stream of distinct queries cannot grow driver state without
+    * bound (r17 verdict #2). The stage-1 mining chain (feedback top-nFb +
     * term scoring, several jobs) thereby runs once per corpus
     * generation instead of per invocation — the r16 job-floor fix for
     * fts_prf (the mining chain WAS its steady-state cost). */
-  private val prfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, Int, Int), (String, Seq[(String, Double)])]
+  private val prfMemo = new DriverMemo[
+    (String, String, String, Int, Int), Seq[(String, Double)]](256)
 
   private def prfTermsMemo(spark: SparkSession, dir: String,
       query: String, lang: String, nFb: Int,
       nExp: Int): Seq[(String, Double)] = {
     val fp = ScaleOps.contentHash(dir, "documents")
-    val key = (dir, query, lang, nFb, nExp)
-    val hit = prfMemo.get(key)
-    if (hit != null && hit._1 == fp) return hit._2
-    val rows = prfTerms(spark, dir, query, lang, nFb, nExp)
-      .select(col("term"), col("w")).collect()
-      .map(r => (r.getString(0), r.getDouble(1))).toSeq
-    prfMemo.put(key, (fp, rows))
-    rows
+    prfMemo.getOrCompute((dir, query, lang, nFb, nExp), fp) {
+      prfTerms(spark, dir, query, lang, nFb, nExp)
+        .select(col("term"), col("w")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
   }
 
   /** PRF search: stage-2 OR-retrieval over originals (weight 1.0) plus

@@ -134,7 +134,9 @@ class FtsRouteSpec extends SparkSpec {
     val dProbe = all(
       Fts.phraseDistSearchIndexed(spark, Sf0001, "hash", "merge", 2,
         "en", 10))
-    assert(dProbe == dScan)
+    // nonEmpty guard: equal-but-empty would pass vacuously and miss a
+    // probe that silently matches nothing (r17 ADVICE)
+    assert(dProbe == dScan && dScan.nonEmpty)
     val bScan = all(Fts.booleanSearch(spark, Sf0001,
       "(hash | merge) & !sort", "en", 10))
     val bProbe = all(Fts.booleanSearchIndexed(spark, Sf0001,
@@ -170,7 +172,8 @@ class FtsRouteSpec extends SparkSpec {
       "hash join merge", "en", "80", 0.0, 10))
     val eProbe = all(Fts.searchEndpointIndexed(spark, Sf0001,
       "hash join merge", "en", "80", 0.0, 10))
-    assert(eProbe == eScan)
+    // nonEmpty guard (r17 ADVICE): see the phrase-dist assert above
+    assert(eProbe == eScan && eScan.nonEmpty)
     val fScan = all(Fts.facetedSearch(spark, Sf0001, "hash join"))
     val fProbe = all(Fts.facetedSearchIndexed(spark, Sf0001, "hash join"))
     assert(fProbe == fScan && fScan.nonEmpty)

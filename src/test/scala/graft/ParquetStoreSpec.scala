@@ -49,11 +49,14 @@ class ParquetStoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
-  test("s4 scratch GC: a new corpus generation leaves exactly one live root") {
+  test("s4 scratch GC: a new corpus generation leaves exactly one live " +
+      "root per fixture; foreign and unattributed roots survive") {
     // r16 verdict #6: fixture regenerations must not accumulate dead
-    // graft_s4_* stores — creating a generation vacuums every other
-    // fingerprint's root
-    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    // graft_s4_* stores. r17 ADVICE: the reap is SCOPED — only dead
+    // generations carrying the SAME fixture-dir marker are touched,
+    // and the whole test runs inside an isolated scratch root instead
+    // of mutating the machine-wide tmpdir (no cross-session races).
+    val tmpRoot = Files.createTempDirectory("s4gc")
     def s4Roots(): List[String] = {
       val s = Files.list(tmpRoot)
       try {
@@ -66,19 +69,39 @@ class ParquetStoreSpec extends SparkSpec {
         out
       } finally s.close()
     }
-    // clear all s4 roots so the next call takes the CREATE path, then
-    // plant a stale generation that the create must reap
-    s4Roots().foreach(n => ParquetStore.deleteRecursively(tmpRoot.resolve(n)))
+    // plant: a stale generation OF THIS FIXTURE (marker matches → must
+    // be reaped), a live root of a DIFFERENT fixture (must survive),
+    // and a markerless root we cannot attribute (must survive)
     val stale = tmpRoot.resolve("graft_s4_stalegen")
     Files.createDirectories(stale.resolve("col_a"))
-    val digest = graft.operators.Collections.appendStateDigest(spark, Sf0001)
-    assert(digest.count() > 0)
-    val roots = s4Roots()
-    assert(!roots.contains("graft_s4_stalegen"), s"stale root survived: $roots")
-    assert(roots.size == 1, s"expected exactly one live root, got $roots")
-    // idempotent re-run on the SAME generation: no re-seed, same state
-    assert(graft.operators.Collections.appendStateDigest(spark, Sf0001)
-      .count() == digest.count())
+    Files.write(stale.resolve("SOURCE_DIR"),
+      Sf0001.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val foreign = tmpRoot.resolve("graft_s4_foreign")
+    Files.createDirectories(foreign.resolve("col_a"))
+    Files.write(foreign.resolve("SOURCE_DIR"),
+      "/some/other/fixture".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val unmarked = tmpRoot.resolve("graft_s4_unmarked")
+    Files.createDirectories(unmarked.resolve("col_a"))
+    spark.conf.set("graft.s4.scratchRoot", tmpRoot.toString)
+    try {
+      val digest =
+        graft.operators.Collections.appendStateDigest(spark, Sf0001)
+      assert(digest.count() > 0)
+      val roots = s4Roots()
+      assert(!roots.contains("graft_s4_stalegen"),
+        s"stale same-fixture root survived: $roots")
+      assert(roots.contains("graft_s4_foreign"),
+        s"foreign fixture's live root was reaped: $roots")
+      assert(roots.contains("graft_s4_unmarked"),
+        s"unattributed root was reaped: $roots")
+      assert(roots.size == 3, s"expected live+foreign+unmarked, got $roots")
+      // idempotent re-run on the SAME generation: no re-seed, same state
+      assert(graft.operators.Collections.appendStateDigest(spark, Sf0001)
+        .count() == digest.count())
+    } finally {
+      spark.conf.unset("graft.s4.scratchRoot")
+      ParquetStore.deleteRecursively(tmpRoot)
+    }
   }
 
   test("cascade delete: coordinated rewrite of collections + documents") {
