@@ -564,11 +564,18 @@ object SparkEntry {
     // the XLM-R/mT5 temperature ladder (T=1 proportional .. T=5)
     "mix_weights_temp" -> ((s, d) =>
       Sampling.mixWeightsTemp(s, d, Seq(1.0, 2.0, 5.0))),
-    // §2.3 V2 metadata filter (string-coerced JSON equality)
-    "meta_filter_coerce" -> ((s, d) => TextOps.metadataFilter(s, d, "k", "42")),
+    // §2.3 V2 metadata filter (string-coerced JSON equality) — ROUTED
+    // scan↔sidecar (r18: extract-typed-once per corpus generation;
+    // the scan route re-parsed JSON per row per query)
+    "meta_filter_coerce" -> ((s, d) =>
+      TextOps.metadataFilterAuto(s, d, "k", "42")),
     // numeric-coerced JSON range filter (the comparison sibling of V2)
     "meta_filter_range" -> ((s, d) =>
-      TextOps.metadataRangeFilter(s, d, "k", 25L, 75L)),
+      TextOps.metadataRangeFilterAuto(s, d, "k", 25L, 75L)),
+    // sidecar lifecycle close: range filter over the VACUUMED
+    // generation (tombstones folded in by rewrite)
+    "meta_vacuum_range" -> ((s, d) =>
+      TextOps.metadataRangeFilterVacuumed(s, d, "k", 25L, 75L, 7L)),
     // §2.4 ingest pipeline
     "p1_validate" -> ((s, d) => DocumentPipeline.validate(s, d)),
     "p1_validate_meta" -> ((s, d) =>
@@ -1000,6 +1007,8 @@ object SparkEntry {
     "meta_filter_coerce" -> TextOps.metadataFilterOracleSql("k", "42"),
     "meta_filter_range" ->
       TextOps.metadataRangeFilterOracleSql("k", 25L, 75L),
+    "meta_vacuum_range" ->
+      TextOps.metadataRangeFilterVacuumedOracleSql("k", 25L, 75L, 7L),
     "p1_validate" -> DocumentPipeline.validateOracleSql,
     "p1_validate_meta" -> DocumentPipeline.validateWithMetadataOracleSql,
     "p2_docid" -> TextOps.deterministicIdsOracleSql,
