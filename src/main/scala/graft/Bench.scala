@@ -176,6 +176,15 @@ object Bench {
       // every rep eligible instead of sacrificing rep 1 to re-warming.
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      // timed reps run under a per-query job group so the artifact can
+      // carry jobs-per-rep — the mechanical input to the pairing tool's
+      // floor_bound tag (r17 verdict #4: spark_s ≤ jobs × floor_noop ×
+      // margin classifies a weak entry as job-floor-bound by
+      // MEASUREMENT instead of by BENCHNOTES prose). Builders that set
+      // their own group (job-ledger family) undercount here — their
+      // jobs field is advisory, like every tag input.
+      spark.sparkContext.setJobGroup(s"bench_$name", name,
+        interruptOnCancel = false)
       val runs = (0 until reps).flatMap { _ =>
         try {
           val t0 = System.nanoTime()
@@ -183,6 +192,7 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
+      spark.sparkContext.clearJobGroup()
       // separate pass: planning floor (construction through executedPlan)
       val plans =
         if (driverActionBuilders(name)) Seq.empty
@@ -203,17 +213,26 @@ object Bench {
       // CacheScope registry does not grow across 100+ queries.
       graft.operators.CacheScope.release(spark)
       spark.catalog.clearCache()
+      // jobs-per-rep read AFTER the plans pass — the status store is
+      // fed asynchronously off the listener bus, and the intervening
+      // work gives it time to drain (the count is a tag input, not a
+      // correctness number)
+      val jobsPerRep =
+        if (runs.isEmpty) -1.0
+        else spark.sparkContext.statusTracker
+          .getJobIdsForGroup(s"bench_$name").length.toDouble / runs.size
       (name,
         if (runs.nonEmpty) runs.min else -1.0,
         if (plans.nonEmpty) plans.min else -1.0,
-        if (runs.nonEmpty) runs.max else -1.0)
+        if (runs.nonEmpty) runs.max else -1.0,
+        jobsPerRep)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a query that failed every rep must not shrink the headline total
     // (summing its -1 sentinel would make failures look like speedups)
     val ok = results.filter(_._2 >= 0)
-    val failed = results.collect { case (n, t, _, _) if t < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case (n, t, _, _, _) if t < 0 => "\"" + n + "\"" }
     val total = ok.map(_._2).sum
     // Contention self-identification (r15 verdict #2: a 36% same-HEAD
     // total swing can hide a real 2× regression): a query whose max/min
@@ -233,7 +252,7 @@ object Bench {
     // silently truncated into an unparseable tail. Per-query seconds are
     // rounded to 3 decimals (1 ms) on stdout; full precision is in the
     // detail file.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"rep_max":${jmap(results.map(r => (r._1, r._4)))},"contended":[${contended.map("\"" + _._1 + "\"").mkString(",")}],"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"rep_max":${jmap(results.map(r => (r._1, r._4)))},"jobs":${jmap(results.map(r => (r._1, r._5)))},"contended":[${contended.map("\"" + _._1 + "\"").mkString(",")}],"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))

@@ -109,55 +109,94 @@ object Classifier {
   /** Held-out confusion matrix: classify each test document by argmax
     * class score (score-desc, lang-asc tiebreak), tally
     * (true_lang, pred_lang). The one number a pipeline owner reads
-    * before trusting the classifier as a filter. */
+    * before trusting the classifier as a filter.
+    *
+    * r18 strength reduction (r17 verdict #3): the former plan exploded
+    * test tokens × classes through a shuffle and ranked with a window —
+    * per test token, n_classes rows crossed the exchange. The scores
+    * decompose EXACTLY in integer nano space instead:
+    *
+    *   score(d, c) = prior_c + Σ_t term_nano(t, c)
+    *               = prior_c + cnt_d·zero_c + Σ_{t ∈ vocab} delta(t, c)
+    *
+    * where zero_c = round(ln(1/(T_c+V))·1e9) is the smoothed
+    * zero-count mass (what any out-of-model token scores) and
+    * delta(t, c) = term_nano(t, c) − zero_c is each in-vocab term's
+    * integer surplus (0 when class c never saw t, since n=0 reproduces
+    * zero_c). All three pieces are longs derived from the SAME rounded
+    * expressions as before, so the scores — and therefore the
+    * confusion tallies — are bit-identical (ClassifierShapeSpec pins
+    * it; the oracle still computes the naive form). The plan becomes:
+    * per-class scalars = one bounded n_classes-row collect; the model
+    * pivots to ONE row per vocab term (delta per class as columns);
+    * test tokens take a term-keyed broadcast join and ONE doc-grain
+    * partial-aggregated shuffle; the argmax is a scan-local
+    * strictly-greater fold in lang-asc order (ties keep the earlier
+    * class — exactly the window's score-desc, lang-asc rank 1). At
+    * 100 TB the broadcast becomes a term-keyed shuffle join; nothing
+    * else changes and no window ranks token-grain data. */
   def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
-    // ONE tokenize+count pass: cstat, vocab and the model broadcast all
-    // derive from `counts`, and each broadcast build is its own job —
-    // uncached, the corpus re-tokenized once per subtree (3×; the
-    // dominant cost of this query's bench entry). The cached frame is
+    // ONE tokenize+count pass: the per-class scalars and the pivoted
+    // model both derive from `counts`. The cached frame is
     // vocab-bounded (distinct (class, term) pairs), not token-grain.
     val counts = CacheScope.cached(termCounts(spark, dir))
-    // per-class stats: token total, doc count, nano prior — a
-    // classes-sized frame, broadcast into the scoring scan
     val train = trainDocs(spark, dir)
     val nTrain = train.select(count(lit(1)).as("n_train"))
+    // per-class scalars (t_c, V, prior_nano, zero_nano): n_classes
+    // rows, collected once — the bounded statistics read of the house
+    // probe pattern. The nano roundings happen in SPARK expressions
+    // (same `round ∘ log` tree as the oracle), never on the driver, so
+    // no second rounding convention enters the pipeline.
     val cstat = counts.groupBy(col("lang").as("c_lang"))
       .agg(sum(col("n")).as("t_c"))
       .join(train.groupBy(col("lang").as("d_lang"))
           .agg(count(lit(1)).as("docs_c")),
         col("c_lang") === col("d_lang"))
       .crossJoin(nTrain)
-      .select(col("c_lang"), col("t_c"),
+      .crossJoin(counts.select(countDistinct(col("term")).as("v")))
+      .select(col("c_lang"), col("t_c"), col("v"),
         round(log(col("docs_c").cast("double") / col("n_train")) * 1e9)
-          .cast("long").as("prior_nano"))
-    val vocab = counts.select(countDistinct(col("term")).as("v"))
-    // test tokens × classes, left-joined to the model: absent (class,
-    // term) pairs score the smoothed zero-count mass
-    val model = counts.select(col("lang").as("m_lang"),
-      col("term").as("m_term"), col("n"))
-    val scoredTerms = tokenized(testDocs(spark, dir))
+          .cast("long").as("prior_nano"),
+        round(log(lit(1.0) / (col("t_c") + col("v"))) * 1e9)
+          .cast("long").as("zero_nano"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1) // lang-asc = the argmax tiebreak order
+    // model pivot: ONE row per vocab term, delta(t, c) per class as a
+    // column. delta uses the identical rounded term expression minus
+    // the class's zero mass — integer subtraction, exact.
+    val deltaCols = cstat.zipWithIndex.map { case ((lang, tc, v, _, zero), i) =>
+      coalesce(sum(when(col("lang") === lit(lang),
+        round(log((col("n") + 1).cast("double") / lit((tc + v).toDouble))
+          * 1e9).cast("long") - lit(zero))), lit(0L)).as(s"d$i")
+    }
+    val termDeltas = counts.groupBy(col("term"))
+      .agg(deltaCols.head, deltaCols.tail: _*)
+    // test tokens: term-keyed broadcast join (out-of-vocab tokens miss
+    // → every delta 0), then ONE partial-aggregated doc-grain shuffle
+    val aggCols = count(lit(1)).as("cnt") +:
+      cstat.indices.map(i =>
+        sum(coalesce(col(s"d$i"), lit(0L))).as(s"s$i"))
+    val docScores = tokenized(testDocs(spark, dir))
       .withColumnRenamed("lang", "true_lang")
-      .crossJoin(broadcast(cstat))
-      .crossJoin(broadcast(vocab))
-      .join(broadcast(model),
-        col("c_lang") === col("m_lang") && col("term") === col("m_term"),
-        "left")
-      .select(col("doc_id"), col("true_lang"), col("c_lang"),
-        col("prior_nano"),
-        round(log((coalesce(col("n"), lit(0L)) + 1).cast("double") /
-          (col("t_c") + col("v"))) * 1e9).cast("long").as("term_nano"))
-    val scores = scoredTerms
-      .groupBy(col("doc_id"), col("true_lang"), col("c_lang"),
-        col("prior_nano"))
-      .agg(sum(col("term_nano")).as("sum_nano"))
-      .select(col("doc_id"), col("true_lang"), col("c_lang"),
-        (col("prior_nano") + col("sum_nano")).as("score_nano"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score_nano").desc, col("c_lang").asc)
-    scores
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .groupBy(col("true_lang"), col("c_lang").as("pred_lang"))
+      .join(broadcast(termDeltas), Seq("term"), "left")
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    def score(i: Int) = {
+      val (_, _, _, prior, zero) = cstat(i)
+      lit(prior) + col("cnt") * lit(zero) + col(s"s$i")
+    }
+    // scan-local argmax: strictly-greater fold in lang-asc order keeps
+    // the earliest class on ties — the window's rank-1 row exactly
+    val (predExpr, _) = cstat.zipWithIndex.tail.foldLeft(
+      (lit(cstat.head._1), score(0))) { case ((pred, best), ((lang, _, _, _, _), i)) =>
+      val s = score(i)
+      (when(s > best, lit(lang)).otherwise(pred), greatest(s, best))
+    }
+    docScores
+      .select(col("true_lang"), predExpr.as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("true_lang").asc, col("pred_lang").asc)
   }

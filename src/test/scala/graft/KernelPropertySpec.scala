@@ -105,4 +105,69 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(row.getLong(0) == 0L)
     assert(row.getArray(1).numElements() == 0)
   }
+
+  // --- kmeans_assign (r17 verdict #5: the one kernel without the
+  // house-standard property pin) -----------------------------------------
+
+  private def larr(xs: Seq[Long]) = new GenericArrayData(xs.map(x => x: Any))
+
+  /** The former aggregate∘zip_with column formulation, re-stated
+    * naively: per-centroid Σ (qa−cent)² with wrapping 64-bit ops, then
+    * the dist·k+c composite-key argmin (ties → lowest c). */
+  private def naiveAssign(qa: Seq[Long],
+      cents: Seq[Seq[Long]]): (Long, Seq[Long]) = {
+    val k = cents.length
+    val dists = cents.map(c =>
+      qa.zip(c).foldLeft(0L) { case (acc, (a, b)) =>
+        val d = a - b; acc + d * d
+      })
+    val key = dists.zipWithIndex
+      .foldLeft(Long.MaxValue) { case (best, (d, c)) =>
+        math.min(best, d * k + c)
+      }
+    (key % k, dists)
+  }
+
+  /** Small-value low-dim vectors so distance TIES are common — the
+    * tie-break (lowest centroid index) is the part a loop rewrite
+    * breaks silently. */
+  private val tieVec: Gen[Seq[Long]] =
+    Gen.chooseNum(1, 4).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-1L, 1L)).map(_.toSeq))
+
+  test("kmeans_assign kernel equals the naive formulation, ties included") {
+    val centsGen = for {
+      dim <- Gen.chooseNum(1, 8)
+      k <- Gen.chooseNum(1, 6)
+      qa <- Gen.listOfN(dim, Gen.chooseNum(-1000000L, 1000000L))
+      cents <- Gen.listOfN(k,
+        Gen.listOfN(dim, Gen.chooseNum(-1000000L, 1000000L)))
+    } yield (qa.toSeq, cents.map(_.toSeq))
+    check(Prop.forAll(centsGen) { case (qa, cents) =>
+      val row = graft.functions.KMeansAssign.assign(larr(qa),
+        new GenericArrayData(cents.map(c => larr(c): Any)))
+      val got = (row.getLong(0), row.getArray(1).toLongArray().toSeq)
+      got == naiveAssign(qa, cents)
+    })
+    // tie-dense regime: 1-4 dims over {-1,0,1}, up to 6 centroids
+    val tieGen = for {
+      qa <- tieVec
+      k <- Gen.chooseNum(1, 6)
+      cents <- Gen.listOfN(k,
+        Gen.listOfN(qa.length, Gen.chooseNum(-1L, 1L)).map(_.toSeq))
+    } yield (qa, cents)
+    check(Prop.forAll(tieGen) { case (qa, cents) =>
+      val row = graft.functions.KMeansAssign.assign(larr(qa),
+        new GenericArrayData(cents.map(c => larr(c): Any)))
+      (row.getLong(0), row.getArray(1).toLongArray().toSeq) ==
+        naiveAssign(qa, cents)
+    })
+  }
+
+  test("kmeans_assign rejects ragged centroids instead of zero-padding") {
+    intercept[IllegalArgumentException] {
+      graft.functions.KMeansAssign.assign(larr(Seq(1L, 2L)),
+        new GenericArrayData(Seq(larr(Seq(1L)): Any)))
+    }
+  }
 }
