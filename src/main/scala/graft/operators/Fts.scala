@@ -334,6 +334,32 @@ object Fts {
     name
   }
 
+  /** Build-once per-(lang, term) document-frequency sidecar and
+    * per-lang indexed-doc counts — the vocabulary statistics every
+    * TF-IDF-shaped consumer (MLT term mining, keyword scoring) needs
+    * but was re-aggregating from the full index per query (r17 verdict
+    * #7: the df aggregation WAS fts_mlt's steady-state cost). Term-
+    * bucketed like the index itself, so a driver-known term IN-list
+    * probe statically prunes. The `_nd` table counts docs with at
+    * least one indexed term per lang — the index's own universe, which
+    * is what the MLT idf uses (NOT the `_dl` universe, which includes
+    * zero-token docs). Guard table (`name`) written last. */
+  def ensureDfStats(spark: SparkSession, dir: String): String = {
+    val name = s"graft_ftsdf_${ScaleOps.contentHash(dir, "documents")}"
+    if (!spark.catalog.tableExists(name)) {
+      val idx = spark.table(ensureIndex(spark, dir))
+      ScaleOps.writeBucketed(
+        idx.groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        s"${name}_nd", "lang", 1)
+      ScaleOps.writeBucketed(
+        idx.groupBy("lang", "term")
+          .agg(countDistinct(col("doc_id")).as("df")),
+        name, "term", 8)
+    }
+    name
+  }
+
   /** Build-once STEMMED index — [[ensureIndex]] with the LightStem
     * chain applied at index time, the `to_tsvector('english', ...)`
     * layout the reference's trigger actually maintains
@@ -2591,9 +2617,17 @@ object Fts {
   def keywordsTfidf(spark: SparkSession, dir: String,
       perDoc: Int): DataFrame = {
     val idx = spark.table(ensureIndex(spark, dir))
-    val n = idx.select(countDistinct(col("doc_id")).as("n"))
-    val dfs = idx.groupBy("term")
-      .agg(count(lit(1)).as("df")) // index rows are (doc, term)-unique
+    // df and N from the persisted vocabulary sidecar (r18, the fts_mlt
+    // treatment): a document has exactly ONE lang, so summing the
+    // per-(lang, term) dfs over langs IS the index's per-term row
+    // count, and summing per-lang indexed-doc counts IS the distinct
+    // doc count — same integers, two bucketed-sidecar scans instead of
+    // two full-index aggregations per query
+    val dfName = ensureDfStats(spark, dir)
+    val n = spark.table(s"${dfName}_nd")
+      .agg(sum(col("n_docs")).as("n"))
+    val dfs = spark.table(dfName).groupBy("term")
+      .agg(sum(col("df")).as("df"))
     val scored = idx.join(dfs, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6)

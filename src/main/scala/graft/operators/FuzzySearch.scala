@@ -165,6 +165,15 @@ object FuzzySearch {
        |SELECT q_term, term, dist, CAST(df AS BIGINT) AS df FROM exp
        |ORDER BY q_term ASC, df DESC, term ASC""".stripMargin
 
+  /** Driver memo of collected expansions keyed by (fuzzy-index
+    * generation, query terms, maxExpansions) under the [[DriverMemo]]
+    * bound — the Fts.termDfs discipline (r17 verdict #7: the per-query
+    * expansion probe + window was fts_fuzzy's steady-state cost; a
+    * repeated query now pays zero driver jobs before the scoring
+    * probe). Entries are ≤ slots × maxExpansions string pairs. */
+  private val expandMemo = new DriverMemo[
+    (String, Seq[String], Int), Seq[(String, String)]](256)
+
   /** Fuzzy AND-search: every query term must match through at least one
     * of its expansions; per (doc, slot) the best (max-tf) expansion
     * scores, slots sum as log(1+tf), normalized like [[Fts.search]].
@@ -175,10 +184,14 @@ object FuzzySearch {
     import spark.implicits._
     val qTerms = TextAnalyzer.analyzeFor(query, lang).distinct
     require(qTerms.nonEmpty, s"query '$query' analyzes to no terms")
-    val exp = expand(spark, dir, qTerms, lang, maxExpansions)
-      .select(col("q_term"), col("term"))
-      .collect() // bounded: <= qTerms.size * maxExpansions rows
-      .map(r => (r.getString(0), r.getString(1)))
+    val fuzzyIdx = ensureFuzzyIndex(spark, dir, lang)
+    val exp = expandMemo.getOrCompute(
+      (fuzzyIdx, qTerms.sorted, maxExpansions), fuzzyIdx) {
+      expand(spark, dir, qTerms, lang, maxExpansions)
+        .select(col("q_term"), col("term"))
+        .collect() // bounded: <= qTerms.size * maxExpansions rows
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    }
     val nSlots = exp.map(_._1).distinct.length
     require(nSlots > 0, s"query '$query' has no fuzzy expansions")
     val expDf = exp.toSeq.toDF("q_term", "term")

@@ -105,7 +105,13 @@ object QualityLm {
         col("nll_micro") * lit(8589934592L) + col("doc_id"))
       .withColumn("one", lit(1L))
       .transform(CacheScope.cached)
-    val ranked = ScaleOps.prefixSummed(keyed, "key", "one", 32)
+    // bucket boundaries memoized per index generation (r17 verdict #6):
+    // the NLL ranking key is a deterministic function of the corpus, so
+    // steady-state re-invocations skip the approxQuantile driver action
+    // (any boundary set is correct — it only shapes bucket sizes)
+    val bounds = ScaleOps.prefixBounds(keyed,
+      Fts.ensureIndex(spark, dir), "key", 32)
+    val ranked = ScaleOps.prefixSummed(keyed, "key", "one", 32, Some(bounds))
       .withColumnRenamed("cum_before", "rank")
     val tot = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(tot))

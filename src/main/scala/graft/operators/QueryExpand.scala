@@ -169,11 +169,19 @@ object QueryExpand {
   def moreLikeThis(spark: SparkSession, dir: String, docId: Long,
       lang: String, nTerms: Int, k: Int): DataFrame = {
     val idx = CacheScope.cached(idxFor(spark, dir, lang))
-    val df = idx.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df and the indexed-doc count come from the persisted per-lang
+    // vocabulary sidecar (Fts.ensureDfStats) instead of re-aggregating
+    // the full index per query (r17 verdict #7): same countDistinct
+    // integers, persisted once per corpus generation, so the query
+    // pays two bucketed point-scans instead of two index aggregations
+    val dfName = Fts.ensureDfStats(spark, dir)
+    val df = spark.table(dfName)
+      .filter(col("lang") === lit(lang)).select("term", "df")
+    val nd = spark.table(s"${dfName}_nd")
+      .filter(col("lang") === lit(lang)).select("n_docs")
     val mlt = idx.filter(col("doc_id") === lit(docId))
       .join(df, "term")
-      .crossJoin(broadcast(nDocs(idx)))
+      .crossJoin(broadcast(nd))
       .select(col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
           .as("tfidf"),

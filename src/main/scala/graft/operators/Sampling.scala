@@ -249,7 +249,11 @@ object Sampling {
         TextOps.gopherRuleCount.as("q"))
       .withColumn("sel_key",
         (lit(5L) - col("q")) * lit(4294967296L) + col("doc_id"))
-    ScaleOps.prefixSummed(graded, "sel_key", "toks", 32)
+    // boundaries memoized per corpus generation — steady-state reps
+    // skip the approxQuantile driver action (r17 verdict #6 treatment)
+    val bounds = ScaleOps.prefixBounds(graded,
+      ScaleOps.contentHash(dir, "documents"), "sel_key", 32)
+    ScaleOps.prefixSummed(graded, "sel_key", "toks", 32, Some(bounds))
       .filter(col("cum_before") < budget)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),

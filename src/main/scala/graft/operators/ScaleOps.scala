@@ -455,13 +455,36 @@ object ScaleOps {
     * exclusive prefix sum of `valCol` in `orderCol` order (ties within
     * a duplicate order key are resolved by the row's bucket-local
     * position — pass a unique key). */
-  def prefixSummed(df: DataFrame, orderCol: String, valCol: String,
-      partitions: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
-    val bounds =
+  /** Memoized bucket boundaries for [[prefixSummed]], keyed by a
+    * generation-bearing identity (a persisted-table name or corpus
+    * fingerprint): the boundaries are a deterministic function of the
+    * corpus, so steady-state re-invocations of a prefix-sum query skip
+    * the approxQuantile driver action entirely (r17 verdict #6 — the
+    * probe was one of the 4-5 sequential job floors behind
+    * pack_sequences / quality_ppl_buckets). Any boundary set is
+    * CORRECT (it only skews bucket sizes), so memo staleness across an
+    * in-place regeneration could not corrupt results even without the
+    * generation check — but the check keeps the sizes honest. */
+  private val boundsMemo =
+    new DriverMemo[(String, String, Int), Array[Double]](64)
+
+  def prefixBounds(df: DataFrame, gen: String, orderCol: String,
+      partitions: Int): Array[Double] =
+    boundsMemo.getOrCompute((gen, orderCol, partitions), gen) {
+      val probs = (1 until partitions).map(_.toDouble / partitions).toArray
       if (probs.isEmpty) Array.empty[Double]
       else df.stat.approxQuantile(orderCol, probs, 0.01)
+    }
+
+  def prefixSummed(df: DataFrame, orderCol: String, valCol: String,
+      partitions: Int, precomputedBounds: Option[Array[Double]] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
+    val bounds = precomputedBounds.getOrElse {
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.01)
+    }
     // bucket i owns keys in (bounds(i-1), bounds(i)] — contiguous by
     // construction since every row compares against the same literals
     val pidExpr = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
