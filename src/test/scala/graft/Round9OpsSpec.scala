@@ -112,6 +112,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(!plan.contains("row_number"), "global row_number window found")
   }
 
+  test("nll score table: the persisted per-doc NLL route is " +
+      "bit-identical to the inline unigramNll chain") {
+    // r18: curation_report and quality_ppl_buckets read the build-once
+    // graft_nll_* table (ensureNllTable) instead of re-running the
+    // index join + two aggregations per invocation. Parquet must
+    // round-trip the rounded doubles exactly — pin the persisted rows
+    // against the inline formulation, nonEmpty-guarded.
+    val inline = operators.QualityLm.unigramNll(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val table = spark
+      .table(operators.QualityLm.ensureNllTable(spark, Sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(inline.nonEmpty && (table sameElements inline))
+  }
+
   test("source_leakage: symmetric distinct-gram counts match a " +
       "driver-side recompute") {
     val n = operators.Dedup.SpanGramSize
