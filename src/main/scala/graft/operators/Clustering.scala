@@ -450,7 +450,10 @@ object Clustering {
   def ensureHierFit(spark: SparkSession, dir: String, k1: Int,
       k2: Int): String = {
     val name = hierFitName(dir, k1, k2)
-    if (!spark.catalog.tableExists(s"${name}_assign")) {
+    if (!spark.catalog.tableExists(s"${name}_assign")
+        && !ScaleOps.attach(spark,
+          s"${name}_cent" -> ("cluster", 1),
+          s"${name}_assign" -> ("vec_id", 8))) {
       val (assign, cent) = fitHierarchical(spark, dir, k1, k2)
       // guard table (`_assign`) written LAST so an aborted build —
       // died between the two writes — re-runs instead of serving a

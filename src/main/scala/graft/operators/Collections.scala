@@ -58,7 +58,10 @@ object Collections {
     // scoped can never silently serve the stale corpus (r13 ADVICE)
     val name =
       s"graft_docs_part_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attachAll(spark,
+          Seq(ScaleOps.AttachSpec(name, partitionCols = Seq("lang"))))) {
+      ScaleOps.unmarkAttachable(spark, name)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
@@ -66,6 +69,7 @@ object Collections {
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
       Tables.documents(spark, dir).write.mode("overwrite")
         .partitionBy("lang").format("parquet").saveAsTable(name)
+      ScaleOps.markAttachable(spark, name)
     }
     name
   }

@@ -123,7 +123,9 @@ object Dedup {
     * never form a valid pair anyway). */
   def ensureLshIndex(spark: SparkSession, dir: String): String = {
     val name = s"graft_lsh_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark,
+          s"${name}_sets" -> ("doc_id", 8), name -> ("bkey", 32))) {
       // persist: the shingle-set frame feeds the signature computation
       // AND the sets table — without it the tokenize+shingle pass runs
       // twice in the build
@@ -492,7 +494,9 @@ object Dedup {
       threshold: Double): String = {
     val name = s"graft_cur_${math.round(threshold * 100)}_" +
       ScaleOps.contentHash(dir, "documents")
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attachAll(spark, Seq(ScaleOps.AttachSpec(name)))) {
+      ScaleOps.unmarkAttachable(spark, name)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
@@ -511,6 +515,7 @@ object Dedup {
           col("n_tokens"), col("n_kept"), col("n_removed"),
           col("cleaned_md5"))
         .write.mode("overwrite").format("parquet").saveAsTable(name)
+      ScaleOps.markAttachable(spark, name)
       CacheScope.release(spark)
     }
     name
@@ -1791,7 +1796,9 @@ object Dedup {
     * is the query. */
   def ensurePpjoinIndex(spark: SparkSession, dir: String): String = {
     val name = s"graft_ppx_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark,
+          s"${name}_sets" -> ("doc_id", 8), name -> ("shingle", 32))) {
       val sh = docShinglesSized(Tables.documentsDense(spark, dir))
         .transform(CacheScope.cached)
       val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))

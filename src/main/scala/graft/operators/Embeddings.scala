@@ -95,6 +95,12 @@ object Embeddings {
       (pm, lsh.fit(emb))
     })
     val name = embIndexName(dir, dim)
+    // NOT attachable (deliberate exception to the r18 attach-many
+    // discipline): this table carries ml VectorUDT columns, and an
+    // external-table registration declares the parquet STRUCT encoding
+    // — a fresh session attaching it would hand GenericRow structs to
+    // consumers that cast to ml.linalg.Vector. The fit itself is
+    // per-JVM driver state anyway, so the rebuild is the honest cost.
     if (!spark.catalog.tableExists(name)) {
       val docs = Tables.documents(spark, dir)
       val emb = fitted._1.transform(docs).select("doc_id", "embedding")

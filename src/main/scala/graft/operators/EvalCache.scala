@@ -49,7 +49,8 @@ object EvalCache {
       label: String, bucketCol: String)(build: => DataFrame): DataFrame = {
     val name =
       s"graft_gt_${label}_${ScaleOps.contentHash(dir, srcTable)}"
-    if (!spark.catalog.tableExists(name))
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> (bucketCol, 1)))
       ScaleOps.writeBucketed(build, name, bucketCol, 1)
     spark.table(name)
   }

@@ -65,7 +65,8 @@ object Fts {
 
   def ensureIndex(spark: SparkSession, dir: String): String = {
     val name = indexName(dir)
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 32))) {
       ScaleOps.writeBucketed(
         invertedIndex(Tables.documents(spark, dir)), name, "term", 32)
     }
@@ -317,7 +318,9 @@ object Fts {
     * name ignores any `_dl` sidecar persisted under the old shape. */
   def ensureBm25Stats(spark: SparkSession, dir: String): String = {
     val name = s"graft_ftsb2_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(s"${name}_dl")) {
+    if (!spark.catalog.tableExists(s"${name}_dl")
+        && !ScaleOps.attach(spark,
+          s"${name}_cs" -> ("lang", 1), s"${name}_dl" -> ("doc_id", 8))) {
       val dl = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           size(TextAnalyzer.tokens(col("text"))).as("dl"),
@@ -346,7 +349,9 @@ object Fts {
     * zero-token docs). Guard table (`name`) written last. */
   def ensureDfStats(spark: SparkSession, dir: String): String = {
     val name = s"graft_ftsdf_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark,
+          s"${name}_nd" -> ("lang", 1), name -> ("term", 8))) {
       val idx = spark.table(ensureIndex(spark, dir))
       ScaleOps.writeBucketed(
         idx.groupBy("lang")
@@ -367,7 +372,8 @@ object Fts {
     * Probed by [[searchStemmedIndexed]]. */
   def ensureStemmedIndex(spark: SparkSession, dir: String): String = {
     val name = s"graft_fts_stem_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 32))) {
       ScaleOps.writeBucketed(
         Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"),
@@ -534,7 +540,8 @@ object Fts {
     * bucketed by doc_id to co-partition with the `_dl` sidecar. */
   def ensureDocAttrs(spark: SparkSession, dir: String): String = {
     val name = s"graft_ftsat_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("doc_id", 8))) {
       val words = filter(split(col("text"), "\\s+"), w => w =!= "")
       ScaleOps.writeBucketed(
         Tables.documents(spark, dir)
@@ -833,7 +840,8 @@ object Fts {
       lang: String): String = {
     val name =
       s"graft_ftsl_${lang}_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 32))) {
       ScaleOps.writeBucketed(
         Tables.documents(spark, dir)
           .filter(col("lang") === lit(lang))
@@ -1010,7 +1018,8 @@ object Fts {
   def ensureLangRoutedIndex(spark: SparkSession, dir: String): String = {
     val name =
       s"graft_ftslang_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 16))) {
       val docs = graft.functions.LangId.withDetected(
         Tables.documents(spark, dir).select("doc_id", "lang", "text"),
         "text")
@@ -1811,7 +1820,8 @@ object Fts {
     * tf. */
   def ensureReverseIndex(spark: SparkSession, dir: String): String = {
     val name = s"graft_fts_rev_${ScaleOps.contentHash(dir, "documents")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("rterm", 32))) {
       ScaleOps.writeBucketed(
         spark.table(ensureIndex(spark, dir))
           .select(reverse(col("term")).as("rterm"), col("doc_id"),
@@ -1964,7 +1974,8 @@ object Fts {
       mod: Long): String = {
     val base = ensureIndex(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 32))) {
       // the mod-DERIVED delete set is corpus-proportional, so no
       // broadcast hint (the ivfDeleteStats lesson): AQE broadcasts it
       // only when its runtime size is genuinely small. A real API
@@ -2017,7 +2028,8 @@ object Fts {
       mod: Long): String = {
     val base = ensureStemmedIndex(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 32))) {
       ScaleOps.writeBucketed(
         spark.table(base)
           .join(modDeletes(spark, dir, mod), Seq("doc_id"), "left_anti"),
@@ -2058,7 +2070,8 @@ object Fts {
       mod: Long): String = {
     val base = ensureReverseIndex(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("rterm", 32))) {
       ScaleOps.writeBucketed(
         spark.table(base)
           .join(modDeletes(spark, dir, mod), Seq("doc_id"), "left_anti"),
@@ -2100,7 +2113,8 @@ object Fts {
       mod: Long): String = {
     val base = ensureLangRoutedIndex(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("term", 16))) {
       ScaleOps.writeBucketed(
         spark.table(base)
           .join(modDeletes(spark, dir, mod), Seq("doc_id"), "left_anti"),
@@ -2163,7 +2177,9 @@ object Fts {
       mod: Long): String = {
     val base = ensureBm25Stats(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(s"${name}_dl")) {
+    if (!spark.catalog.tableExists(s"${name}_dl")
+        && !ScaleOps.attach(spark,
+          s"${name}_cs" -> ("lang", 1), s"${name}_dl" -> ("doc_id", 8))) {
       val dlv = spark.table(s"${base}_dl")
         .join(modDeletes(spark, dir, mod), Seq("doc_id"), "left_anti")
         .transform(CacheScope.cached)
@@ -2209,7 +2225,8 @@ object Fts {
       mod: Long): String = {
     val base = ensureDocAttrs(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("doc_id", 8))) {
       ScaleOps.writeBucketed(
         spark.table(base)
           .join(modDeletes(spark, dir, mod), Seq("doc_id"), "left_anti"),

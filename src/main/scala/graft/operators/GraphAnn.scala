@@ -46,7 +46,8 @@ object GraphAnn {
       nCentroids: Int, m: Int): String = {
     val name =
       s"graft_gann_${nCentroids}_${m}_${ScaleOps.contentHash(dir, "embeddings")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("src", 16))) {
       // probe-2 assignment against the SAME stored trained centroids
       // the IVF index uses (build once, share everywhere)
       val idx = Similarity.ensureIvfIndex(spark, dir, nCentroids)

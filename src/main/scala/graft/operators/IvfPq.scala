@@ -117,15 +117,20 @@ object IvfPq {
   private def codesName(dir: String, nCentroids: Int): String =
     s"graft_ivfpq_${ScaleOps.contentHash(dir, "embeddings")}_c$nCentroids"
 
-  private def ensureTable(spark: SparkSession, name: String)(
+  private def ensureTable(spark: SparkSession, name: String,
+      bucket: Option[(String, Int)] = None)(
       build: => Unit): String = {
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attachAll(spark,
+          Seq(ScaleOps.AttachSpec(name, bucket)))) {
+      ScaleOps.unmarkAttachable(spark, name)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
       build
+      ScaleOps.markAttachable(spark, name)
     }
     name
   }
@@ -176,7 +181,8 @@ object IvfPq {
     * prunes to its nProbe buckets of the 32x-smaller table. */
   def ensureCodesTable(spark: SparkSession, dir: String,
       nCentroids: Int): String =
-    ensureTable(spark, codesName(dir, nCentroids)) {
+    ensureTable(spark, codesName(dir, nCentroids),
+        Some(("centroid_id", nCentroids))) {
       ScaleOps.writeBucketed(encode(spark, dir, nCentroids),
         codesName(dir, nCentroids), "centroid_id", nCentroids)
     }

@@ -131,13 +131,16 @@ object ProductQuant {
     * ensurePqTable. */
   def ensureCodebook(spark: SparkSession, dir: String): String = {
     val name = s"graft_pqcb_${ScaleOps.contentHash(dir, "embeddings")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attachAll(spark, Seq(ScaleOps.AttachSpec(name)))) {
+      ScaleOps.unmarkAttachable(spark, name)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
       trainCodebook(spark, dir).write.mode("overwrite").saveAsTable(name)
+      ScaleOps.markAttachable(spark, name)
     }
     name
   }
@@ -191,13 +194,16 @@ object ProductQuant {
     * with LOCATION_ALREADY_EXISTS on every session after the first). */
   def ensurePqTable(spark: SparkSession, dir: String): String = {
     val name = s"graft_pq_${ScaleOps.contentHash(dir, "embeddings")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attachAll(spark, Seq(ScaleOps.AttachSpec(name)))) {
+      ScaleOps.unmarkAttachable(spark, name)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
       encode(spark, dir).write.mode("overwrite").saveAsTable(name)
+      ScaleOps.markAttachable(spark, name)
     }
     name
   }

@@ -69,6 +69,110 @@ object ScaleOps {
     else 0L
   }
 
+  // --- Build-once / ATTACH-many persisted tables ------------------------
+
+  /** Layout-version stamp baked into every attachable table's marker.
+    * BUMP THIS whenever ANY persisted-table builder changes its output
+    * schema, content, or bucketing — a stale on-disk generation from
+    * older builder code then fails the marker check and is rebuilt
+    * (today's per-JVM behavior) instead of being silently attached.
+    * Within one code version, a fresh JVM ATTACHES the existing files
+    * instead of rebuilding — which is both the serving-fleet design at
+    * 100 TB (indexes are built once and attached by every session) and
+    * the fix for the cross-JVM clobber race (a fresh JVM's in-memory
+    * catalog sees tableExists=false and would otherwise DROP+rewrite
+    * files a concurrent session is mid-scan on — the r18 ladder crash). */
+  private val AttachLayoutVersion = "r18a"
+  private val AttachMarker = "_GRAFT_ATTACH"
+
+  private def tableLocation(spark: SparkSession,
+      table: String): java.nio.file.Path = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    java.nio.file.Paths.get(warehouse, table.toLowerCase)
+  }
+
+  /** Marker write — called by [[writeBucketed]] (and the few manual
+    * saveAsTable builders) AFTER a successful commit, so the marker's
+    * presence certifies a complete build: any interrupted build or
+    * partially-deleted location has no marker (it is deleted FIRST on
+    * rebuild) and attach falls through to a clean rebuild. */
+  def markAttachable(spark: SparkSession, table: String): Unit = {
+    import java.nio.file.{Files, StandardOpenOption => O}
+    val loc = tableLocation(spark, table)
+    if (java.nio.file.Files.isDirectory(loc))
+      Files.write(loc.resolve(AttachMarker),
+        AttachLayoutVersion.getBytes("UTF-8"),
+        O.CREATE, O.TRUNCATE_EXISTING)
+  }
+
+  /** Marker delete — called BEFORE any drop/delete/rewrite of the
+    * location, so no concurrent or later session can attach a dying
+    * generation. */
+  def unmarkAttachable(spark: SparkSession, table: String): Unit =
+    try java.nio.file.Files.deleteIfExists(
+      tableLocation(spark, table).resolve(AttachMarker))
+    catch { case _: java.io.IOException => () }
+
+  /** One table of an attach group: `bucket` = (key, nBuckets) for
+    * bucketed layouts, `partitionCols` for directory-partitioned ones,
+    * neither for plain parquet tables. */
+  case class AttachSpec(table: String,
+      bucket: Option[(String, Int)] = None,
+      partitionCols: Seq[String] = Nil)
+
+  /** Attach a group of previously-persisted warehouse tables into this
+    * session's catalog as external tables — all-or-nothing: true iff
+    * EVERY member has a complete (_SUCCESS + current-layout marker)
+    * directory and every registration succeeded. On false the caller
+    * builds from scratch exactly as before (writeBucketed starts with
+    * DROP TABLE IF EXISTS, so a partially-registered group is repaired
+    * by the build path). Registration is metadata-only — one parquet
+    * footer read per table for the schema, zero Spark jobs over the
+    * data — and the registered bucket/partition spec reproduces the
+    * built layout bit-for-bit (bucket ids live in the file names), so
+    * bucket pruning and co-located joins behave identically to the
+    * building session (AttachSpec path pinned in ScaleOpsSpec). */
+  def attachAll(spark: SparkSession, specs: Seq[AttachSpec]): Boolean = {
+    import java.nio.file.Files
+    val complete = specs.forall { s =>
+      val loc = tableLocation(spark, s.table)
+      Files.exists(loc.resolve("_SUCCESS")) &&
+        (try new String(Files.readAllBytes(loc.resolve(AttachMarker)),
+          "UTF-8") == AttachLayoutVersion
+        catch { case _: java.io.IOException => false })
+    }
+    complete && (try {
+      specs.foreach { s =>
+        if (!spark.catalog.tableExists(s.table)) {
+          val loc = tableLocation(spark, s.table)
+          val schema = spark.read.parquet(loc.toString).schema
+          val bucketDdl = s.bucket.map { case (k, n) =>
+            s"CLUSTERED BY (`$k`) SORTED BY (`$k`) INTO $n BUCKETS"
+          }.getOrElse("")
+          val partDdl =
+            if (s.partitionCols.isEmpty) ""
+            else s.partitionCols.mkString(
+              "PARTITIONED BY (`", "`, `", "`)")
+          spark.sql(
+            s"""CREATE TABLE `${s.table}` (${schema.toDDL})
+               |USING PARQUET $partDdl $bucketDdl
+               |LOCATION '${loc.toUri}'""".stripMargin)
+          if (s.partitionCols.nonEmpty)
+            spark.sql(s"ALTER TABLE `${s.table}` RECOVER PARTITIONS")
+        }
+      }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false })
+  }
+
+  /** Bucketed-group sugar for the common ensure-site shape:
+    * `attach(spark, name -> ("term", 32), s"${name}_dl" -> ("doc_id", 8))`. */
+  def attach(spark: SparkSession,
+      specs: (String, (String, Int))*): Boolean =
+    attachAll(spark, specs.map { case (t, (k, n)) =>
+      AttachSpec(t, Some((k, n))) })
+
   /** Write both sides of a fact-fact join bucketed+sorted by the join
     * key into the session catalog. A subsequent join of the two tables
     * on that key is a SortMergeJoin with NO shuffle exchange on either
@@ -78,6 +182,10 @@ object ScaleOps {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
+    // the marker dies FIRST: from here to the post-commit markAttachable
+    // the location is never attachable, so an interrupted rebuild can
+    // only ever be rebuilt, never served
+    unmarkAttachable(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // remove an orphaned managed location from a previous session, which
     // would otherwise fail CREATE TABLE with LOCATION_ALREADY_EXISTS
@@ -96,6 +204,7 @@ object ScaleOps {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    markAttachable(spark, table)
   }
 
   /** The co-located join over two pre-bucketed tables. */
@@ -110,11 +219,13 @@ object ScaleOps {
       dir: String): (String, String) = {
     val bo = s"graft_bord_${contentHash(dir, "orders")}"
     val bl = s"graft_blin_${contentHash(dir, "lineitem")}"
-    if (!spark.catalog.tableExists(bo))
+    if (!spark.catalog.tableExists(bo)
+        && !attach(spark, bo -> ("o_orderkey", 16)))
       writeBucketed(graft.Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_orderdate"), bo,
         "o_orderkey", 16)
-    if (!spark.catalog.tableExists(bl))
+    if (!spark.catalog.tableExists(bl)
+        && !attach(spark, bl -> ("o_orderkey", 16)))
       writeBucketed(graft.Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_extendedprice"), col("l_discount")), bl,

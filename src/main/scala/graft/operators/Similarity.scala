@@ -380,7 +380,11 @@ object Similarity {
   def ensureIvfIndexHier(spark: SparkSession, dir: String, k1: Int,
       k2: Int): String = {
     val name = ivfHierName(dir, k1, k2)
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark,
+          s"${name}_cents" -> ("centroid_id", 1),
+          s"${name}_coarse" -> ("centroid_id", 1),
+          name -> ("centroid_id", math.min(k1 * k2, 64)))) {
       // the fit itself is its own build-once artifact (shared with the
       // kmeans_hier gate) — this build is a probe over its tables
       val fitTbl = Clustering.ensureHierFit(spark, dir, k1, k2)
@@ -629,7 +633,10 @@ object Similarity {
   def ensureIvfIndex(spark: SparkSession, dir: String,
       nCentroids: Int): String = {
     val name = ivfIndexName(dir, nCentroids)
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark,
+          s"${name}_cents" -> ("centroid_id", 1),
+          name -> ("centroid_id", nCentroids))) {
       val emb = Tables.embeddings(spark, dir)
       // a driver-local frame (nCentroids rows) — no caching needed for
       // the two writes below
@@ -813,7 +820,8 @@ object Similarity {
       nCentroids: Int, mod: Long): String = {
     val base = ensureIvfIndex(spark, dir, nCentroids)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("centroid_id", nCentroids))) {
       ScaleOps.writeBucketed(
         spark.table(base).filter(col("vec_id") % mod =!= 0),
         name, "centroid_id", nCentroids)

@@ -249,7 +249,8 @@ object TextOps {
     * pins scan ≡ index on both filter shapes. */
   def ensureMetaAttrs(spark: SparkSession, dir: String): String = {
     val name = s"graft_meta_${ScaleOps.contentHash(dir, "events")}"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("event_id", 8))) {
       ScaleOps.writeBucketed(
         Tables.events(spark, dir)
           .select(col("event_id"), col("event_type"), col("props"),
@@ -306,7 +307,8 @@ object TextOps {
       mod: Long): String = {
     val base = ensureMetaAttrs(spark, dir)
     val name = s"${base}_vac$mod"
-    if (!spark.catalog.tableExists(name)) {
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("event_id", 8))) {
       ScaleOps.writeBucketed(
         spark.table(base).filter(col("event_id") % mod =!= 0),
         name, "event_id", 8)

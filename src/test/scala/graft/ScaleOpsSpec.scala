@@ -144,4 +144,56 @@ class ScaleOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("attach: a fresh session registers an existing persisted table " +
+      "instead of rebuilding — rows identical, bucket pruning intact, " +
+      "and no marker / stale-layout marker refuses") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = "graft_attspec_src"
+    val dup = "graft_attspec_dup"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $dup")
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("doc_id", "v")
+    ScaleOps.writeBucketed(df, src, "doc_id", 8)
+    // simulate a fresh JVM's view: the FILES exist (copy the committed
+    // location, marker included) but the catalog has no entry
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val (s, d) = (Paths.get(wh, src), Paths.get(wh, dup))
+    graft.sources.ParquetStore.deleteRecursively(d)
+    Files.walk(s).forEach { p =>
+      Files.copy(p, d.resolve(s.relativize(p).toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(ScaleOps.attach(spark, dup -> ("doc_id", 8)))
+    val a = spark.table(dup).orderBy("doc_id").collect()
+    val b = spark.table(src).orderBy("doc_id").collect()
+    assert(a.nonEmpty && (a sameElements b))
+    // the registered bucket spec is live: an equality probe on the
+    // bucket key statically prunes to 1 of 8 buckets
+    val plan = spark.table(dup).filter(col("doc_id") === 4242L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+    // no marker (interrupted build / partially-deleted location) or a
+    // marker from an older builder version => NOT attachable
+    val dup2 = "graft_attspec_dup2"
+    spark.sql(s"DROP TABLE IF EXISTS $dup2")
+    val d2 = Paths.get(wh, dup2)
+    graft.sources.ParquetStore.deleteRecursively(d2)
+    Files.walk(d).forEach { p =>
+      Files.copy(p, d2.resolve(d.relativize(p).toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    ScaleOps.unmarkAttachable(spark, dup2)
+    assert(!ScaleOps.attach(spark, dup2 -> ("doc_id", 8)))
+    Files.write(d2.resolve("_GRAFT_ATTACH"),
+      "someFutureLayout".getBytes("UTF-8"))
+    assert(!ScaleOps.attach(spark, dup2 -> ("doc_id", 8)))
+    // attach group is all-or-nothing: one missing member fails the group
+    assert(!ScaleOps.attach(spark,
+      dup -> ("doc_id", 8), "graft_attspec_absent" -> ("doc_id", 8)))
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $dup") // external: files survive
+    graft.sources.ParquetStore.deleteRecursively(d)
+    graft.sources.ParquetStore.deleteRecursively(d2)
+  }
 }
