@@ -173,13 +173,104 @@ object ScaleOps {
     attachAll(spark, specs.map { case (t, (k, n)) =>
       AttachSpec(t, Some((k, n))) })
 
+  // --- Single-builder lock ----------------------------------------------
+
+  /** How long a waiter honors another session's build lock before
+    * treating the builder as hung and taking over. Generous: the
+    * largest single-table build two decades above the fixture (the
+    * sf10 inverted index) commits in low minutes. */
+  private val StaleLockMs = 15 * 60 * 1000L
+  private val LockPollMs = 500L
+
+  private def lockPath(spark: SparkSession,
+      table: String): java.nio.file.Path =
+    tableLocation(spark, table).getParent
+      .resolve(s".graft_build_${table.toLowerCase}.lock")
+
+  /** One atomic create attempt; breaks a lock whose recorded builder
+    * PID is no longer alive (single-host local[*] regime — ProcessHandle
+    * answers for any PID on this machine). */
+  private def tryAcquireBuildLock(spark: SparkSession,
+      table: String): Boolean = {
+    import java.nio.file.{Files, StandardOpenOption => O}
+    val lock = lockPath(spark, table)
+    try {
+      Files.createDirectories(lock.getParent)
+      Files.write(lock,
+        ProcessHandle.current.pid.toString.getBytes("UTF-8"),
+        O.CREATE_NEW, O.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val dead = try {
+          val pid = new String(Files.readAllBytes(lock), "UTF-8").trim
+          val h = ProcessHandle.of(pid.toLong)
+          !(h.isPresent && h.get.isAlive)
+        } catch { case scala.util.control.NonFatal(_) => false }
+        val stale = try {
+          System.currentTimeMillis -
+            Files.getLastModifiedTime(lock).toMillis > StaleLockMs
+        } catch { case _: java.io.IOException => true }
+        if (dead || stale) {
+          try Files.deleteIfExists(lock)
+          catch { case _: java.io.IOException => () }
+        }
+        false
+      case _: java.io.IOException => true // unlockable fs: build anyway
+    }
+  }
+
+  private def releaseBuildLock(spark: SparkSession, table: String): Unit =
+    try java.nio.file.Files.deleteIfExists(lockPath(spark, table))
+    catch { case _: java.io.IOException => () }
+
+  /** Block while ANOTHER live builder holds the lock. Returns when the
+    * lock is gone (builder committed or died — tryAcquire breaks dead
+    * and stale locks). */
+  private def awaitBuildLock(spark: SparkSession, table: String): Unit = {
+    val deadline = System.currentTimeMillis + StaleLockMs + 60000L
+    while (java.nio.file.Files.exists(lockPath(spark, table))
+        && System.currentTimeMillis < deadline)
+      Thread.sleep(LockPollMs)
+  }
+
   /** Write both sides of a fact-fact join bucketed+sorted by the join
     * key into the session catalog. A subsequent join of the two tables
     * on that key is a SortMergeJoin with NO shuffle exchange on either
     * side (bucketing pre-partitions the data on disk) — at warehouse
     * scale this is how orders⋈lineitem avoids moving 100 TB.
-    */
+    *
+    * Single-builder discipline (r18): the write runs under a PID-
+    * bearing lock file beside the table location. A concurrent session
+    * racing for the SAME absent generation waits for the winner's
+    * committed marker and ATTACHES it instead of clobbering the files
+    * mid-write (the last unclosed race after the ensure-guards learned
+    * to attach); a lock whose builder PID is dead — or older than
+    * [[StaleLockMs]] — is broken and the build taken over, so a
+    * crashed builder never wedges the fleet. */
   def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      if (tryAcquireBuildLock(spark, table)) {
+        try {
+          doWriteBucketed(df, table, key, buckets)
+        } finally releaseBuildLock(spark, table)
+        return
+      }
+      awaitBuildLock(spark, table)
+      // the other builder committed: serve its generation (identical
+      // by construction — generation names are content-fingerprinted)
+      if (attach(spark, table -> (key, buckets))
+          || spark.catalog.tableExists(table)) return
+      // died without committing: loop and take over
+    }
+    doWriteBucketed(df, table, key, buckets) // pathological: build unlocked
+  }
+
+  private def doWriteBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     // the marker dies FIRST: from here to the post-commit markAttachable

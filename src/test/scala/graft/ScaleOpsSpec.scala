@@ -196,4 +196,40 @@ class ScaleOpsSpec extends SparkSpec {
     graft.sources.ParquetStore.deleteRecursively(d)
     graft.sources.ParquetStore.deleteRecursively(d2)
   }
+
+  test("build lock: a dead builder's lock is broken and the build " +
+      "proceeds; a live builder's lock makes the waiter ATTACH the " +
+      "committed generation instead of rewriting it") {
+    import java.nio.file.{Files, Paths}
+    val t = "graft_lockspec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.sources.ParquetStore.deleteRecursively(Paths.get(wh, t))
+    val lock = Paths.get(wh, s".graft_build_$t.lock")
+    // (a) stale lock from a crashed builder (dead PID): broken, build
+    // runs, lock released afterwards
+    Files.createDirectories(lock.getParent)
+    Files.write(lock, "999999999".getBytes("UTF-8"))
+    val gen1 = (1L to 100L).map(i => (i, "gen1")).toDF("doc_id", "v")
+    ScaleOps.writeBucketed(gen1, t, "doc_id", 4)
+    assert(!Files.exists(lock), "lock not released after build")
+    assert(spark.table(t).filter(col("v") === "gen1").count() == 100)
+    // (b) live builder (this JVM's PID) holds the lock; it "commits"
+    // (gen1 above is the committed, marked generation) and releases
+    // 2 s later. The waiter must serve gen1 — NOT clobber it with its
+    // own gen2 frame.
+    Files.write(lock,
+      ProcessHandle.current.pid.toString.getBytes("UTF-8"))
+    val releaser = new Thread(() => {
+      Thread.sleep(2000); Files.deleteIfExists(lock); ()
+    })
+    releaser.start()
+    val gen2 = (1L to 100L).map(i => (i, "gen2")).toDF("doc_id", "v")
+    ScaleOps.writeBucketed(gen2, t, "doc_id", 4) // blocks ~2 s, then attaches
+    releaser.join()
+    assert(spark.table(t).filter(col("v") === "gen1").count() == 100,
+      "waiter clobbered the committed generation instead of attaching")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.ParquetStore.deleteRecursively(Paths.get(wh, t))
+  }
 }
