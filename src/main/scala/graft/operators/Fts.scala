@@ -2793,7 +2793,11 @@ object Fts {
       lang: String, k: Int, window: Int): DataFrame = {
     val terms = TextAnalyzer.analyze(query).distinct
     require(terms.nonEmpty, "query analyzes to no terms")
-    val top = search(spark, dir, query, lang, k)
+    // the hit list rides the probe route when the corpus is past the
+    // routing threshold (bit-identical to the scan route, FtsRouteSpec)
+    // — the snippet pass then anchors on k index-probe rows instead of
+    // a second corpus tokenization (r18)
+    val top = searchAuto(spark, dir, query, lang, k)
     val docs = Tables.documents(spark, dir)
       .filter(col("lang") === lit(lang))
       .select(col("doc_id"), col("text"))

@@ -43,7 +43,11 @@ object Hybrid {
     // collected and ranked locally (one bounded collect per list)
     // instead of through an unpartitioned row_number window — the plan
     // keeps zero single-partition operators regardless of corpus size
-    val fts = Fts.search(spark, dir, query, lang, kEach)
+    // searchAuto rides the persisted index probe when the corpus is
+    // past the routing threshold (bit-identical to the scan route,
+    // FtsRouteSpec) — the hybrid's FTS side is then corpus-size-
+    // independent instead of re-tokenizing documents per query (r18)
+    val fts = Fts.searchAuto(spark, dir, query, lang, kEach)
       .select(col("doc_id"), col("score")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy { case (id, s) => (-s, id) }
@@ -137,7 +141,9 @@ object Hybrid {
     def norm6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
-    val fts = Fts.search(spark, dir, query, lang, kEach)
+    // index-probe route, bit-identical to the scan route (see
+    // rrfSearch) — the FTS side stays corpus-size-independent
+    val fts = Fts.searchAuto(spark, dir, query, lang, kEach)
       .select(col("doc_id"), col("score")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     // An AND-query matching zero documents yields an empty list —

@@ -49,12 +49,6 @@ object QueryExpand {
     spark.table(Fts.ensureIndex(spark, dir))
       .filter(col("lang") === lit(lang))
 
-  /** Corpus stats from the index: one row (n_docs). N counts docs WITH
-    * at least one indexed term — the index's own universe, replayed
-    * identically in the oracle. */
-  private def nDocs(idx: DataFrame): DataFrame =
-    idx.agg(countDistinct(col("doc_id")).as("n_docs"))
-
   /** The mined expansion terms for `query`: top-`nExp` terms of the
     * top-`nFb` AND-match feedback docs, scored w = round(Σ_fb tf ·
     * ln(N/df), 6), originals excluded. Output (term, w, df, fb_tf). */
@@ -73,15 +67,22 @@ object QueryExpand {
       .orderBy(round(col("s"), 6).desc, col("doc_id").asc)
       .limit(nFb)
       .select("doc_id")
-    // term mining: tf mass inside the feedback docs × corpus idf
-    val df = idx.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // term mining: tf mass inside the feedback docs × corpus idf.
+    // df and N come from the persisted per-(lang, term) vocabulary
+    // sidecar (Fts.ensureDfStats, the moreLikeThis treatment — r18):
+    // the same countDistinct integers, aggregated once per corpus
+    // generation instead of re-aggregating the full index per query
+    val dfName = Fts.ensureDfStats(spark, dir)
+    val df = spark.table(dfName)
+      .filter(col("lang") === lit(lang)).select("term", "df")
+    val nd = spark.table(s"${dfName}_nd")
+      .filter(col("lang") === lit(lang)).select("n_docs")
     idx.join(broadcast(fb), "doc_id")
       .filter(!col("term").isin(terms: _*))
       .groupBy("term")
       .agg(sum(col("tf")).as("fb_tf"))
       .join(df, "term")
-      .crossJoin(broadcast(nDocs(idx)))
+      .crossJoin(broadcast(nd))
       .select(col("term"),
         round(col("fb_tf") * log(col("n_docs").cast("double") / col("df")), 6)
           .as("w"),

@@ -1011,8 +1011,13 @@ object Relational {
   def customerDecilesScale(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-    val probs = (1 until 10).map(_ / 10.0).toArray
-    val bounds = cust.stat.approxQuantile("c_acctbal", probs, 0.01)
+    // bucket boundaries memoized per corpus generation (the
+    // ScaleOps.prefixBounds discipline, r18): ANY boundary set is
+    // correct — it only skews bucket sizes, the global rank falls out
+    // of bucket-local row_number + offsets either way — so steady-state
+    // re-invocations skip the approxQuantile driver action
+    val bounds = ScaleOps.prefixBounds(cust,
+      ScaleOps.contentHash(dir, "customer"), "c_acctbal", 10)
     val pid = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("c_acctbal") > lit(b), 1).otherwise(0)
     }

@@ -598,6 +598,20 @@ object ScaleOps {
     }.reduce(_ && _)
   }
 
+  /** Driver memo for built join blooms: the 64-long word array is a
+    * pure function of (dim-table generation, build predicate, key
+    * column), so a steady-state serving process builds each bloom ONCE
+    * per corpus generation instead of paying the dim-scan + collect
+    * job per query (r18; the prefixBounds treatment). Values are 512
+    * bytes each, LRU-bounded, generation-checked on lookup. */
+  private val joinBloomMemo = new DriverMemo[(String, String), Array[Long]](64)
+
+  def buildJoinBloomMemo(keys: DataFrame, gen: String, tag: String,
+      keyCol: String): Array[Long] =
+    joinBloomMemo.getOrCompute((gen, s"$tag:$keyCol"), gen) {
+      buildJoinBloom(keys, keyCol)
+    }
+
   /** Registered demo: order revenue by priority for BUILDING-segment
     * customers, with the orders scan pre-pruned by the customer-key
     * bloom. ~1/5 of customers are BUILDING, so ~80% of orders rows
@@ -609,7 +623,8 @@ object ScaleOps {
     val cust = graft.Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === lit("BUILDING"))
       .select("c_custkey")
-    val words = buildJoinBloom(cust, "c_custkey")
+    val words = buildJoinBloomMemo(cust,
+      contentHash(dir, "customer"), "c_mktsegment=BUILDING", "c_custkey")
     graft.Tables.orders(spark, dir)
       .filter(joinBloomMightContain(words.toSeq, col("o_custkey")))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
