@@ -23,18 +23,48 @@ import org.apache.spark.sql.functions._
   */
 object EventMining {
 
-  private def sessionized(spark: SparkSession, dir: String,
+  /** The inline sessionization chain — the BUILDER behind
+    * [[ensureSessionTable]]. Projected to exactly the columns the
+    * session consumers read (the props/value payload never rides the
+    * user-keyed exchange — project before the exchange). */
+  private[graft] def sessionAssign(spark: SparkSession, dir: String,
       gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("tsec").asc, col("event_id").asc)
     Relational.eventsWithTsec(spark, dir)
+      .select("event_id", "user_id", "tsec", "event_type")
       .withColumn("prev", lag(col("tsec"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("is_new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "tsec", "event_type", "session_seq")
   }
+
+  /** Build-once per-(corpus generation, gap) session assignment — the
+    * `_dl`/attrs sidecar discipline applied to sessionization (r18):
+    * session_seq is a pure function of (events content, gapSec), so
+    * the user-keyed window pass runs ONCE per corpus generation and
+    * every session consumer (transitions, basket rules, opening paths)
+    * probes the persisted table instead of re-sessionizing the event
+    * log per query. Bucketed by user_id with the shared builder lock /
+    * attach protocol, so the per-session windows downstream keep their
+    * exchange-free user_id clustering. */
+  def ensureSessionTable(spark: SparkSession, dir: String,
+      gapSec: Long): String = {
+    val name =
+      s"graft_sess_${gapSec}_${ScaleOps.contentHash(dir, "events")}"
+    if (!spark.catalog.tableExists(name)
+        && !ScaleOps.attach(spark, name -> ("user_id", 8)))
+      ScaleOps.writeBucketed(sessionAssign(spark, dir, gapSec), name,
+        "user_id", 8)
+    name
+  }
+
+  private def sessionized(spark: SparkSession, dir: String,
+      gapSec: Long): DataFrame =
+    spark.table(ensureSessionTable(spark, dir, gapSec))
 
   /** First-order Markov transition matrix of event types WITHIN
     * sessions: for every (from, to) adjacent pair, its count and the

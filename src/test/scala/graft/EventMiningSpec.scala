@@ -4,6 +4,32 @@ import graft.operators.EventMining
 
 class EventMiningSpec extends SparkSpec {
 
+  test("session table: persisted assignment is row-identical to the " +
+      "inline window chain and is probed without a sessionize exchange") {
+    val t = EventMining.ensureSessionTable(spark, Sf0001, 1800L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "user_id", "tsec", "event_type", "session_seq")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val persisted = rows(spark.table(t))
+    val inline = rows(EventMining.sessionAssign(spark, Sf0001, 1800L))
+    assert(persisted.nonEmpty && persisted == inline)
+    // the consumer plan scans the bucketed table; the only shuffle left
+    // is the path aggregate (the sessionize exchange is gone — the
+    // user_id bucketing satisfies the per-session window)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = EventMining.openingPaths(spark, Sf0001, 1800L, 3, 10)
+        .queryExecution.executedPlan
+      def all(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(all)
+      assert(plan.toString.contains("graft_sess_1800_"))
+      assert(all(plan).count(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("transitions: probs row-normalize to 1 and pairs stay in-session") {
     val rows = EventMining.transitions(spark, Sf0001, 1800L).collect()
     assert(rows.nonEmpty)

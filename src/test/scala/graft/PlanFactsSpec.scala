@@ -124,9 +124,11 @@ class PlanFactsSpec extends SparkSpec {
     // frames (dfs, corpus n/sumdl) + the planner's fixture-size choice
     // on the dl join
     ("fts_bm25", routeIndex, Facts(2, 3, false)),
-    // sessionization window partitioning REUSED by the lead/transition
-    // windows — the exchange set is the sessionize + ordered output
-    ("events_transitions", Map.empty[String, String], Facts(4, 0, false)),
+    // session_seq probed from the bucketed session table (r18): the
+    // sessionize exchange is gone; the user_id bucketing satisfies the
+    // lead window, so the exchange set is the transition aggregate +
+    // its normalizer window + ordered output
+    ("events_transitions", Map.empty[String, String], Facts(3, 0, false)),
     // routed PPJoin at fixture volume → the BRUTE posting-join
     // formulation: zero-exchange co-located self-join on the bucketed
     // index, pair-grain count aggregate + ordered output; one
