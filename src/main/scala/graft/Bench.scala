@@ -103,11 +103,20 @@ object Bench {
         l, org.apache.logging.log4j.Level.ERROR))
     graft.functions.NativeFunctions.registerAll(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up pass (untimed)
+    // warm-up pass (untimed) — this is also the ENSURE PRE-PASS: every
+    // persisted family's first touch lands here, and the builders'
+    // aggregate wall time is reported as ensure_build_sec on the
+    // contract line (r18 verdict #1: first-touch build cost must be a
+    // visible number, not an unattributable slowdown of whichever
+    // session builds first). A nonzero ensure_build_late_sec in the
+    // detail file means something REBUILT inside the timed loop — a
+    // bug signal, never expected.
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    val ensureBuildSec = graft.operators.ScaleOps.BuildTimer.totalSec
+    val ensureBuildN = graft.operators.ScaleOps.BuildTimer.count
     // drop the warm-up pass's persist()ed frames so the FIRST timed
     // query doesn't run under ~110 queries of dead-cache LRU churn the
     // per-query clearCache below spares every later query
@@ -160,7 +169,18 @@ object Bench {
       // round-16: the TF-IDF recall gate counts the corpus for idf N
       // in the builder; ppjoin runs its candidate-volume estimate (one
       // tiny agg over the cached prefix) to pick its filter stack
-      "emb_tfidf_recall", "dedup_ppjoin")
+      "emb_tfidf_recall", "dedup_ppjoin",
+      // round-19 (measurement-bug fix, disclosed in OPTIMIZATION_r19):
+      // these builders also run driver actions — the beam supersteps
+      // (localCheckpoint/collect per round), the NB per-class scalar
+      // collect, the PCA power-iteration loop, and the s4 SINK itself —
+      // so the r18 "plans" pass was silently EXECUTING them 3 more
+      // times per bench (the s4 store was appended/scanned thrice
+      // extra; plan=1.2 s rows in bench_detail were executions, not
+      // planning). Their plan floor reports -1 (not separable), like
+      // the rest of this list.
+      "graph_ann", "graph_ann_batch", "gann_recall", "nb_confusion",
+      "emb_pca_power", "s4_append_state")
     // timed pass: min of N successful runs per query (construction +
     // count(), nothing double-planned); -1 only if every rep failed
     val results = names.map { name =>
@@ -252,7 +272,11 @@ object Bench {
     // silently truncated into an unparseable tail. Per-query seconds are
     // rounded to 3 decimals (1 ms) on stdout; full precision is in the
     // detail file.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"rep_max":${jmap(results.map(r => (r._1, r._4)))},"jobs":${jmap(results.map(r => (r._1, r._5)))},"contended":[${contended.map("\"" + _._1 + "\"").mkString(",")}],"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop}"""
+    // builds that ran AFTER the warm-up pre-pass (inside the timed
+    // loop) — expected 0; nonzero means an ensure-guard rebuilt
+    val ensureBuildLate =
+      graft.operators.ScaleOps.BuildTimer.totalSec - ensureBuildSec
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results.map(r => (r._1, r._2)))},"sf":"$sfDir","reps":$reps,"plan":${jmap(results.map(r => (r._1, r._3)))},"rep_max":${jmap(results.map(r => (r._1, r._4)))},"jobs":${jmap(results.map(r => (r._1, r._5)))},"contended":[${contended.map("\"" + _._1 + "\"").mkString(",")}],"failed":[${failed.mkString(",")}],"floor_noop":$floorNoop,"ensure_build_sec":$ensureBuildSec,"ensure_build_n":$ensureBuildN,"ensure_build_late_sec":$ensureBuildLate}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
@@ -294,8 +318,13 @@ object Bench {
       val s = graft.streaming.StreamBridge.familyBuildSecFor(sfDir)
       if (s > 0) s""","stream_family_build_sec":${r2(s)}""" else ""
     }
+    // ensure_build_sec on the contract line: the warm-up pre-pass's
+    // persisted-family build cost, so a cold-warehouse session's
+    // artifact carries its own first-touch figure (r18 verdict #1)
+    val ensurePart =
+      s""","ensure_build_sec":${r2(ensureBuildSec)},"ensure_build_n":$ensureBuildN"""
     def envelope(queriesJson: String, extra: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps,"floor_noop":${r3(floorNoop)},"contended_n":${contended.length},"spread_max":${r2(worstSpread)}$extra$failedPart$duckPart$streamPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queriesJson,"sf":"$sfShort","reps":$reps,"floor_noop":${r3(floorNoop)},"contended_n":${contended.length},"spread_max":${r2(worstSpread)}$extra$failedPart$duckPart$streamPart$ensurePart}"""
     val byCost = ok.sortBy(r => (-r._2, r._1))
     val fullLadder = Seq(3, 2, 1).iterator.map { digits =>
       val p = math.pow(10, digits)

@@ -135,34 +135,48 @@ object Classifier {
     * class — exactly the window's score-desc, lang-asc rank 1). At
     * 100 TB the broadcast becomes a term-keyed shuffle join; nothing
     * else changes and no window ranks token-grain data. */
+  /** Per-generation memo of the bounded per-class scalar block
+    * (c_lang, t_c, V, prior_nano, zero_nano) — a pure deterministic
+    * function of the persisted count table (n_classes rows, ~5 longs
+    * each), keyed by the generation-bearing EvalCache table name. The
+    * r18 form re-collected it per invocation: 4 of nb_confusion's 15
+    * sequential job-floor jobs (r18 verdict #8). */
+  private val cstatMemo =
+    new DriverMemo[String, Seq[(String, Long, Long, Long, Long)]](16)
+
   def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
-    // ONE tokenize+count pass: the per-class scalars and the pivoted
-    // model both derive from `counts`. The cached frame is
-    // vocab-bounded (distinct (class, term) pairs), not token-grain.
-    val counts = CacheScope.cached(termCounts(spark, dir))
+    // `counts` is a scan of the persisted per-generation model table
+    // (EvalCache.ensure in termCounts) — the r18 CacheScope.cached
+    // wrapper predated the persistence and only re-materialized a
+    // cheap bucketed scan into the block cache per invocation.
+    val counts = termCounts(spark, dir)
+    val cntName = EvalCache.tableName(dir, "documents", "nbcnt")
     val train = trainDocs(spark, dir)
     val nTrain = train.select(count(lit(1)).as("n_train"))
     // per-class scalars (t_c, V, prior_nano, zero_nano): n_classes
-    // rows, collected once — the bounded statistics read of the house
-    // probe pattern. The nano roundings happen in SPARK expressions
-    // (same `round ∘ log` tree as the oracle), never on the driver, so
-    // no second rounding convention enters the pipeline.
-    val cstat = counts.groupBy(col("lang").as("c_lang"))
-      .agg(sum(col("n")).as("t_c"))
-      .join(train.groupBy(col("lang").as("d_lang"))
-          .agg(count(lit(1)).as("docs_c")),
-        col("c_lang") === col("d_lang"))
-      .crossJoin(nTrain)
-      .crossJoin(counts.select(countDistinct(col("term")).as("v")))
-      .select(col("c_lang"), col("t_c"), col("v"),
-        round(log(col("docs_c").cast("double") / col("n_train")) * 1e9)
-          .cast("long").as("prior_nano"),
-        round(log(lit(1.0) / (col("t_c") + col("v"))) * 1e9)
-          .cast("long").as("zero_nano"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-      .sortBy(_._1) // lang-asc = the argmax tiebreak order
+    // rows, collected once PER GENERATION — the bounded statistics
+    // read of the house probe pattern, under the DriverMemo bound. The
+    // nano roundings happen in SPARK expressions (same `round ∘ log`
+    // tree as the oracle), never on the driver, so no second rounding
+    // convention enters the pipeline.
+    val cstat = cstatMemo.getOrCompute(cntName, cntName) {
+      counts.groupBy(col("lang").as("c_lang"))
+        .agg(sum(col("n")).as("t_c"))
+        .join(train.groupBy(col("lang").as("d_lang"))
+            .agg(count(lit(1)).as("docs_c")),
+          col("c_lang") === col("d_lang"))
+        .crossJoin(nTrain)
+        .crossJoin(counts.select(countDistinct(col("term")).as("v")))
+        .select(col("c_lang"), col("t_c"), col("v"),
+          round(log(col("docs_c").cast("double") / col("n_train")) * 1e9)
+            .cast("long").as("prior_nano"),
+          round(log(lit(1.0) / (col("t_c") + col("v"))) * 1e9)
+            .cast("long").as("zero_nano"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq // lang-asc = the argmax tiebreak order
+    }
     // model pivot: ONE row per vocab term, delta(t, c) per class as a
     // column. delta uses the identical rounded term expression minus
     // the class's zero mass — integer subtraction, exact.
@@ -173,14 +187,31 @@ object Classifier {
     }
     val termDeltas = counts.groupBy(col("term"))
       .agg(deltaCols.head, deltaCols.tail: _*)
-    // test tokens: term-keyed broadcast join (out-of-vocab tokens miss
-    // → every delta 0), then ONE partial-aggregated doc-grain shuffle
+    // test tokens: term-keyed model join (out-of-vocab tokens miss →
+    // every delta 0), then ONE partial-aggregated doc-grain shuffle.
+    // SIZE-ROUTED (r19 verdict #5, the searchAuto/routeMetaToIndex
+    // pattern): the pivoted model is vocab×classes wide, and a
+    // broadcast() hint is honored regardless of size — at
+    // open-vocabulary scale the hint alone is an executor/driver OOM.
+    // Below the threshold (on-disk bytes of the persisted count table,
+    // driver-side metadata; default 64 MiB ≈ a few hundred MB of
+    // built hash relation, comfortably under the 8 GB broadcast cap)
+    // the model broadcasts; above it the join becomes the term-keyed
+    // shuffle join the scale note always promised. Both routes are the
+    // same left join — bit-identical rows (ClassifierShapeSpec route
+    // rows pin it).
+    val bcastMax = spark.conf.getOption("graft.nb.modelBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val modelJoin =
+      if (ScaleOps.warehouseTableBytes(spark, cntName) <= bcastMax)
+        broadcast(termDeltas)
+      else termDeltas
     val aggCols = count(lit(1)).as("cnt") +:
       cstat.indices.map(i =>
         sum(coalesce(col(s"d$i"), lit(0L))).as(s"s$i"))
     val docScores = tokenized(testDocs(spark, dir))
       .withColumnRenamed("lang", "true_lang")
-      .join(broadcast(termDeltas), Seq("term"), "left")
+      .join(modelJoin, Seq("term"), "left")
       .groupBy(col("doc_id"), col("true_lang"))
       .agg(aggCols.head, aggCols.tail: _*)
     def score(i: Int) = {

@@ -264,7 +264,7 @@ object Clustering {
     * pass (see object doc). */
   def semdedupReport(spark: SparkSession, dir: String,
       targetClusterSize: Long, maxDistMicro2: Long): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = Similarity.embeddingsCount(spark, dir)
     val k = math.max(8L, n / targetClusterSize).toInt
     // This query is ORACLED against the FLAT fit (semdedupReportOracleSql
     // replays fitSqlForExpr): past the driver bound kmeansAuto would

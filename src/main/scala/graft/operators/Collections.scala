@@ -67,8 +67,9 @@ object Collections {
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
-      Tables.documents(spark, dir).write.mode("overwrite")
-        .partitionBy("lang").format("parquet").saveAsTable(name)
+      ScaleOps.BuildTimer.timed(
+        Tables.documents(spark, dir).write.mode("overwrite")
+          .partitionBy("lang").format("parquet").saveAsTable(name))
       ScaleOps.markAttachable(spark, name)
     }
     name
@@ -223,10 +224,30 @@ object Collections {
     if (!Files.exists(Paths.get(storeA)))
       graft.sources.ParquetStore.overwriteAtomic(
         docs.filter(col("doc_id") % 3 === 0), storeA)
-    graft.sources.ParquetStore.appendIfAbsent(spark, storeA,
-      docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
-    graft.sources.ParquetStore.appendIfAbsent(spark, storeB,
-      docs.filter(col("lang") === lit("fr")), Seq("doc_id"))
+    // the two stores are INDEPENDENT sinks: overlap their append jobs
+    // from two driver threads (guide §2.6 — Spark happily runs both;
+    // the second store's anti-join back-fills executors freed by the
+    // first store's tail) instead of paying the two absent-check job
+    // chains sequentially (r19 verdict #8: s4's cost is 17 sequential
+    // jobs at the dispatch floor). Threads created here inherit the
+    // caller's job group via SparkContext's inheritable local
+    // properties; stores are disjoint directories, so the interleaving
+    // cannot affect either store's state or the digest below.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val sinks = Seq(
+      (storeA, docs.filter(col("doc_id") % 2 === 0)),
+      (storeB, docs.filter(col("lang") === lit("fr")))
+    ).map { case (store, rows) =>
+      val t = new Thread(() =>
+        try {
+          graft.sources.ParquetStore.appendIfAbsent(spark, store, rows,
+            Seq("doc_id"))
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+      t.start(); t
+    }
+    sinks.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
     val textHash = conv(substring(md5(col("text")), 1, 7), 16, 10)
       .cast("long")
     spark.read.parquet(storeA)

@@ -502,19 +502,21 @@ object Dedup {
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
-      val dec = curationDocDecisions(spark, dir, threshold)
-        .transform(CacheScope.cached)
-      val keptDocs = Tables.documentsDense(spark, dir)
-        .join(dec.filter(col("decision") === lit("keep"))
-          .select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextAnalyzer.tokens(col("text")).as("toks"))
-        .transform(CacheScope.cached)
-      dec.join(spanRemovalStats(keptDocs), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("decision"),
-          col("n_tokens"), col("n_kept"), col("n_removed"),
-          col("cleaned_md5"))
-        .write.mode("overwrite").format("parquet").saveAsTable(name)
+      ScaleOps.BuildTimer.timed {
+        val dec = curationDocDecisions(spark, dir, threshold)
+          .transform(CacheScope.cached)
+        val keptDocs = Tables.documentsDense(spark, dir)
+          .join(dec.filter(col("decision") === lit("keep"))
+            .select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"),
+            TextAnalyzer.tokens(col("text")).as("toks"))
+          .transform(CacheScope.cached)
+        dec.join(spanRemovalStats(keptDocs), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("decision"),
+            col("n_tokens"), col("n_kept"), col("n_removed"),
+            col("cleaned_md5"))
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
       ScaleOps.markAttachable(spark, name)
       CacheScope.release(spark)
     }
@@ -1418,13 +1420,12 @@ object Dedup {
   def maximalDuplicatedSubstrings(spark: SparkSession, dir: String,
       minN: Int, maxN: Int, topK: Int): DataFrame = {
     require(minN >= 2 && maxN > minN, "need a real level ladder")
-    // ONE scan, ONE shuffle for ALL levels: every (length, gram) pair
-    // is emitted from a single flattened per-row array and aggregated
-    // by (length, gram) in one map-side-combined exchange — the
-    // level-per-shuffle form paid (maxN−minN+1) scans+exchanges
-    // (measured 5.7 s at sf0.1; the gram stream is the same bytes
-    // either way). The dup frame is cached: per-level slices and
-    // child-decompositions below are vocabulary-sized filters over it.
+    // All levels ride one flattened per-row array (the level-per-
+    // shuffle form paid maxN−minN+1 scans+exchanges — measured 5.7 s
+    // at sf0.1); the corpus-wide exchange carries HASH KEYS (pass 1
+    // below), the strings only travel for duplicate candidates (pass
+    // 2). The dup frame is cached: per-level slices and child-
+    // decompositions below are vocabulary-sized filters over it.
     val toks = Tables.documentsDense(spark, dir)
       .select(col("doc_id"),
         explode(array(TextAnalyzer.tokens(col("text")))).as("toks"))
@@ -1438,11 +1439,48 @@ object Dedup {
           (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
           .as("gram")))
     }
-    val allDups = toks
+    def lgStream = toks
       .select(col("doc_id"),
         explode(flatten(array((minN to maxN).map(gramsFor): _*)))
           .as("lg"))
-      .groupBy(col("lg.length").as("length"), col("lg.gram").as("gram"))
+    // HASH-PROXY gram shuffle with EXACT recovery (r19 verdict #3;
+    // guide §2.3 "shuffle keys and metadata instead of payloads" / §8
+    // decide-with-small-rows): the 5-10-token gram STRINGS are 30-70
+    // bytes each and the duplicate decision needs only equality, so
+    // pass 1 aggregates (length, xxhash64(gram), doc_id) — 16 bytes of
+    // key per row crosses the corpus-wide exchange instead of the
+    // string. Pass 2 re-derives the grams from a second scan, keeps
+    // only rows whose (length, hash) is a duplicate candidate, and
+    // re-aggregates the SURVIVORS by the REAL string with the exact
+    // n_docs > 1 re-check: a hash collision can only ADD a candidate
+    // (its exact count then filters it), never drop one (a truly
+    // duplicated gram's hash cell counts ≥ its own n_docs) — so the
+    // result is bit-identical to the single-pass string shuffle, with
+    // only the duplicated grams' strings ever crossing an exchange.
+    // The trade is a second tokenize scan (the guide-§8 two-scan
+    // shape); the token stream is deliberately NOT cached — at 100 TB
+    // a corpus-sized cache spills, while the rescan is embarrassingly
+    // parallel.
+    val dupHashes = lgStream
+      .select(col("lg.length").as("length"),
+        xxhash64(col("lg.gram")).as("ghash"), col("doc_id"))
+      .groupBy(col("length"), col("ghash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_h"))
+      .filter(col("n_docs_h") > 1)
+      .select("length", "ghash")
+    val allDups = lgStream
+      .select(col("doc_id"), col("lg.length").as("length"),
+        col("lg.gram").as("gram"))
+      .withColumn("ghash", xxhash64(col("gram")))
+      // broadcast the candidate set: without the hint the planner's
+      // size estimate for the aggregated dupHashes picks a sort-merge
+      // semi-join that shuffles the FULL gram stream by (length, ghash)
+      // — strings included — which is exactly the exchange this pass
+      // exists to avoid (measured 3.9 s → 10.6 s at sf0.1/32p before
+      // the hint). The broadcast is 16 bytes per DUPLICATED gram —
+      // orders of magnitude below the corpus gram stream.
+      .join(broadcast(dupHashes), Seq("length", "ghash"), "left_semi")
+      .groupBy(col("length"), col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)

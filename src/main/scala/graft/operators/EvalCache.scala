@@ -41,14 +41,20 @@ object EvalCache {
       .mkString
   }
 
+  /** The generation-bearing catalog name [[ensure]] persists under —
+    * exposed so consumers can key driver memos on the SAME identity
+    * (the nbConfusion cstat memo) without duplicating the naming
+    * convention. */
+  def tableName(dir: String, srcTable: String, label: String): String =
+    s"graft_gt_${label}_${ScaleOps.contentHash(dir, srcTable)}"
+
   /** Persist `build` once per (corpus fingerprint, label) and return
     * the catalog table. `build` is by-name: a cache hit never
     * constructs the frame. Ground-truth frames are Q·k rows (bounded
     * by the gate's own parameters), so one bucket suffices. */
   def ensure(spark: SparkSession, dir: String, srcTable: String,
       label: String, bucketCol: String)(build: => DataFrame): DataFrame = {
-    val name =
-      s"graft_gt_${label}_${ScaleOps.contentHash(dir, srcTable)}"
+    val name = tableName(dir, srcTable, label)
     if (!spark.catalog.tableExists(name)
         && !ScaleOps.attach(spark, name -> (bucketCol, 1)))
       ScaleOps.writeBucketed(build, name, bucketCol, 1)

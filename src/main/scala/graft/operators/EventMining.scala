@@ -46,11 +46,19 @@ object EventMining {
     * `_dl`/attrs sidecar discipline applied to sessionization (r18):
     * session_seq is a pure function of (events content, gapSec), so
     * the user-keyed window pass runs ONCE per corpus generation and
-    * every session consumer (transitions, basket rules, opening paths)
-    * probes the persisted table instead of re-sessionizing the event
-    * log per query. Bucketed by user_id with the shared builder lock /
-    * attach protocol, so the per-session windows downstream keep their
-    * exchange-free user_id clustering. */
+    * every session consumer (transitions, basket rules, opening paths,
+    * the eventSessions report) probes the persisted table instead of
+    * re-sessionizing the event log per query. Bucketed by user_id with
+    * the shared builder lock / attach protocol, so the per-session
+    * windows downstream keep their exchange-free user_id clustering.
+    *
+    * GAP CARDINALITY (r19 ADVICE): one `graft_sess_<gap>_<fp>` table
+    * persists per distinct gapSec value, with no LRU bound — callers
+    * pass the CANONICAL analytics gap(s) (every registered consumer
+    * uses 1800 s), not an ad-hoc per-request parameter. An unbounded
+    * gap stream would mint unbounded warehouse tables per corpus
+    * generation; a parameter-sweeping caller must clean up after
+    * itself or sessionize inline via [[sessionAssign]]. */
   def ensureSessionTable(spark: SparkSession, dir: String,
       gapSec: Long): String = {
     val name =

@@ -86,6 +86,34 @@ object GraphAnn {
     name
   }
 
+  /** Bounded, generation-checked memo of fetched query vectors — the
+    * ProductQuant fetch discipline: (vec_id, qv, qn) for a qid set,
+    * collected once per (embeddings generation, qid set). qv/qn are
+    * produced by the SAME Spark expressions the former broadcast query
+    * frame carried (array<double> cast + norm), so literal-based
+    * scoring is arithmetic-identical to the r18 crossJoin(broadcast)
+    * form — while removing one broadcast-exchange job per beam round
+    * (r19 verdict #4: the trio's cost is sequential job dispatch, and
+    * the per-round broadcast materialization was a full job each). */
+  private val queryFetchMemo = new DriverMemo[
+    (String, Seq[Long]), Seq[(Long, Seq[Double], Double)]](128)
+
+  private def fetchQueries(spark: SparkSession, dir: String,
+      ids: Seq[Long]): Seq[(Long, Seq[Double], Double)] = {
+    val gen = ScaleOps.contentHash(dir, "embeddings")
+    queryFetchMemo.getOrCompute((gen, ids.sorted), gen) {
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq,
+          r.getDouble(2)))
+        .toSeq
+    }
+  }
+
   /** Beam search over the graph: entry point -> R rounds of
     * (expand best-B frontier, score new neighbors) -> top-k.
     * Output (vec_id, label, dist). */
@@ -94,15 +122,18 @@ object GraphAnn {
       k: Int): DataFrame = {
     val edgesT = ensureGraphIndex(spark, dir, nCentroids, m)
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") === lit(qid))
-      .select(col("embedding").cast("array<double>").as("qv"),
-        Similarity.norm(col("embedding")).as("qn"))
+    val qrow = fetchQueries(spark, dir, Seq(qid))
+    // fail loudly on a missing query vector (the r18 broadcast form
+    // silently returned an empty frame) — no declared query can hit
+    // this: the oracle gate requires the fixture qid to exist
+    require(qrow.nonEmpty, s"query vector $qid not found")
+    val qv = typedLit(qrow.head._2)
+    val qn = lit(qrow.head._3)
     def distOf(idsDf: DataFrame): Array[(Long, Double)] =
       idsDf.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
-            / (Similarity.norm(col("embedding")) * col("qn")), 6)
+          round(lit(1.0) - Similarity.dot(col("embedding"), qv)
+            / (Similarity.norm(col("embedding")) * qn), 6)
             .as("dist"))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     import spark.implicits._
@@ -129,10 +160,9 @@ object GraphAnn {
     // re-materialize engine-side: the walk chose WHICH ids, the scan
     // computes the returned values
     emb.filter(col("vec_id").isin(topIds.map(Long.box): _*))
-      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
-          / (Similarity.norm(col("embedding")) * col("qn")), 6)
+        round(lit(1.0) - Similarity.dot(col("embedding"), qv)
+          / (Similarity.norm(col("embedding")) * qn), 6)
           .as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
@@ -160,26 +190,44 @@ object GraphAnn {
       k: Int): DataFrame = {
     val edgesT = ensureGraphIndex(spark, dir, nCentroids, m)
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("qv"),
-        Similarity.norm(col("embedding")).as("qn"))
+    import spark.implicits._
+    // query vectors as literal maps (the memoized bounded fetch above):
+    // scoring becomes scan-local — the r18 per-round
+    // broadcast(queries) exchange, a scheduled job per score call, is
+    // gone; arithmetic is unchanged (same qv/qn doubles, same
+    // expression tree around them)
+    val qrows = fetchQueries(spark, dir, qids)
+    val qvMap = typedLit(qrows.map(r => r._1 -> r._2).toMap)
+    val qnMap = typedLit(qrows.map(r => r._1 -> r._3).toMap)
     def score(cand: DataFrame): DataFrame =
       cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .join(broadcast(queries), "q_id")
         .select(col("q_id"), col("vec_id").as("vid"),
-          round(lit(1.0) - Similarity.dot(col("embedding"), col("qv"))
-            / (Similarity.norm(col("embedding")) * col("qn")), 6)
+          round(lit(1.0) - Similarity.dot(col("embedding"),
+              element_at(qvMap, col("q_id")))
+            / (Similarity.norm(col("embedding"))
+              * element_at(qnMap, col("q_id"))), 6)
             .as("dist"))
     val edges = spark.table(edgesT).select(col("src"), col("dst"))
     // visited frame: bounded by Q·(1 + R·B·M) rows of 24 bytes — tiny
     // relative to the corpus; checkpointed so each round's plan is flat
     var scored = score(
-      queries.select(col("q_id"), lit(entry).as("vec_id")))
+      qrows.map(_._1).toDF("q_id").withColumn("vec_id", lit(entry)))
       .localCheckpoint(true)
     val wBeam = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col("vid").asc)
-    for (_ <- 1 to rounds) {
+    // Superstep fusion (r19 verdict #4): the eager checkpoint — one
+    // scheduled job — runs every SECOND round instead of every round,
+    // halving the per-query job count (the trio's cost is sequential
+    // job dispatch, not data). The odd round's frame is persist()ed
+    // LAZILY in between: the three references the next round makes to
+    // it (frontier window, anti-join, union) then compute it once
+    // inside the next checkpoint's job instead of thrice, and the
+    // logical plan between checkpoints stays two rounds deep — far
+    // from the unbounded re-analysis the per-round checkpoint was
+    // added to stop. Values are untouched (a materialization barrier
+    // only), so per-query output stays bit-equal to [[beamSearch]].
+    var pending: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
       val frontier = scored.withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam).select(col("q_id"), col("vid"))
       val fresh = frontier
@@ -188,7 +236,15 @@ object GraphAnn {
         .join(scored.select(col("q_id"), col("vid")),
           Seq("q_id", "vid"), "left_anti")
         .select(col("q_id"), col("vid").as("vec_id"))
-      scored = scored.union(score(fresh)).localCheckpoint(true)
+      val next = scored.union(score(fresh))
+      if (r % 2 == 0 || r == rounds) {
+        scored = next.localCheckpoint(true)
+        pending.foreach(_.unpersist(false))
+        pending = None
+      } else {
+        scored = next.persist()
+        pending = Some(next)
+      }
     }
     scored.filter(col("vid") =!= col("q_id"))
       .withColumn("rn", row_number().over(wBeam))
@@ -339,7 +395,7 @@ object GraphAnn {
       targetCellSize: Long = 1000L): DataFrame =
     beamSearch(spark, dir, qid, entry,
       Similarity.autoNCentroids(
-        Tables.embeddings(spark, dir).count(), targetCellSize),
+        Similarity.embeddingsCount(spark, dir), targetCellSize),
       m, beam, rounds, k)
 
   def batchBeamSearchAuto(spark: SparkSession, dir: String,
@@ -347,7 +403,7 @@ object GraphAnn {
       k: Int, targetCellSize: Long = 1000L): DataFrame =
     batchBeamSearch(spark, dir, qids, entry,
       Similarity.autoNCentroids(
-        Tables.embeddings(spark, dir).count(), targetCellSize),
+        Similarity.embeddingsCount(spark, dir), targetCellSize),
       m, beam, rounds, k)
 
   def beamRecallAuto(spark: SparkSession, dir: String, qids: Seq[Long],
@@ -355,7 +411,7 @@ object GraphAnn {
       targetCellSize: Long = 1000L): DataFrame =
     beamRecall(spark, dir, qids, entry,
       Similarity.autoNCentroids(
-        Tables.embeddings(spark, dir).count(), targetCellSize),
+        Similarity.embeddingsCount(spark, dir), targetCellSize),
       m, beam, rounds, k)
 
   private def kpickCte(targetCellSize: Long): String =

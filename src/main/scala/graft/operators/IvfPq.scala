@@ -129,7 +129,7 @@ object IvfPq {
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
-      build
+      ScaleOps.BuildTimer.timed(build)
       ScaleOps.markAttachable(spark, name)
     }
     name

@@ -139,7 +139,8 @@ object ProductQuant {
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
-      trainCodebook(spark, dir).write.mode("overwrite").saveAsTable(name)
+      ScaleOps.BuildTimer.timed(
+        trainCodebook(spark, dir).write.mode("overwrite").saveAsTable(name))
       ScaleOps.markAttachable(spark, name)
     }
     name
@@ -202,7 +203,8 @@ object ProductQuant {
         .stripPrefix("file:")
       graft.sources.ParquetStore.deleteRecursively(
         java.nio.file.Paths.get(warehouse, name.toLowerCase))
-      encode(spark, dir).write.mode("overwrite").saveAsTable(name)
+      ScaleOps.BuildTimer.timed(
+        encode(spark, dir).write.mode("overwrite").saveAsTable(name))
       ScaleOps.markAttachable(spark, name)
     }
     name

@@ -119,17 +119,22 @@ object QualityLm {
     // ensureNllTable): the quantile probe, both prefix-sum passes, the
     // corpus count, and the final roll-up all read a bucketed
     // docs-count-row parquet instead of re-running the scoring chain
-    val keyed = spark.table(ensureNllTable(spark, dir))
+    val nllTable = ensureNllTable(spark, dir)
+    val keyed = spark.table(nllTable)
       .withColumn("nll_micro", round(col("nll") * lit(1e6)).cast("long"))
       .withColumn("key",
         col("nll_micro") * lit(8589934592L) + col("doc_id"))
       .withColumn("one", lit(1L))
-    // bucket boundaries memoized per index generation (r17 verdict #6):
-    // the NLL ranking key is a deterministic function of the corpus, so
+    // bucket boundaries memoized per NLL-table generation (r17 verdict
+    // #6; key fixed r19 — the r18 form passed Fts.ensureIndex(...) as
+    // the generation string, forcing the most expensive index build in
+    // the repo as a SIDE EFFECT of a quality query on a fresh session.
+    // The NLL table name embeds the same corpus fingerprint and is
+    // already ensured above, so it keys the memo for free): the NLL
+    // ranking key is a deterministic function of the corpus, so
     // steady-state re-invocations skip the approxQuantile driver action
     // (any boundary set is correct — it only shapes bucket sizes)
-    val bounds = ScaleOps.prefixBounds(keyed,
-      Fts.ensureIndex(spark, dir), "key", 32)
+    val bounds = ScaleOps.prefixBounds(keyed, nllTable, "key", 32)
     val ranked = ScaleOps.prefixSummed(keyed, "key", "one", 32, Some(bounds))
       .withColumnRenamed("cum_before", "rank")
     val tot = ranked.agg(count(lit(1)).as("n"))

@@ -896,15 +896,16 @@ object Relational {
     */
   def eventSessions(spark: SparkSession, dir: String,
       gapSec: Long): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("tsec").asc, col("event_id").asc)
-    val sessioned = eventsWithTsec(spark, dir)
-      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("is_new")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // r19 (verdict #7): the session REPORT aggregates from the same
+    // persisted per-(corpus generation, gap) assignment the EventMining
+    // consumers probe (graft_sess_<gap>_<fp>, row-identical to the
+    // inline lag→flag→cumsum chain — EventMiningSpec) instead of
+    // re-running its own corpus-wide window pass per query. The
+    // bucketed-by-user_id scan already satisfies the groupBy's
+    // clustering (user_id is a prefix of the grouping keys), so the
+    // only exchange left is the deterministic output sort.
+    val sessioned =
+      spark.table(EventMining.ensureSessionTable(spark, dir, gapSec))
     sessioned
       .groupBy("user_id", "session_seq")
       .agg(

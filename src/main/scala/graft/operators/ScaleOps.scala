@@ -69,7 +69,59 @@ object ScaleOps {
     else 0L
   }
 
+  /** Driver-side on-disk bytes of a persisted warehouse table —
+    * metadata only (no Spark job), the [[tableBytes]] analog for
+    * catalog tables: the cheap size signal routing policies key on
+    * (nbConfusion's broadcast-vs-shuffle model join). 0 if absent. */
+  def warehouseTableBytes(spark: SparkSession, table: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val loc = tableLocation(spark, table)
+    if (!java.nio.file.Files.isDirectory(loc)) 0L
+    else {
+      val s = java.nio.file.Files.walk(loc)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+  }
+
   // --- Build-once / ATTACH-many persisted tables ------------------------
+
+  /** Driver-side accounting of persisted-table build time (r19 verdict
+    * #1): every ensure-build that actually constructs a generation —
+    * the bucketed writer plus the few manual saveAsTable builders —
+    * accumulates its wall time here, and `graft.Bench` reports the
+    * warm-up pre-pass's total as `ensure_build_sec` on the contract
+    * line. First-touch build cost is thereby visible as its own number
+    * instead of an unattributable slowdown in whichever session builds
+    * a generation first; a cold-warehouse and a warm-warehouse bench
+    * differ by exactly this figure (plus page-cache noise), so their
+    * per-query mins become comparable. Reentrant: a builder whose
+    * build body ensures another table counts once, under the OUTERMOST
+    * build (per-thread depth guard). */
+  object BuildTimer {
+    private val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val depth = new ThreadLocal[Integer] {
+      override def initialValue: Integer = 0
+    }
+    def timed[T](body: => T): T = {
+      val d: Int = depth.get
+      depth.set(d + 1)
+      val t0 = System.nanoTime()
+      try body
+      finally {
+        depth.set(d)
+        if (d == 0) {
+          nanos.addAndGet(System.nanoTime() - t0)
+          builds.incrementAndGet()
+        }
+      }
+    }
+    def totalSec: Double = nanos.get / 1e9
+    def count: Int = builds.get
+  }
 
   /** Layout-version stamp baked into every attachable table's marker.
     * BUMP THIS whenever ANY persisted-table builder changes its output
@@ -256,7 +308,7 @@ object ScaleOps {
       attempts += 1
       if (tryAcquireBuildLock(spark, table)) {
         try {
-          doWriteBucketed(df, table, key, buckets)
+          BuildTimer.timed(doWriteBucketed(df, table, key, buckets))
         } finally releaseBuildLock(spark, table)
         return
       }
@@ -267,7 +319,8 @@ object ScaleOps {
           || spark.catalog.tableExists(table)) return
       // died without committing: loop and take over
     }
-    doWriteBucketed(df, table, key, buckets) // pathological: build unlocked
+    // pathological: build unlocked
+    BuildTimer.timed(doWriteBucketed(df, table, key, buckets))
   }
 
   private def doWriteBucketed(df: DataFrame, table: String, key: String,
@@ -599,18 +652,28 @@ object ScaleOps {
   }
 
   /** Driver memo for built join blooms: the 64-long word array is a
-    * pure function of (dim-table generation, build predicate, key
-    * column), so a steady-state serving process builds each bloom ONCE
-    * per corpus generation instead of paying the dim-scan + collect
-    * job per query (r18; the prefixBounds treatment). Values are 512
-    * bytes each, LRU-bounded, generation-checked on lookup. */
-  private val joinBloomMemo = new DriverMemo[(String, String), Array[Long]](64)
+    * pure function of (dim-table generation, build frame, key column),
+    * so a steady-state serving process builds each bloom ONCE per
+    * corpus generation instead of paying the dim-scan + collect job
+    * per query (r18; the prefixBounds treatment). Values are 512 bytes
+    * each, LRU-bounded, generation-checked on lookup.
+    *
+    * r19 (ADVICE): the key derives from the ANALYZED PLAN's semantic
+    * hash rather than a hand-maintained tag string — a caller that
+    * changes the build predicate (or passes a differently-filtered
+    * keys frame) can no longer silently share a stale bloom, which for
+    * a bloom means FALSE NEGATIVES (dropped join rows). Values are
+    * stored immutable and cloned out, so no caller can poison the
+    * cached words by mutating the returned array. */
+  private val joinBloomMemo =
+    new DriverMemo[(String, Int, String), Vector[Long]](64)
 
-  def buildJoinBloomMemo(keys: DataFrame, gen: String, tag: String,
+  def buildJoinBloomMemo(keys: DataFrame, gen: String,
       keyCol: String): Array[Long] =
-    joinBloomMemo.getOrCompute((gen, s"$tag:$keyCol"), gen) {
-      buildJoinBloom(keys, keyCol)
-    }
+    joinBloomMemo.getOrCompute(
+      (gen, keys.queryExecution.analyzed.semanticHash(), keyCol), gen) {
+      buildJoinBloom(keys, keyCol).toVector
+    }.toArray
 
   /** Registered demo: order revenue by priority for BUILDING-segment
     * customers, with the orders scan pre-pruned by the customer-key
@@ -624,7 +687,7 @@ object ScaleOps {
       .filter(col("c_mktsegment") === lit("BUILDING"))
       .select("c_custkey")
     val words = buildJoinBloomMemo(cust,
-      contentHash(dir, "customer"), "c_mktsegment=BUILDING", "c_custkey")
+      contentHash(dir, "customer"), "c_custkey")
     graft.Tables.orders(spark, dir)
       .filter(joinBloomMightContain(words.toSeq, col("o_custkey")))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -681,7 +744,14 @@ object ScaleOps {
     * pack_sequences / quality_ppl_buckets). Any boundary set is
     * CORRECT (it only skews bucket sizes), so memo staleness across an
     * in-place regeneration could not corrupt results even without the
-    * generation check — but the check keeps the sizes honest. */
+    * generation check — but the check keeps the sizes honest.
+    *
+    * CALLER CONTRACT (r19 ADVICE): the key (gen, orderCol, partitions)
+    * does not identify the source FRAME — two operators sharing those
+    * three share boundaries even if their filters/projections differ.
+    * Callers must never rely on the returned bounds being quantiles of
+    * their specific frame; only the bucket-size skew is at stake,
+    * which is what makes the coarser key safe. */
   private val boundsMemo =
     new DriverMemo[(String, String, Int), Array[Double]](64)
 

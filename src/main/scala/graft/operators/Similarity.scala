@@ -329,6 +329,20 @@ object Similarity {
   def autoNCentroids(n: Long, targetCellSize: Long = 1000L): Int =
     math.max(8L, n / targetCellSize).toInt
 
+  /** Per-generation memo of the embeddings row count — the policy
+    * input every corpus-relative auto entry (graph-ANN trio,
+    * ivf_ann_auto, semdedup) derives its cell count from. A pure
+    * function of the corpus generation; the count is parquet-metadata-
+    * only but still one scheduled driver job PER INVOCATION (r19: one
+    * of the sequential floor jobs on every auto-routed ANN query). */
+  private val embCountMemo = new DriverMemo[String, Long](16)
+
+  def embeddingsCount(spark: SparkSession, dir: String): Long = {
+    val gen = ScaleOps.contentHash(dir, "embeddings")
+    embCountMemo.getOrCompute(gen, gen)(
+      Tables.embeddings(spark, dir).count())
+  }
+
   /** [[ensureIvfIndex]] with the corpus-relative [[autoNCentroids]]
     * policy — the form a deployment calls (the oracled fixture queries
     * pass explicit counts so their DuckDB twins can replay them).
@@ -349,7 +363,7 @@ object Similarity {
     * routed query must mirror the routing in its SQL the way
     * kmeansHierClustersOracleSql does. */
   def ensureIvfIndexAuto(spark: SparkSession, dir: String): String = {
-    val cells = autoNCentroids(Tables.embeddings(spark, dir).count())
+    val cells = autoNCentroids(embeddingsCount(spark, dir))
     if (cells.toLong * 64 <= Clustering.MaxDriverCentroidCells)
       ensureIvfIndex(spark, dir, cells)
     else {
@@ -539,7 +553,7 @@ object Similarity {
     * that k. */
   def ivfTopKAuto(spark: SparkSession, dir: String, qid: Long, k: Int,
       nProbe: Int = 2, targetCellSize: Long = 1000L): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = embeddingsCount(spark, dir)
     val cells = autoNCentroids(n, targetCellSize)
     // oracled against the flat training chain: fail loudly rather than
     // OOM the flat trainer (or silently diverge via a hier route) past

@@ -76,6 +76,31 @@ class ClassifierShapeSpec extends SparkSpec {
       s"decomposed(${fast.size}) must equal naive(${naive.size})")
   }
 
+  test("model-join size route: the shuffle route is bit-identical to " +
+      "the broadcast route (r19 verdict #5)") {
+    // default route at fixture scale: broadcast (count table « 64 MiB)
+    val bcast = Classifier.nbConfusion(spark, Sf0001)
+      .collect().map(_.toSeq.toList).toSeq
+    // force the term-keyed shuffle route: threshold 0 AND the planner's
+    // own auto-broadcast disabled, so the model join really shuffles
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.nb.modelBroadcastMaxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Classifier.nbConfusion(spark, Sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"shuffle route not taken:\n$plan")
+      val shuffled = df.collect().map(_.toSeq.toList).toSeq
+      assert(shuffled == bcast && bcast.nonEmpty,
+        "route changed the confusion matrix")
+    } finally {
+      spark.conf.unset("graft.nb.modelBroadcastMaxBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("the decomposed plan carries no window and no cross join") {
     val plan = Classifier.nbConfusion(spark, Sf0001)
       .queryExecution.executedPlan.toString

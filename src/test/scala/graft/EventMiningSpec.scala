@@ -30,6 +30,28 @@ class EventMiningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("events_sessions report reads the persisted session table: no " +
+      "window pass, one exchange (r19 verdict #7)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational
+        .eventSessions(spark, Sf0001, 1800L)
+      val plan = df.queryExecution.executedPlan
+      def all(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(all)
+      assert(plan.toString.contains("graft_sess_1800_"),
+        "report must scan the persisted assignment")
+      assert(!plan.toString.contains("Window"),
+        "the inline sessionize window chain survived")
+      // the bucketed user_id scan satisfies the (user_id, session_seq)
+      // groupBy clustering; the one exchange left is the output sort
+      assert(all(plan).count(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("transitions: probs row-normalize to 1 and pairs stay in-session") {
     val rows = EventMining.transitions(spark, Sf0001, 1800L).collect()
     assert(rows.nonEmpty)

@@ -112,6 +112,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(!plan.contains("row_number"), "global row_number window found")
   }
 
+  test("ppl_buckets never ensures the FTS index (r19 verdict #6: the " +
+      "bounds memo keys on the NLL table, not Fts.ensureIndex)") {
+    // steady state first: the NLL table's own BUILD legitimately needs
+    // the index (unigramNll reads it) — ensure it exists, then drop the
+    // index's CATALOG entry. Only Fts.ensureIndex re-registers it
+    // (attach is metadata-only and lives inside ensureIndex), so the
+    // table reappearing would prove the quality query still forces the
+    // most expensive index ensure in the repo as a side effect.
+    operators.QualityLm.ensureNllTable(spark, Sf0001)
+    val fts = operators.Fts.indexName(Sf0001)
+    spark.sql(s"DROP TABLE IF EXISTS `$fts`")
+    operators.QualityLm.pplBuckets(spark, Sf0001).count()
+    assert(!spark.catalog.tableExists(fts),
+      "pplBuckets re-ensured the FTS index")
+  }
+
   test("nll score table: the persisted per-doc NLL route is " +
       "bit-identical to the inline unigramNll chain") {
     // r18: curation_report and quality_ppl_buckets read the build-once
