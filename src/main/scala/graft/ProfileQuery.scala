@@ -24,15 +24,27 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.NativeFunctions.registerAll(spark)
+    // arbitrary conf pins: SPARK_GRAFT_CONF="k=v;k2=v2" (r19 — A/B any
+    // size-routed policy in the profiling loop)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val fn = SparkEntry.queries(name)
     // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan once
     // (after any builder-side ensure calls) before the timed reps
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       fn(spark, sfDir).explain("formatted")
     (0 until reps).foreach { i =>
+      spark.sparkContext.setJobGroup(s"prof_$i", name,
+        interruptOnCancel = false)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[$name parts=$parts rep=$i] ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(s"prof_$i").length
+      println(f"[$name parts=$parts rep=$i] $dt%.2fs rows=$n jobs=$jobs")
     }
     spark.stop()
   }

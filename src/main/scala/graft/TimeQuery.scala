@@ -30,6 +30,12 @@ object TimeQuery {
       .foreach(spark.conf.set("graft.fts.route", _))
     sys.env.get("SPARK_GRAFT_PPJOIN_ROUTE")
       .foreach(spark.conf.set("graft.ppjoin.route", _))
+    // arbitrary conf pins: SPARK_GRAFT_CONF="k=v;k2=v2" (r19 — lets an
+    // A/B pin any size-routed policy, e.g. graft.gann.fusedMaxEdgeBytes)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, sfDir).count() }

@@ -24,13 +24,15 @@ import graft.Tables
   * together (pure within-cell edges would make the graph unwalkable
   * across cell boundaries).
   *
-  * Spark-first probe: the beam loop runs R bounded rounds; each round
-  * is ONE job — edge scan pruned to the frontier ids, distinct new
-  * neighbors joined to their vectors, scored against the broadcast
-  * query — and collects only (id, dist) pairs bounded by B·M. The
-  * final top-k is re-materialized as a real scan-side projection (the
-  * collected ids become an IN-list), so the returned frame's values
-  * are computed by the engine, not the driver.
+  * Spark-first probe: the beam loop runs R bounded rounds as fused
+  * PAIRS — three single-stage bucket-pruned jobs per two rounds (one-
+  * hop dsts, their out-edges, one distance scan for both hops), every
+  * probe a driver-known IN-list bounded by B·M then B·M², the second
+  * round replayed driver-side from the collected superset (see
+  * beamSearch). The final top-k is re-materialized as a real
+  * scan-side projection (the collected ids become an IN-list), so the
+  * returned frame's values are computed by the engine, not the
+  * driver.
   *
   * Determinism: all distances round(…, 6); every selection (edge rank,
   * beam membership, final top-k) tiebreaks on vec_id; the oracle
@@ -129,31 +131,86 @@ object GraphAnn {
     require(qrow.nonEmpty, s"query vector $qid not found")
     val qv = typedLit(qrow.head._2)
     val qn = lit(qrow.head._3)
-    def distOf(idsDf: DataFrame): Array[(Long, Double)] =
-      idsDf.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    // distances for a DRIVER-KNOWN id set: a bucket-pruned emb scan
+    // with a scan-local literal-query score — no join, no broadcast,
+    // one single-stage job (the r18 form joined an ids frame to emb,
+    // and the planner's broadcast materialization was a scheduled job
+    // per call)
+    def distsOf(ids: Seq[Long]): Map[Long, Double] =
+      if (ids.isEmpty) Map.empty
+      else emb.filter(col("vec_id").isin(ids.map(Long.box): _*))
         .select(col("vec_id"),
           round(lit(1.0) - Similarity.dot(col("embedding"), qv)
             / (Similarity.norm(col("embedding")) * qn), 6)
             .as("dist"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    import spark.implicits._
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     // scored: every visited node's (id, dist) — driver-side, bounded
     // by 1 + R·B·M entries of 16 bytes
-    var scored = distOf(Seq(entry).toDF("vec_id")).toMap
+    var scored = distsOf(Seq(entry))
     var r = 0
+    val edges = spark.table(edgesT)
+    // TWO-HOP FUSED ROUNDS (r19 verdict #4): THREE single-stage
+    // bucket-pruned jobs serve TWO beam rounds — (1) the frontier's
+    // one-hop dsts, (2) the unseen candidates' out-edges, (3) one
+    // distance scan for both hops — where the r18 loop paid a
+    // join+broadcast+collect chain (2-3 scheduled jobs) PER ROUND.
+    // Every probe is a driver-known IN-list (bounded by B·M then
+    // B·M²), so static bucket pruning survives at any corpus size —
+    // no full edge scan, no size route needed. The driver REPLAYS
+    // round r+1's selection from the collected superset; exactness
+    // rests on the top-B monotonicity invariant: distances never
+    // change and the visited set only grows, so a node outside the
+    // current top-B can never enter a later top-B — round r+1's
+    // frontier ⊆ (frontier ∪ fresh₁), old members' neighbors are all
+    // already visited, and the new members' neighbors are exactly the
+    // collected second hop. GraphAnnSpec pins the fused walk
+    // bit-identical to an inline reference of the r18 per-round loop
+    // across a (beam, rounds) grid.
     while (r < rounds) {
       val frontier = scored.toSeq
         .sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
       val known = scored.keySet
-      // one job: frontier-pruned edge scan -> distinct unseen dsts ->
-      // score against the broadcast query (<= B·M rows collected)
-      val fresh = distOf(
-        spark.table(edgesT)
-          .filter(col("src").isin(frontier.map(Long.box): _*))
-          .select(col("dst").as("vec_id")).distinct()
-          .filter(!col("vec_id").isin(known.toSeq.map(Long.box): _*)))
-      if (fresh.isEmpty) r = rounds
-      else { scored ++= fresh; r += 1 }
+      // job 1: one-hop dsts off the frontier's buckets (≤ B·M rows;
+      // deduped driver-side so the job stays single-stage)
+      val fresh1 = edges
+        .filter(col("src").isin(frontier.map(Long.box): _*))
+        .select(col("dst"))
+        .collect().map(_.getLong(0)).distinct.filterNot(known)
+        .sorted.toSeq
+      if (fresh1.isEmpty) r = rounds
+      else if (rounds - r < 2) {
+        // trailing single round: score the candidates, done
+        scored ++= distsOf(fresh1)
+        r += 1
+      } else {
+        // job 2: the fresh candidates' out-edges (≤ B·M² pairs)
+        val e2 = edges
+          .filter(col("src").isin(fresh1.map(Long.box): _*))
+          .select(col("src"), col("dst"))
+          .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+        val known2 = known ++ fresh1
+        val hop2Ids = e2.map(_._2).distinct.filterNot(known2)
+        // job 3: distances for both hops in ONE pruned scan
+        val dists = distsOf(fresh1 ++ hop2Ids)
+        scored ++= fresh1.map(id => id -> dists(id))
+        r += 1
+        if (r < rounds) {
+          // replay round r+1 driver-side from the collected superset:
+          // old frontier members' neighbors are all in known2 — only
+          // the NEW members (⊆ fresh1) can surface unseen nodes, and
+          // their out-edges are exactly e2
+          val fresh1Set = fresh1.toSet
+          val adj = e2.groupBy(_._1)
+            .map { case (s, ps) => s -> ps.map(_._2) }
+          val frontier2 = scored.toSeq
+            .sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
+          val fresh2 = frontier2.filter(fresh1Set)
+            .flatMap(adj.getOrElse(_, Seq.empty[Long]))
+            .distinct.filterNot(known2)
+          if (fresh2.isEmpty) r = rounds
+          else { scored ++= fresh2.map(id => id -> dists(id)); r += 1 }
+        }
+      }
     }
     val topIds = scored.toSeq.filter(_._1 != qid)
       .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
